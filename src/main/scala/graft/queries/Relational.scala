@@ -1,0 +1,356 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Relational query surface — the capabilities the reference *declares* via
+  * `DataWarehouse.query(sql)` / `fetch(fields, sort, count)`
+  * (reference: `src/load_datawarehouse/classes.py:45-49`,
+  * `src/load_datawarehouse/bigquery/__init__.py:463-499`) realized for real on
+  * Spark: scans, filter pushdown, joins (shuffle/broadcast/semi/anti),
+  * aggregations (hash, distinct, rollup), windows, sorts/limits, set ops and
+  * scalar functions. Each query has a DuckDB oracle with *pinned* output
+  * types: integers as BIGINT, money as DECIMAL with explicit scale (exact,
+  * associative — safe to aggregate in any partition order), strings as-is.
+  *
+  * Scale notes are inline: every query is written the way it should run on a
+  * 1000-executor cluster (broadcast the dims, aggregate before join where
+  * possible, let AQE pick the join strategy at runtime).
+  */
+object Relational {
+
+  private val Dec2 = DecimalType(18, 2)
+  private val Dec4 = DecimalType(18, 4)
+  private def dec2(c: org.apache.spark.sql.Column) = c.cast(Dec2)
+  private def dec4(c: org.apache.spark.sql.Column) = c.cast(Dec4)
+  private def ts(s: String) = lit(java.sql.Timestamp.valueOf(s))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- q01: full-scan hash aggregation (TPC-H Q1 shape). Partial
+    // aggregation happens map-side; only 4 groups shuffle.
+    "q01_pricing_summary" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .filter($"l_shipdate" <= ts("1998-09-02 00:00:00"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum(dec2($"l_quantity")).cast(DecimalType(38, 2)).cast("double").as("sum_qty"),
+          sum(dec2($"l_extendedprice")).cast(DecimalType(38, 2)).cast("double").as("sum_base_price"),
+          sum(dec2($"l_extendedprice") *
+            (lit(BigDecimal(1)).cast(Dec4) - dec4($"l_discount")))
+            .cast(DecimalType(38, 6)).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // ---- q02: predicate + projection pushdown to the parquet scan
+    // (`PushedFilters` on l_shipdate/l_quantity, 3-column ReadSchema).
+    "q02_filter_pushdown" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .filter($"l_shipdate" >= ts("1997-01-01 00:00:00") && $"l_quantity" < 5.0)
+        .select($"l_orderkey", $"l_linenumber".cast("long").as("l_linenumber"),
+          $"l_quantity")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // ---- q03: 3-way join + agg + top-k (TPC-H Q3 shape). customer filter
+    // reduces the build side before the join; final TakeOrderedAndProject.
+    "q03_top_orders" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val cust = Tables(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+      val ord = Tables(s, dir, "orders")
+      val li = Tables(s, dir, "lineitem")
+      cust.join(ord, $"c_custkey" === $"o_custkey")
+        .join(li, $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderkey", $"o_orderdate")
+        .agg(sum(dec2($"l_extendedprice") *
+          (lit(BigDecimal(1)).cast(Dec4) - dec4($"l_discount")))
+          .cast(DecimalType(38, 6)).cast("double").as("revenue"))
+        .orderBy($"revenue".desc, $"o_orderkey")
+        .limit(10)
+    }),
+
+    // ---- q04: broadcast join against the `part` dim — no shuffle of the
+    // fact side at any scale where part fits in memory.
+    "q04_broadcast_join" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .join(broadcast(Tables(s, dir, "part")), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec2($"l_quantity")).cast(DecimalType(38, 2)).cast("double").as("sum_qty"))
+        .orderBy($"p_brand")
+    }),
+
+    // ---- q05: 5-table star join (region⋈nation⋈customer⋈orders⋈lineitem).
+    // Dims broadcast; orders/lineitem co-shuffle on their keys once.
+    "q05_region_revenue" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val region = broadcast(Tables(s, dir, "region"))
+      val nation = broadcast(Tables(s, dir, "nation"))
+      val cust = Tables(s, dir, "customer")
+      val ord = Tables(s, dir, "orders")
+        .filter($"o_orderdate" >= ts("1996-01-01 00:00:00") &&
+          $"o_orderdate" < ts("1997-01-01 00:00:00"))
+      val li = Tables(s, dir, "lineitem")
+      region.join(nation, $"r_regionkey" === $"n_regionkey")
+        .join(cust, $"n_nationkey" === $"c_nationkey")
+        .join(ord, $"c_custkey" === $"o_custkey")
+        .join(li, $"o_orderkey" === $"l_orderkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(
+          sum(dec2($"l_extendedprice") *
+            (lit(BigDecimal(1)).cast(Dec4) - dec4($"l_discount")))
+            .cast(DecimalType(38, 6)).cast("double").as("revenue"),
+          countDistinct($"o_orderkey").as("n_orders"))
+        .orderBy($"r_name", $"n_name")
+    }),
+
+    // ---- q06: window functions (row_number / running sum / lag) over a
+    // unique total order; single shuffle on the partition key.
+    "q06_window_running" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val w = Window.partitionBy($"l_suppkey")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      Tables(s, dir, "lineitem")
+        .select($"l_suppkey", $"l_orderkey",
+          $"l_linenumber".cast("long").as("l_linenumber"),
+          row_number().over(w).cast("long").as("rn"),
+          sum(dec2($"l_quantity"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(DecimalType(38, 2)).cast("double").as("run_qty"),
+          lag(dec2($"l_quantity"), 1).over(w).cast("double").as("prev_qty"))
+        .filter($"rn" <= 5)
+        .orderBy($"l_suppkey", $"rn")
+    }),
+
+    // ---- q07: global top-k = TakeOrderedAndProject (no full sort at scale).
+    "q07_topk" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(10)
+    }),
+
+    // ---- q08: set operations (INTERSECT / EXCEPT / UNION-distinct).
+    "q08_setops" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val bigSpenders = Tables(s, dir, "orders")
+        .filter($"o_totalprice" > 400000.0)
+        .select($"o_custkey".as("custkey"))
+      val positive = Tables(s, dir, "customer")
+        .filter($"c_acctbal" > 0.0).select($"c_custkey".as("custkey"))
+      val building = Tables(s, dir, "customer")
+        .filter($"c_mktsegment" === "BUILDING").select($"c_custkey".as("custkey"))
+      val deepRed = Tables(s, dir, "customer")
+        .filter($"c_acctbal" < -900.0).select($"c_custkey".as("custkey"))
+      bigSpenders.intersect(positive).except(building)
+        .union(deepRed).distinct()
+        .orderBy($"custkey")
+    }),
+
+    // ---- q09: multi countDistinct (Expand + two-phase aggregation).
+    "q09_distinct_agg" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem").agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        countDistinct($"l_orderkey").as("n_orders"))
+    }),
+
+    // ---- q10: ROLLUP grouping sets with explicit NULLS FIRST ordering.
+    "q10_rollup" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2($"l_quantity")).cast(DecimalType(38, 2)).cast("double").as("sum_qty"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    }),
+
+    // ---- q11: EXISTS → left-semi join (build side pre-filtered).
+    "q11_exists_semi" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val big = Tables(s, dir, "orders").filter($"o_totalprice" > 450000.0)
+      Tables(s, dir, "customer")
+        .join(big, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }),
+
+    // ---- q12: NOT EXISTS → left-anti join.
+    "q12_not_exists_anti" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val big = Tables(s, dir, "orders").filter($"o_totalprice" > 300000.0)
+      Tables(s, dir, "customer")
+        .join(big, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey")
+        .orderBy($"c_custkey")
+    }),
+
+    // ---- q13: scalar string/math functions (all codegen'd builtins).
+    "q13_scalar_funcs" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir, "part")
+        .filter($"p_partkey" <= 500)
+        .select(
+          $"p_partkey",
+          upper($"p_name").as("name_upper"),
+          length($"p_name").cast("long").as("name_len"),
+          substring($"p_type", 1, 5).as("type_prefix"),
+          concat($"p_brand", lit("#"), $"p_size".cast("string")).as("brand_size"),
+          abs($"p_size" - 25).cast("long").as("size_dist"),
+          floor($"p_retailprice").cast("long").as("price_floor"),
+          regexp_replace($"p_type", " ", "_").as("type_slug"))
+        .orderBy($"p_partkey")
+    }),
+
+    // ---- q14: date/time functions.
+    "q14_date_funcs" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .filter($"o_orderkey" <= 1000)
+        .select(
+          $"o_orderkey",
+          year($"o_orderdate").cast("long").as("yr"),
+          month($"o_orderdate").cast("long").as("mo"),
+          dayofmonth($"o_orderdate").cast("long").as("dom"),
+          date_trunc("month", $"o_orderdate").as("month_start"),
+          $"o_orderdate".cast("date").as("od"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // ---- q15: event-time bucketing on the ns-timestamp events table
+    // (batch shape of the streaming hourly aggregation).
+    "q15_events_hourly" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("hour_start"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2($"value")).cast(DecimalType(38, 2)).cast("double").as("total_value"))
+        .orderBy($"event_type", $"hour_start")
+    }))
+
+  private val discPrice =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+         |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
+         |  CAST(CAST(sum($discPrice) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
+         |  CAST(count(*) AS BIGINT) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_pushdown" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_quantity < 5.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_top_orders" ->
+      s"""SELECT o_orderkey, o_orderdate,
+         |  CAST(CAST(sum($discPrice) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+         |FROM customer, orders, lineitem
+         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |GROUP BY o_orderkey, o_orderdate
+         |ORDER BY revenue DESC, o_orderkey
+         |LIMIT 10""".stripMargin,
+    "q04_broadcast_join" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+    "q05_region_revenue" ->
+      s"""SELECT r_name, n_name,
+         |  CAST(CAST(sum($discPrice) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+         |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+         |FROM region, nation, customer, orders, lineitem
+         |WHERE r_regionkey = n_regionkey AND n_nationkey = c_nationkey
+         |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY r_name, n_name
+         |ORDER BY r_name, n_name""".stripMargin,
+    "q06_window_running" ->
+      """SELECT * FROM (
+        |  SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    CAST(row_number() OVER w AS BIGINT) AS rn,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+        |      OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS DOUBLE) AS run_qty,
+        |    CAST(lag(CAST(l_quantity AS DECIMAL(18,2)), 1) OVER w AS DOUBLE) AS prev_qty
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |) WHERE rn <= 5
+        |ORDER BY l_suppkey, rn""".stripMargin,
+    "q07_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q08_setops" ->
+      """SELECT custkey FROM (
+        |  ((SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+        |    INTERSECT
+        |    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0)
+        |   EXCEPT
+        |   SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |  UNION
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < -900
+        |) ORDER BY custkey""".stripMargin,
+    "q09_distinct_agg" ->
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem""".stripMargin,
+    "q10_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q11_exists_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q12_not_exists_anti" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q13_scalar_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS name_upper,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  substr(p_type, 1, 5) AS type_prefix,
+        |  concat(p_brand, '#', CAST(p_size AS VARCHAR)) AS brand_size,
+        |  CAST(abs(p_size - 25) AS BIGINT) AS size_dist,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+        |  replace(p_type, ' ', '_') AS type_slug
+        |FROM part WHERE p_partkey <= 500
+        |ORDER BY p_partkey""".stripMargin,
+    "q14_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  CAST(o_orderdate AS DATE) AS od
+        |FROM orders WHERE o_orderkey <= 1000
+        |ORDER BY o_orderkey""".stripMargin,
+    "q15_events_hourly" ->
+      """SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY event_type, hour_start
+        |ORDER BY event_type, hour_start""".stripMargin)
+}
