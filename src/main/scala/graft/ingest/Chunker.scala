@@ -1,0 +1,113 @@
+package graft.ingest
+
+import graft.warehouse.{RowOversize, WarehouseError}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Size-bounded, order-preserving chunking — `chunks`
+  * (`src/load_datawarehouse/data.py:227-317`).
+  *
+  * Contract (SURVEY §4 "hard cap, not target"):
+  *  - every chunk's serialized size ≤ `sizeLimit` (default 20 MiB,
+  *    `BIGQUERY_JSON_BYTES_LIMIT`, bigquery/config.py:2);
+  *  - concatenating chunks in chunk order reproduces the input order
+  *    exactly (round-trip test, test/test_load_datawarehouse.py:192-200);
+  *  - a single row larger than the limit is an error
+  *    (`WarehouseRowOversize`, data.py:304-307).
+  *
+  * The reference minimizes Python JSON serializations with sampling +
+  * bisection (≤6 iterations). On Spark the exact per-row size is one
+  * codegen'd column, so we skip estimation entirely and assign chunk ids
+  * in a single pass:
+  *
+  *  - `greedyChunkIds` — exact greedy packing *within each ordered
+  *    partition* (sequential scan in `mapPartitions`), chunks never span
+  *    partitions. Scales linearly: no global sequential state, no driver
+  *    collect of data (only per-partition chunk counts).
+  *  - `boundaryChunkIds` — fully declarative variant: fixed byte
+  *    boundaries at multiples of `sizeLimit` over the running sum (a
+  *    window). A chunk here is "rows whose start offset falls in the same
+  *    limit-sized band" (file-split semantics, like
+  *    `spark.sql.files.maxPartitionBytes`); a row straddling a boundary
+  *    belongs to the band its start falls in, so bands can overshoot by
+  *    at most one row — callers that need the hard cap use the greedy
+  *    variant.
+  */
+object Chunker {
+
+  /** 20 MiB — BIGQUERY_JSON_BYTES_LIMIT (bigquery/config.py:2). */
+  val DefaultSizeLimit: Long = 20L * (1L << 20)
+
+  /** Exact greedy chunk ids. Input must carry a `sizeCol` (bytes per row);
+    * rows are processed in the DataFrame's current partition order after
+    * an optional `sortWithinPartitions(orderCols)`. Emits `_chunk` (Long,
+    * globally increasing in row order) or RowOversize if any single row
+    * exceeds the limit.
+    */
+  def greedyChunkIds(df: DataFrame, sizeCol: String, sizeLimit: Long = DefaultSizeLimit,
+                     orderCols: Seq[Column] = Nil): Either[WarehouseError, DataFrame] = {
+    val ordered = if (orderCols.nonEmpty) df.sortWithinPartitions(orderCols: _*) else df
+    val oversize = ordered.agg(max(col(sizeCol))).collect()(0)
+    if (!oversize.isNullAt(0) && oversize.getAs[Number](0).longValue() > sizeLimit)
+      return Left(RowOversize(oversize.getAs[Number](0).longValue(), sizeLimit))
+
+    val spark = df.sparkSession
+    val sizeIdx = ordered.schema.fieldIndex(sizeCol)
+
+    // pass 1: chunk count per partition (tiny driver collect: one long per
+    // partition — holds at any number of partitions)
+    val counts: Map[Int, Long] = ordered.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var chunks = 0L
+      var acc = 0L
+      it.foreach { row =>
+        val s = row.get(sizeIdx).asInstanceOf[Number].longValue()
+        if (chunks == 0L) { chunks = 1L; acc = s }
+        else if (acc + s > sizeLimit) { chunks += 1L; acc = s }
+        else acc += s
+      }
+      Iterator.single(pid -> chunks)
+    }.collect().toMap
+    val offsets: Map[Int, Long] = {
+      var running = 0L
+      counts.toSeq.sortBy(_._1).map { case (pid, n) =>
+        val o = pid -> running; running += n; o
+      }.toMap
+    }
+
+    // pass 2: assign global chunk ids with the per-partition offset
+    val schema = ordered.schema.add("_chunk", "long", nullable = false)
+    val rdd = ordered.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var chunk = offsets.getOrElse(pid, 0L) - 1L
+      var acc = 0L
+      var started = false
+      it.map { row =>
+        val s = row.get(sizeIdx).asInstanceOf[Number].longValue()
+        if (!started || acc + s > sizeLimit) { chunk += 1L; acc = s; started = true }
+        else acc += s
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ chunk)
+      }
+    }
+    Right(spark.createDataFrame(rdd, schema))
+  }
+
+  /** Declarative banded chunk ids over an explicit total order:
+    * `floor(startOffset / sizeLimit)` where startOffset is the running
+    * sum of sizes *before* the row. Pure window expression — stays in
+    * whole-stage codegen, oracle-expressible in ANSI SQL.
+    */
+  def boundaryChunkId(sizeCol: Column, orderBy: Seq[Column], sizeLimit: Long): Column = {
+    val w = Window.orderBy(orderBy: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    floor((sum(sizeCol).over(w) - sizeCol) / lit(sizeLimit)).cast("long")
+  }
+
+  /** Oversize guard as a standalone check (data.py:304-307). */
+  def checkNoOversizeRow(df: DataFrame, sizeCol: String,
+                         sizeLimit: Long = DefaultSizeLimit): Either[WarehouseError, Unit] = {
+    val m = df.agg(max(col(sizeCol))).collect()(0)
+    if (!m.isNullAt(0) && m.getAs[Number](0).longValue() > sizeLimit)
+      Left(RowOversize(m.getAs[Number](0).longValue(), sizeLimit))
+    else Right(())
+  }
+}

@@ -1,0 +1,122 @@
+package graft.ingest
+
+import graft.schema.{Sanitize, SchemaInference, Widen}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ingest / normalization operators
+  * (reference: `src/load_datawarehouse/data.py`).
+  *
+  * Everything here is expressed as declarative plan transformations so
+  * Catalyst keeps pushdown/pruning working underneath — none of these
+  * operators materializes data on the driver.
+  */
+object Ingest {
+
+  /** `prepare` (data.py:123-144): normalize input for loading — clean all
+    * keys recursively. DataFrame → DataFrame (plan-only rename).
+    */
+  def prepare(df: DataFrame): DataFrame = Sanitize.cleanColumns(df)
+
+  /** `prepare` for raw JSON-line records: infer the warehouse schema with
+    * our lattice (NOT Spark's JSON inference — the widening rules differ,
+    * SURVEY §7.4), canonicalize each line to match the schema's
+    * record⇒REPEATED convention, then parse with the inferred schema.
+    */
+  def prepareJson(spark: SparkSession, lines: Dataset[String]): DataFrame = {
+    val (_, schema) = SchemaInference.inferJson(spark, lines)
+    val cleaned = lines.map(l => Ingest.canonicalizeJsonLine(l))(
+      org.apache.spark.sql.Encoders.STRING)
+    spark.read.schema(schema).json(cleaned)
+  }
+
+  /** Canonicalize a raw JSON object line for loading: keys cleaned (`\W`
+    * → `_`), and every nested record value wrapped into a one-element
+    * array — the data-side counterpart of the schema rule "nested record
+    * ⇒ RECORD REPEATED, even when observed as a single dict" (SURVEY
+    * §1.4; reference `bigquery/schema.py:486-497`). Jackson pass per
+    * line, executor-side.
+    */
+  def canonicalizeJsonLine(line: String): String = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+    import com.fasterxml.jackson.databind.JsonNode
+    import scala.jdk.CollectionConverters._
+    val mapper = new ObjectMapper()
+    // wrap: an object in a *field value* position becomes [object]; array
+    // elements are already repeated and stay unwrapped.
+    def clean(node: JsonNode, wrapObjects: Boolean): JsonNode = node match {
+      case o: ObjectNode =>
+        val out = mapper.createObjectNode()
+        o.properties().asScala.foreach { e =>
+          out.set[JsonNode](Sanitize.cleanFieldKey(e.getKey),
+            clean(e.getValue, wrapObjects = true))
+        }
+        if (wrapObjects) { val arr = mapper.createArrayNode(); arr.add(out); arr }
+        else out
+      case a: ArrayNode =>
+        val out = mapper.createArrayNode()
+        a.elements().asScala.foreach(e => out.add(clean(e, wrapObjects = false)))
+        out
+      case other => other
+    }
+    try mapper.writeValueAsString(clean(mapper.readTree(line), wrapObjects = false))
+    catch { case _: Exception => line }
+  }
+
+  /** Per-row JSON byte size column — the building block of `json_size`
+    * (data.py:146-177) and chunking. Computed distributed and codegen'd:
+    * `octet_length(to_json(struct(*)))`.
+    */
+  def rowJsonSize(df: DataFrame): Column =
+    octet_length(to_json(struct(df.columns.map(col).toSeq: _*)))
+
+  /** `json_size` (data.py:146-177): total JSON serialization size of the
+    * record set, one distributed aggregate (the reference bisects with
+    * repeated serialization; on Spark the exact sum is a single pass).
+    */
+  def jsonSize(df: DataFrame): Long =
+    df.select(sum(rowJsonSize(df)).cast("long")).collect()(0) match {
+      case row if row.isNullAt(0) => 0L
+      case row => row.getLong(0)
+    }
+
+  /** `sample` (data.py:179-204): uniform random sample of ~n records. */
+  def sample(df: DataFrame, n: Int, seed: Long = 42L): DataFrame = {
+    val total = df.count()
+    if (total <= n) df
+    else df.sample(withReplacement = false, math.min(1.0, n.toDouble / total * 1.2), seed)
+      .limit(n)
+  }
+
+  /** `subset` (data.py:206-225): positional slice `[start, start+size)`
+    * under an explicit total order — `row_number` over the order, then a
+    * range filter. (Input order is not a distributed concept; the caller
+    * names the order, SURVEY §4 order-preservation note.)
+    */
+  def subset(df: DataFrame, orderBy: Seq[Column], start: Long, size: Long): DataFrame = {
+    val w = Window.orderBy(orderBy: _*)
+    df.withColumn("_graft_pos", row_number().over(w))
+      .filter(col("_graft_pos") > start && col("_graft_pos") <= start + size)
+      .drop("_graft_pos")
+  }
+
+  /** `expand_iterable` (schema.py:102-139) — data-side analog: depth-first
+    * flatten of nested array columns via repeated `flatten`, then explode.
+    */
+  def explodeFlat(df: DataFrame, arrayCol: String, as: String): DataFrame = {
+    var c: Column = col(arrayCol)
+    var dt = df.schema(arrayCol).dataType
+    // flatten nested array-of-array down to one level
+    import org.apache.spark.sql.types.ArrayType
+    while (dt match {
+        case ArrayType(_: ArrayType, _) => true
+        case _ => false
+      }) {
+      c = flatten(c)
+      dt = dt.asInstanceOf[ArrayType].elementType
+    }
+    df.withColumn(as, explode(c))
+  }
+}

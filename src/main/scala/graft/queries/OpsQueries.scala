@@ -1,0 +1,243 @@
+package graft.queries
+
+import graft.Tables
+import graft.ingest.{Chunker, Ingest}
+import graft.schema.{Describe, Sanitize, SchemaCodec, SchemaInference, Widen}
+import graft.warehouse.{QuerySort, SparkWarehouse}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One driver-gate query per ingest/schema/warehouse operator of
+  * SURVEY.md §2 (the reference's own computational core), each runnable
+  * on the testdata tables and — wherever ANSI SQL can express the
+  * semantics — paired with a DuckDB oracle. Deterministic small outputs
+  * (inferred schemas, codec round-trips, describe trees) use VALUES
+  * literals as their oracle.
+  */
+object OpsQueries {
+
+  private def tmpWarehouse(s: SparkSession): SparkWarehouse =
+    new SparkWarehouse(s,
+      java.nio.file.Files.createTempDirectory("graft-ops-wh").toString)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- ops #1-7: key sanitization as a plan-only deep rename.
+    "op_clean_keys" -> ((s: SparkSession, dir: String) => {
+      val dirty = Tables(s, dir, "documents")
+        .withColumnRenamed("doc_id", "doc id")
+        .withColumnRenamed("n_chars", "n.chars")
+        .withColumnRenamed("lang", "lang!")
+        .select("`doc id`", "`n.chars`", "`lang!`")
+      Sanitize.cleanColumns(dirty).orderBy("doc_id")
+    }),
+
+    // ---- op #8: prepare — DataFrame → JSON records → lattice inference
+    // → parse-back (the reference's records round trip).
+    "op_prepare_roundtrip" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val parsed = Ingest.prepareJson(s, docs.toJSON)
+      parsed.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    }),
+
+    // ---- op #9: json_size — exact per-row JSON bytes, one aggregate.
+    "op_json_size" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      docs.groupBy(col("source"))
+        .agg(sum(octet_length(to_json(struct(col("doc_id"), col("n_chars")))))
+          .cast("long").as("json_bytes"))
+        .orderBy("source")
+    }),
+
+    // ---- op #10: sample — deterministic-seed uniform sample (no SQL
+    // oracle: sampling algorithms differ per engine; rows-only check).
+    "op_sample" -> ((s: SparkSession, dir: String) => {
+      Ingest.sample(Tables(s, dir, "documents"), 50).select("doc_id")
+    }),
+
+    // ---- op #11: subset — positional slice under a declared order.
+    "op_subset" -> ((s: SparkSession, dir: String) => {
+      Ingest.subset(Tables(s, dir, "orders").select("o_orderkey"),
+          Seq(col("o_orderkey")), start = 100, size = 50)
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- op #12a: declarative banded chunk ids (file-split semantics).
+    "op_chunks_banded" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          Chunker.boundaryChunkId(col("n_chars"), Seq(col("doc_id")), 10000L)
+            .as("chunk_id"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- op #12b: exact greedy hard-cap chunking (every chunk ≤ limit,
+    // order preserved) — oracled by a recursive CTE running the same
+    // greedy scan.
+    "op_chunks_greedy" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents").select("doc_id", "n_chars")
+        .coalesce(1).sortWithinPartitions("doc_id")
+      Chunker.greedyChunkIds(docs, "n_chars", 10000L) match {
+        case Right(df) => df.select(col("doc_id"), col("_chunk").as("chunk_id"))
+          .orderBy("doc_id")
+        case Left(e) => throw new RuntimeException(e.message)
+      }
+    }),
+
+    // ---- op #13: expand_iterable — flatten/explode of a split column.
+    "op_flatten_tokens" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "documents")
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .orderBy("doc_id", "token")
+    }),
+
+    // ---- ops #14-25: schema inference over the events.props JSON column
+    // (distributed lattice build + condense). Output = the inferred
+    // api_repr as rows.
+    "op_infer_props_schema" -> ((s: SparkSession, dir: String) => {
+      val lines = Tables(s, dir, "events").select("props")
+        .as(org.apache.spark.sql.Encoders.STRING)
+      val (repr, _) = SchemaInference.inferJson(s, lines)
+      val rows = repr.map(f => Row(f.name, f.fieldType, f.mode))
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("field_path", StringType),
+          StructField("field_type", StringType),
+          StructField("mode", StringType))))
+        .orderBy("field_path")
+    }),
+
+    // ---- ops #26-32: schema codec — StructType → api_repr JSON →
+    // api_repr → rows, on the lineitem schema.
+    "op_schema_codec" -> ((s: SparkSession, dir: String) => {
+      val schema = Tables(s, dir, "lineitem").schema
+      val repr = SchemaCodec.fromJson(SchemaCodec.toJson(SchemaCodec.fromStructType(schema)))
+      val rows = repr.map(f => Row(f.name, f.fieldType, f.mode))
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("field_name", StringType),
+          StructField("field_type", StringType),
+          StructField("mode", StringType))))
+        .orderBy("field_name")
+    }),
+
+    // ---- op #33: describe — box-drawing schema tree as a single row.
+    "op_describe" -> ((s: SparkSession, dir: String) => {
+      val repr = SchemaCodec.fromStructType(Tables(s, dir, "region").schema)
+      val tree = Describe("region", repr)
+      import s.implicits._
+      Seq(tree).toDF("tree")
+    }),
+
+    // ---- ops #34-43, #47-51: table lifecycle — create/load/rebuild/drop
+    // over a warehouse dir; reports the loaded row count.
+    "op_lifecycle_load" -> ((s: SparkSession, dir: String) => {
+      val wh = tmpWarehouse(s)
+      val cust = Tables(s, dir, "customer")
+      wh.load("customer_copy", cust) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      val n = wh.get("customer_copy") match {
+        case Right(df) => df.count()
+        case Left(e) => throw new RuntimeException(e.message)
+      }
+      wh.drop("customer_copy")
+      import s.implicits._
+      Seq(n).toDF("n")
+    }),
+
+    // ---- op #44 + #46: full load pipeline then the declared fetch
+    // surface (projection + multi-column sort + limit).
+    "op_load_fetch" -> ((s: SparkSession, dir: String) => {
+      val wh = tmpWarehouse(s)
+      val docs = Tables(s, dir, "documents")
+      wh.load("docs_copy", docs) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.fetch("docs_copy", Seq("doc_id", "n_chars"),
+        Seq("n_chars" -> QuerySort.Desc, "doc_id" -> QuerySort.Asc), count = 10) match {
+        case Right(df) => df
+        case Left(e) => throw new RuntimeException(e.message)
+      }
+    }),
+
+    // ---- op #45: query(sql) — full Catalyst SQL over registered tables.
+    "op_query_sql" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "nation").createOrReplaceTempView("nation_v")
+      Tables(s, dir, "region").createOrReplaceTempView("region_v")
+      s.sql("""SELECT n_name, r_name FROM nation_v JOIN region_v
+               ON n_regionkey = r_regionkey ORDER BY n_name""")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "op_clean_keys" ->
+      """SELECT doc_id AS doc_id, n_chars AS n_chars, lang AS lang_
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "op_prepare_roundtrip" ->
+      "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+    "op_json_size" ->
+      """SELECT source, CAST(sum(strlen(concat('{"doc_id":',
+        |  CAST(doc_id AS VARCHAR), ',"n_chars":', CAST(n_chars AS VARCHAR), '}')))
+        |  AS BIGINT) AS json_bytes
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "op_subset" ->
+      """SELECT o_orderkey FROM (
+        |  SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn > 100 AND rn <= 150 ORDER BY o_orderkey""".stripMargin,
+    "op_chunks_banded" ->
+      """SELECT doc_id, CAST(floor((cum - n_chars) / 10000) AS BIGINT) AS chunk_id
+        |FROM (SELECT doc_id, n_chars,
+        |        sum(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+        |          PRECEDING AND CURRENT ROW) AS cum
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "op_chunks_greedy" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rn
+        |  FROM documents
+        |), g(rn, acc, chunk) AS (
+        |  SELECT CAST(1 AS BIGINT), (SELECT n_chars FROM seq WHERE rn = 1),
+        |    CAST(0 AS BIGINT)
+        |  UNION ALL
+        |  SELECT s.rn,
+        |    CASE WHEN g.acc + s.n_chars > 10000 THEN s.n_chars
+        |         ELSE g.acc + s.n_chars END,
+        |    CASE WHEN g.acc + s.n_chars > 10000 THEN g.chunk + 1
+        |         ELSE g.chunk END
+        |  FROM g JOIN seq s ON s.rn = g.rn + 1
+        |)
+        |SELECT s.doc_id, g.chunk AS chunk_id
+        |FROM g JOIN seq s ON s.rn = g.rn
+        |ORDER BY s.doc_id""".stripMargin,
+    "op_flatten_tokens" ->
+      """SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |FROM documents WHERE doc_id < 20
+        |ORDER BY doc_id, token""".stripMargin,
+    "op_infer_props_schema" ->
+      """SELECT 'k' AS field_path, 'INTEGER' AS field_type, 'NULLABLE' AS mode""",
+    "op_schema_codec" ->
+      """SELECT * FROM (VALUES
+        |  ('l_discount', 'FLOAT', 'NULLABLE'),
+        |  ('l_extendedprice', 'FLOAT', 'NULLABLE'),
+        |  ('l_linenumber', 'INTEGER', 'NULLABLE'),
+        |  ('l_linestatus', 'STRING', 'NULLABLE'),
+        |  ('l_orderkey', 'INTEGER', 'NULLABLE'),
+        |  ('l_partkey', 'INTEGER', 'NULLABLE'),
+        |  ('l_quantity', 'FLOAT', 'NULLABLE'),
+        |  ('l_returnflag', 'STRING', 'NULLABLE'),
+        |  ('l_shipdate', 'DATETIME', 'NULLABLE'),
+        |  ('l_suppkey', 'INTEGER', 'NULLABLE'),
+        |  ('l_tax', 'FLOAT', 'NULLABLE')
+        |) AS t(field_name, field_type, mode) ORDER BY field_name""".stripMargin,
+    "op_lifecycle_load" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n FROM customer",
+    "op_load_fetch" ->
+      """SELECT doc_id, n_chars FROM documents
+        |ORDER BY n_chars DESC, doc_id LIMIT 10""".stripMargin,
+    "op_query_sql" ->
+      """SELECT n_name, r_name FROM nation JOIN region
+        |ON n_regionkey = r_regionkey ORDER BY n_name""".stripMargin)
+}

@@ -1,0 +1,275 @@
+package graft.warehouse
+
+import graft.ingest.{Chunker, Ingest}
+import graft.schema.{FieldRepr, SchemaCodec, SchemaInference, Widen}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import java.nio.charset.StandardCharsets
+import java.time.Instant
+
+/** Sort direction for `fetch` — the reference's `QuerySort` enum
+  * (`src/load_datawarehouse/classes.py:6-8`).
+  */
+sealed trait QuerySort
+object QuerySort {
+  case object Asc extends QuerySort
+  case object Desc extends QuerySort
+}
+
+/** A lazily-selected table handle — `select_bigquery_table`
+  * (`bigquery/__init__.py:103-119`): no storage contact until used.
+  */
+final case class TableRef(name: String)
+
+/** Table metadata sidecar (schema api_repr + expiry), stored as
+  * `_graft_meta.json` inside the table directory — underscore-prefixed so
+  * Spark's parquet reader ignores it.
+  */
+final case class TableMeta(schema: Seq[FieldRepr], expiresAtMillis: Option[Long])
+
+/** The vendor-neutral warehouse over Spark — the reference's
+  * `DataWarehouse` ABC (`src/load_datawarehouse/classes.py:18-64`) with
+  * the BigQuery backend's operations (`bigquery/__init__.py:103-700`)
+  * implemented for real on a Spark session + a parquet warehouse
+  * directory. Tables are parquet directories; every table is also
+  * registered as a temp view so `query(sql)` covers the full Catalyst SQL
+  * surface.
+  */
+final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String) {
+
+  private val hadoopConf = spark.sparkContext.hadoopConfiguration
+  private def tablePath(name: String) = new Path(warehouseDir, name)
+  private def metaPath(name: String) = new Path(tablePath(name), "_graft_meta.json")
+  private def fs = tablePath("x").getFileSystem(hadoopConf)
+
+  /** `is_online` (bigquery/__init__.py:91-101) — trivial health probe. */
+  def isOnline: Boolean =
+    try { spark.version.nonEmpty && fs.exists(new Path(warehouseDir)) || true }
+    catch { case _: Exception => false }
+
+  /** `select_bigquery_table`: local handle, no storage contact. */
+  def select(name: String): TableRef = TableRef(name)
+
+  /** `get_bigquery_table` (bigquery/__init__.py:121-150): resolve a table
+    * or TableNotFound (the falsy-object flow → Left).
+    */
+  def get(name: String): Either[WarehouseError, DataFrame] =
+    try {
+      if (!fs.exists(tablePath(name))) Left(TableNotFound(name))
+      else Right(spark.read.parquet(tablePath(name).toString))
+    } catch {
+      case e: Exception => Left(TableGenericError(e.getMessage, Some(e)))
+    }
+
+  def meta(name: String): Either[WarehouseError, TableMeta] =
+    try {
+      if (!fs.exists(metaPath(name))) Left(TableNotFound(name))
+      else {
+        val in = fs.open(metaPath(name))
+        val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+        Right(parseMeta(new String(bytes, StandardCharsets.UTF_8)))
+      }
+    } catch { case e: Exception => Left(TableGenericError(e.getMessage, Some(e))) }
+
+  private def parseMeta(json: String): TableMeta = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(json)
+    val schema =
+      if (node.has("schema")) SchemaCodec.fromJson(node.get("schema").toString) else Nil
+    val expires =
+      if (node.has("expiresAtMillis") && !node.get("expiresAtMillis").isNull)
+        Some(node.get("expiresAtMillis").asLong())
+      else None
+    TableMeta(schema, expires)
+  }
+
+  private def writeMeta(name: String, m: TableMeta): Unit = {
+    val expires = m.expiresAtMillis.map(_.toString).getOrElse("null")
+    val json = s"""{"schema": ${SchemaCodec.toJson(m.schema)}, "expiresAtMillis": $expires}"""
+    val out = fs.create(metaPath(name), true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  /** `create_bigquery_table` (bigquery/__init__.py:152-230): create,
+    * optionally replacing; on replace without an explicit schema the
+    * pre-drop schema is reused (reference behavior :183-188). Registers a
+    * temp view for the SQL surface.
+    */
+  def create(name: String, schema: Seq[FieldRepr] = Nil, replace: Boolean = false,
+             expires: Option[Instant] = None): Either[WarehouseError, TableRef] =
+    try {
+      val exists = fs.exists(tablePath(name))
+      if (exists && !replace)
+        return Left(TableGenericError(s"table $name already exists (Conflict)"))
+      val effectiveSchema =
+        if (schema.nonEmpty) schema
+        else if (exists && replace) meta(name).map(_.schema).getOrElse(Nil)
+        else Nil
+      if (exists) fs.delete(tablePath(name), true)
+      val structType =
+        if (effectiveSchema.nonEmpty) Widen.toStructType(effectiveSchema)
+        else new StructType()
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], structType)
+      empty.write.mode(SaveMode.Overwrite).parquet(tablePath(name).toString)
+      writeMeta(name, TableMeta(effectiveSchema, expires.map(_.toEpochMilli)))
+      registerView(name)
+      Right(TableRef(name))
+    } catch { case e: Exception => Left(TableGenericError(e.getMessage, Some(e))) }
+
+  /** `drop_bigquery_table` (bigquery/__init__.py:327-361) with
+    * `not_found_ok` semantics.
+    */
+  def drop(name: String, notFoundOk: Boolean = true): Either[WarehouseError, Unit] =
+    try {
+      if (!fs.exists(tablePath(name))) {
+        if (notFoundOk) Right(()) else Left(TableNotFound(name))
+      } else {
+        fs.delete(tablePath(name), true)
+        spark.catalog.dropTempView(name)
+        Right(())
+      }
+    } catch { case e: Exception => Left(TableGenericError(e.getMessage, Some(e))) }
+
+  /** `.rebuild` (bigquery/__init__.py:613-652): drop + recreate, schema
+    * defaulting to the pre-drop schema.
+    */
+  def rebuild(name: String, schema: Seq[FieldRepr] = Nil): Either[WarehouseError, TableRef] =
+    create(name, schema, replace = true)
+
+  /** `set_schema_bigquery_table` (bigquery/__init__.py:286-324). */
+  def setSchema(name: String, schema: Seq[FieldRepr]): Either[WarehouseError, Unit] =
+    meta(name).map(m => writeMeta(name, m.copy(schema = schema)))
+
+  /** `set_expiry_bigquery_table` (bigquery/__init__.py:248-284): set or
+    * clear the TTL. Enforcement is `vacuum` (Spark has no server-side
+    * expiry; a scheduled vacuum job is the cluster analog).
+    */
+  def setExpiry(name: String, expires: Option[Instant]): Either[WarehouseError, Unit] =
+    meta(name).map(m => writeMeta(name, m.copy(expiresAtMillis = expires.map(_.toEpochMilli))))
+
+  /** Drop every table whose expiry has passed (injected clock for tests). */
+  def vacuum(now: Instant): Seq[String] = {
+    val dir = new Path(warehouseDir)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath.getName).filter { t =>
+      meta(t).toOption.flatMap(_.expiresAtMillis).exists(_ <= now.toEpochMilli)
+    }.map { t => drop(t); t }
+  }
+
+  /** `load_bigquery_table` (bigquery/__init__.py:363-461) — the main
+    * pipeline: prepare (clean keys) → resolve schema (existing table
+    * schema, else infer and merge unless fullSchema) → create if missing
+    * → size-bounded chunked append.
+    *
+    * Chunking at scale: rather than bisecting serializations, the exact
+    * per-row JSON size is computed as a column and greedy chunk ids are
+    * assigned per partition (Chunker.greedyChunkIds); each chunk becomes
+    * one output file via a chunk-id repartition, mirroring "one API call
+    * per ≤20 MiB chunk" as "one parquet file per ≤20 MiB of JSON".
+    */
+  def load(name: String, data: DataFrame, schema: Seq[FieldRepr] = Nil,
+           fullSchema: Boolean = false,
+           sizeLimit: Long = Chunker.DefaultSizeLimit): Either[WarehouseError, Long] =
+    try {
+      val prepared = Ingest.prepare(data)
+      val existingSchema: Seq[FieldRepr] =
+        if (schema.nonEmpty) schema
+        else meta(name).map(_.schema).getOrElse(Nil)
+      val resolved: Seq[FieldRepr] =
+        if (fullSchema) {
+          if (existingSchema.isEmpty)
+            return Left(InvalidInput("fullSchema=true requires a schema"))
+          existingSchema
+        } else SchemaInference.extract(prepared, existingSchema)
+
+      if (!fs.exists(tablePath(name))) {
+        create(name, resolved) match {
+          case Left(e) => return Left(e)
+          case Right(_) => ()
+        }
+      }
+
+      val sized = prepared.withColumn("_graft_size", Ingest.rowJsonSize(prepared))
+      Chunker.greedyChunkIds(sized, "_graft_size", sizeLimit) match {
+        case Left(e) => Left(e)
+        case Right(chunked) =>
+          val n = chunked.count()
+          val nChunks = chunked.agg(max(col("_chunk"))).collect()(0) match {
+            case r if r.isNullAt(0) => 0L
+            case r => r.getLong(0) + 1L
+          }
+          chunked.drop("_graft_size")
+            .repartitionByRange(math.max(1, nChunks).toInt, col("_chunk"))
+            .drop("_chunk")
+            .write.mode(SaveMode.Append).parquet(tablePath(name).toString)
+          registerView(name)
+          Right(n)
+      }
+    } catch {
+      case e: IllegalArgumentException => Left(RowsInvalid(e.getMessage))
+      case e: Exception => Left(TableGenericError(e.getMessage, Some(e)))
+    }
+
+  /** Load raw JSON-line records (the reference's `List[Dict]` shape). */
+  def loadJson(name: String, lines: Seq[String], schema: Seq[FieldRepr] = Nil,
+               fullSchema: Boolean = false): Either[WarehouseError, Long] = {
+    import spark.implicits._
+    val df = Ingest.prepareJson(spark, spark.createDataset(lines))
+    load(name, df, schema, fullSchema)
+  }
+
+  /** `query_bigquery` — the declared-but-stubbed SQL surface
+    * (bigquery/__init__.py:463-472), real here: full Catalyst SQL.
+    */
+  def query(sql: String): DataFrame = spark.sql(sql)
+
+  /** `fetch_bigquery_table` (bigquery/__init__.py:474-499): projection +
+    * multi-column sort (ASC/DESC) + limit (default 10, the reference's
+    * declared default).
+    */
+  def fetch(name: String, fields: Seq[String] = Seq("*"),
+            sort: Seq[(String, QuerySort)] = Nil,
+            count: Int = 10): Either[WarehouseError, DataFrame] =
+    get(name).map { df =>
+      val projected =
+        if (fields == Seq("*")) df else df.select(fields.map(col): _*)
+      val sorted =
+        if (sort.isEmpty) projected
+        else projected.orderBy(sort.map {
+          case (c, QuerySort.Asc) => col(c).asc
+          case (c, QuerySort.Desc) => col(c).desc
+        }: _*)
+      sorted.limit(count)
+    }
+
+  /** `.update` — append or overwrite rows (the reference leaves this a
+    * stub; mode maps to SaveMode).
+    */
+  def update(name: String, data: DataFrame, overwrite: Boolean = false): Either[WarehouseError, Unit] =
+    try {
+      val mode = if (overwrite) SaveMode.Overwrite else SaveMode.Append
+      Ingest.prepare(data).write.mode(mode).parquet(tablePath(name).toString)
+      registerView(name)
+      Right(())
+    } catch { case e: Exception => Left(TableGenericError(e.getMessage, Some(e))) }
+
+  /** delete == drop (classes.py `delete`/`drop` alias). */
+  def delete(name: String): Either[WarehouseError, Unit] = drop(name)
+
+  /** Register the table as a temp view so `query(sql)` sees it. */
+  def registerView(name: String): Unit =
+    get(name).foreach(_.createOrReplaceTempView(name))
+
+  /** Pretty schema tree (`describe`, bigquery/schema.py:301-434). */
+  def describe(name: String): Either[WarehouseError, String] =
+    meta(name).map { m =>
+      val fields =
+        if (m.schema.nonEmpty) m.schema
+        else get(name).map(df => SchemaCodec.fromStructType(df.schema)).getOrElse(Nil)
+      graft.schema.Describe(name, fields)
+    }
+}

@@ -1,0 +1,141 @@
+package graft
+
+import graft.schema.FieldRepr
+import graft.warehouse._
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+import java.time.Instant
+
+/** End-to-end lifecycle tests over a temp warehouse dir — the Spark
+  * equivalents of the reference's live-cloud integration cycle
+  * (`test/test_bigquery.py:447-518`: create→assert→drop→assert-NotFound,
+  * set/clear expiry) plus the full load pipeline
+  * (`bigquery/__init__.py:363-461`).
+  */
+class WarehouseSpec extends SparkSpec {
+
+  private def freshWh() =
+    new SparkWarehouse(spark, Files.createTempDirectory("graft-wh-spec").toString)
+
+  test("create / get / drop cycle with NotFound semantics") {
+    val wh = freshWh()
+    assert(wh.get("t1") == Left(TableNotFound("t1")))
+    val schema = Seq(FieldRepr("id", "INTEGER", "NULLABLE"),
+      FieldRepr("name", "STRING", "NULLABLE"))
+    assert(wh.create("t1", schema).isRight)
+    assert(wh.get("t1").map(_.schema.fieldNames.toSeq) == Right(Seq("id", "name")))
+    // create without replace on existing table = Conflict
+    assert(wh.create("t1", schema).isLeft)
+    assert(wh.drop("t1").isRight)
+    assert(wh.get("t1") == Left(TableNotFound("t1")))
+    // drop with notFoundOk=false surfaces the error; =true tolerates
+    assert(wh.drop("t1", notFoundOk = false) == Left(TableNotFound("t1")))
+    assert(wh.drop("t1").isRight)
+  }
+
+  test("rebuild reuses the pre-drop schema (bigquery/__init__.py:183-188)") {
+    val wh = freshWh()
+    val schema = Seq(FieldRepr("x", "FLOAT", "NULLABLE"))
+    assert(wh.create("t2", schema).isRight)
+    assert(wh.rebuild("t2").isRight)
+    assert(wh.meta("t2").map(_.schema) == Right(schema))
+  }
+
+  test("set/clear expiry + vacuum with injected clock") {
+    val wh = freshWh()
+    assert(wh.create("t3", Seq(FieldRepr("x", "STRING", "NULLABLE"))).isRight)
+    val t0 = Instant.parse("2026-01-01T00:00:00Z")
+    assert(wh.setExpiry("t3", Some(t0)).isRight)
+    assert(wh.meta("t3").map(_.expiresAtMillis) == Right(Some(t0.toEpochMilli)))
+    // not yet expired
+    assert(wh.vacuum(t0.minusSeconds(60)).isEmpty)
+    assert(wh.get("t3").isRight)
+    // expired
+    assert(wh.vacuum(t0.plusSeconds(60)) == Seq("t3"))
+    assert(wh.get("t3") == Left(TableNotFound("t3")))
+    // clear expiry
+    assert(wh.create("t4", Seq(FieldRepr("x", "STRING", "NULLABLE")),
+      expires = Some(t0)).isRight)
+    assert(wh.setExpiry("t4", None).isRight)
+    assert(wh.vacuum(t0.plusSeconds(60)).isEmpty)
+  }
+
+  test("load: prepare -> infer -> create -> chunked append, then fetch") {
+    val wh = freshWh()
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq((3L, "c", 1.5), (1L, "a", 2.5), (2L, "b", 0.5))
+      .toDF("id", "name key", "score")
+    assert(wh.load("loaded", df) == Right(3L))
+    // keys cleaned, schema inferred and recorded
+    val m = wh.meta("loaded").toOption.get
+    assert(m.schema.map(_.name).contains("name_key"))
+    // fetch: projection + sort + limit (reference fetch surface)
+    val fetched = wh.fetch("loaded", Seq("id", "score"),
+      Seq("score" -> QuerySort.Desc), count = 2)
+    val rows = fetched.toOption.get.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq((1L, 2.5), (3L, 1.5)))
+    // query: SQL over the registered view
+    assert(wh.query("SELECT count(*) AS n FROM loaded").as[Long].head() == 3L)
+    // append via load again merges schema and adds rows
+    assert(wh.load("loaded", df).isRight)
+    assert(wh.query("SELECT count(*) AS n FROM loaded").as[Long].head() == 6L)
+  }
+
+  test("loadJson infers with the lattice (mixed str+int -> STRING)") {
+    val wh = freshWh()
+    val lines = Seq(
+      """{"v": 1, "meta": {"a key": "x"}}""",
+      """{"v": "two", "meta": {"a key": "y"}}""")
+    assert(wh.loadJson("j1", lines) == Right(2L))
+    val schema = wh.meta("j1").toOption.get.schema
+    assert(schema.find(_.name == "v").map(_.fieldType) == Some("STRING"))
+    val metaField = schema.find(_.name == "meta").get
+    assert(metaField.fieldType == "RECORD" && metaField.mode == "REPEATED")
+    assert(metaField.fields.map(_.name) == Seq("a_key"))
+  }
+
+  test("fullSchema=true skips inference and requires a schema") {
+    val wh = freshWh()
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq((1L, "a")).toDF("id", "name")
+    assert(wh.load("fs", df, fullSchema = true).isLeft)
+    val schema = Seq(FieldRepr("id", "INTEGER", "NULLABLE"),
+      FieldRepr("name", "STRING", "NULLABLE"))
+    assert(wh.load("fs", df, schema = schema, fullSchema = true) == Right(1L))
+  }
+
+  test("describe renders the table schema tree") {
+    val wh = freshWh()
+    wh.create("d1", Seq(FieldRepr("id", "INTEGER", "NULLABLE"),
+      FieldRepr("nest", "RECORD", "REPEATED",
+        Seq(FieldRepr("k", "STRING", "NULLABLE")))))
+    val out = wh.describe("d1").toOption.get
+    assert(out.contains("├─ id") && out.contains("└─ nest") && out.contains("└─ k"))
+  }
+
+  test("update overwrite replaces rows") {
+    val wh = freshWh()
+    val spark0 = spark
+    import spark0.implicits._
+    wh.load("u1", Seq((1L, "a")).toDF("id", "name"))
+    assert(wh.update("u1", Seq((9L, "z")).toDF("id", "name"), overwrite = true).isRight)
+    val rows = wh.get("u1").toOption.get.select("id").as[Long].collect().toSeq
+    assert(rows == Seq(9L))
+  }
+
+  test("chunked load writes multiple files for multi-chunk data") {
+    val wh = freshWh()
+    val spark0 = spark
+    import spark0.implicits._
+    // ~200 rows × ~60 bytes of JSON each with a 2 KiB limit → ≥5 chunks
+    val df = (1L to 200L).map(i => (i, "x" * 40)).toDF("id", "payload")
+    assert(wh.load("ch", df, sizeLimit = 2048L) == Right(200L))
+    val files = new java.io.File(s"${wh.warehouseDir}/ch")
+      .listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(files >= 5, s"expected >=5 chunk files, got $files")
+    assert(wh.get("ch").toOption.get.count() == 200L)
+  }
+}
