@@ -15,8 +15,10 @@ object SparkEntry {
     queries("q05_region_revenue")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries ++ graft.queries.OpsQueries.queries
+    graft.queries.Relational.queries ++ graft.queries.OpsQueries.queries ++
+      graft.queries.ExtQueries.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracle ++ graft.queries.OpsQueries.oracle
+    graft.queries.Relational.oracle ++ graft.queries.OpsQueries.oracle ++
+      graft.queries.ExtQueries.oracle
 }

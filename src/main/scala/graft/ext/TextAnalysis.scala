@@ -1,0 +1,143 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for large-scale training-data pipelines: token counting,
+  * quality scoring, language identification, and document fingerprinting.
+  *
+  * Everything is a pure `Column` expression built from
+  * `org.apache.spark.sql.functions` — fully codegen'd, no UDFs, so these
+  * run inside WholeStageCodegen over 100 TB without serialization
+  * boundaries. (The reference has no text operators; these extend its
+  * declared ETL surface per the north star — BASELINE.json.)
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (single-space collapsed first). */
+  def tokens(text: Column): Column =
+    split(trim(regexp_replace(text, "\\s+", " ")), " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  // ---- *Over variants take a pre-materialized token array column so a
+  // multi-metric projection tokenizes each row once, not once per metric.
+
+  def tokenCountOver(toks: Column): Column = size(toks).cast("long")
+
+  def avgTokenLenOver(toks: Column, textLen: Column): Column =
+    (textLen - (size(toks) - lit(1))).cast("double") / size(toks).cast("double")
+
+  def stopwordRatioOver(toks: Column, stopwords: Seq[String]): Column = {
+    val stops = array(stopwords.map(lit): _*)
+    size(filter(toks, t => array_contains(stops, t))).cast("double") /
+      size(toks).cast("double")
+  }
+
+  def qualityScoreOver(toks: Column, textLen: Column, stopwords: Seq[String]): Column = {
+    val lenScore = least(textLen.cast("double") / lit(500.0), lit(1.0))
+    val wordScore = least(avgTokenLenOver(toks, textLen) / lit(8.0), lit(1.0))
+    (lenScore * lit(0.5) + wordScore * lit(0.3) +
+      (lit(1.0) - stopwordRatioOver(toks, stopwords)) * lit(0.2))
+  }
+
+  def charCount(text: Column): Column = length(text).cast("long")
+
+  /** Average token length under single-space joining:
+    * (chars - (n-1)) / n, one exact integer division to double.
+    */
+  def avgTokenLen(text: Column): Column = {
+    val n = size(tokens(text))
+    ((length(text) - (n - lit(1))).cast("double") / n.cast("double"))
+  }
+
+  /** Ratio of tokens found in `stopwords`. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val stops = array(stopwords.map(lit): _*)
+    val hits = size(filter(tokens(text), t => array_contains(stops, t)))
+    hits.cast("double") / size(tokens(text)).cast("double")
+  }
+
+  /** Ratio of punctuation characters. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", "")))
+      .cast("double") / length(text).cast("double")
+
+  /** Ratio of uppercase characters. */
+  def upperRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[A-Z]", "")))
+      .cast("double") / length(text).cast("double")
+
+  /** Composite quality score in [0,1]-ish: rewards reasonable length and
+    * word shape, penalizes extreme stopword density. Deliberately simple,
+    * deterministic arithmetic (cross-engine reproducible).
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val wordScore = least(avgTokenLen(text) / lit(8.0), lit(1.0))
+    val stopPenalty = stopwordRatio(text, stopwords)
+    (lenScore * lit(0.5) + wordScore * lit(0.3) +
+      (lit(1.0) - stopPenalty) * lit(0.2))
+  }
+
+  /** Language-ID marker words per language — a tiny stopword-profile
+    * n-gram heuristic (real pipelines plug in fastText/CLD here; the
+    * operator shape — score per language, argmax — is the same).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "los", "de", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  private def markerHits(text: Column, markers: Seq[String]): Column = {
+    val m = array(markers.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(m, t)))
+  }
+
+  /** Predicted language: the marker-profile argmax, ties broken by
+    * language code order, "und" (undetermined) when no marker hits.
+    */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ms) => lang -> markerHits(text, ms) }
+    val best = greatest(scores.map(_._2): _*)
+    val firstBest = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    firstBest
+  }
+
+  private val Mod = 1000000007L
+
+  /** Order-insensitive bag fingerprint: Σ ascii(first char)·len(token)
+    * mod p. Cheap, associative (aggregates in any partition order), and
+    * expressible in ANSI SQL for the oracle.
+    */
+  def bagFingerprint(text: Column): Column =
+    pmod(aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + ascii(t) * length(t)), lit(Mod)).cast("long")
+
+  /** Order-sensitive rolling hash: h ← (h·131 + ascii(t)·31 + len(t)) mod p.
+    * Left fold over tokens — detects token reordering that the bag
+    * fingerprint misses.
+    */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (h, t) => pmod(h * lit(131L) + ascii(t) * lit(31L) + length(t), lit(Mod)))
+      .cast("long")
+
+  /** Character k-shingles: the length-k substrings (k-grams) of the text,
+    * one per starting offset.
+    */
+  def charShingles(text: Column, k: Int): Column =
+    transform(sequence(lit(0), greatest(length(text) - lit(k), lit(0))),
+      i => text.substr(i + lit(1), lit(k)))
+
+  /** Word n-grams as space-joined strings. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    transform(sequence(lit(0), greatest(size(ts) - lit(n), lit(0))),
+      i => concat_ws(" ", slice(ts, i + lit(1), lit(n))))
+  }
+}

@@ -1,0 +1,253 @@
+package graft.queries
+
+import graft.Tables
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-gate queries for the LLM-data-pipeline extensions (BASELINE.json
+  * north star): text analysis, the dedup family, similarity search, and
+  * multimodal plumbing — all over the `documents` / `embeddings` testdata
+  * tables.
+  *
+  * Oracle strategy: operators built on engine-portable arithmetic (token
+  * stats, jaccard, quantized cosine, byte stats) carry exact DuckDB
+  * oracles. Operators built on Spark-native hashes (xxhash64 in
+  * MinHash/SimHash/LSH buckets) cannot be replicated in DuckDB — their
+  * queries emit non-empty deterministic outputs (signatures / candidate
+  * counts) and their semantics are pinned by ScalaTest (planted
+  * near-duplicates, recall vs brute force).
+  */
+object ExtQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- text: token/char counting.
+    "x01_token_stats" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      d.select(col("doc_id"), col("text"),
+          TextAnalysis.tokens(col("text")).as("_toks"))
+        .select(col("doc_id"),
+          TextAnalysis.tokenCountOver(col("_toks")).as("n_tokens"),
+          TextAnalysis.charCount(col("text")).as("n_chars_m"),
+          TextAnalysis.avgTokenLenOver(col("_toks"), length(col("text")))
+            .as("avg_token_len"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- text: quality scoring (length/word-shape/stopword ratios).
+    "x02_quality_score" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      val stops = Seq("a", "the")
+      d.select(col("doc_id"), col("text"),
+          TextAnalysis.tokens(col("text")).as("_toks"))
+        .select(col("doc_id"),
+          TextAnalysis.stopwordRatioOver(col("_toks"), stops).as("stopword_ratio"),
+          TextAnalysis.qualityScoreOver(col("_toks"), length(col("text")), stops)
+            .as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- text: language-ID heuristic, confusion counts vs the labeled
+    // lang column.
+    "x03_langid" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      d.select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    }),
+
+    // ---- text: document fingerprints (order-insensitive bag hash —
+    // oracle-checkable; the order-sensitive rolling hash is spec-pinned).
+    "x04_fingerprint" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      d.select(col("doc_id"), TextAnalysis.bagFingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- dedup: exact (hash-groupBy on normalized content).
+    "x05_exact_dedup" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      Dedup.exact(d, Dedup.normalized(col("text")), col("doc_id"))
+        .select(col("canonical_id"), col("copies"))
+        .orderBy("canonical_id")
+    }),
+
+    // ---- dedup: exact n-gram Jaccard over a bounded pair set.
+    "x06_ngram_jaccard" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents").filter(col("doc_id") < 20)
+        .select(col("doc_id"), col("text"))
+      val a = d.alias("a")
+      val b = d.alias("b")
+      a.join(b, col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          Dedup.ngramJaccard(col("a.text"), col("b.text"), 2).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- dedup: MinHash band signatures (deterministic, non-empty;
+    // xxhash64-based so spec-pinned rather than oracled).
+    "x07_minhash_bands" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      Dedup.minhashBands(d, col("doc_id"), col("text"), wordGrams = 3)
+        .orderBy("id", "band")
+    }),
+
+    // ---- dedup: MinHash LSH candidate-pair count (a count row is always
+    // non-empty even when the corpus has no near-dups).
+    "x08_minhash_candidates" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      Dedup.minhashCandidates(d, col("doc_id"), col("text"), bands = 4,
+          wordGrams = 3)
+        .agg(count(lit(1)).as("n_candidates"))
+    }),
+
+    // ---- dedup: SimHash signatures per document.
+    "x09_simhash" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents").filter(col("doc_id") < 100)
+      d.select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- dedup: embedding cosine near-dup pair count via LSH buckets.
+    "x10_embedding_neardup" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings")
+      Dedup.embeddingNearDup(e, col("vec_id"), col("embedding"), minCos = 0.9)
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    // ---- similarity: exact brute-force cosine top-3 (quantized arithmetic
+    // — bit-identical across engines, fully oracled including the score).
+    "x11_ann_bruteforce" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      Similarity.bruteForceTopK(e, q, k = 3, quantized = true)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- similarity: LSH-bucketed approximate top-3 (recall pinned in
+    // spec against brute force).
+    "x12_ann_lsh" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      Similarity.lshTopK(e, q, k = 3)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- multimodal: binary payload + metadata + batched decode stub.
+    "x13_multimodal_features" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents").filter(col("doc_id") < 100)
+      val media = Multimodal.attachPayload(d, "doc_id", "text", mime = "text/plain")
+      Multimodal.decodeFeatures(media).toDF()
+        .select(col("media_id"), col("n_bytes"), col("first_byte"), col("byte_sum"))
+        .orderBy("media_id")
+    }),
+
+    // ---- multimodal: frame sampling plumbing (every 64 bytes → a frame).
+    "x14_frame_sample" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents").filter(col("doc_id") < 10)
+      val media = Multimodal.attachPayload(d, "doc_id", "text")
+      Multimodal.sampleFrames(media, stride = 64)
+        .orderBy("media_id", "frame_idx")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "x01_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_m,
+        |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x02_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntok,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> w IN ('a', 'the'))) AS DOUBLE) AS nstop,
+        |    CAST(length(text) AS DOUBLE) AS nchar
+        |  FROM documents)
+        |SELECT doc_id,
+        |  nstop / ntok AS stopword_ratio,
+        |  least(nchar / 500.0, 1.0) * 0.5
+        |    + least(((nchar - (ntok - 1)) / ntok) / 8.0, 1.0) * 0.3
+        |    + (1.0 - nstop / ntok) * 0.2 AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "x03_langid" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','ist'))) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','is'))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('el','la','los','de','es'))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('le','la','les','et','est'))) AS BIGINT) AS s_fr,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('的','是','了','在','我'))) AS BIGINT) AS s_zh
+        |  FROM documents),
+        |pred AS (
+        |  SELECT lang, CASE
+        |    WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'und'
+        |    WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
+        |    WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
+        |    WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
+        |    WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
+        |    ELSE 'zh' END AS predicted
+        |  FROM scored)
+        |SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+        |FROM pred GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+    "x04_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(sum(ascii(t) * length(t)) % 1000000007 AS BIGINT) AS fp
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x05_exact_dedup" ->
+      """SELECT min(doc_id) AS canonical_id, CAST(count(*) AS BIGINT) AS copies
+        |FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS k
+        |      FROM documents)
+        |GROUP BY k ORDER BY canonical_id""".stripMargin,
+    "x06_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(len(string_split(text,' ')) - 1),
+        |    i -> concat(string_split(text,' ')[i+1], ' ', string_split(text,' ')[i+2])
+        |  )) AS grams
+        |  FROM documents WHERE doc_id < 20)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |  CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |    AS jaccard
+        |FROM g a, g b WHERE a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+    "x11_ann_bruteforce" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id,
+        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1048576.0)) AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |c AS (
+        |  SELECT vec_id AS neighbor_id,
+        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1048576.0)) AS nv
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.query_id, c.neighbor_id,
+        |    list_inner_product(q.qv, c.nv) /
+        |      (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(c.nv, c.nv))) AS cos
+        |  FROM q, c WHERE q.query_id <> c.neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, cos FROM ranked
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "x13_multimodal_features" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+        |  CAST((SELECT sum(ascii(c)) FROM unnest(string_split_regex(text, '')) AS u(c)
+        |        WHERE c <> '') AS BIGINT) AS byte_sum
+        |FROM documents WHERE doc_id < 100
+        |ORDER BY media_id""".stripMargin,
+    "x14_frame_sample" ->
+      """SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(f * 64 AS BIGINT) AS frame_offset
+        |FROM documents, unnest(range(((strlen(text) - 1) // 64) + 1)) AS t(f)
+        |WHERE doc_id < 10
+        |ORDER BY media_id, frame_idx""".stripMargin)
+}

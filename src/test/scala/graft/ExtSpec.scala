@@ -1,0 +1,230 @@
+package graft
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Semantics tests for the hash-based extension operators that the DuckDB
+  * oracle cannot replicate (xxhash64-based MinHash/SimHash/LSH): planted
+  * near-duplicates must be found, unrelated documents must not pair, and
+  * the approximate similarity search must recall the exact baseline.
+  */
+class DedupSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    val spark0 = spark
+    import spark0.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill"
+
+  test("minhash LSH finds planted near-duplicates, not unrelated docs") {
+    val d = docs(
+      1L -> base,
+      2L -> base.replace("lazy", "sleepy"), // near-dup of 1
+      3L -> "completely different content about distributed query engines and shuffle partitioning strategies",
+      4L -> base, // exact dup of 1
+      5L -> "another unrelated document mentioning parquet files and columnar compression ratios")
+    val pairs = Dedup.minhashCandidates(d, col("doc_id"), col("text"),
+        numHashes = 32, bands = 16, shingleK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)), s"exact dup must collide: $pairs")
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L)),
+      s"near-dup must collide: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated doc paired: $pairs")
+  }
+
+  test("signature similarity ranks near-dups above unrelated") {
+    val d = docs(1L -> base, 2L -> base.replace("lazy", "sleepy"),
+      3L -> "completely different content on another topic entirely with other words")
+    val sigs = d.select(col("doc_id"),
+      Dedup.minhashSignature(col("text")).as("sig"))
+    val a = sigs.alias("a")
+    val b = sigs.alias("b")
+    val sims = a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        Dedup.signatureSimilarity(col("a.sig"), col("b.sig")).as("sim"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(sims((1L, 2L)) > sims((1L, 3L)))
+    assert(sims((1L, 2L)) > 0.5)
+    assert(sims((1L, 3L)) < 0.3)
+  }
+
+  test("simhash: identical text -> same signature; near-dup within small hamming") {
+    val d = docs(1L -> base, 2L -> base, 3L -> base.replace("lazy", "sleepy"),
+      4L -> "entirely different words everywhere in this one about many other topics")
+    val sigs = d.select(col("doc_id"), Dedup.simhash64(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
+    val cands = Dedup.simhashCandidates(d, col("doc_id"), col("text"), maxDist = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+  }
+
+  test("ngram jaccard: identity 1.0, disjoint 0.0, symmetric-ish ordering") {
+    val d = docs(1L -> "a b c d e", 2L -> "a b c d e", 3L -> "v w x y z",
+      4L -> "a b c d x")
+    val a = d.alias("a")
+    val b = d.alias("b")
+    val j = a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        Dedup.ngramJaccard(col("a.text"), col("b.text"), 2).as("j"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) == 0.0)
+    assert(j((1L, 4L)) > 0.5 && j((1L, 4L)) < 1.0)
+  }
+
+  test("embedding near-dup finds planted duplicate vectors") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec() = Seq.fill(16)(rnd.nextFloat() * 2 - 1)
+    val v1 = vec()
+    val nearV1 = v1.zipWithIndex.map { case (x, i) =>
+      if (i == 0) x + 0.01f else x }
+    val rows = Seq((1L, v1), (2L, nearV1)) ++ (3L to 30L).map(i => (i, vec()))
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(df, col("vec_id"), col("embedding"),
+        minCos = 0.99, planes = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"planted near-identical vectors missed: $pairs")
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+
+  test("brute force top-k: exact, self-excluded, rank ordered") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val q = e.filter(col("vec_id") < 3)
+    val out = Similarity.bruteForceTopK(e, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 15)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to 5L))
+      // cos non-increasing with rank
+      assert(sorted.sliding(2).forall(p => p(0)._4 >= p(1)._4))
+      // no self-match
+      assert(!rows.exists(r => r._3 == r._1))
+    }
+  }
+
+  test("LSH top-k recalls the exact top-k on clustered data (multi-probe)") {
+    // LSH recall is only meaningful when near neighbors exist: plant 20
+    // clusters of 10 perturbed copies each (cos ≈ 0.99 within a cluster).
+    val spark0 = spark
+    import spark0.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = for (c <- 0 until 20; i <- 0 until 10) yield {
+      val center = { val r = new scala.util.Random(c); Seq.fill(32)(r.nextFloat() * 2 - 1) }
+      (c.toLong * 10 + i, center.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f))
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") % 10 === 0)
+    val exact = Similarity.bruteForceTopK(e, q, k = 3, quantized = true)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(e, q, k = 3, planes = 8)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall too low on clustered data: $recall")
+  }
+
+  test("quantized cosine of identical vectors is 1.0") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq((1L, Seq(0.5f, -0.25f, 0.125f))).toDF("vec_id", "embedding")
+    val c = df.select(Similarity.cosineQuantized(col("embedding"), col("embedding")))
+      .collect()(0).getDouble(0)
+    assert(c == 1.0)
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+
+  test("rolling fingerprint is order-sensitive; bag fingerprint is not") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"))
+      .toDF("id", "text")
+    val out = df.select(col("id"),
+        TextAnalysis.bagFingerprint(col("text")).as("bag"),
+        TextAnalysis.rollingFingerprint(col("text")).as("roll"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L)._1 == out(2L)._1, "bag fingerprint must ignore order")
+    assert(out(1L)._2 != out(2L)._2, "rolling fingerprint must see order")
+  }
+
+  test("langId picks marker-dominant language, 'und' when none") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(
+      (1L, "the cat is of the house and the dog"),
+      (2L, "el gato es de los perros es la casa"),
+      (3L, "zzz qqq xxx")).toDF("id", "text")
+    val out = df.select(col("id"), TextAnalysis.langId(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+    assert(out(3L) == "und")
+  }
+
+  test("token stats on edge shapes") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq((1L, "one"), (2L, "two  words"), (3L, " padded ")).toDF("id", "text")
+    val out = df.select(col("id"), TextAnalysis.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // multi-space and padding collapse before splitting
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("word ngrams and char shingles have the expected counts") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(Tuple1("a b c d")).toDF("text")
+    val grams = df.select(TextAnalysis.wordNgrams(col("text"), 2))
+      .collect()(0).getSeq[String](0)
+    assert(grams == Seq("a b", "b c", "c d"))
+    val shingles = df.select(TextAnalysis.charShingles(col("text"), 3))
+      .collect()(0).getSeq[String](0)
+    assert(shingles.length == "a b c d".length - 3 + 1)
+    assert(shingles.head == "a b" && shingles.last == "c d")
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("payload attach + batched decode stub produce exact byte stats") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
+    val media = Multimodal.attachPayload(df, "doc_id", "text", mime = "text/plain")
+    assert(media.columns.toSeq == Seq("media_id", "payload", "meta"))
+    val feats = Multimodal.decodeFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(1L).n_bytes == 3 && feats(1L).first_byte == 'a'.toLong)
+    assert(feats(1L).byte_sum == 'a'.toInt + 'b'.toInt + 'c'.toInt)
+    assert(feats(2L).n_bytes == 0 && feats(2L).first_byte == -1L)
+    assert(feats(1L).feature.length == 8)
+    // deterministic: fake embedding normalizes to the byte histogram
+    assert(math.abs(feats(1L).feature.sum - 1.0f) < 1e-6)
+  }
+
+  test("frame sampling emits ceil(bytes/stride) frames at the right offsets") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq((1L, "x" * 130)).toDF("doc_id", "text")
+    val media = Multimodal.attachPayload(df, "doc_id", "text")
+    val frames = Multimodal.sampleFrames(media, stride = 64)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(frames.length == 3) // 130 bytes / 64 -> offsets 0, 64, 128
+    assert(frames.map(_._2).sorted.toSeq == Seq(0L, 64L, 128L))
+  }
+}
