@@ -16,9 +16,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.OpsQueries.queries ++
-      graft.queries.ExtQueries.queries
+      graft.queries.ExtQueries.queries ++ graft.queries.StreamQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++ graft.queries.OpsQueries.oracle ++
-      graft.queries.ExtQueries.oracle
+      graft.queries.ExtQueries.oracle ++ graft.queries.StreamQueries.oracle
 }

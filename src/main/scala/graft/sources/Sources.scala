@@ -1,0 +1,89 @@
+package graft.sources
+
+import graft.ingest.Ingest
+import graft.schema.{SchemaInference, Widen}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import java.util.Properties
+
+/** Source / sink surface (SURVEY §2.6 "Scans/sources" + BASELINE.json
+  * "JDBC/Parquet sinks"): every format a warehouse-loading engine needs,
+  * with the same schema discipline as the JSON path — inference via OUR
+  * lattice where schema is absent, user-supplied schema override where
+  * it is not.
+  */
+object Sources {
+
+  // ---------- reads ----------
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** CSV with header; schema either supplied (skips the inference scan,
+    * the `full_schema=True` analog) or inferred by Spark's CSV reader.
+    */
+  def csv(spark: SparkSession, path: String,
+          schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val base = spark.read.option("header", "true")
+    schema match {
+      case Some(s) => base.schema(s).csv(path)
+      case None => base.option("inferSchema", "true").csv(path)
+    }
+  }
+
+  /** JSON lines with warehouse-rule inference (record⇒REPEATED, string
+    * precedence, STRING default — NOT Spark's JSON inference; SURVEY
+    * §7.4 documents the deltas).
+    */
+  def jsonRecords(spark: SparkSession, path: String): DataFrame =
+    Ingest.prepareJson(spark, spark.read.textFile(path))
+
+  /** JDBC scan (predicate pushdown goes through the JDBC dialect). */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           props: Properties = new Properties()): DataFrame =
+    spark.read.jdbc(url, table, props)
+
+  // ---------- sinks ----------
+
+  /** Parquet sink with per-file size budgeting: cap rows per file from a
+    * measured average row size — the writer-side analog of the 20 MiB
+    * chunking contract (exact greedy chunking is
+    * `Chunker.greedyChunkIds`; this is the cheap streaming-friendly
+    * variant for bulk writes).
+    */
+  def writeParquetSized(df: DataFrame, path: String, mode: SaveMode,
+                        targetFileBytes: Long = 128L * (1 << 20)): Unit = {
+    val sample = df.limit(1000)
+    val sampled = sample.select(
+      org.apache.spark.sql.functions.avg(Ingest.rowJsonSize(sample))).collect()(0)
+    val avgRow = if (sampled.isNullAt(0)) 256.0 else math.max(1.0, sampled.getDouble(0))
+    val rowsPerFile = math.max(1L, (targetFileBytes / avgRow).toLong)
+    df.write.mode(mode)
+      .option("maxRecordsPerFile", rowsPerFile)
+      .parquet(path)
+  }
+
+  /** JDBC sink (reference's cloud-warehouse insert path, vendor-neutral).
+    * Batch size tuned for insert round-trips — the JDBC twin of the
+    * 20 MiB chunk contract.
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                mode: SaveMode = SaveMode.Append, batchSize: Int = 1000,
+                props: Properties = new Properties()): Unit = {
+    props.setProperty("batchsize", batchSize.toString)
+    df.write.mode(mode).jdbc(url, table, props)
+  }
+
+  /** Round-trip helper: load any supported source into the warehouse
+    * table shape (cleaned keys + recorded api_repr schema).
+    */
+  def toWarehouseSchema(df: DataFrame): (DataFrame, Seq[graft.schema.FieldRepr]) = {
+    val prepared = Ingest.prepare(df)
+    (prepared, graft.schema.SchemaCodec.fromStructType(prepared.schema))
+  }
+
+  /** Inference façade over files: infer without loading (schema-only scan). */
+  def inferJsonSchema(spark: SparkSession, path: String): Seq[graft.schema.FieldRepr] =
+    Widen.condense(
+      SchemaInference.deconstructJson(spark.read.textFile(path)).lat)
+}
