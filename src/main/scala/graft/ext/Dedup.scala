@@ -197,7 +197,7 @@ object Dedup {
     val b = bucketed.alias("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        Similarity.cosine(col("a.vec"), col("b.vec")).as("cos"))
+        Similarity.cosineFloat(col("a.vec"), col("b.vec")).as("cos"))
       .filter(col("cos") >= minCos)
   }
 }

@@ -26,12 +26,22 @@ object Similarity {
 
   private def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Cosine similarity of two float/double vectors. */
+  /** Cosine similarity of two float/double vectors (composed higher-order
+    * expressions — works for any numeric array type).
+    */
   def cosine(a: Column, b: Column): Column = {
     val da = toDouble(a)
     val db = toDouble(b)
     dot(da, db) / (sqrt(dot(da, da)) * sqrt(dot(db, db)))
   }
+
+  /** Native fused cosine kernel for raw `array<float>` columns
+    * (graft.functions.CosineSimilarityFloat — codegen'd single loop;
+    * bitwise-equal to `cosine`, ~order-of-magnitude less per-pair
+    * overhead). Use on embedding columns straight off parquet.
+    */
+  def cosineFloat(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.vector_cosine(a, b)
 
   /** Integer-quantized cosine (multiply by 2^20, round to long): every
     * intermediate is an exact integer-valued double below 2^53, so the
@@ -76,7 +86,7 @@ object Similarity {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
     val cos = if (quantized) cosineQuantized(col("qvec"), col("nvec"))
-              else cosine(col("qvec"), col("nvec"))
+              else cosineFloat(col("qvec"), col("nvec"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     c.join(q, col("query_id") =!= col("neighbor_id"))
