@@ -62,24 +62,24 @@ object Dedup {
     signatureOverHashes(shingleHashes(text, shingleK, wordGrams), numHashes)
 
   /** Hashed shingles of a text column (one xxhash64 pass per shingle).
-    * Materialize this once (its own projection) before fanning out into
-    * `numHashes` min-aggregations — otherwise every aggregation re-hashes
-    * every shingle.
+    * Materialize this once (its own projection) before the signature
+    * kernel consumes it.
     */
   def shingleHashes(text: Column, shingleK: Int = 5, wordGrams: Int = 0): Column = {
     val shingles =
       if (wordGrams > 0) TextAnalysis.wordNgrams(text, wordGrams)
       else TextAnalysis.charShingles(text, shingleK)
-    transform(shingles, s => pmod(xxhash64(s), lit(1L << 31)))
+    transform(shingles, s => xxhash64(s))
   }
 
-  /** MinHash signature from a pre-computed shingle-hash array column. */
+  /** MinHash signature from a pre-computed shingle-hash array column —
+    * the fused codegen kernel (graft.functions.MinHashFromHashes): all
+    * `numHashes` minima in one primitive loop instead of `numHashes`
+    * interpreted aggregate() folds.
+    */
   def signatureOverHashes(hashes: Column, numHashes: Int = 32): Column = {
     val (as, bs) = hashParams(numHashes)
-    array((0 until numHashes).map { j =>
-      aggregate(hashes, lit(Long.MaxValue),
-        (m, x) => least(m, pmod(lit(as(j)) * x + lit(bs(j)), lit(P))))
-    }: _*)
+    graft.functions.SketchFunctions.minhash_from_hashes(hashes, numHashes, as, bs)
   }
 
   /** Banded signature rows: (id, band, band_hash) — `bands` rows per
@@ -91,10 +91,20 @@ object Dedup {
                    wordGrams: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // three projections so each expensive array is computed once per row
-    // (CollapseProject keeps multi-referenced non-trivial aliases apart)
-    df.select(idCol.as("id"),
-        shingleHashes(textCol, shingleK, wordGrams).as("_sh"))
+    // staged projections so each expensive array is computed once per row:
+    // tokens -> shingle hashes -> signature -> band hashes. (An expression
+    // subtree referenced inside a higher-order lambda re-evaluates per
+    // element, so every stage must hand the next one a plain attribute.)
+    val hashed =
+      if (wordGrams > 0)
+        df.select(idCol.as("id"), TextAnalysis.tokens(textCol).as("_t"))
+          .select(col("id"), transform(
+            TextAnalysis.wordNgramsOver(col("_t"), wordGrams),
+            s => xxhash64(s)).as("_sh"))
+      else
+        df.select(idCol.as("id"),
+          shingleHashes(textCol, shingleK, wordGrams).as("_sh"))
+    hashed
       .select(col("id"), signatureOverHashes(col("_sh"), numHashes).as("sig"))
       .select(col("id"), posexplode(array((0 until bands).map { b =>
         xxhash64(slice(col("sig"), b * r + 1, r))
@@ -130,22 +140,13 @@ object Dedup {
 
   /** 64-bit SimHash over whitespace tokens: per token take xxhash64,
     * accumulate ±1 per bit position, sign → bit. Returned as a Long.
+    * Counter accumulation runs in the fused codegen kernel
+    * (graft.functions.SimHash64FromHashes) — one primitive loop instead
+    * of a 64-wide array zip per token.
     */
-  def simhash64(text: Column): Column = {
-    val counters = aggregate(
-      TextAnalysis.tokens(text),
-      array((0 until 64).map(_ => lit(0L)): _*),
-      (acc, t) => {
-        val h = xxhash64(t)
-        val signs = array((0 until 64).map { i =>
-          when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))
-        }: _*)
-        zip_with(acc, signs, (a, s) => a + s)
-      })
-    (0 until 64).map { i =>
-      when(element_at(counters, i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def simhash64(text: Column): Column =
+    graft.functions.SketchFunctions.simhash_from_hashes(
+      transform(TextAnalysis.tokens(text), t => xxhash64(t)))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")

@@ -134,10 +134,17 @@ object TextAnalysis {
     transform(sequence(lit(0), greatest(length(text) - lit(k), lit(0))),
       i => text.substr(i + lit(1), lit(k)))
 
-  /** Word n-grams as space-joined strings. */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val ts = tokens(text)
-    transform(sequence(lit(0), greatest(size(ts) - lit(n), lit(0))),
-      i => concat_ws(" ", slice(ts, i + lit(1), lit(n))))
-  }
+  /** Word n-grams over a pre-materialized token array column. The token
+    * column MUST be a plain attribute (its own projection): an expression
+    * subtree referenced inside a higher-order lambda is re-evaluated per
+    * element, which turns shingling quadratic.
+    */
+  def wordNgramsOver(toks: Column, n: Int): Column =
+    transform(sequence(lit(0), greatest(size(toks) - lit(n), lit(0))),
+      i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))
+
+  /** Word n-grams as space-joined strings (single-expression sugar; for
+    * hot paths project `tokens(text)` first and use `wordNgramsOver`).
+    */
+  def wordNgrams(text: Column, n: Int): Column = wordNgramsOver(tokens(text), n)
 }

@@ -1,0 +1,173 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Fused codegen kernels for the document-sketch hot paths.
+  *
+  * MinHash needs `numHashes` minima over every shingle hash; composed as
+  * `numHashes` separate `aggregate` higher-order calls the array is
+  * walked 32 times through interpreted lambda dispatch. SimHash needs 64
+  * counters updated per token; composed as `zip_with` over a 64-wide
+  * array per token it allocates two arrays per token. Each becomes one
+  * custom Expression whose `doGenCode` emits a single primitive nested
+  * loop — the shape a hand-written sketch library would use, but still a
+  * plan-level scalar expression Catalyst can pipeline.
+  */
+
+/** MinHash signature from an `array<long>` of shingle hashes:
+  * out[j] = min over x of (a[j]·(x mod 2³¹) + b[j]) mod P, P = 2⁶¹−1.
+  */
+case class MinHashFromHashes(child: Expression, numHashes: Int,
+                             as: Seq[Long], bs: Seq[Long])
+    extends UnaryExpression with Serializable {
+
+  private val P = 2305843009213693951L
+
+  override def prettyName: String = "minhash_signature"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<bigint>, got ${other.sql}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val hashes = v.asInstanceOf[ArrayData]
+    val n = hashes.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val aArr = as.toArray
+    val bArr = bs.toArray
+    var i = 0
+    while (i < n) {
+      val x = ((hashes.getLong(i) % 2147483648L) + 2147483648L) % 2147483648L
+      var j = 0
+      while (j < numHashes) {
+        val h = (aArr(j) * x + bArr(j)) % P
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", as.toArray, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bs.toArray, "long[]")
+    nullSafeCodeGen(ctx, ev, input => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val x = ctx.freshName("x")
+      val h = ctx.freshName("h")
+      val mins = ctx.freshName("mins")
+      s"""
+         |int $n = $input.numElements();
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $x = (($input.getLong($i) % 2147483648L) + 2147483648L) % 2147483648L;
+         |  for (int $j = 0; $j < $numHashes; $j++) {
+         |    long $h = ($aRef[$j] * $x + $bRef[$j]) % ${P}L;
+         |    if ($h < $mins[$j]) $mins[$j] = $h;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash from an `array<long>` of token hashes: per bit position
+  * count +1/−1 by the token hash's bit, sign → bit of the result.
+  */
+case class SimHash64FromHashes(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def prettyName: String = "simhash64"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<bigint>, got ${other.sql}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val hashes = v.asInstanceOf[ArrayData]
+    val n = hashes.numElements()
+    val counters = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) counters(bit) += 1 else counters(bit) -= 1
+        bit += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (counters(bit) > 0) sig |= (1L << bit)
+      bit += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val bit = ctx.freshName("bit")
+      val counters = ctx.freshName("counters")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $input.numElements();
+         |int[] $counters = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $input.getLong($i);
+         |  for (int $bit = 0; $bit < 64; $bit++) {
+         |    if ((($h >>> $bit) & 1L) == 1L) $counters[$bit]++; else $counters[$bit]--;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $bit = 0; $bit < 64; $bit++) {
+         |  if ($counters[$bit] > 0) $sig |= (1L << $bit);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SketchFunctions {
+
+  def minhash_from_hashes(hashes: Column, numHashes: Int,
+                          as: Seq[Long], bs: Seq[Long]): Column =
+    GraftColumnBridge.column(MinHashFromHashes(
+      GraftColumnBridge.expression(hashes), numHashes, as, bs))
+
+  def simhash_from_hashes(hashes: Column): Column =
+    GraftColumnBridge.column(SimHash64FromHashes(
+      GraftColumnBridge.expression(hashes)))
+}
