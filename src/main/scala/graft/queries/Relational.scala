@@ -29,6 +29,56 @@ object Relational {
   private def ts(s: String) = lit(java.sql.Timestamp.valueOf(s))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- q16: left outer join + agg preserving unmatched left rows.
+    "q16_left_join" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val big = Tables(s, dir, "orders").filter($"o_totalprice" > 300000.0)
+      Tables(s, dir, "customer")
+        .join(big, $"c_custkey" === $"o_custkey", "left")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("n_big_orders"))
+        .orderBy($"c_custkey")
+    }),
+
+    // ---- q17: full outer join with coalesced keys and side flags.
+    "q17_full_outer" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val custN = Tables(s, dir, "customer")
+        .select($"c_nationkey".cast("long").as("ck")).distinct()
+      val suppN = Tables(s, dir, "supplier")
+        .select($"s_nationkey".cast("long").as("sk")).distinct()
+      custN.join(suppN, $"ck" === $"sk", "full_outer")
+        .select(coalesce($"ck", $"sk").as("nationkey"),
+          $"ck".isNotNull.as("has_customer"),
+          $"sk".isNotNull.as("has_supplier"))
+        .orderBy($"nationkey")
+    }),
+
+    // ---- q18: CUBE grouping sets (all four combinations).
+    "q18_cube" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    }),
+
+    // ---- q19: CASE / NULLIF / COALESCE null-handling semantics.
+    "q19_case_nulls" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .filter($"o_orderkey" <= 2000)
+        .select($"o_orderkey",
+          when($"o_orderstatus" === "F", lit("finished"))
+            .when($"o_orderstatus" === "O", lit("open"))
+            .otherwise(lit("other")).as("status_label"),
+          coalesce(nullif($"o_orderpriority", lit("4-NOT SPECIFIED")),
+            lit("unspecified")).as("priority_label"),
+          (isnull(nullif($"o_orderstatus", lit("P")))).as("is_pending"))
+        .orderBy($"o_orderkey")
+    }),
+
     // ---- q01: full-scan hash aggregation (TPC-H Q1 shape). Partial
     // aggregation happens map-side; only 4 groups shuffle.
     "q01_pricing_summary" -> ((s: SparkSession, dir: String) => {
@@ -240,6 +290,32 @@ object Relational {
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
 
   val oracle: Map[String, String] = Map(
+    "q16_left_join" ->
+      """SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_big_orders
+        |FROM customer LEFT JOIN orders
+        |  ON c_custkey = o_custkey AND o_totalprice > 300000
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q17_full_outer" ->
+      """SELECT coalesce(ck, sk) AS nationkey,
+        |  ck IS NOT NULL AS has_customer, sk IS NOT NULL AS has_supplier
+        |FROM (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS ck FROM customer) c
+        |FULL OUTER JOIN (SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS sk FROM supplier) s
+        |  ON ck = sk
+        |ORDER BY nationkey""".stripMargin,
+    "q18_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q19_case_nulls" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus = 'F' THEN 'finished'
+        |       WHEN o_orderstatus = 'O' THEN 'open'
+        |       ELSE 'other' END AS status_label,
+        |  coalesce(nullif(o_orderpriority, '4-NOT SPECIFIED'), 'unspecified')
+        |    AS priority_label,
+        |  nullif(o_orderstatus, 'P') IS NULL AS is_pending
+        |FROM orders WHERE o_orderkey <= 2000
+        |ORDER BY o_orderkey""".stripMargin,
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
