@@ -202,8 +202,15 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String) {
             case r if r.isNullAt(0) => 0L
             case r => r.getLong(0) + 1L
           }
+          // one shuffle partition per chunk so each chunk lands in its own
+          // file — capped: a petabyte load would otherwise ask for millions
+          // of range partitions. Past the cap a partition carries several
+          // consecutive chunks (each still ≤ limit in JSON terms); bulk
+          // loads at that scale should use Sources.writeParquetSized.
+          val parts = math.min(math.max(1L, nChunks), 16384L).toInt
           chunked.drop("_graft_size")
-            .repartitionByRange(math.max(1, nChunks).toInt, col("_chunk"))
+            .repartitionByRange(parts, col("_chunk"))
+            .sortWithinPartitions("_chunk")
             .drop("_chunk")
             .write.mode(SaveMode.Append).parquet(tablePath(name).toString)
           registerView(name)

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression guards: the physical plans that make these
+  * queries scale must keep their load-bearing properties — filters
+  * reaching the parquet scan, dims broadcast, top-k as
+  * TakeOrderedAndProject, candidate generation never cartesian. A change
+  * that silently loses one of these still returns correct rows at test
+  * scale and then falls over at 100 TB; these specs fail it here instead.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def physicalPlan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("q02: predicates and projection push down to the parquet scan") {
+    val plan = physicalPlan("q02_filter_pushdown")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_quantity)") ||
+      plan.contains("GreaterThanOrEqual(l_shipdate"), s"pushdown lost:\n$plan")
+    // pruned read: only the 4 needed columns in ReadSchema
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_shipdate:timestamp_ntz>"), s"column pruning lost:\n$plan")
+  }
+
+  test("q04: the part dim joins by broadcast, not shuffle") {
+    val plan = physicalPlan("q04_broadcast_join")
+    assert(plan.contains("BroadcastHashJoin"), s"broadcast lost:\n$plan")
+  }
+
+  test("q07: top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val plan = physicalPlan("q07_topk")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k plan lost:\n$plan")
+  }
+
+  test("q01: aggregation is two-phase (map-side partial before shuffle)") {
+    val plan = physicalPlan("q01_pricing_summary")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"partial aggregation lost:\n$plan")
+  }
+
+  test("minhash candidates: bucket join, never a cartesian product") {
+    val d = Tables(spark, sf0001, "documents")
+    val plan = graft.ext.Dedup.minhashCandidates(d, col("doc_id"), col("text"),
+      bands = 4, wordGrams = 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian candidate join:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin") ||
+      plan.contains("ShuffledHashJoin"), s"no keyed join found:\n$plan")
+  }
+
+  test("embedding near-dup: bucket join, never a cartesian product") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val plan = graft.ext.Dedup.embeddingNearDup(e, col("vec_id"), col("embedding"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian near-dup join:\n$plan")
+  }
+
+  test("native vector kernel stays inside whole-stage codegen") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val df = e.select(graft.functions.VectorFunctions
+      .vector_cosine(col("embedding"), col("embedding")).as("c"))
+    // "*(n)" is the compact WholeStageCodegen stage marker; the Project
+    // containing vector_cosine must carry it
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("vector_cosine") && l.trim.startsWith("*(")),
+      s"codegen lost:\n$plan")
+  }
+}
