@@ -134,6 +134,21 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- as-of join: for each 'error' event, the latest 'purchase' of
+    // the same user at or before it (composed as union + one window pass;
+    // oracled by DuckDB's native ASOF LEFT JOIN).
+    "x15_asof_join" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables.events(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event_id"), col("user_id"), col("ts"))
+      graft.ops.AsofJoin.asof(errors, purchases, Seq("user_id"),
+          leftTime = "ts", rightTime = "ts", rightCols = Seq("p_event_id"))
+        .select(col("event_id"), col("asof_p_event_id").as("purchase_event_id"))
+        .orderBy("event_id")
+    }),
+
     // ---- multimodal: binary payload + metadata + batched decode stub.
     "x13_multimodal_features" -> ((s: SparkSession, dir: String) => {
       val d = Tables(s, dir, "documents").filter(col("doc_id") < 100)
@@ -236,6 +251,13 @@ object ExtQueries {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, cos FROM ranked
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "x15_asof_join" ->
+      """SELECT e.event_id, p.event_id AS purchase_event_id
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+        |ASOF LEFT JOIN
+        |     (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND p.ts <= e.ts
+        |ORDER BY e.event_id""".stripMargin,
     "x13_multimodal_features" ->
       """SELECT doc_id AS media_id,
         |  CAST(strlen(text) AS BIGINT) AS n_bytes,

@@ -267,6 +267,28 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String) {
   /** delete == drop (classes.py `delete`/`drop` alias). */
   def delete(name: String): Either[WarehouseError, Unit] = drop(name)
 
+  /** Create a bucketed table: rows hash-bucketed (and sorted) on the
+    * given columns at write time, registered in the session catalog.
+    * Two tables bucketed the same way join WITHOUT a shuffle — the
+    * co-located-join layout for repeatedly-joined 100 TB fact tables
+    * (PlanSpec pins the no-Exchange property).
+    */
+  def createBucketed(name: String, data: DataFrame, bucketCols: Seq[String],
+                     numBuckets: Int): Either[WarehouseError, TableRef] =
+    try {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      if (fs.exists(tablePath(name))) fs.delete(tablePath(name), true)
+      Ingest.prepare(data).write
+        .option("path", tablePath(name).toString)
+        .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+        .sortBy(bucketCols.head, bucketCols.tail: _*)
+        .format("parquet")
+        .saveAsTable(name)
+      writeMeta(name, TableMeta(
+        SchemaCodec.fromStructType(data.schema), None))
+      Right(TableRef(name))
+    } catch { case e: Exception => Left(TableGenericError(e.getMessage, Some(e))) }
+
   /** Register the table as a temp view so `query(sql)` sees it. */
   def registerView(name: String): Unit =
     get(name).foreach(_.createOrReplaceTempView(name))
