@@ -91,22 +91,34 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est"),
     "zh" -> Seq("的", "是", "了", "在", "我"))
 
-  private def markerHits(text: Column, markers: Seq[String]): Column = {
+  private def markerHitsOver(toks: Column, markers: Seq[String]): Column = {
     val m = array(markers.map(lit): _*)
-    size(filter(tokens(text), t => array_contains(m, t)))
+    size(filter(toks, t => array_contains(m, t)))
   }
 
-  /** Predicted language: the marker-profile argmax, ties broken by
-    * language code order, "und" (undetermined) when no marker hits.
+  /** Per-language marker-hit counts as one array column (same order as
+    * LangMarkers). Materialize this in its own projection before argmax —
+    * every downstream reference then reads an attribute instead of
+    * re-running five tokenize+filter passes.
     */
-  def langId(text: Column): Column = {
-    val scores = LangMarkers.map { case (lang, ms) => lang -> markerHits(text, ms) }
-    val best = greatest(scores.map(_._2): _*)
-    val firstBest = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
-      when(s === best && best > 0, lit(lang)).otherwise(acc)
+  def langScoresOver(toks: Column): Column =
+    array(LangMarkers.map { case (_, ms) => markerHitsOver(toks, ms) }: _*)
+
+  /** Argmax over a materialized score array: ties broken by language code
+    * order, "und" when no marker hits.
+    */
+  def langIdFromScores(scores: Column): Column = {
+    val best = array_max(scores)
+    LangMarkers.zipWithIndex.foldRight(lit("und")) { case (((lang, _), i), acc) =>
+      when(element_at(scores, i + 1) === best && best > 0, lit(lang)).otherwise(acc)
     }
-    firstBest
   }
+
+  /** Predicted language (single-expression sugar; hot paths should stage
+    * tokens → langScoresOver → langIdFromScores as separate projections).
+    */
+  def langId(text: Column): Column =
+    langIdFromScores(langScoresOver(tokens(text)))
 
   private val Mod = 1000000007L
 

@@ -51,7 +51,9 @@ object ExtQueries {
     // lang column.
     "x03_langid" -> ((s: SparkSession, dir: String) => {
       val d = Tables(s, dir, "documents")
-      d.select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
+      d.select(col("lang"), TextAnalysis.tokens(col("text")).as("_toks"))
+        .select(col("lang"), TextAnalysis.langScoresOver(col("_toks")).as("_scores"))
+        .select(col("lang"), TextAnalysis.langIdFromScores(col("_scores")).as("predicted"))
         .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
         .orderBy("lang", "predicted")
     }),
