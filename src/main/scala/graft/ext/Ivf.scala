@@ -1,0 +1,138 @@
+package graft.ext
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the codebook-based
+  * scale path beside the hash-based `Similarity.lshTopK`:
+  *
+  *  1. TRAIN: k-means on a bounded driver-side sample (seeded sampling +
+  *     Lloyd iterations — the codebook is small by construction; training
+  *     on a sample is the standard IVF recipe, not a shortcut).
+  *  2. ASSIGN: every corpus vector gets its nearest centroid id — a
+  *     map-side argmax over the broadcast codebook using the native
+  *     codegen dot kernel; this is the partitioning key of the index.
+  *  3. PROBE: a query scans only its `nProbe` nearest centroid buckets
+  *     (candidates ≈ nProbe/nCentroids of the corpus), then exact cosine
+  *     ranks the candidates.
+  *
+  * At 100 TB the assignment is one narrow pass, the index is a parquet
+  * table partitioned by centroid id (partition pruning serves the probe),
+  * and recall/cost trades off with `nProbe` — all standard IVF behavior.
+  */
+object Ivf {
+
+  final case class Model(centroids: Array[Array[Float]]) {
+    def numCentroids: Int = centroids.length
+  }
+
+  /** Lloyd's k-means on a driver-side sample (deterministic: seeded
+    * sample, first-k init, fixed iterations). The sample bound keeps the
+    * driver O(sampleSize·dim) regardless of corpus size.
+    */
+  def train(corpus: DataFrame, vecCol: String, nCentroids: Int,
+            sampleSize: Int = 4096, iterations: Int = 8,
+            seed: Long = 42L): Model = {
+    val total = corpus.count()
+    val fraction = math.min(1.0, sampleSize.toDouble * 1.2 / math.max(1L, total))
+    val sample = corpus.select(vecCol).sample(withReplacement = false, fraction, seed)
+      .limit(sampleSize).collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample.head.length
+    var centroids = sample.take(math.min(nCentroids, sample.length)).map(_.clone())
+    for (_ <- 1 to iterations) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var d = 0
+        while (d < dim) { sums(c)(d) += v(d); d += 1 }
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else {
+          val out = new Array[Float](dim)
+          var d = 0
+          while (d < dim) { out(d) = (sums(c)(d) / counts(c)).toFloat; d += 1 }
+          out
+        }
+      }
+    }
+    Model(centroids)
+  }
+
+  private def nearestCentroid(v: Array[Float], cs: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d2 = 0.0
+      var d = 0
+      while (d < v.length) {
+        val diff = v(d) - cs(c)(d); d2 += diff * diff; d += 1
+      }
+      if (d2 < bestD) { bestD = d2; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def centroidLit(c: Array[Float]): Column =
+    array(c.map(x => lit(x)): _*)
+
+  /** Squared L2 distance to one centroid via the native dot kernel:
+    * |v-c|² = v·v − 2 v·c + c·c (c·c folded to a constant).
+    */
+  private def dist2(vec: Column, c: Array[Float]): Column = {
+    val cc = c.map(x => x.toDouble * x.toDouble).sum
+    VectorFunctions.vector_dot(vec, vec) -
+      lit(2.0d) * VectorFunctions.vector_dot(vec, centroidLit(c)) + lit(cc)
+  }
+
+  /** Nearest-centroid id column (map-side argmax over the codebook). */
+  def assignCol(vec: Column, model: Model): Column = {
+    val dists = model.centroids.map(c => dist2(vec, c))
+    // stage the distance array, then argmax by position
+    val scores = array(dists: _*)
+    array_position(scores, array_min(scores)).cast("int") - 1
+  }
+
+  /** Build the IVF index: corpus + centroid assignment. Persist this as a
+    * table partitioned by `centroid` for pruned probes at scale.
+    */
+  def index(corpus: DataFrame, model: Model,
+            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+      .withColumn("_scores", array(model.centroids.map(c => dist2(col("nvec"), c)): _*))
+      .withColumn("centroid",
+        (array_position(col("_scores"), array_min(col("_scores"))) - 1).cast("int"))
+      .drop("_scores")
+
+  /** Approximate top-k: each query probes its `nProbe` nearest centroid
+    * buckets; exact cosine ranks candidates within them.
+    */
+  def topK(indexed: DataFrame, queries: DataFrame, model: Model, k: Int,
+           nProbe: Int = 2, idCol: String = "vec_id",
+           vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("_scores", array(model.centroids.map(c => dist2(col("qvec"), c)): _*))
+      .withColumn("centroid", explode(slice(
+        array_sort(zip_with(col("_scores"),
+            sequence(lit(0), lit(model.numCentroids - 1)),
+            (s, i) => struct(s.as("s"), i.as("i")))),
+        1, nProbe)("i")))
+      .drop("_scores")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(q).join(indexed, Seq("centroid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.vector_cosine(col("qvec"), col("nvec")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+}

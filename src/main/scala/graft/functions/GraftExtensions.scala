@@ -11,22 +11,33 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * (cluster-wide, no per-session registration call needed).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
 
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft.functions", null, name, usage, "", "", "", "", "", "", "built-in")
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("vector_dot"),
+  /** The injected function set — also registrable onto an existing
+    * session via `registerAll` (spark.sql.extensions is a static conf
+    * read at SparkContext creation; running sessions use this instead).
+    */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("vector_dot"),
       info("vector_dot", "vector_dot(a, b) - dot product of two float vectors"),
-      (exprs: Seq[Expression]) => DotProductFloat(exprs.head, exprs(1))))
-    ext.injectFunction((
-      FunctionIdentifier("vector_cosine"),
+      (exprs: Seq[Expression]) => DotProductFloat(exprs.head, exprs(1))),
+    (FunctionIdentifier("vector_cosine"),
       info("vector_cosine", "vector_cosine(a, b) - cosine similarity of two float vectors"),
-      (exprs: Seq[Expression]) => CosineSimilarityFloat(exprs.head, exprs(1))))
-    ext.injectFunction((
-      FunctionIdentifier("simhash64"),
+      (exprs: Seq[Expression]) => CosineSimilarityFloat(exprs.head, exprs(1))),
+    (FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(hashes) - 64-bit SimHash from an array of token hashes"),
       (exprs: Seq[Expression]) => SimHash64FromHashes(exprs.head)))
-  }
+
+  /** Register every engine function on an already-running session. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (ident, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, inf, builder)
+    }
 }

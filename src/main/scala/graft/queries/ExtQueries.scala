@@ -151,6 +151,19 @@ object ExtQueries {
         .orderBy("event_id")
     }),
 
+    // ---- similarity: IVF (k-means codebook) approximate top-3 — the
+    // partition-pruned scale path; recall pinned in IvfSpec (no SQL
+    // oracle: the codebook is engine-side state).
+    "x16_ann_ivf" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings")
+      val model = graft.ext.Ivf.train(e, "embedding", nCentroids = 16)
+      val idx = graft.ext.Ivf.index(e, model)
+      val q = e.filter(col("vec_id") < 5)
+      graft.ext.Ivf.topK(idx, q, model, k = 3, nProbe = 4)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- multimodal: binary payload + metadata + batched decode stub.
     "x13_multimodal_features" -> ((s: SparkSession, dir: String) => {
       val d = Tables(s, dir, "documents").filter(col("doc_id") < 100)
