@@ -119,9 +119,12 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: Column, textCol: Column,
                         numHashes: Int = 32, bands: Int = 8, shingleK: Int = 5,
                         wordGrams: Int = 0): DataFrame = {
-    // cache: the self-join would otherwise recompute every signature twice
+    // cache: the self-join would otherwise recompute every signature
+    // twice. MEMORY_ONLY so eviction under pressure is cheap; callers
+    // running dedup repeatedly in a long-lived session should
+    // materialize bands themselves (minhashBands) and unpersist.
     val banded = minhashBands(df, idCol, textCol, numHashes, bands, shingleK,
-      wordGrams).cache()
+      wordGrams).persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(b, col("a.band") === col("b.band") &&

@@ -92,13 +92,23 @@ object Ivf {
       lit(2.0d) * VectorFunctions.vector_dot(vec, centroidLit(c)) + lit(cc)
   }
 
+  /** Distance array to every centroid — materialize in its own
+    * projection before the argmin so it computes once per row.
+    */
+  def centroidScores(vec: Column, model: Model): Column =
+    array(model.centroids.map(c => dist2(vec, c)): _*)
+
+  /** Argmin over a materialized score array → centroid id (0-based;
+    * array_position ties resolve to the first = lowest centroid id).
+    * The SINGLE definition of bucket assignment — index and probe both
+    * use it, so they can never disagree.
+    */
+  def centroidFromScores(scores: Column): Column =
+    (array_position(scores, array_min(scores)) - 1).cast("int")
+
   /** Nearest-centroid id column (map-side argmax over the codebook). */
-  def assignCol(vec: Column, model: Model): Column = {
-    val dists = model.centroids.map(c => dist2(vec, c))
-    // stage the distance array, then argmax by position
-    val scores = array(dists: _*)
-    array_position(scores, array_min(scores)).cast("int") - 1
-  }
+  def assignCol(vec: Column, model: Model): Column =
+    centroidFromScores(centroidScores(vec, model))
 
   /** Build the IVF index: corpus + centroid assignment. Persist this as a
     * table partitioned by `centroid` for pruned probes at scale.
@@ -106,9 +116,8 @@ object Ivf {
   def index(corpus: DataFrame, model: Model,
             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
-      .withColumn("_scores", array(model.centroids.map(c => dist2(col("nvec"), c)): _*))
-      .withColumn("centroid",
-        (array_position(col("_scores"), array_min(col("_scores"))) - 1).cast("int"))
+      .withColumn("_scores", centroidScores(col("nvec"), model))
+      .withColumn("centroid", centroidFromScores(col("_scores")))
       .drop("_scores")
 
   /** Approximate top-k: each query probes its `nProbe` nearest centroid
@@ -118,7 +127,7 @@ object Ivf {
            nProbe: Int = 2, idCol: String = "vec_id",
            vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-      .withColumn("_scores", array(model.centroids.map(c => dist2(col("qvec"), c)): _*))
+      .withColumn("_scores", centroidScores(col("qvec"), model))
       .withColumn("centroid", explode(slice(
         array_sort(zip_with(col("_scores"),
             sequence(lit(0), lit(model.numCentroids - 1)),

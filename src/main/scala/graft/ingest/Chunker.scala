@@ -39,43 +39,70 @@ object Chunker {
   /** 20 MiB — BIGQUERY_JSON_BYTES_LIMIT (bigquery/config.py:2). */
   val DefaultSizeLimit: Long = 20L * (1L << 20)
 
+  /** Chunk assignment result: the chunked frame plus the statistics the
+    * scan already produced (so callers never re-scan to count), and the
+    * handle to release the cached input once the chunked frame has been
+    * consumed.
+    */
+  final case class Chunked(df: DataFrame, rows: Long, chunks: Long) {
+    private[Chunker] var cached: Option[DataFrame] = None
+    def unpersist(): Unit = cached.foreach(_.unpersist())
+  }
+
   /** Exact greedy chunk ids. Input must carry a `sizeCol` (bytes per row);
     * rows are processed in the DataFrame's current partition order after
     * an optional `sortWithinPartitions(orderCols)`. Emits `_chunk` (Long,
     * globally increasing in row order) or RowOversize if any single row
     * exceeds the limit.
+    *
+    * Exactly one materialization of the input: it is cached, then ONE
+    * statistics pass per partition collects (chunk count, row count, max
+    * row size) — a few longs per partition — and the assignment pass
+    * reads the cache. Caching also guarantees both passes see identical
+    * partitioning (a recomputed nondeterministic upstream could otherwise
+    * misalign the offsets).
     */
   def greedyChunkIds(df: DataFrame, sizeCol: String, sizeLimit: Long = DefaultSizeLimit,
-                     orderCols: Seq[Column] = Nil): Either[WarehouseError, DataFrame] = {
-    val ordered = if (orderCols.nonEmpty) df.sortWithinPartitions(orderCols: _*) else df
-    val oversize = ordered.agg(max(col(sizeCol))).collect()(0)
-    if (!oversize.isNullAt(0) && oversize.getAs[Number](0).longValue() > sizeLimit)
-      return Left(RowOversize(oversize.getAs[Number](0).longValue(), sizeLimit))
-
+                     orderCols: Seq[Column] = Nil): Either[WarehouseError, Chunked] = {
+    val ordered =
+      (if (orderCols.nonEmpty) df.sortWithinPartitions(orderCols: _*) else df)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spark = df.sparkSession
     val sizeIdx = ordered.schema.fieldIndex(sizeCol)
 
-    // pass 1: chunk count per partition (tiny driver collect: one long per
-    // partition — holds at any number of partitions)
-    val counts: Map[Int, Long] = ordered.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var chunks = 0L
-      var acc = 0L
-      it.foreach { row =>
-        val s = row.get(sizeIdx).asInstanceOf[Number].longValue()
-        if (chunks == 0L) { chunks = 1L; acc = s }
-        else if (acc + s > sizeLimit) { chunks += 1L; acc = s }
-        else acc += s
-      }
-      Iterator.single(pid -> chunks)
-    }.collect().toMap
+    // single stats pass: (chunks, rows, maxRowSize) per partition
+    val stats: Seq[(Int, (Long, Long, Long))] =
+      ordered.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var chunks = 0L
+        var rows = 0L
+        var maxSz = 0L
+        var acc = 0L
+        it.foreach { row =>
+          val s = row.get(sizeIdx).asInstanceOf[Number].longValue()
+          rows += 1L
+          if (s > maxSz) maxSz = s
+          if (chunks == 0L) { chunks = 1L; acc = s }
+          else if (acc + s > sizeLimit) { chunks += 1L; acc = s }
+          else acc += s
+        }
+        Iterator.single(pid -> ((chunks, rows, maxSz)))
+      }.collect().toSeq
+
+    val maxRow = stats.map(_._2._3).maxOption.getOrElse(0L)
+    if (maxRow > sizeLimit) {
+      ordered.unpersist()
+      return Left(RowOversize(maxRow, sizeLimit))
+    }
+    val totalRows = stats.map(_._2._2).sum
+    val totalChunks = stats.map(_._2._1).sum
     val offsets: Map[Int, Long] = {
       var running = 0L
-      counts.toSeq.sortBy(_._1).map { case (pid, n) =>
+      stats.sortBy(_._1).map { case (pid, (n, _, _)) =>
         val o = pid -> running; running += n; o
       }.toMap
     }
 
-    // pass 2: assign global chunk ids with the per-partition offset
+    // assignment pass over the cached input
     val schema = ordered.schema.add("_chunk", "long", nullable = false)
     val rdd = ordered.rdd.mapPartitionsWithIndex { (pid, it) =>
       var chunk = offsets.getOrElse(pid, 0L) - 1L
@@ -88,7 +115,9 @@ object Chunker {
         org.apache.spark.sql.Row.fromSeq(row.toSeq :+ chunk)
       }
     }
-    Right(spark.createDataFrame(rdd, schema))
+    val out = Chunked(spark.createDataFrame(rdd, schema), totalRows, totalChunks)
+    out.cached = Some(ordered)
+    Right(out)
   }
 
   /** Declarative banded chunk ids over an explicit total order:

@@ -23,31 +23,40 @@ object AsofJoin {
     * @param keyCols    equi-key column names present on both sides
     * @param leftTime   event-time column on the left
     * @param rightTime  event-time column on the right
-    * @param rightCols  right columns to carry (renamed as-is onto output)
-    * @return left rows + carried right columns (null when no right row
-    *         at or before the left time)
+    * @param rightCols  right columns to carry, emitted as `asof_<name>`
+    *                   (name collisions with left columns are fine: the
+    *                   right side is projected before any left columns
+    *                   are synthesized)
+    * @return left rows + `asof_<c>` columns (null when no right row at
+    *         or before the left time)
     */
   def asof(left: DataFrame, right: DataFrame, keyCols: Seq[String],
            leftTime: String, rightTime: String,
            rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val leftOnly = leftCols.filterNot(keyCols.contains)
+
+    // right side: project key + time + carried columns FIRST (renamed to
+    // _r_* so a left column of the same name can't clobber them), then
+    // add null placeholders for the left-only columns
+    val rightProjected = right.select(
+      keyCols.map(col) ++ Seq(col(rightTime).as("_t")) ++
+        rightCols.map(c => col(c).as(s"_r_$c")): _*)
+    val taggedRight = leftOnly.foldLeft(rightProjected.withColumn("_side", lit(0))) {
+      (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+
+    // left side: real columns + null placeholders for the carried slots.
     // side marker orders right rows BEFORE left rows at equal timestamps
     // so an exactly-simultaneous right row is visible (inclusive asof)
     val taggedLeft = rightCols.foldLeft(
         left.withColumn("_t", col(leftTime)).withColumn("_side", lit(1))) {
       (df, c) => df.withColumn(s"_r_$c", lit(null).cast(right.schema(c).dataType))
     }
-    val taggedRight = leftCols.filterNot(keyCols.contains).foldLeft(
-        right.withColumn("_t", col(rightTime)).withColumn("_side", lit(0))) {
-      (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }.select((keyCols ++ leftCols.filterNot(keyCols.contains)).map(col) ++
-      Seq(col("_t"), col("_side")) ++
-      rightCols.map(c => col(c).as(s"_r_$c")): _*)
 
-    val unioned = taggedLeft
-      .select((leftCols.map(col) ++ Seq(col("_t"), col("_side")) ++
-        rightCols.map(c => col(s"_r_$c"))): _*)
-      .unionByName(taggedRight)
+    val cols = leftCols ++ Seq("_t", "_side") ++ rightCols.map(c => s"_r_$c")
+    val unioned = taggedLeft.select(cols.map(col): _*)
+      .unionByName(taggedRight.select(cols.map(col): _*))
 
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("_t"), col("_side"))

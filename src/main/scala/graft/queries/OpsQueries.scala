@@ -78,7 +78,7 @@ object OpsQueries {
       val docs = Tables(s, dir, "documents").select("doc_id", "n_chars")
         .coalesce(1).sortWithinPartitions("doc_id")
       Chunker.greedyChunkIds(docs, "n_chars", 10000L) match {
-        case Right(df) => df.select(col("doc_id"), col("_chunk").as("chunk_id"))
+        case Right(ch) => ch.df.select(col("doc_id"), col("_chunk").as("chunk_id"))
           .orderBy("doc_id")
         case Left(e) => throw new RuntimeException(e.message)
       }

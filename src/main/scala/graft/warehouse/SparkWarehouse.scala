@@ -45,10 +45,14 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String) {
   private def metaPath(name: String) = new Path(tablePath(name), "_graft_meta.json")
   private def fs = tablePath("x").getFileSystem(hadoopConf)
 
-  /** `is_online` (bigquery/__init__.py:91-101) — trivial health probe. */
+  /** `is_online` (bigquery/__init__.py:91-101) — health probe: live
+    * session AND writable warehouse root.
+    */
   def isOnline: Boolean =
-    try { spark.version.nonEmpty && fs.exists(new Path(warehouseDir)) || true }
-    catch { case _: Exception => false }
+    try {
+      val root = new Path(warehouseDir)
+      spark.version.nonEmpty && (fs.exists(root) || fs.mkdirs(root))
+    } catch { case _: Exception => false }
 
   /** `select_bigquery_table`: local handle, no storage contact. */
   def select(name: String): TableRef = TableRef(name)
@@ -59,7 +63,19 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String) {
   def get(name: String): Either[WarehouseError, DataFrame] =
     try {
       if (!fs.exists(tablePath(name))) Left(TableNotFound(name))
-      else Right(spark.read.parquet(tablePath(name).toString))
+      else {
+        val hasData = fs.listStatus(tablePath(name))
+          .exists(f => f.getPath.getName.endsWith(".parquet"))
+        if (hasData) Right(spark.read.parquet(tablePath(name).toString))
+        else {
+          // schemaless or not-yet-loaded table: empty frame on the
+          // recorded schema
+          val st = meta(name).map(m => Widen.toStructType(m.schema))
+            .getOrElse(new StructType())
+          Right(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st))
+        }
+      }
     } catch {
       case e: Exception => Left(TableGenericError(e.getMessage, Some(e)))
     }
@@ -109,12 +125,16 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String) {
         else if (exists && replace) meta(name).map(_.schema).getOrElse(Nil)
         else Nil
       if (exists) fs.delete(tablePath(name), true)
-      val structType =
-        if (effectiveSchema.nonEmpty) Widen.toStructType(effectiveSchema)
-        else new StructType()
-      val empty = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], structType)
-      empty.write.mode(SaveMode.Overwrite).parquet(tablePath(name).toString)
+      if (effectiveSchema.nonEmpty) {
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          Widen.toStructType(effectiveSchema))
+        empty.write.mode(SaveMode.Overwrite).parquet(tablePath(name).toString)
+      } else {
+        // schemaless create (legal in the reference): directory + sidecar
+        // only — parquet cannot represent a zero-column file
+        fs.mkdirs(tablePath(name))
+      }
       writeMeta(name, TableMeta(effectiveSchema, expires.map(_.toEpochMilli)))
       registerView(name)
       Right(TableRef(name))
@@ -179,42 +199,65 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String) {
       val existingSchema: Seq[FieldRepr] =
         if (schema.nonEmpty) schema
         else meta(name).map(_.schema).getOrElse(Nil)
+      // a Spark DataFrame is already typed: its schema maps straight to
+      // warehouse types (the reference's dtype-mapper route) — the JSON
+      // full-scan inference is for untyped records (loadJson). Existing
+      // schema wins per-field (schema.py:359-375); new fields append.
+      val dataSchema = SchemaCodec.fromStructType(prepared.schema)
       val resolved: Seq[FieldRepr] =
         if (fullSchema) {
           if (existingSchema.isEmpty)
             return Left(InvalidInput("fullSchema=true requires a schema"))
           existingSchema
-        } else SchemaInference.extract(prepared, existingSchema)
+        } else if (existingSchema.isEmpty) dataSchema
+        else existingSchema ++
+          dataSchema.filterNot(f => existingSchema.exists(_.name == f.name))
 
       if (!fs.exists(tablePath(name))) {
         create(name, resolved) match {
           case Left(e) => return Left(e)
           case Right(_) => ()
         }
+      } else {
+        // persist the merged (evolved) schema so later reads/fetches see
+        // newly-appended fields
+        meta(name) match {
+          case Right(m) if m.schema != resolved =>
+            writeMeta(name, m.copy(schema = resolved))
+          case Left(_) => writeMeta(name, TableMeta(resolved, None))
+          case _ => ()
+        }
       }
 
-      val sized = prepared.withColumn("_graft_size", Ingest.rowJsonSize(prepared))
+      // align the data with the resolved table schema: every appended
+      // parquet file must carry the table's column types or later scans
+      // hit footer-schema conflicts
+      val target = Widen.toStructType(resolved)
+      val aligned = prepared.select(target.fields.toSeq.map { f =>
+        if (prepared.columns.contains(f.name))
+          col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+
+      val sized = aligned.withColumn("_graft_size", Ingest.rowJsonSize(aligned))
       Chunker.greedyChunkIds(sized, "_graft_size", sizeLimit) match {
         case Left(e) => Left(e)
         case Right(chunked) =>
-          val n = chunked.count()
-          val nChunks = chunked.agg(max(col("_chunk"))).collect()(0) match {
-            case r if r.isNullAt(0) => 0L
-            case r => r.getLong(0) + 1L
-          }
           // one shuffle partition per chunk so each chunk lands in its own
           // file — capped: a petabyte load would otherwise ask for millions
           // of range partitions. Past the cap a partition carries several
           // consecutive chunks (each still ≤ limit in JSON terms); bulk
           // loads at that scale should use Sources.writeParquetSized.
-          val parts = math.min(math.max(1L, nChunks), 16384L).toInt
-          chunked.drop("_graft_size")
-            .repartitionByRange(parts, col("_chunk"))
-            .sortWithinPartitions("_chunk")
-            .drop("_chunk")
-            .write.mode(SaveMode.Append).parquet(tablePath(name).toString)
+          val parts = math.min(math.max(1L, chunked.chunks), 16384L).toInt
+          try {
+            chunked.df.drop("_graft_size")
+              .repartitionByRange(parts, col("_chunk"))
+              .sortWithinPartitions("_chunk")
+              .drop("_chunk")
+              .write.mode(SaveMode.Append).parquet(tablePath(name).toString)
+          } finally chunked.unpersist()
           registerView(name)
-          Right(n)
+          Right(chunked.rows)
       }
     } catch {
       case e: IllegalArgumentException => Left(RowsInvalid(e.getMessage))
@@ -258,8 +301,17 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String) {
     */
   def update(name: String, data: DataFrame, overwrite: Boolean = false): Either[WarehouseError, Unit] =
     try {
+      val prepared = Ingest.prepare(data)
+      val prior = meta(name).toOption
       val mode = if (overwrite) SaveMode.Overwrite else SaveMode.Append
-      Ingest.prepare(data).write.mode(mode).parquet(tablePath(name).toString)
+      prepared.write.mode(mode).parquet(tablePath(name).toString)
+      // SaveMode.Overwrite deletes the whole directory including the
+      // sidecar: rewrite it (schema from the new data, expiry preserved)
+      val newSchema =
+        if (overwrite || prior.forall(_.schema.isEmpty))
+          SchemaCodec.fromStructType(prepared.schema)
+        else prior.get.schema
+      writeMeta(name, TableMeta(newSchema, prior.flatMap(_.expiresAtMillis)))
       registerView(name)
       Right(())
     } catch { case e: Exception => Left(TableGenericError(e.getMessage, Some(e))) }

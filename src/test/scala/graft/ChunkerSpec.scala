@@ -24,7 +24,8 @@ class ChunkerSpec extends SparkSpec {
       val limit = 1000L
       val df = sizedDf(sizes).repartition(3).sortWithinPartitions("id")
       val Right(chunked) = Chunker.greedyChunkIds(df, "sz", limit, Seq(col("id"))): @unchecked
-      val rows = chunked.select("id", "sz", "_chunk")
+      assert(chunked.rows == sizes.length)
+      val rows = chunked.df.select("id", "sz", "_chunk")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
         .sortBy(_._1)
       // every chunk's total ≤ limit
@@ -36,6 +37,7 @@ class ChunkerSpec extends SparkSpec {
       assert(ids.toSeq == ids.sorted.toSeq)
       // all rows present exactly once
       assert(rows.length == sizes.length)
+      chunked.unpersist()
     }
   }
 
@@ -51,7 +53,8 @@ class ChunkerSpec extends SparkSpec {
   test("small input fits one chunk") {
     val df = sizedDf(Seq(10L, 20L, 30L)).coalesce(1)
     val Right(chunked) = Chunker.greedyChunkIds(df, "sz", 1000L): @unchecked
-    assert(chunked.select("_chunk").distinct().count() == 1)
+    assert(chunked.chunks == 1)
+    assert(chunked.df.select("_chunk").distinct().count() == 1)
   }
 
   test("boundary chunk ids are deterministic over the declared order") {

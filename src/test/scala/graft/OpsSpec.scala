@@ -36,6 +36,21 @@ class AsofJoinSpec extends SparkSpec {
       12L -> Some(102.0), 13L -> None, 14L -> None))
   }
 
+  test("asof carries right columns that share a name with left columns") {
+    // regression: a rightCol named like a non-key left column was nulled
+    // out by the placeholder synthesis
+    val spark0 = spark
+    import spark0.implicits._
+    val quotes = Seq((1L, ts("2024-01-01 10:00:00"), 100.0))
+      .toDF("user_id", "ts", "value")
+    val trades = Seq((10L, 1L, ts("2024-01-01 11:00:00"), 7.0))
+      .toDF("trade_id", "user_id", "ts", "value") // left also has "value"
+    val out = AsofJoin.asof(trades, quotes, Seq("user_id"), "ts", "ts", Seq("value"))
+      .select("trade_id", "value", "asof_value").collect()(0)
+    assert(out.getDouble(1) == 7.0, "left value clobbered")
+    assert(out.getDouble(2) == 100.0, "carried right value lost")
+  }
+
   test("salted aggregate equals plain aggregate on a skewed key") {
     val spark0 = spark
     import spark0.implicits._

@@ -116,6 +116,68 @@ class WarehouseSpec extends SparkSpec {
     assert(out.contains("├─ id") && out.contains("└─ nest") && out.contains("└─ k"))
   }
 
+  test("load with timestamp and int columns keeps files readable (schema alignment)") {
+    // regression: inference previously round-tripped through JSON, typing
+    // timestamps as STRING, then appended the raw TimestampType files —
+    // footer-conflicting parquet. Typed input now derives its schema from
+    // the DataFrame and data is cast to the resolved table schema.
+    val wh = freshWh()
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(
+      (1, java.sql.Timestamp.valueOf("2024-01-02 03:04:05"), 1.5f),
+      (2, java.sql.Timestamp.valueOf("2024-06-07 08:09:10"), 2.5f))
+      .toDF("id", "when_ts", "score")
+    assert(wh.load("typed", df) == Right(2L))
+    // second load appends more files; every file must agree with the schema
+    assert(wh.load("typed", df) == Right(2L))
+    val back = wh.get("typed").toOption.get
+    assert(back.count() == 4)
+    val m = wh.meta("typed").toOption.get
+    assert(m.schema.find(_.name == "when_ts").map(_.fieldType) == Some("TIMESTAMP"))
+    assert(m.schema.find(_.name == "id").map(_.fieldType) == Some("INTEGER"))
+    // values survive the round trip
+    val ts = back.filter($"id" === 1).select("when_ts")
+      .collect()(0).getTimestamp(0)
+    assert(ts == java.sql.Timestamp.valueOf("2024-01-02 03:04:05"))
+  }
+
+  test("load into an existing table evolves and persists the merged schema") {
+    val wh = freshWh()
+    val spark0 = spark
+    import spark0.implicits._
+    assert(wh.load("evolve", Seq((1L, "a")).toDF("id", "name")).isRight)
+    assert(wh.load("evolve", Seq((2L, "b", 9.5)).toDF("id", "name", "extra")).isRight)
+    val m = wh.meta("evolve").toOption.get
+    assert(m.schema.map(_.name).contains("extra"))
+    // rows from the first load read null for the new column
+    val rows = wh.get("evolve").toOption.get.orderBy("id").collect()
+    assert(rows.length == 2)
+  }
+
+  test("update overwrite preserves the meta sidecar") {
+    val wh = freshWh()
+    val spark0 = spark
+    import spark0.implicits._
+    wh.load("mk", Seq((1L, "a")).toDF("id", "name"))
+    wh.setExpiry("mk", Some(java.time.Instant.parse("2030-01-01T00:00:00Z")))
+    assert(wh.update("mk", Seq((2L, "b")).toDF("id", "name"), overwrite = true).isRight)
+    val m = wh.meta("mk").toOption.get
+    assert(m.schema.nonEmpty, "overwrite lost the schema sidecar")
+    assert(m.expiresAtMillis.contains(
+      java.time.Instant.parse("2030-01-01T00:00:00Z").toEpochMilli),
+      "overwrite lost the expiry")
+  }
+
+  test("schemaless create is legal; get returns an empty typed frame after setSchema") {
+    val wh = freshWh()
+    assert(wh.create("bare").isRight)
+    assert(wh.get("bare").toOption.get.count() == 0)
+    assert(wh.setSchema("bare",
+      Seq(graft.schema.FieldRepr("x", "INTEGER", "NULLABLE"))).isRight)
+    assert(wh.get("bare").toOption.get.schema.fieldNames.toSeq == Seq("x"))
+  }
+
   test("update overwrite replaces rows") {
     val wh = freshWh()
     val spark0 = spark
