@@ -16,9 +16,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.OpsQueries.queries ++
-      graft.queries.ExtQueries.queries ++ graft.queries.StreamQueries.queries
+      graft.queries.ExtQueries.queries ++ graft.queries.StreamQueries.queries ++
+      graft.queries.Analytics.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++ graft.queries.OpsQueries.oracle ++
-      graft.queries.ExtQueries.oracle ++ graft.queries.StreamQueries.oracle
+      graft.queries.ExtQueries.oracle ++ graft.queries.StreamQueries.oracle ++
+      graft.queries.Analytics.oracle
 }

@@ -1,0 +1,107 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytics coverage beyond the core relational pack: exact percentiles,
+  * string edit distance, batch sessionization (gaps-and-islands — the
+  * batch twin of the streaming `EventStream.sessionize`), and histogram
+  * binning. All oracle-checked.
+  */
+object Analytics {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- exact percentiles per group (interpolating; same formula as
+    // DuckDB's quantile_cont).
+    "a01_percentiles" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // ---- Levenshtein edit distance between part names (bounded pairs).
+    "a02_edit_distance" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val p = Tables(s, dir, "part").filter($"p_partkey" <= 40)
+        .select($"p_partkey", $"p_name")
+      val a = p.alias("a")
+      val b = p.alias("b")
+      a.join(b, col("a.p_partkey") < col("b.p_partkey"))
+        .select(col("a.p_partkey").as("id_a"), col("b.p_partkey").as("id_b"),
+          levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("dist"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- batch sessionization: gaps-and-islands over event time (30 min
+    // inactivity gap) — the batch twin of the streaming sessionizer.
+    "a03_sessionize_batch" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("new_session",
+          when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+            > 1800000000L, 1L).otherwise(lit(0L)))
+        .withColumn("session_id", sum($"new_session").over(wRun))
+        .groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          max($"n_events").as("longest_session"))
+        .orderBy($"user_id")
+    }),
+
+    // ---- histogram binning of order totals (fixed-width buckets).
+    "a04_histogram" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .select(floor($"o_totalprice" / 50000.0).cast("long").as("bucket"))
+        .groupBy($"bucket").agg(count(lit(1)).as("n"))
+        .orderBy($"bucket")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "a01_percentiles" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.9) AS p90,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "a02_edit_distance" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM part a, part b
+        |WHERE a.p_partkey <= 40 AND b.p_partkey <= 40
+        |  AND a.p_partkey < b.p_partkey
+        |ORDER BY id_a, id_b""".stripMargin,
+    "a03_sessionize_batch" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessioned AS (
+        |  SELECT user_id,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked
+        |), per_session AS (
+        |  SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM sessioned GROUP BY user_id, session_id
+        |)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(max(n_events) AS BIGINT) AS longest_session
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "a04_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin)
+}
