@@ -1,0 +1,158 @@
+package graft
+
+import graft.ingest.{Chunker, Ingest}
+import graft.schema._
+import org.apache.spark.sql.functions._
+
+/** Ports of the reference's own test fixtures (FIXTURES.md §1-4) as golden
+  * tests: the doc-example unification, the 26-field articles schema with
+  * existing-schema pinning, the 1000-record chunking round trip with
+  * dirty keys, and the 4-way schema-conversion matrix shape.
+  */
+class GoldenFixturesSpec extends SparkSpec {
+
+  // ---- FIXTURES.md §2: the nested-inference doc example
+  // (reference schema.py:509-566, runnable bigquery/schema.py:644-700)
+  test("doc example: full unification incl. type errors and G's scalar/list mix") {
+    val spark0 = spark
+    import spark0.implicits._
+    val lines = Seq(
+      """{"A": 1, "B": 2, "C": 3}""",
+      """{"A": 1.23, "B": true, "C": 56}""",
+      """{"A": 56, "B": "Google", "D": [
+        {"D1": true, "D2": false, "D3": [{"D3a": 123}]},
+        {"D1": true, "D2": false, "D3": [{"D3a": 456, "D3b": "Something"}]}]}"""
+        .replaceAll("\n\\s*", ""),
+      """null""",
+      """123""",
+      """{"E": null, "FFF": 666}""",
+      """{"G": 123}""",
+      """{"G": [1,2,3,4,5,6,7,8,9,10]}""",
+      """{"FFF": 456.123, "G": [2,3,4,5,6,1]}""")
+    val d = SchemaInference.deconstructJson(spark.createDataset(lines))
+    assert(d.records == 7)
+    assert(d.typeErrors == 2) // null and 123 at top level
+    val repr = Widen.condense(d.lat)
+    val byName = repr.map(f => f.name -> f).toMap
+    assert(byName("A").fieldType == "FLOAT") // {int,float} -> FLOAT
+    assert(byName("B").fieldType == "STRING") // {int,bool,str} -> STRING
+    assert(byName("C").fieldType == "INTEGER")
+    val dField = byName("D")
+    assert(dField.fieldType == "RECORD" && dField.mode == "REPEATED")
+    val dSub = dField.fields.map(f => f.name -> f).toMap
+    assert(dSub("D1").fieldType == "BOOLEAN" && dSub("D2").fieldType == "BOOLEAN")
+    assert(dSub("D3").fieldType == "RECORD" && dSub("D3").mode == "REPEATED")
+    assert(dSub("D3").fields.map(f => f.name -> f.fieldType).toMap ==
+      Map("D3a" -> "INTEGER", "D3b" -> "STRING"))
+    assert(byName("E").fieldType == "STRING") // only-null -> default STRING
+    assert(byName("FFF").fieldType == "FLOAT")
+    // G mixes scalar int and list-of-int (documented-unsupported mix):
+    // list wins, element INTEGER, REPEATED
+    assert(byName("G") == FieldRepr("G", "INTEGER", "REPEATED"))
+  }
+
+  // ---- FIXTURES.md §1: the 26-field articles golden schema with the
+  // existing-schema override pinning u_ugr / u_beleuchtungsstaerke…
+  // (reference test_bigquery.py:422-445 passes the schema to pin fields
+  // that records alone would widen differently).
+  test("articles schema: 26 fields reproduced with existing-schema pinning") {
+    val stringFields = Seq("s_familie", "led_module",
+      "s_farbe_kombifeld_indirekt", "s_abblendraster", "s_control",
+      "s_baugroesse_list_display_string", "power_singlefield_with_unit",
+      "s_farbe_kombifeld", "s_montageart", "s_artikelbild",
+      "s_leuchtenlichtstrom_display_unit", "lumens_with_unit",
+      "artno_schoen", "pkm_artikel", "s_einbaudetail", "s_untertitel",
+      "s_gehaeusefarbe", "s_leistung_display_unit", "s_lichtwerkzeug",
+      "s_lichtaustritt", "product_image")
+    val golden: Seq[FieldRepr] =
+      Seq(FieldRepr("pkm_familie", "INTEGER", "NULLABLE"),
+        FieldRepr("b_neuheit", "BOOLEAN", "NULLABLE"),
+        FieldRepr("u_ugr", "INTEGER", "NULLABLE"),
+        FieldRepr("u_beleuchtungsstaerke_dl_sym_raster", "INTEGER", "NULLABLE"),
+        FieldRepr("t_productfeature", "RECORD", "REPEATED", Seq(
+          FieldRepr("Kurztext", "STRING", "NULLABLE"),
+          FieldRepr("Text", "STRING", "NULLABLE"),
+          FieldRepr("ID", "STRING", "NULLABLE")))) ++
+        stringFields.map(FieldRepr(_, "STRING", "NULLABLE"))
+    assert(golden.length == 26)
+
+    // representative records: u_* fields arrive as floats (the pandas
+    // empty-field pitfall the reference documents) — the existing schema
+    // must pin them back to INTEGER
+    val record: Map[String, Any] = Map(
+      "pkm_familie" -> 1742L, "b_neuheit" -> false,
+      "u_ugr" -> 19.0, "u_beleuchtungsstaerke_dl_sym_raster" -> 300.0,
+      "t_productfeature" -> Seq(
+        Map("Kurztext" -> "k", "Text" -> "t", "ID" -> "77"))) ++
+      stringFields.map(_ -> "x").toMap
+    val inferred = SchemaInference.extract(Seq(record), golden, forceNumeric = false)
+    assert(inferred.toSet == golden.toSet,
+      s"diff: ${(inferred.toSet diff golden.toSet)} / ${(golden.toSet diff inferred.toSet)}")
+    // and without pinning, the floats widen to FLOAT (the pitfall itself)
+    val unpinned = SchemaInference.extract(Seq(record))
+    assert(unpinned.find(_.name == "u_ugr").get.fieldType == "FLOAT")
+  }
+
+  // ---- FIXTURES.md §3: 1000-record chunking round trip with dirty keys
+  // (reference test_load_datawarehouse.py:164-200): every chunk ≤ limit,
+  // exact order-preserving reconstruction.
+  test("chunking workload: dirty keys cleaned, chunks bounded, order reconstructed") {
+    val spark0 = spark
+    import spark0.implicits._
+    val lines = (0 until 1000).map { id =>
+      val dicts = (0 until id % 7).map(k => s""""Item #$k": $k""").mkString(",")
+      s"""{"a": ${10 * id}, "b something": {"b 1": true,
+          "b.2": {"$id": "Something", "List": [0,1,2,3,4,5,6,7,8,9],
+                  "Dicts": {$dicts}}}}""".replaceAll("\n\\s*", " ")
+    }
+    val df = Ingest.prepareJson(spark, spark.createDataset(lines))
+    // dirty keys cleaned recursively
+    assert(df.columns.toSeq.contains("b_something"))
+    val sized = df.withColumn("_sz", Ingest.rowJsonSize(df))
+    Chunker.greedyChunkIds(sized, "_sz", sizeLimit = 4096L,
+      orderCols = Seq(col("a"))) match {
+      case Left(e) => fail(e.message)
+      case Right(ch) =>
+        assert(ch.rows == 1000L)
+        val rows = ch.df.select("a", "_sz", "_chunk").collect()
+          .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2)))
+        // hard cap per chunk
+        val perChunk = rows.groupBy(_._3).view.mapValues(_.map(_._2).sum)
+        assert(perChunk.values.forall(_ <= 4096L))
+        // reconstruction: reading chunks in id order yields the input order
+        val reconstructed = rows.sortBy(r => (r._3, r._1)).map(_._1)
+        assert(reconstructed.sliding(2).forall(p => p.length < 2 || p(0) < p(1)))
+        ch.unpersist()
+    }
+  }
+
+  // ---- FIXTURES.md §4: conversion-matrix shape — 3-level nesting with
+  // BYTES leaves and a RECORD REPEATED, 4-way round trip.
+  test("conversion matrix: 3-level nested BYTES schema round-trips all ways") {
+    val schema = Seq(
+      FieldRepr("artno_schoen", "STRING", "NULLABLE"),
+      FieldRepr("b_neuheit", "BOOLEAN", "REQUIRED"),
+      FieldRepr("pkm_familie", "INTEGER", "NULLABLE"),
+      FieldRepr("t_productfeature", "RECORD", "REPEATED", Seq(
+        FieldRepr("Kurztext", "STRING", "NULLABLE"),
+        FieldRepr("ID", "STRING", "NULLABLE"))),
+      FieldRepr("product_image", "RECORD", "REPEATED", Seq(
+        FieldRepr("name", "STRING", "NULLABLE"),
+        FieldRepr("data", "RECORD", "REPEATED", Seq(
+          FieldRepr("png", "BYTES", "NULLABLE"),
+          FieldRepr("jpg", "BYTES", "NULLABLE"))))),
+      FieldRepr("u_ugr", "INTEGER", "NULLABLE"))
+    // dict -> json -> dict (idempotent self-conversion)
+    assert(SchemaCodec.fromJson(SchemaCodec.toJson(schema)) == schema)
+    // dict -> StructType -> dict: shape-preserving (REQUIRED survives via
+    // nullable=false; BYTES via BinaryType)
+    val st = Widen.toStructType(schema)
+    assert(!st("b_neuheit").nullable)
+    val back = SchemaCodec.fromStructType(st)
+    assert(Widen.toStructType(back) == st)
+    // deep BYTES leaf survives
+    val img = back.find(_.name == "product_image").get
+    assert(img.fields.find(_.name == "data").get
+      .fields.map(_.fieldType).toSet == Set("BYTES"))
+  }
+}
