@@ -58,6 +58,17 @@ object Analytics {
         .orderBy($"user_id")
     }),
 
+    // ---- HLL sketch: approximate distinct counts per group (rows-only:
+    // HLL++ internals are engine-specific; accuracy pinned in spec).
+    "a05_approx_distinct" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_partkey", rsd = 0.02).as("approx_parts"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    }),
+
     // ---- histogram binning of order totals (fixed-width buckets).
     "a04_histogram" -> ((s: SparkSession, dir: String) => {
       import s.implicits._

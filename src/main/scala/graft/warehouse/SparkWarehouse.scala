@@ -64,8 +64,12 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String) {
     try {
       if (!fs.exists(tablePath(name))) Left(TableNotFound(name))
       else {
-        val hasData = fs.listStatus(tablePath(name))
-          .exists(f => f.getPath.getName.endsWith(".parquet"))
+        // data = parquet files at top level OR partition directories
+        // (partitionBy layouts have only `col=value/` dirs at the root)
+        val hasData = fs.listStatus(tablePath(name)).exists { f =>
+          f.getPath.getName.endsWith(".parquet") ||
+            (f.isDirectory && !f.getPath.getName.startsWith("_"))
+        }
         if (hasData) Right(spark.read.parquet(tablePath(name).toString))
         else {
           // schemaless or not-yet-loaded table: empty frame on the
@@ -338,6 +342,25 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String) {
         .saveAsTable(name)
       writeMeta(name, TableMeta(
         SchemaCodec.fromStructType(data.schema), None))
+      Right(TableRef(name))
+    } catch { case e: Exception => Left(TableGenericError(e.getMessage, Some(e))) }
+
+  /** Create a date/key-partitioned table: rows land in one directory per
+    * partition value, so reads filtered on the partition column scan only
+    * matching directories (partition pruning — `PartitionFilters` in the
+    * plan, the primary I/O lever for time-organized 100 TB tables).
+    */
+  def createPartitioned(name: String, data: DataFrame,
+                        partitionCols: Seq[String]): Either[WarehouseError, TableRef] =
+    try {
+      if (fs.exists(tablePath(name))) fs.delete(tablePath(name), true)
+      val prepared = Ingest.prepare(data)
+      prepared.write
+        .partitionBy(partitionCols: _*)
+        .mode(SaveMode.Overwrite)
+        .parquet(tablePath(name).toString)
+      writeMeta(name, TableMeta(SchemaCodec.fromStructType(prepared.schema), None))
+      registerView(name)
       Right(TableRef(name))
     } catch { case e: Exception => Left(TableGenericError(e.getMessage, Some(e))) }
 

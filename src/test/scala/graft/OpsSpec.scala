@@ -90,3 +90,18 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 }
+
+/** Sketch accuracy: HLL approximate distinct must land within its
+  * configured relative error of the exact count on real data.
+  */
+class SketchSpec extends SparkSpec {
+
+  test("approx_count_distinct within rsd of exact") {
+    val li = Tables(spark, sf0001, "lineitem")
+    val exact = li.select(countDistinct(col("l_partkey"))).collect()(0).getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_partkey"), rsd = 0.02))
+      .collect()(0).getLong(0)
+    val err = math.abs(approx - exact).toDouble / exact
+    assert(err < 0.06, s"HLL error $err exceeds 3x rsd (exact=$exact approx=$approx)")
+  }
+}

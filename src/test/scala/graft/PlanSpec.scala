@@ -68,3 +68,28 @@ class PlanSpec extends SparkSpec {
       s"codegen lost:\n$plan")
   }
 }
+
+/** Partition-layout guards: a partitioned table read filtered on the
+  * partition column must prune directories, not scan them.
+  */
+class PartitionPruningSpec extends SparkSpec {
+
+  test("partitioned table scan prunes on the partition column") {
+    val wh = new graft.warehouse.SparkWarehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-part").toString)
+    val spark0 = spark
+    import spark0.implicits._
+    val df = (1 to 1000).map(i => (i.toLong, s"2024-0${1 + i % 6}", i * 1.5))
+      .toDF("id", "month", "v")
+    assert(wh.createPartitioned("by_month", df, Seq("month")).isRight)
+    val read = wh.get("by_month").toOption.get.filter(col("month") === "2024-03")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(month"),
+      s"partition pruning lost:\n$plan")
+    assert(read.count() > 0)
+    // directory layout: one dir per month value
+    val dirs = new java.io.File(s"${wh.warehouseDir}/by_month")
+      .listFiles().count(f => f.isDirectory && f.getName.startsWith("month="))
+    assert(dirs == 6, s"expected 6 partition dirs, got $dirs")
+  }
+}
