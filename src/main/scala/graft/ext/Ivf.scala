@@ -35,9 +35,10 @@ object Ivf {
   def train(corpus: DataFrame, vecCol: String, nCentroids: Int,
             sampleSize: Int = 4096, iterations: Int = 8,
             seed: Long = 42L): Model = {
-    val total = corpus.count()
-    val fraction = math.min(1.0, sampleSize.toDouble * 1.2 / math.max(1L, total))
-    val sample = corpus.select(vecCol).sample(withReplacement = false, fraction, seed)
+    // seeded top-n under a random key (TakeOrderedAndProject): one pass,
+    // no count() pre-pass over the corpus — at 100 TB the count alone
+    // would cost more than the training.
+    val sample = corpus.select(vecCol).orderBy(rand(seed).asc)
       .limit(sampleSize).collect().map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "empty corpus")
     val dim = sample.head.length

@@ -2,7 +2,6 @@ package graft.ingest
 
 import graft.warehouse.{RowOversize, WarehouseError}
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Size-bounded, order-preserving chunking — `chunks`
@@ -25,8 +24,9 @@ import org.apache.spark.sql.functions._
   *    partition* (sequential scan in `mapPartitions`), chunks never span
   *    partitions. Scales linearly: no global sequential state, no driver
   *    collect of data (only per-partition chunk counts).
-  *  - `boundaryChunkIds` — fully declarative variant: fixed byte
-  *    boundaries at multiples of `sizeLimit` over the running sum (a
+  *  - `bandedChunkIds` — banded variant: fixed byte boundaries at
+  *    multiples of `sizeLimit` over the global running sum (computed by
+  *    the same partition-offset composition — never a single-partition
   *    window). A chunk here is "rows whose start offset falls in the same
   *    limit-sized band" (file-split semantics, like
   *    `spark.sql.files.maxPartitionBytes`); a row straddling a boundary
@@ -120,15 +120,35 @@ object Chunker {
     Right(out)
   }
 
-  /** Declarative banded chunk ids over an explicit total order:
+  /** Banded chunk ids over an explicit total order:
     * `floor(startOffset / sizeLimit)` where startOffset is the running
-    * sum of sizes *before* the row. Pure window expression — stays in
-    * whole-stage codegen, oracle-expressible in ANSI SQL.
+    * byte sum of sizes *before* the row (file-split semantics). Emits the
+    * input plus a `_chunk` long column.
+    *
+    * NOT a global window (a running sum `OVER (ORDER BY …)` with no
+    * partition puts every row in one task): range-partition on the
+    * order, collect per-partition byte totals (statistics only), and
+    * compute each partition's running sum against its exact global byte
+    * offset (`Positional`) — the same offset composition
+    * `greedyChunkIds` uses, so banding scales with partition count.
     */
-  def boundaryChunkId(sizeCol: Column, orderBy: Seq[Column], sizeLimit: Long): Column = {
-    val w = Window.orderBy(orderBy: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    floor((sum(sizeCol).over(w) - sizeCol) / lit(sizeLimit)).cast("long")
+  def bandedChunkIds(df: DataFrame, sizeCol: String, orderBy: Seq[Column],
+                     sizeLimit: Long = DefaultSizeLimit): DataFrame = {
+    val spark = df.sparkSession
+    val sizeIdx = df.schema.fieldIndex(sizeCol)
+    val r = Positional.ranged(df, orderBy,
+      row => row.get(sizeIdx).asInstanceOf[Number].longValue())
+    val offsets = r.offsets
+    val out = r.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = offsets(pid)
+      it.map { row =>
+        val s = row.get(sizeIdx).asInstanceOf[Number].longValue()
+        val chunk = acc / sizeLimit
+        acc += s
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ chunk)
+      }
+    }
+    spark.createDataFrame(out, r.schema.add("_chunk", "long", nullable = false))
   }
 
   /** Oversize guard as a standalone check (data.py:304-307). */

@@ -2,7 +2,6 @@ package graft.ingest
 
 import graft.schema.{Sanitize, SchemaInference, Widen}
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ingest / normalization operators
@@ -82,24 +81,46 @@ object Ingest {
       case row => row.getLong(0)
     }
 
-  /** `sample` (data.py:179-204): uniform random sample of ~n records. */
-  def sample(df: DataFrame, n: Int, seed: Long = 42L): DataFrame = {
-    val total = df.count()
-    if (total <= n) df
-    else df.sample(withReplacement = false, math.min(1.0, n.toDouble / total * 1.2), seed)
-      .limit(n)
-  }
+  /** `sample` (data.py:179-204): seeded uniform random sample of EXACTLY
+    * `min(n, count)` records — the reference's `random.sample` contract.
+    * Implemented as top-n under a seeded random key: per-partition heaps
+    * merge into one (`TakeOrderedAndProject`) — no `count()` pre-pass, no
+    * global sort, one scan. Designed for n ≪ total (a sample); the result
+    * is deterministic for a fixed seed and input partitioning.
+    */
+  def sample(df: DataFrame, n: Int, seed: Long = 42L): DataFrame =
+    df.orderBy(rand(seed).asc).limit(n)
 
   /** `subset` (data.py:206-225): positional slice `[start, start+size)`
-    * under an explicit total order — `row_number` over the order, then a
-    * range filter. (Input order is not a distributed concept; the caller
-    * names the order, SURVEY §4 order-preservation note.)
+    * (0-based) under an explicit total order. (Input order is not a
+    * distributed concept; the caller names the order, SURVEY §4
+    * order-preservation note.)
+    *
+    * NOT a global window: `row_number() OVER (ORDER BY …)` would move
+    * every row to one partition. Instead range-partition on the order,
+    * collect per-partition row counts (statistics only), and slice each
+    * partition against its exact global offset — partitions fully outside
+    * the slice return without consuming their shuffle input
+    * (`Positional`).
     */
   def subset(df: DataFrame, orderBy: Seq[Column], start: Long, size: Long): DataFrame = {
-    val w = Window.orderBy(orderBy: _*)
-    df.withColumn("_graft_pos", row_number().over(w))
-      .filter(col("_graft_pos") > start && col("_graft_pos") <= start + size)
-      .drop("_graft_pos")
+    val spark = df.sparkSession
+    val r = Positional.ranged(df, orderBy, _ => 1L)
+    val offsets = r.offsets
+    val totals = r.totals
+    val lo = start
+    val hi = start + size
+    val sliced = r.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val off = offsets(pid)
+      val cnt = totals(pid)
+      if (off >= hi || off + cnt <= lo) Iterator.empty
+      else {
+        val dropN = math.max(0L, lo - off)
+        val takeN = math.min(off + cnt, hi) - math.max(off, lo)
+        it.slice(dropN.toInt, (dropN + takeN).toInt)
+      }
+    }
+    spark.createDataFrame(sliced, r.schema)
   }
 
   /** `expand_iterable` (schema.py:102-139) — data-side analog: depth-first

@@ -55,6 +55,18 @@ object OpsQueries {
       Ingest.sample(Tables(s, dir, "documents"), 50).select("doc_id")
     }),
 
+    // ---- op #10b: the exact-n contract of `sample` (random.sample
+    // semantics, data.py:179-204) made oracle-checkable: exactly n
+    // distinct rows, all from the input domain.
+    "op_sample_exact" -> ((s: SparkSession, dir: String) => {
+      val sampled = Ingest.sample(
+        Tables(s, dir, "orders").select("o_orderkey"), 40)
+      sampled.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("n_distinct"),
+        max(when(col("o_orderkey") < 0, 1L).otherwise(0L)).as("out_of_domain"))
+    }),
+
     // ---- op #11: subset — positional slice under a declared order.
     "op_subset" -> ((s: SparkSession, dir: String) => {
       Ingest.subset(Tables(s, dir, "orders").select("o_orderkey"),
@@ -62,12 +74,13 @@ object OpsQueries {
         .orderBy("o_orderkey")
     }),
 
-    // ---- op #12a: declarative banded chunk ids (file-split semantics).
+    // ---- op #12a: banded chunk ids (file-split semantics) — global byte
+    // offsets via the partition-offset composition, no global window.
     "op_chunks_banded" -> ((s: SparkSession, dir: String) => {
-      Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          Chunker.boundaryChunkId(col("n_chars"), Seq(col("doc_id")), 10000L)
-            .as("chunk_id"))
+      Chunker.bandedChunkIds(
+          Tables(s, dir, "documents").select("doc_id", "n_chars"),
+          "n_chars", Seq(col("doc_id")), 10000L)
+        .select(col("doc_id"), col("_chunk").as("chunk_id"))
         .orderBy("doc_id")
     }),
 
@@ -181,6 +194,9 @@ object OpsQueries {
         |  CAST(doc_id AS VARCHAR), ',"n_chars":', CAST(n_chars AS VARCHAR), '}')))
         |  AS BIGINT) AS json_bytes
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "op_sample_exact" ->
+      """SELECT CAST(40 AS BIGINT) AS n_rows, CAST(40 AS BIGINT) AS n_distinct,
+        |  CAST(0 AS BIGINT) AS out_of_domain""".stripMargin,
     "op_subset" ->
       """SELECT o_orderkey FROM (
         |  SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rn

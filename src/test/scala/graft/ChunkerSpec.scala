@@ -57,13 +57,36 @@ class ChunkerSpec extends SparkSpec {
     assert(chunked.df.select("_chunk").distinct().count() == 1)
   }
 
-  test("boundary chunk ids are deterministic over the declared order") {
+  test("banded chunk ids are deterministic over the declared order") {
     val df = sizedDf(Seq(400L, 400L, 400L, 400L))
-    val out = df.withColumn("c",
-        Chunker.boundaryChunkId(col("sz"), Seq(col("id")), 1000L))
-      .orderBy("id").select("c").collect().map(_.getLong(0)).toSeq
+    val out = Chunker.bandedChunkIds(df, "sz", Seq(col("id")), 1000L)
+      .orderBy("id").select("_chunk").collect().map(_.getLong(0)).toSeq
     // start offsets: 0,400,800,1200 -> bands 0,0,0,1
     assert(out == Seq(0L, 0L, 0L, 1L))
+  }
+
+  test("banded chunk ids agree with the single-partition running sum") {
+    val rnd = new scala.util.Random(7)
+    val sizes = Seq.fill(300)(1L + rnd.nextInt(400).toLong)
+    val df = sizedDf(sizes).repartition(7)
+    val got = Chunker.bandedChunkIds(df, "sz", Seq(col("id")), 1000L)
+      .orderBy("id").select("id", "_chunk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // oracle: sequential running sum in id order
+    var acc = 0L
+    val want = sizes.zipWithIndex.map { case (s, i) =>
+      val c = acc / 1000L; acc += s; (i.toLong, c)
+    }
+    assert(got == want)
+  }
+
+  test("subset skips partitions outside the slice and matches exact positions") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = (1L to 5000L).toDF("v").repartition(13)
+    val out = Ingest.subset(df, Seq(col("v")), start = 2481, size = 37)
+      .orderBy("v").as[Long].collect().toSeq
+    assert(out == (2482L to 2518L))
   }
 
   test("row json size column measures the canonical serialization") {

@@ -56,6 +56,16 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian near-dup join:\n$plan")
   }
 
+  test("subset and banded chunking never plan a single-partition window") {
+    // A Window with no PARTITION BY moves every row to one task — the
+    // 100 TB scale-killer VERDICT r1 flagged. Both operators now compose
+    // range partitioning with per-partition offsets instead.
+    for (name <- Seq("op_subset", "op_chunks_banded")) {
+      val plan = physicalPlan(name)
+      assert(!plan.contains("Window"), s"$name re-grew a window:\n$plan")
+    }
+  }
+
   test("native vector kernel stays inside whole-stage codegen") {
     val e = Tables(spark, sf0001, "embeddings")
     val df = e.select(graft.functions.VectorFunctions
