@@ -112,27 +112,56 @@ object Dedup {
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
   }
 
-  /** LSH candidate pairs: bucket-join on (band, band_hash), id_a < id_b,
-    * distinct. The join key includes the band index so buckets stay
-    * small; skew-prone giant buckets are AQE's skew-join case.
+  /** All ordered element pairs (a < b in array position) of a sorted
+    * array, as `struct(a, b)` — the bucket-local pair combination,
+    * expressed over plain attributes (each lambda reads attributes only,
+    * so no bound-subtree re-evaluation).
+    */
+  private def pairCombos(arr: Column): Column =
+    flatten(transform(arr, (x, i) =>
+      transform(slice(arr, i + lit(2), greatest(size(arr) - i - lit(1), lit(0))),
+        y => struct(x.as("a"), y.as("b")))))
+
+  /** Bucket-local candidate pairs WITHOUT a self-join: group ids per
+    * bucket key (ONE shuffle — signatures are computed once, where a
+    * self-join computes them twice and shuffles both sides), sort each
+    * bucket, and explode its pair combinations. Buckets larger than
+    * `maxBucket` — a giant near-dup cluster or adversarial collision —
+    * fall back to a keyed self-join on just those buckets (AQE's
+    * skew-join case), so no single row ever materializes an unbounded
+    * pair array. No caching anywhere: nothing computes twice.
+    */
+  private[ext] def candidatesFromBuckets(banded: DataFrame,
+                                         bucketCols: Seq[String], idCol: String,
+                                         maxBucket: Int): DataFrame = {
+    val keys = bucketCols.map(col)
+    val buckets = banded.groupBy(keys: _*)
+      .agg(sort_array(collect_list(col(idCol))).as("_ids"))
+      .filter(size(col("_ids")) > 1)
+    val small = buckets.filter(size(col("_ids")) <= maxBucket)
+      .select(explode(pairCombos(col("_ids"))).as("_p"))
+      .select(col("_p.a").as("id_a"), col("_p.b").as("id_b"))
+    val bigIds = buckets.filter(size(col("_ids")) > maxBucket)
+      .select(keys :+ explode(col("_ids")).as("_id"): _*)
+    val a = bigIds.alias("a")
+    val b = bigIds.alias("b")
+    val cond = bucketCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col("a._id") < col("b._id")
+    val big = a.join(b, cond)
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+    small.union(big).distinct()
+  }
+
+  /** LSH candidate pairs: bucket on (band, band_hash), id_a < id_b,
+    * distinct. Pair generation is bucket-local (`candidatesFromBuckets`)
+    * — never globally quadratic, one shuffle, no cache to leak.
     */
   def minhashCandidates(df: DataFrame, idCol: Column, textCol: Column,
                         numHashes: Int = 32, bands: Int = 8, shingleK: Int = 5,
-                        wordGrams: Int = 0): DataFrame = {
-    // cache: the self-join would otherwise recompute every signature
-    // twice. MEMORY_ONLY so eviction under pressure is cheap; callers
-    // running dedup repeatedly in a long-lived session should
-    // materialize bands themselves (minhashBands) and unpersist.
-    val banded = minhashBands(df, idCol, textCol, numHashes, bands, shingleK,
-      wordGrams).persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    a.join(b, col("a.band") === col("b.band") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-  }
+                        wordGrams: Int = 0, maxBucket: Int = 1024): DataFrame =
+    candidatesFromBuckets(
+      minhashBands(df, idCol, textCol, numHashes, bands, shingleK, wordGrams),
+      Seq("band", "band_hash"), "id", maxBucket)
 
   /** Estimated Jaccard from signature agreement, for candidate scoring. */
   def signatureSimilarity(sigA: Column, sigB: Column): Column =
@@ -156,24 +185,36 @@ object Dedup {
 
   /** SimHash near-dup candidates: band the 64 bits into four 16-bit keys;
     * two docs within Hamming distance 3 share at least one key
-    * (pigeonhole). Bucket-join, then exact Hamming verify ≤ `maxDist`.
+    * (pigeonhole). Bucket-local pair generation (signature computed once,
+    * one shuffle — same shape as `candidatesFromBuckets`, carrying the
+    * signature into the bucket for the exact Hamming verify ≤ `maxDist`).
     */
   def simhashCandidates(df: DataFrame, idCol: Column, textCol: Column,
-                        maxDist: Int = 3): DataFrame = {
+                        maxDist: Int = 3, maxBucket: Int = 1024): DataFrame = {
     val sigs = df.select(idCol.as("id"), simhash64(textCol).as("sig"))
     val banded = sigs.select(col("id"), col("sig"), posexplode(
         array((0 until 4).map { b =>
           shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))
         }: _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    a.join(b, col("a.band") === col("b.band") &&
-        col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        hamming64(col("a.sig"), col("b.sig")).as("hamming"))
-      .filter(col("hamming") <= maxDist)
-      .distinct()
+    val buckets = banded.groupBy("band", "band_key")
+      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("_m"))
+      .filter(size(col("_m")) > 1)
+    val small = buckets.filter(size(col("_m")) <= maxBucket)
+      .select(explode(pairCombos(col("_m"))).as("_p"))
+      .select(col("_p.a.id").as("id_a"), col("_p.b.id").as("id_b"),
+        hamming64(col("_p.a.sig"), col("_p.b.sig")).as("hamming"))
+    val bigRows = buckets.filter(size(col("_m")) > maxBucket)
+      .select(col("band"), col("band_key"), explode(col("_m")).as("_m1"))
+      .select(col("band"), col("band_key"),
+        col("_m1.id").as("_id"), col("_m1.sig").as("_sig"))
+    val a = bigRows.alias("a")
+    val b = bigRows.alias("b")
+    val big = a.join(b, col("a.band") === col("b.band") &&
+        col("a.band_key") === col("b.band_key") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        hamming64(col("a._sig"), col("b._sig")).as("hamming"))
+    small.union(big).filter(col("hamming") <= maxDist).distinct()
   }
 
   // ---------- n-gram Jaccard ----------

@@ -36,6 +36,29 @@ class DedupSpec extends SparkSpec {
       s"unrelated doc paired: $pairs")
   }
 
+  test("minhash candidate generation leaves no persisted RDDs behind") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val d = Tables(spark, sf0001, "documents")
+    Dedup.minhashCandidates(d, col("doc_id"), col("text"), bands = 4,
+      wordGrams = 3).count()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(after == before, s"leaked persists: ${after -- before}")
+  }
+
+  test("over-cap buckets route through the join fallback with identical pairs") {
+    // 30 identical docs → every band bucket holds all 30 ids; with
+    // maxBucket=4 every bucket takes the join path, with the default they
+    // all take the array path — the candidate set must not change.
+    val d = docs((1L to 30L).map(i => i -> base): _*)
+    def pairs(maxBucket: Int) =
+      Dedup.minhashCandidates(d, col("doc_id"), col("text"), maxBucket = maxBucket)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaArray = pairs(1024)
+    val viaJoin = pairs(4)
+    assert(viaArray == viaJoin)
+    assert(viaArray.size == 30 * 29 / 2)
+  }
+
   test("signature similarity ranks near-dups above unrelated") {
     val d = docs(1L -> base, 2L -> base.replace("lazy", "sleepy"),
       3L -> "completely different content on another topic entirely with other words")
