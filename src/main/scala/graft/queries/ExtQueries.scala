@@ -94,27 +94,49 @@ object ExtQueries {
         .orderBy("id", "band")
     }),
 
-    // ---- dedup: MinHash LSH candidate-pair count (a count row is always
-    // non-empty even when the corpus has no near-dups).
+    // ---- dedup: MinHash LSH planted-duplicate recovery, oracled. An
+    // exact copy of each doc_id<25 is planted under id+100000: identical
+    // text ⇒ identical shingle set ⇒ identical signature ⇒ same bucket
+    // in EVERY band — recovery is guaranteed by MinHash semantics, not
+    // hash luck, so DuckDB can state the expected pairs even though it
+    // cannot compute xxhash64. The full LSH pipeline (shingle →
+    // signature → band → bucket pairs) runs; only the planted pairs are
+    // emitted (natural candidates are hash-dependent; spec-pinned).
     "x08_minhash_candidates" -> ((s: SparkSession, dir: String) => {
-      val d = Tables(s, dir, "documents")
-      Dedup.minhashCandidates(d, col("doc_id"), col("text"), bands = 4,
-          wordGrams = 3)
-        .agg(count(lit(1)).as("n_candidates"))
+      val d = Tables(s, dir, "documents").select("doc_id", "text")
+      val planted = d.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      Dedup.minhashCandidates(d.union(planted), col("doc_id"), col("text"),
+          bands = 4, wordGrams = 3)
+        .filter(col("id_a") < 25 && col("id_b") === col("id_a") + 100000L)
+        .orderBy("id_a")
     }),
 
-    // ---- dedup: SimHash signatures per document.
+    // ---- dedup: SimHash planted-duplicate recovery, oracled. Identical
+    // text ⇒ identical 64-bit signature ⇒ Hamming 0 ⇒ every 16-bit band
+    // collides — guaranteed recovery with hamming = 0.
     "x09_simhash" -> ((s: SparkSession, dir: String) => {
-      val d = Tables(s, dir, "documents").filter(col("doc_id") < 100)
-      d.select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
-        .orderBy("doc_id")
+      val d = Tables(s, dir, "documents").select("doc_id", "text")
+      val planted = d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      Dedup.simhashCandidates(d.union(planted), col("doc_id"), col("text"))
+        .filter(col("id_a") < 50 && col("id_b") === col("id_a") + 100000L)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy("id_a")
     }),
 
-    // ---- dedup: embedding cosine near-dup pair count via LSH buckets.
+    // ---- dedup: embedding near-dup planted-duplicate recovery, oracled.
+    // An identical vector lands in the same hyperplane bucket by
+    // construction and scores cosine ≈ 1 ≥ minCos — guaranteed recovery.
     "x10_embedding_neardup" -> ((s: SparkSession, dir: String) => {
-      val e = Tables(s, dir, "embeddings")
-      Dedup.embeddingNearDup(e, col("vec_id"), col("embedding"), minCos = 0.9)
-        .agg(count(lit(1)).as("n_pairs"))
+      val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = e.filter(col("vec_id") < 25)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      Dedup.embeddingNearDup(e.union(planted), col("vec_id"), col("embedding"),
+          minCos = 0.9)
+        .filter(col("id_a") < 25 && col("id_b") === col("id_a") + 100000L)
+        .select("id_a", "id_b")
+        .orderBy("id_a")
     }),
 
     // ---- similarity: exact brute-force cosine top-3 (quantized arithmetic
@@ -126,14 +148,19 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // ---- similarity: LSH-bucketed approximate top-3 (recall pinned in
-    // spec against brute force).
+    // ---- similarity: LSH-bucketed ANN, planted-query rank-1 oracled.
+    // Each query is an exact copy of a corpus vector under id+100000: it
+    // buckets identically (same hash arithmetic), so the original is
+    // always a candidate and wins rank 1 at cosine ≈ 1. Recall of the
+    // full top-k vs brute force stays pinned in SimilaritySpec.
     "x12_ann_lsh" -> ((s: SparkSession, dir: String) => {
       val e = Tables(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
       Similarity.lshTopK(e, q, k = 3)
-        .select("query_id", "rank", "neighbor_id")
-        .orderBy("query_id", "rank")
+        .filter(col("rank") === 1)
+        .select("query_id", "neighbor_id")
+        .orderBy("query_id")
     }),
 
     // ---- as-of join: for each 'error' event, the latest 'purchase' of
@@ -151,17 +178,22 @@ object ExtQueries {
         .orderBy("event_id")
     }),
 
-    // ---- similarity: IVF (k-means codebook) approximate top-3 — the
-    // partition-pruned scale path; recall pinned in IvfSpec (no SQL
-    // oracle: the codebook is engine-side state).
+    // ---- similarity: IVF (k-means codebook) ANN, planted-query rank-1
+    // oracled. A copy of corpus vector i gets i's own centroid (index
+    // and probe share ONE bucket-assignment definition,
+    // `Ivf.centroidFromScores`), so with nProbe ≥ 1 the probe scans i's
+    // bucket and i wins rank 1 at cosine ≈ 1. Full top-k recall stays
+    // pinned in IvfSpec.
     "x16_ann_ivf" -> ((s: SparkSession, dir: String) => {
       val e = Tables(s, dir, "embeddings")
       val model = graft.ext.Ivf.train(e, "embedding", nCentroids = 16)
       val idx = graft.ext.Ivf.index(e, model)
       val q = e.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
       graft.ext.Ivf.topK(idx, q, model, k = 3, nProbe = 4)
-        .select("query_id", "rank", "neighbor_id")
-        .orderBy("query_id", "rank")
+        .filter(col("rank") === 1)
+        .select("query_id", "neighbor_id")
+        .orderBy("query_id")
     }),
 
     // ---- multimodal: binary payload + metadata + batched decode stub.
@@ -246,6 +278,22 @@ object ExtQueries {
         |    AS jaccard
         |FROM g a, g b WHERE a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
+    "x08_minhash_candidates" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b
+        |FROM documents WHERE doc_id < 25 ORDER BY id_a""".stripMargin,
+    "x09_simhash" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM documents WHERE doc_id < 50 ORDER BY id_a""".stripMargin,
+    "x10_embedding_neardup" ->
+      """SELECT vec_id AS id_a, vec_id + 100000 AS id_b
+        |FROM embeddings WHERE vec_id < 25 ORDER BY id_a""".stripMargin,
+    "x12_ann_lsh" ->
+      """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    "x16_ann_ivf" ->
+      """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
     "x11_ann_bruteforce" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id,
