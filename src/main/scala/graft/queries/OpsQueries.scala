@@ -175,6 +175,19 @@ object OpsQueries {
       }
     }),
 
+    // ---- sources: the JDBC sink + scan pair (BASELINE "JDBC/Parquet
+    // sinks") made oracle-visible — rows written through the batched
+    // JDBC insert into embedded Derby must read back bit-identical.
+    "op_jdbc_roundtrip" -> ((s: SparkSession, dir: String) => {
+      val dbDir = java.nio.file.Files.createTempDirectory("graft-jdbc-gate").toString
+      val url = s"jdbc:derby:$dbDir/wh;create=true"
+      val nation = Tables(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      graft.sources.Sources.writeJdbc(nation, url, "nation_rt",
+        org.apache.spark.sql.SaveMode.Overwrite)
+      graft.sources.Sources.jdbc(s, url, "nation_rt").orderBy("n_nationkey")
+    }),
+
     // ---- op #45: query(sql) — full Catalyst SQL over registered tables.
     "op_query_sql" -> ((s: SparkSession, dir: String) => {
       Tables(s, dir, "nation").createOrReplaceTempView("nation_v")
@@ -253,6 +266,9 @@ object OpsQueries {
     "op_load_fetch" ->
       """SELECT doc_id, n_chars FROM documents
         |ORDER BY n_chars DESC, doc_id LIMIT 10""".stripMargin,
+    "op_jdbc_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "op_query_sql" ->
       """SELECT n_name, r_name FROM nation JOIN region
         |ON n_regionkey = r_regionkey ORDER BY n_name""".stripMargin)

@@ -33,6 +33,21 @@ object SchemaCodec {
       o.put("mode", f.mode)
       if (f.fields.nonEmpty) o.set[ObjectNode]("fields", toArrayNode(f.fields))
       f.description.foreach(o.put("description", _))
+      // attribute applicability mirrors build_api_repr
+      // (bigquery/schema.py:146-160): maxLength only on STRING/BYTES,
+      // precision only on NUMERIC/BIGNUMERIC, scale whenever set.
+      if (f.fieldType == "STRING" || f.fieldType == "BYTES")
+        f.maxLength.foreach(o.put("maxLength", _))
+      if (f.fieldType == "NUMERIC" || f.fieldType == "BIGNUMERIC")
+        f.precision.foreach(o.put("precision", _))
+      f.scale.foreach(o.put("scale", _))
+      if (f.policyTags.nonEmpty) {
+        val tags = mapper.createObjectNode()
+        val names = mapper.createArrayNode()
+        f.policyTags.foreach(names.add)
+        tags.set[ObjectNode]("names", names)
+        o.set[ObjectNode]("policyTags", tags)
+      }
       arr.add(o)
     }
     arr
@@ -56,7 +71,14 @@ object SchemaCodec {
         fieldType = f.get("type").asText(),
         mode = f.get("mode").asText(),
         fields = if (f.has("fields")) fromArrayNode(f.get("fields")) else Nil,
-        description = Option(f.get("description")).map(_.asText()))
+        description = Option(f.get("description")).map(_.asText()),
+        precision = Option(f.get("precision")).map(_.asInt()),
+        scale = Option(f.get("scale")).map(_.asInt()),
+        maxLength = Option(f.get("maxLength")).map(_.asLong()),
+        policyTags = Option(f.get("policyTags"))
+          .flatMap(t => Option(t.get("names")))
+          .map(_.elements().asScala.toSeq.map(_.asText()))
+          .getOrElse(Nil))
     }
 
   // ---------- StructType ⇄ FieldRepr ----------
@@ -64,6 +86,7 @@ object SchemaCodec {
   /** Spark type → warehouse type name (inverse of Widen.sparkType). */
   def warehouseType(dt: DataType): String = dt match {
     case StringType => "STRING"
+    case _: VarcharType | _: CharType => "STRING"
     case BinaryType => "BYTES"
     case ByteType | ShortType | IntegerType | LongType => "INTEGER"
     case FloatType | DoubleType => "FLOAT"
@@ -76,21 +99,36 @@ object SchemaCodec {
     case other => throw new IllegalArgumentException(s"no warehouse type for $other")
   }
 
+  /** Scalar Spark type → FieldRepr carrying the type's declared
+    * parameters: DecimalType(p,s) ⇒ precision/scale (so NUMERIC(10,2)
+    * survives the round trip instead of widening to the (38,9) default);
+    * VarcharType/CharType length ⇒ maxLength.
+    */
+  private def scalarRepr(name: String, dt: DataType, mode: String): FieldRepr = {
+    val base = FieldRepr(name, warehouseType(dt), mode)
+    dt match {
+      case d: DecimalType =>
+        base.copy(precision = Some(d.precision), scale = Some(d.scale))
+      case v: VarcharType => base.copy(maxLength = Some(v.length.toLong))
+      case c: CharType => base.copy(maxLength = Some(c.length.toLong))
+      case _ => base
+    }
+  }
+
   def fromStructType(schema: StructType): Seq[FieldRepr] =
     schema.fields.toSeq.map { f =>
       f.dataType match {
         case ArrayType(s: StructType, _) =>
           FieldRepr(f.name, "RECORD", "REPEATED", fromStructType(s))
         case ArrayType(elem, _) =>
-          FieldRepr(f.name, warehouseType(elem), "REPEATED")
+          scalarRepr(f.name, elem, "REPEATED")
         case s: StructType =>
           // single (non-repeated) struct — emitted as RECORD NULLABLE;
           // the *inference* path never produces this (records are always
           // REPEATED, SURVEY §1.4) but pass-through conversion keeps it.
           FieldRepr(f.name, "RECORD", "NULLABLE", fromStructType(s))
         case dt =>
-          FieldRepr(f.name, warehouseType(dt),
-            if (f.nullable) "NULLABLE" else "REQUIRED")
+          scalarRepr(f.name, dt, if (f.nullable) "NULLABLE" else "REQUIRED")
       }
     }
 

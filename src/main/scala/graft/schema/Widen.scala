@@ -5,16 +5,28 @@ import graft.schema.Lat.Tag._
 import org.apache.spark.sql.types._
 
 /** BigQuery-style warehouse field representation — the reference's
-  * `api_repr` dict `{name, type, mode[, fields]}`
-  * (`src/load_datawarehouse/bigquery/schema.py:116-164`).
+  * `api_repr` dict `{name, type, mode[, fields, description, policyTags,
+  * maxLength, precision, scale]}`
+  * (`src/load_datawarehouse/bigquery/schema.py:116-180`).
+  *
+  * Attribute applicability follows `build_api_repr`: `maxLength` is only
+  * meaningful (and only serialized) for STRING/BYTES; `precision` only
+  * for NUMERIC/BIGNUMERIC; `scale` whenever set; `policyTags` is the
+  * api's `{"names": [...]}` list.
   */
 final case class FieldRepr(name: String,
                            fieldType: String,
                            mode: String,
                            fields: Seq[FieldRepr] = Nil,
-                           description: Option[String] = None) {
+                           description: Option[String] = None,
+                           precision: Option[Int] = None,
+                           scale: Option[Int] = None,
+                           maxLength: Option[Long] = None,
+                           policyTags: Seq[String] = Nil) {
   require(FieldRepr.Types.contains(fieldType), s"invalid type $fieldType")
   require(FieldRepr.Modes.contains(mode), s"invalid mode $mode")
+  require(precision.forall(_ > 0) && scale.forall(_ >= 0),
+    s"invalid precision/scale $precision/$scale")
 }
 
 object FieldRepr {
@@ -109,7 +121,10 @@ object Widen {
     case Lat.LEmpty => FieldRepr(name, DefaultType, DefaultMode)
   }
 
-  /** Warehouse type → Spark type (SURVEY §1.2 mapping). */
+  /** Warehouse type → Spark type (SURVEY §1.2 mapping) with the
+    * NUMERIC/BIGNUMERIC defaults used when no declared precision/scale
+    * travels with the field.
+    */
   def sparkType(t: String): DataType = t match {
     case "STRING" | "TIME" | "GEOGRAPHY" => StringType
     case "BYTES" => BinaryType
@@ -123,6 +138,29 @@ object Widen {
     case other => throw new IllegalArgumentException(s"no spark type for $other")
   }
 
+  /** Spark type for a full field repr: a NUMERIC/BIGNUMERIC carrying a
+    * declared precision/scale round-trips into the exact
+    * `DecimalType(p, s)` instead of the type-default (a user's
+    * NUMERIC(10,2) must not widen to (38,9) —
+    * bigquery/schema.py:154-160). Documented divergence: Spark's
+    * DecimalType caps precision at 38, so a BIGNUMERIC declared wider
+    * (the api allows up to 76.76) clamps to (38, min(s, 38)) — the same
+    * lossy mapping the type-default (38,18) already takes.
+    */
+  def sparkTypeOf(f: FieldRepr): DataType = f.fieldType match {
+    case "NUMERIC" | "BIGNUMERIC" =>
+      def clamped(p: Int, s: Int) = {
+        val p2 = math.min(p, DecimalType.MAX_PRECISION)
+        DecimalType(p2, math.min(s, p2))
+      }
+      (f.precision, f.scale) match {
+        case (Some(p), s) => clamped(p, s.getOrElse(0))
+        case (None, Some(s)) => clamped(38, s)
+        case _ => sparkType(f.fieldType)
+      }
+    case t => sparkType(t)
+  }
+
   /** api_repr fields → Spark StructType. RECORD REPEATED →
     * ArrayType(StructType); scalar REPEATED → ArrayType(primitive);
     * everything nullable (NULLABLE mode).
@@ -131,7 +169,7 @@ object Widen {
     StructType(fields.map { f =>
       val base: DataType =
         if (f.fieldType == "RECORD" || f.fieldType == "STRUCT") toStructType(f.fields)
-        else sparkType(f.fieldType)
+        else sparkTypeOf(f)
       val dt = if (f.mode == "REPEATED") ArrayType(base, containsNull = true) else base
       StructField(f.name, dt, nullable = f.mode != "REQUIRED")
     })

@@ -155,4 +155,48 @@ class GoldenFixturesSpec extends SparkSpec {
     assert(img.fields.find(_.name == "data").get
       .fields.map(_.fieldType).toSet == Set("BYTES"))
   }
+
+  // ---- build_api_repr's parameterized attributes
+  // (bigquery/schema.py:146-160): precision/scale on NUMERIC, maxLength
+  // on STRING/BYTES, policyTags names — all must survive json and
+  // StructType round trips without widening to type defaults.
+  test("conversion matrix: NUMERIC(10,2) + maxLength + policyTags round-trip") {
+    val schema = Seq(
+      FieldRepr("price", "NUMERIC", "NULLABLE",
+        precision = Some(10), scale = Some(2)),
+      FieldRepr("big", "BIGNUMERIC", "NULLABLE",
+        precision = Some(38), scale = Some(20)),
+      FieldRepr("code", "STRING", "REQUIRED", maxLength = Some(16L),
+        policyTags = Seq("projects/p/locations/l/taxonomies/t/policyTags/pii")),
+      FieldRepr("blob", "BYTES", "NULLABLE", maxLength = Some(1024L)))
+    // json round trip keeps every attribute
+    assert(SchemaCodec.fromJson(SchemaCodec.toJson(schema)) == schema)
+    // serialized form mirrors the api: policyTags is {"names": [...]}
+    val json = SchemaCodec.toJson(schema)
+    assert(json.contains(""""policyTags":{"names":["""))
+    assert(json.contains(""""precision":10""") && json.contains(""""scale":2"""))
+    assert(json.contains(""""maxLength":16"""))
+    // StructType leg: declared precision/scale becomes the EXACT decimal
+    val st = Widen.toStructType(schema)
+    assert(st("price").dataType == org.apache.spark.sql.types.DecimalType(10, 2))
+    assert(st("big").dataType == org.apache.spark.sql.types.DecimalType(38, 20))
+    // and comes back as NUMERIC(10,2), not the (38,9) default
+    val back = SchemaCodec.fromStructType(st)
+    val price = back.find(_.name == "price").get
+    assert(price.fieldType == "NUMERIC" &&
+      price.precision.contains(10) && price.scale.contains(2))
+    val big = back.find(_.name == "big").get
+    assert(big.fieldType == "BIGNUMERIC" &&
+      big.precision.contains(38) && big.scale.contains(20))
+    // a BIGNUMERIC declared wider than Spark's 38-digit cap clamps
+    // (documented divergence) instead of throwing
+    assert(Widen.sparkTypeOf(FieldRepr("huge", "BIGNUMERIC", "NULLABLE",
+        precision = Some(76), scale = Some(38)))
+      == org.apache.spark.sql.types.DecimalType(38, 38))
+    // maxLength does not serialize on non-string types, precision not on STRING
+    val stray = SchemaCodec.toJson(Seq(
+      FieldRepr("n", "INTEGER", "NULLABLE", maxLength = Some(5L)),
+      FieldRepr("s", "STRING", "NULLABLE", precision = Some(9))))
+    assert(!stray.contains("maxLength") && !stray.contains("precision"))
+  }
 }
