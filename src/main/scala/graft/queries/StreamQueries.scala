@@ -49,6 +49,58 @@ object StreamQueries {
       q.awaitTermination(120000)
       s.table("s01_stream_hourly_sink")
         .orderBy("event_type", "hour_start")
+    }),
+
+    // A REAL run of the stateful sessionizer (flatMapGroupsWithState +
+    // event-time timeout) inside the gate, oracled against the batch
+    // gaps-and-islands result. The stream is staged as three
+    // chronologically-ordered files — the real events plus two far-future
+    // sentinel ticks for a synthetic user (-1) — and maxFilesPerTrigger=1
+    // turns each file into its own micro-batch, so the watermark advances
+    // between batches and the event-time timeouts fire, closing every
+    // real user's final session (a stream never "ends"; the sentinels
+    // model the epilogue ticks a production pipeline gets for free).
+    "s02_stream_sessions" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val gapMs = 30L * 60 * 1000
+      val staged = java.nio.file.Files.createTempDirectory("graft-s02")
+      val ev = graft.Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      def stageOne(df: DataFrame, n: Int): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft-s02-tmp$n")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = staged.resolve(s"$n.parquet")
+        java.nio.file.Files.copy(part.toPath, dest)
+        // file order = modification time (oldest first)
+        dest.toFile.setLastModified(1000000000L + n * 1000000L)
+      }
+      stageOne(ev, 0)
+      val maxTs = ev.agg(max("ts")).collect()(0).getTimestamp(0)
+      val tick1 = new java.sql.Timestamp(maxTs.getTime + gapMs + 3600L * 1000)
+      val tick2 = new java.sql.Timestamp(tick1.getTime + 24L * 3600 * 1000)
+      stageOne(Seq((-1L, tick1, -1L, "tick", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value"), 1)
+      stageOne(Seq((-2L, tick2, -1L, "tick", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value"), 2)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged.toString)
+      val sessions = EventStream.sessionize(stream.as[EventStream.Event],
+        gapMillis = gapMs, watermarkDelay = "0 seconds")
+      val q = sessions.writeStream
+        .format("memory")
+        .queryName("s02_stream_sessions_sink")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000)
+      s.table("s02_stream_sessions_sink")
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -59,5 +111,24 @@ object StreamQueries {
         |    AS total_value
         |FROM events
         |GROUP BY hour_start, event_type
-        |ORDER BY event_type, hour_start""".stripMargin)
+        |ORDER BY event_type, hour_start""".stripMargin,
+    "s02_stream_sessions" ->
+      """WITH w AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER win IS NULL THEN 1
+        |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER win) > 1800000000
+        |           THEN 1
+        |         ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM w
+        |)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin)
 }

@@ -29,8 +29,24 @@ object EventStream {
                               session_end: Timestamp, n_events: Long,
                               total_value: Double)
 
+  /** Per-user session accumulator; `start`/`last` are epoch MICROS —
+    * `Timestamp.getTime` alone truncates to milliseconds, and the events
+    * tables carry microsecond precision, so gap arithmetic must run in
+    * micros to agree with a batch `epoch_us` oracle.
+    */
   final case class SessionState(start: Long, last: Long, n: Long,
                                 total: Double)
+
+  /** Exact epoch micros of a Timestamp. */
+  private def microsOf(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** Micros-precision Timestamp (inverse of `microsOf`). */
+  private def tsOfMicros(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Hourly tumbling-window counts/sums per event type with a watermark:
     * the streaming twin of the batch `q15_events_hourly` query. Late data
@@ -55,6 +71,7 @@ object EventStream {
                  watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val gapUs = gapMillis * 1000L
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
@@ -64,21 +81,21 @@ object EventStream {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(SessionOut(userId, new Timestamp(s.start),
-              new Timestamp(s.last), s.n, s.total))
+            Iterator.single(SessionOut(userId, tsOfMicros(s.start),
+              tsOfMicros(s.last), s.n, s.total))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val sorted = rows.toSeq.sortBy(e => microsOf(e.ts))
             var closed = List.empty[SessionOut]
             var cur = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = microsOf(e.ts)
               cur match {
-                case Some(s) if t - s.last <= gapMillis =>
+                case Some(s) if t - s.last <= gapUs =>
                   cur = Some(SessionState(s.start, math.max(s.last, t),
                     s.n + 1, s.total + e.value))
                 case Some(s) =>
-                  closed ::= SessionOut(userId, new Timestamp(s.start),
-                    new Timestamp(s.last), s.n, s.total)
+                  closed ::= SessionOut(userId, tsOfMicros(s.start),
+                    tsOfMicros(s.last), s.n, s.total)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
@@ -86,7 +103,9 @@ object EventStream {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMillis)
+              // timeout is in MILLIS; round up so it lands strictly
+              // after the exact micros gap
+              state.setTimeoutTimestamp((s.last + gapUs) / 1000L + 1L)
             }
             closed.reverseIterator
           }
