@@ -121,13 +121,12 @@ object Ivf {
       .withColumn("centroid", centroidFromScores(col("_scores")))
       .drop("_scores")
 
-  /** Approximate top-k: each query probes its `nProbe` nearest centroid
-    * buckets; exact cosine ranks candidates within them.
+  /** Query side of a probe: each query exploded into its `nProbe`
+    * nearest centroid ids (same assignment definition as the index).
     */
-  def topK(indexed: DataFrame, queries: DataFrame, model: Model, k: Int,
-           nProbe: Int = 2, idCol: String = "vec_id",
-           vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+  private def probes(queries: DataFrame, model: Model, nProbe: Int,
+                     idCol: String, vecCol: String): DataFrame =
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .withColumn("_scores", centroidScores(col("qvec"), model))
       .withColumn("centroid", explode(slice(
         array_sort(zip_with(col("_scores"),
@@ -135,6 +134,11 @@ object Ivf {
             (s, i) => struct(s.as("s"), i.as("i")))),
         1, nProbe)("i")))
       .drop("_scores")
+
+  /** Rank candidates within the probed buckets: exact cosine, per-query
+    * top-k.
+    */
+  private def rankCandidates(q: DataFrame, indexed: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     broadcast(q).join(indexed, Seq("centroid"))
@@ -144,5 +148,37 @@ object Ivf {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** Approximate top-k: each query probes its `nProbe` nearest centroid
+    * buckets; exact cosine ranks candidates within them.
+    */
+  def topK(indexed: DataFrame, queries: DataFrame, model: Model, k: Int,
+           nProbe: Int = 2, idCol: String = "vec_id",
+           vecCol: String = "embedding"): DataFrame =
+    rankCandidates(probes(queries, model, nProbe, idCol, vecCol), indexed, k)
+
+  /** Persist the IVF index as a parquet table partitioned by centroid id
+    * — the 100 TB layout: a probe touches only its buckets' directories.
+    */
+  def writeIndex(indexed: DataFrame, path: String): Unit =
+    indexed.write.mode("overwrite").partitionBy("centroid").parquet(path)
+
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Top-k over a PERSISTED partitioned index with static partition
+    * pruning: the query batch is small by assumption (it broadcasts), so
+    * its union of probe centroids is collected driver-side — a few ints
+    * — and pushed as a partition filter. The scan then reads only
+    * ~nProbe/nCentroids of the index directories; `PartitionFilters` in
+    * the plan proves it (PlanSpec).
+    */
+  def topKPruned(indexed: DataFrame, queries: DataFrame, model: Model, k: Int,
+                 nProbe: Int = 2, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val q = probes(queries, model, nProbe, idCol, vecCol)
+    val probeSet = q.select("centroid").distinct().collect().map(_.getInt(0))
+    rankCandidates(q, indexed.filter(col("centroid").isin(probeSet.toSeq: _*)), k)
   }
 }

@@ -97,12 +97,21 @@ object TextAnalysis {
   }
 
   /** Per-language marker-hit counts as one array column (same order as
-    * LangMarkers). Materialize this in its own projection before argmax —
-    * every downstream reference then reads an attribute instead of
-    * re-running five tokenize+filter passes.
+    * LangMarkers), computed by the fused `marker_counts` kernel: ONE
+    * token pass with a shared token→language lookup instead of one
+    * interpreted `filter(array_contains)` walk per language. Materialize
+    * this in its own projection before argmax — every downstream
+    * reference then reads an attribute.
     */
   def langScoresOver(toks: Column): Column =
-    array(LangMarkers.map { case (_, ms) => markerHitsOver(toks, ms) }: _*)
+    graft.functions.SketchFunctions.marker_counts(toks, LangMarkers.map(_._2))
+
+  /** The composed-HOF reference implementation of `langScoresOver` —
+    * kept for differential testing of the fused kernel.
+    */
+  def langScoresOverComposed(toks: Column): Column =
+    array(LangMarkers.map { case (_, ms) =>
+      markerHitsOver(toks, ms).cast("long") }: _*)
 
   /** Argmax over a materialized score array: ties broken by language code
     * order, "und" when no marker hits.

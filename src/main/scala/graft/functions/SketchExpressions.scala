@@ -160,6 +160,85 @@ case class SimHash64FromHashes(child: Expression)
     copy(child = newChild)
 }
 
+/** Per-profile marker-word hit counts from an `array<string>` of tokens:
+  * out[p] = |{ i : tokens[i] ∈ profiles(p) }|, all profiles in ONE token
+  * pass via a shared token→profiles hash lookup. Composed as one
+  * `filter(array_contains)` HOF per profile, the token array is walked
+  * |profiles| times through interpreted lambda dispatch — this is the
+  * language-ID hot path (`TextAnalysis.langScoresOver`).
+  */
+case class MarkerCounts(child: Expression, profiles: Seq[Seq[String]])
+    extends UnaryExpression with Serializable {
+
+  override def prettyName: String = "marker_counts"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${other.sql}")
+    }
+
+  /** token → indices of the profiles containing it (a word may mark
+    * several languages, e.g. "la" in both es and fr).
+    */
+  @transient private lazy val lookup: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Int]] = {
+    val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Int]]()
+    profiles.zipWithIndex.foreach { case (words, p) =>
+      words.foreach { w =>
+        val k = org.apache.spark.unsafe.types.UTF8String.fromString(w)
+        val prev = m.get(k)
+        m.put(k, if (prev == null) Array(p) else prev :+ p)
+      }
+    }
+    m
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val counts = new Array[Long](profiles.length)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val hits = lookup.get(toks.getUTF8String(i))
+      if (hits != null) {
+        var j = 0
+        while (j < hits.length) { counts(hits(j)) += 1L; j += 1 }
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapRef = ctx.addReferenceObj("markerLookup", lookup, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, input => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val hits = ctx.freshName("hits")
+      val counts = ctx.freshName("counts")
+      s"""
+         |int $n = $input.numElements();
+         |long[] $counts = new long[${profiles.length}];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  int[] $hits = (int[]) $mapRef.get($input.getUTF8String($i));
+         |  if ($hits != null) {
+         |    for (int $j = 0; $j < $hits.length; $j++) $counts[$hits[$j]]++;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($counts);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SketchFunctions {
 
   def minhash_from_hashes(hashes: Column, numHashes: Int,
@@ -170,4 +249,8 @@ object SketchFunctions {
   def simhash_from_hashes(hashes: Column): Column =
     GraftColumnBridge.column(SimHash64FromHashes(
       GraftColumnBridge.expression(hashes)))
+
+  def marker_counts(tokens: Column, profiles: Seq[Seq[String]]): Column =
+    GraftColumnBridge.column(MarkerCounts(
+      GraftColumnBridge.expression(tokens), profiles))
 }

@@ -187,10 +187,15 @@ object ExtQueries {
     "x16_ann_ivf" -> ((s: SparkSession, dir: String) => {
       val e = Tables(s, dir, "embeddings")
       val model = graft.ext.Ivf.train(e, "embedding", nCentroids = 16)
-      val idx = graft.ext.Ivf.index(e, model)
+      // the full 100 TB shape: index persisted partitioned by centroid,
+      // probe statically pruned to its buckets' directories
+      val idxPath = java.nio.file.Files
+        .createTempDirectory("graft-ivf-gate").resolve("index").toString
+      graft.ext.Ivf.writeIndex(graft.ext.Ivf.index(e, model), idxPath)
+      val idx = graft.ext.Ivf.readIndex(s, idxPath)
       val q = e.filter(col("vec_id") < 5)
         .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
-      graft.ext.Ivf.topK(idx, q, model, k = 3, nProbe = 4)
+      graft.ext.Ivf.topKPruned(idx, q, model, k = 3, nProbe = 4)
         .filter(col("rank") === 1)
         .select("query_id", "neighbor_id")
         .orderBy("query_id")

@@ -198,6 +198,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == "und")
   }
 
+  test("fused marker_counts kernel matches the composed-HOF scores on real docs") {
+    val d = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_t"))
+    val both = d.select(col("doc_id"),
+        TextAnalysis.langScoresOver(col("_t")).as("fused"),
+        TextAnalysis.langScoresOverComposed(col("_t")).as("composed"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"scores diverge for doc ${r.getLong(0)}")
+    }
+  }
+
   test("token stats on edge shapes") {
     val spark0 = spark
     import spark0.implicits._

@@ -66,6 +66,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("IVF probe over a persisted index prunes centroid partitions") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val model = graft.ext.Ivf.train(e, "embedding", nCentroids = 16)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-plan")
+      .resolve("index").toString
+    graft.ext.Ivf.writeIndex(graft.ext.Ivf.index(e, model), path)
+    val idx = graft.ext.Ivf.readIndex(spark, path)
+    val q = e.filter(col("vec_id") < 3)
+    val plan = graft.ext.Ivf.topKPruned(idx, q, model, k = 3, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [centroid#") ||
+      plan.contains("PartitionFilters: [centroid IN"),
+      s"probe does not prune the index scan:\n$plan")
+  }
+
   test("native vector kernel stays inside whole-stage codegen") {
     val e = Tables(spark, sf0001, "embeddings")
     val df = e.select(graft.functions.VectorFunctions
