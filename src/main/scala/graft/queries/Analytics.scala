@@ -69,6 +69,24 @@ object Analytics {
         .orderBy($"l_returnflag")
     }),
 
+    // ---- salted two-phase aggregation over the skewed event_type
+    // distribution (Skew.saltedAggregate): result must equal the plain
+    // GROUP BY — DECIMAL-exact money sum so salt-partial ordering cannot
+    // leak into the emitted double.
+    "a06_skew_salted_agg" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.types.DecimalType
+      val ev = Tables(s, dir, "events")
+        .withColumn("v", col("value").cast(DecimalType(18, 2)))
+      graft.ops.Skew.saltedAggregate(ev, Seq("event_type"), saltBuckets = 16,
+          aggs = Map("total" -> (c => sum(c)), "n" -> (c => count(c))),
+          valueCol = "v",
+          merge = Map("total" -> (c => sum(c)), "n" -> (c => sum(c))))
+        .select(col("event_type"),
+          col("total").cast(DecimalType(38, 2)).cast("double").as("total_value"),
+          col("n"))
+        .orderBy("event_type")
+    }),
+
     // ---- histogram binning of order totals (fixed-width buckets).
     "a04_histogram" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -111,6 +129,12 @@ object Analytics {
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
         |  CAST(max(n_events) AS BIGINT) AS longest_session
         |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "a06_skew_salted_agg" ->
+      """SELECT event_type,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+        |    AS DOUBLE) AS total_value,
+        |  CAST(count(value) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "a04_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
         |  CAST(count(*) AS BIGINT) AS n

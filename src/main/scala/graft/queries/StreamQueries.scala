@@ -101,6 +101,33 @@ object StreamQueries {
         .select(col("user_id"), col("session_start"), col("session_end"),
           col("n_events"))
         .orderBy("user_id", "session_start")
+    }),
+
+    // Streaming exact dedup (dropDuplicatesWithinWatermark — bounded
+    // state): the set of distinct keys a single-pass stream emits must
+    // equal the batch DISTINCT. Only the keys are compared (which
+    // arrival gets kept per key is scheduling-dependent; the key set is
+    // not).
+    "s03_stream_dedup" -> ((s: SparkSession, dir: String) => {
+      val staged = java.nio.file.Files.createTempDirectory("graft-s03")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      val stream = s.readStream
+        .schema(eventsSchema)
+        .parquet(staged.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val q = EventStream.dedupStream(stream)
+        .select("user_id", "event_type")
+        .writeStream
+        .format("memory")
+        .queryName("s03_stream_dedup_sink")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      s.table("s03_stream_dedup_sink")
+        .orderBy("user_id", "event_type")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -130,5 +157,8 @@ object StreamQueries {
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin)
+        |ORDER BY user_id, session_start""".stripMargin,
+    "s03_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin)
 }
