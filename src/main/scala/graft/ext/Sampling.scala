@@ -1,0 +1,53 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-assembly sampling for training pipelines: reproducible
+  * train/test splits and exact-n stratified samples.
+  *
+  * A training split must be a pure function of record CONTENT — stable
+  * under repartitioning, reruns, engine changes, and dataset growth
+  * (a document keeps its split when new data arrives). Random-number
+  * splits have none of these properties; hash splits have all of them.
+  */
+object Sampling {
+
+  /** Deterministic bucket in [0, buckets) from the md5 of a key, via a
+    * small polynomial over the first four hex characters. md5 and ascii
+    * are available in every engine (unlike xxhash64), so the SAME
+    * assignment is computable in DuckDB/Trino/BigQuery SQL — the split
+    * can be audited outside Spark. Uniform to ~1/4096 over 16⁴ hex
+    * combinations, plenty for split percentages.
+    */
+  def hashBucket(key: Column, buckets: Int = 100): Column = {
+    val hex = md5(key.cast("string"))
+    val poly = (1 to 4).map(i => ascii(substring(hex, i, 1)) * lit(math.pow(31, 4 - i).toLong))
+      .reduce(_ + _)
+    pmod(poly, lit(buckets)).cast("int")
+  }
+
+  /** Membership flag: true ⇒ test split (bucket < testPercent). */
+  def isTest(key: Column, testPercent: Int, buckets: Int = 100): Column =
+    hashBucket(key, buckets) < testPercent
+
+  /** (train, test) pair under the hash split — two filters over the same
+    * scan, no shuffle, no materialization.
+    */
+  def splitByHash(df: DataFrame, key: Column, testPercent: Int): (DataFrame, DataFrame) =
+    (df.filter(!isTest(key, testPercent)), df.filter(isTest(key, testPercent)))
+
+  /** Exact-n per-stratum sample: seeded rank within each stratum — a
+    * PARTITIONED window (scales with stratum cardinality; never the
+    * single-task global window). Returns min(n, |stratum|) rows per
+    * stratum, deterministic for a fixed seed and input partitioning.
+    */
+  def stratifiedSampleExact(df: DataFrame, stratum: Column, n: Int,
+                            seed: Long = 42L): DataFrame = {
+    val w = Window.partitionBy(stratum).orderBy(rand(seed))
+    df.withColumn("_graft_rank", row_number().over(w))
+      .filter(col("_graft_rank") <= n)
+      .drop("_graft_rank")
+  }
+}

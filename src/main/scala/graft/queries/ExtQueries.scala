@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -201,6 +201,27 @@ object ExtQueries {
         .orderBy("query_id")
     }),
 
+    // ---- sampling: deterministic content-hash train/test split. The
+    // bucket is md5-based so the EXACT membership is recomputable in
+    // DuckDB — the oracle checks every row's assignment, not just
+    // counts.
+    "x17_split_hash" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      d.select(col("doc_id"),
+          Sampling.isTest(col("doc_id"), testPercent = 10).as("is_test"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- sampling: exact-n stratified sample (n per language);
+    // membership is seed-dependent, per-stratum COUNTS are the
+    // deterministic contract.
+    "x18_stratified_sample" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      Sampling.stratifiedSampleExact(d, col("lang"), n = 20)
+        .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+        .orderBy("lang")
+    }),
+
     // ---- multimodal: binary payload + metadata + batched decode stub.
     "x13_multimodal_features" -> ((s: SparkSession, dir: String) => {
       val d = Tables(s, dir, "documents").filter(col("doc_id") < 100)
@@ -319,6 +340,17 @@ object ExtQueries {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, cos FROM ranked
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "x17_split_hash" ->
+      """SELECT doc_id,
+        |  (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 29791
+        |   + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) * 961
+        |   + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) * 31
+        |   + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 4, 1))) % 100 < 10
+        |    AS is_test
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x18_stratified_sample" ->
+      """SELECT lang, CAST(least(count(*), 20) AS BIGINT) AS n_sampled
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "x15_asof_join" ->
       """SELECT e.event_id, p.event_id AS purchase_event_id
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e

@@ -265,3 +265,39 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_._2).sorted.toSeq == Seq(0L, 64L, 128L))
   }
 }
+
+/** Dataset-assembly sampling: hash splits must be disjoint, complete,
+  * content-deterministic, and near the requested fraction; stratified
+  * samples must return exactly min(n, |stratum|) per stratum.
+  */
+class SamplingSpec extends SparkSpec {
+
+  test("hash split: disjoint, complete, deterministic, fraction-accurate") {
+    val d = Tables(spark, sf0001, "documents")
+    val (train, test) = graft.ext.Sampling.splitByHash(d, col("doc_id"), testPercent = 10)
+    val nTrain = train.count()
+    val nTest = test.count()
+    assert(nTrain + nTest == d.count())
+    // no id in both splits
+    assert(train.select("doc_id").intersect(test.select("doc_id")).count() == 0)
+    // ~10% within loose tolerance over 500 docs
+    assert(nTest > 10 && nTest < 120, s"test split size $nTest")
+    // content-deterministic: same ids selected on a re-read and reshuffle
+    val again = graft.ext.Sampling
+      .splitByHash(d.repartition(7), col("doc_id"), testPercent = 10)._2
+    assert(again.select("doc_id").exceptAll(test.select("doc_id")).count() == 0)
+  }
+
+  test("stratified sample: exactly min(n, stratum size) per stratum") {
+    val d = Tables(spark, sf0001, "documents")
+    val strata = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = graft.ext.Sampling.stratifiedSampleExact(d, col("lang"), n = 20)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sampled.keySet == strata.keySet)
+    strata.foreach { case (lang, total) =>
+      assert(sampled(lang) == math.min(20L, total), s"stratum $lang")
+    }
+  }
+}
