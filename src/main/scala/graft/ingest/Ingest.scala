@@ -91,6 +91,28 @@ object Ingest {
   def sample(df: DataFrame, n: Int, seed: Long = 42L): DataFrame =
     df.orderBy(rand(seed).asc).limit(n)
 
+  /** Global 0-based position column under an explicit total order — the
+    * general operator behind `subset` (and the distributed equivalent of
+    * `row_number() OVER (ORDER BY …)` without the single-partition
+    * window): range partitioning + exact per-partition offsets
+    * (`Positional`), one shared shuffle for the stats and data passes.
+    */
+  def withPosition(df: DataFrame, orderBy: Seq[Column],
+                   as: String = "_pos"): DataFrame = {
+    val spark = df.sparkSession
+    val r = Positional.ranged(df, orderBy, _ => 1L)
+    val offsets = r.offsets
+    val rdd = r.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var pos = offsets(pid)
+      it.map { row =>
+        val p = pos
+        pos += 1L
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ p)
+      }
+    }
+    spark.createDataFrame(rdd, r.schema.add(as, "long", nullable = false))
+  }
+
   /** `subset` (data.py:206-225): positional slice `[start, start+size)`
     * (0-based) under an explicit total order. (Input order is not a
     * distributed concept; the caller names the order, SURVEY §4

@@ -74,6 +74,15 @@ object OpsQueries {
         .orderBy("o_orderkey")
     }),
 
+    // ---- op #11b: the general global-position operator behind subset
+    // (row_number-without-a-global-window), oracled against row_number.
+    "op_row_index" -> ((s: SparkSession, dir: String) => {
+      Ingest.withPosition(Tables(s, dir, "orders").select("o_orderkey"),
+          Seq(col("o_orderkey")), as = "pos")
+        .filter(col("pos") < 100)
+        .orderBy("o_orderkey")
+    }),
+
     // ---- op #12a: banded chunk ids (file-split semantics) — global byte
     // offsets via the partition-offset composition, no global window.
     "op_chunks_banded" -> ((s: SparkSession, dir: String) => {
@@ -215,6 +224,12 @@ object OpsQueries {
         |  SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rn
         |  FROM orders)
         |WHERE rn > 100 AND rn <= 150 ORDER BY o_orderkey""".stripMargin,
+    "op_row_index" ->
+      """SELECT o_orderkey, pos FROM (
+        |  SELECT o_orderkey,
+        |    CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS pos
+        |  FROM orders)
+        |WHERE pos < 100 ORDER BY o_orderkey""".stripMargin,
     "op_chunks_banded" ->
       """SELECT doc_id, CAST(floor((cum - n_chars) / 10000) AS BIGINT) AS chunk_id
         |FROM (SELECT doc_id, n_chars,

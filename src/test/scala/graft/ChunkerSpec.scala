@@ -80,6 +80,16 @@ class ChunkerSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("withPosition assigns exact global positions on shuffled input") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = (1L to 1000L).map(v => (v, v * 2)).toDF("v", "w").repartition(9)
+    val got = Ingest.withPosition(df, Seq(col("v")), as = "pos")
+      .select("v", "pos").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).toSeq
+    assert(got == (1L to 1000L).map(v => (v, v - 1L)))
+  }
+
   test("subset skips partitions outside the slice and matches exact positions") {
     val spark0 = spark
     import spark0.implicits._
