@@ -66,6 +66,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("hash split reads only the key column (pruning through md5)") {
+    val plan = physicalPlan("x17_split_hash")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"split scan reads more than the key:\n$plan")
+  }
+
   test("IVF probe over a persisted index prunes centroid partitions") {
     val e = Tables(spark, sf0001, "embeddings")
     val model = graft.ext.Ivf.train(e, "embedding", nCentroids = 16)
