@@ -59,6 +59,19 @@ class DedupSpec extends SparkSpec {
     assert(viaArray.size == 30 * 29 / 2)
   }
 
+  test("simhash over-cap buckets route through the join fallback with identical pairs") {
+    val d = docs((1L to 25L).map(i => i -> base): _*)
+    def pairs(maxBucket: Int) =
+      Dedup.simhashCandidates(d, col("doc_id"), col("text"), maxDist = 0,
+          maxBucket = maxBucket)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaArray = pairs(1024)
+    val viaJoin = pairs(4)
+    assert(viaArray == viaJoin)
+    assert(viaArray.size == 25 * 24 / 2)
+  }
+
   test("signature similarity ranks near-dups above unrelated") {
     val d = docs(1L -> base, 2L -> base.replace("lazy", "sleepy"),
       3L -> "completely different content on another topic entirely with other words")
