@@ -232,17 +232,32 @@ object Dedup {
   /** Near-duplicate pairs by embedding cosine ≥ `minCos`: random-
     * hyperplane bucket (Similarity.hyperplaneBucket) then bucket-local
     * pairwise cosine — candidate generation is linear + bucket-quadratic,
-    * never globally quadratic.
+    * never globally quadratic. Same bucket-grouped shape as the text
+    * candidates: the bucket expression computes ONCE per vector and
+    * vectors shuffle once (a self-join computes it twice and shuffles
+    * both sides); buckets over `maxBucket` fall back to the keyed join.
     */
   def embeddingNearDup(df: DataFrame, idCol: Column, vecCol: Column,
-                       minCos: Double = 0.95, planes: Int = 8): DataFrame = {
+                       minCos: Double = 0.95, planes: Int = 8,
+                       maxBucket: Int = 256): DataFrame = {
     val bucketed = df.select(idCol.as("id"), vecCol.as("vec"),
       Similarity.hyperplaneBucket(vecCol, planes).as("bucket"))
-    val a = bucketed.alias("a")
-    val b = bucketed.alias("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        Similarity.cosineFloat(col("a.vec"), col("b.vec")).as("cos"))
-      .filter(col("cos") >= minCos)
+    val buckets = bucketed.groupBy("bucket")
+      .agg(sort_array(collect_list(struct(col("id"), col("vec")))).as("_m"))
+      .filter(size(col("_m")) > 1)
+    val small = buckets.filter(size(col("_m")) <= maxBucket)
+      .select(explode(pairCombos(col("_m"))).as("_p"))
+      .select(col("_p.a.id").as("id_a"), col("_p.b.id").as("id_b"),
+        Similarity.cosineFloat(col("_p.a.vec"), col("_p.b.vec")).as("cos"))
+    val bigRows = buckets.filter(size(col("_m")) > maxBucket)
+      .select(col("bucket"), explode(col("_m")).as("_m1"))
+      .select(col("bucket"), col("_m1.id").as("_id"), col("_m1.vec").as("_vec"))
+    val a = bigRows.alias("a")
+    val b = bigRows.alias("b")
+    val big = a.join(b, col("a.bucket") === col("b.bucket") &&
+        col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        Similarity.cosineFloat(col("a._vec"), col("b._vec")).as("cos"))
+    small.union(big).filter(col("cos") >= minCos)
   }
 }
