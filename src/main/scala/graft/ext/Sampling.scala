@@ -38,6 +38,22 @@ object Sampling {
   def splitByHash(df: DataFrame, key: Column, testPercent: Int): (DataFrame, DataFrame) =
     (df.filter(!isTest(key, testPercent)), df.filter(isTest(key, testPercent)))
 
+  /** Weighted mixture of sources — the domain-weighting step of a
+    * training mix: keep a deterministic hash fraction of each source
+    * (weight quantized to `1/buckets`), union the kept rows. Membership
+    * is content-determined (`hashBucket`), so re-running the mix —
+    * or recomputing it in another engine — selects the same rows.
+    * Two filters and a union: no shuffle.
+    */
+  def weightedMixture(sources: Seq[(DataFrame, Double)], key: Column,
+                      buckets: Int = 100): DataFrame = {
+    require(sources.nonEmpty, "no sources")
+    sources.map { case (df, w) =>
+      require(w >= 0.0 && w <= 1.0, s"weight $w outside [0,1]")
+      df.filter(hashBucket(key, buckets) < math.round(w * buckets).toInt)
+    }.reduce(_ unionByName _)
+  }
+
   /** Exact-n per-stratum sample: seeded rank within each stratum — a
     * PARTITIONED window (scales with stratum cardinality; never the
     * single-task global window). Returns min(n, |stratum|) rows per

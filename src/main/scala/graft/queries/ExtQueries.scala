@@ -222,6 +222,19 @@ object ExtQueries {
         .orderBy("lang")
     }),
 
+    // ---- sampling: weighted domain mixture — keep all English docs,
+    // a deterministic 25% hash fraction of every other language. The
+    // bucket is md5-based, so DuckDB recomputes the exact membership.
+    "x19_weighted_mixture" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      Sampling.weightedMixture(Seq(
+          d.filter(col("lang") === "en") -> 1.0,
+          d.filter(col("lang") =!= "en") -> 0.25),
+          key = col("doc_id"))
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang")
+    }),
+
     // ---- multimodal: binary payload + metadata + batched decode stub.
     "x13_multimodal_features" -> ((s: SparkSession, dir: String) => {
       val d = Tables(s, dir, "documents").filter(col("doc_id") < 100)
@@ -351,6 +364,14 @@ object ExtQueries {
     "x18_stratified_sample" ->
       """SELECT lang, CAST(least(count(*), 20) AS BIGINT) AS n_sampled
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "x19_weighted_mixture" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
+        |WHERE lang = 'en'
+        |   OR (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 29791
+        |       + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) * 961
+        |       + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) * 31
+        |       + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 4, 1))) % 100 < 25
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "x15_asof_join" ->
       """SELECT e.event_id, p.event_id AS purchase_event_id
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e

@@ -313,4 +313,21 @@ class SamplingSpec extends SparkSpec {
       assert(sampled(lang) == math.min(20L, total), s"stratum $lang")
     }
   }
+
+  test("weighted mixture: weight 1 keeps all, 0 keeps none, membership deterministic") {
+    val d = Tables(spark, sf0001, "documents")
+    val total = d.count()
+    val all = graft.ext.Sampling.weightedMixture(Seq(d -> 1.0), col("doc_id"))
+    assert(all.count() == total)
+    val none = graft.ext.Sampling.weightedMixture(Seq(d -> 0.0), col("doc_id"))
+    assert(none.count() == 0)
+    val half = graft.ext.Sampling.weightedMixture(Seq(d -> 0.5), col("doc_id"))
+    val n1 = half.select("doc_id").collect().map(_.getLong(0)).toSet
+    // deterministic under reshuffling
+    val n2 = graft.ext.Sampling
+      .weightedMixture(Seq(d.repartition(11) -> 0.5), col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(n1 == n2)
+    assert(n1.size > total * 0.35 && n1.size < total * 0.65, s"${n1.size}/$total")
+  }
 }
