@@ -235,6 +235,17 @@ object ExtQueries {
         .orderBy("lang")
     }),
 
+    // ---- the end-to-end curation pipeline (quality → langid → dedup →
+    // split) as ONE plan, oracled as a whole: the oracle recomposes
+    // every stage in SQL, so any drift in any stage OR in their
+    // composition order fails the gate.
+    "x20_curation_pipeline" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      graft.ext.Curation.curate(d, minQuality = 0.5, testPercent = 10)
+        .select(col("doc_id"), col("predicted"), col("is_test"))
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal: binary payload + metadata + batched decode stub.
     "x13_multimodal_features" -> ((s: SparkSession, dir: String) => {
       val d = Tables(s, dir, "documents").filter(col("doc_id") < 100)
@@ -364,6 +375,54 @@ object ExtQueries {
     "x18_stratified_sample" ->
       """SELECT lang, CAST(least(count(*), 20) AS BIGINT) AS n_sampled
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "x20_curation_pipeline" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntok,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> w IN ('a', 'the'))) AS DOUBLE) AS nstop,
+        |    CAST(length(text) AS DOUBLE) AS nchar
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, text,
+        |    least(nchar / 500.0, 1.0) * 0.5
+        |      + least(((nchar - (ntok - 1)) / ntok) / 8.0, 1.0) * 0.3
+        |      + (1.0 - nstop / ntok) * 0.2 AS quality
+        |  FROM t),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','ist'))) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','is'))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('el','la','los','de','es'))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('le','la','les','et','est'))) AS BIGINT) AS s_fr,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('的','是','了','在','我'))) AS BIGINT) AS s_zh
+        |  FROM documents),
+        |pred AS (
+        |  SELECT doc_id, CASE
+        |    WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'und'
+        |    WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
+        |    WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
+        |    WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
+        |    WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
+        |    ELSE 'zh' END AS predicted
+        |  FROM sc),
+        |f AS (
+        |  SELECT q.doc_id, q.text, p.predicted
+        |  FROM q JOIN pred p ON q.doc_id = p.doc_id
+        |  WHERE q.quality >= 0.5 AND p.predicted <> 'und'),
+        |d AS (
+        |  SELECT doc_id, predicted,
+        |    row_number() OVER (
+        |      PARTITION BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        |      ORDER BY doc_id) AS rn
+        |  FROM f)
+        |SELECT doc_id, predicted,
+        |  (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 29791
+        |   + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) * 961
+        |   + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) * 31
+        |   + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 4, 1))) % 100 < 10
+        |    AS is_test
+        |FROM d WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "x19_weighted_mixture" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
         |WHERE lang = 'en'
