@@ -66,6 +66,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("curation pipeline runs in one shuffle (dedup window only)") {
+    val d = Tables(spark, sf0001, "documents")
+    val plan = graft.ext.Curation.curate(d)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly 1 Exchange, got $exchanges:\n$plan")
+  }
+
   test("hash split reads only the key column (pruning through md5)") {
     val plan = physicalPlan("x17_split_hash")
     assert(plan.contains("ReadSchema: struct<doc_id:bigint>"),
