@@ -163,6 +163,37 @@ object Dedup {
       minhashBands(df, idCol, textCol, numHashes, bands, shingleK, wordGrams),
       Seq("band", "band_hash"), "id", maxBucket)
 
+  /** Connected components over an undirected candidate-pair edge list
+    * `(id_a, id_b)` — the clustering step that turns pairwise near-dup
+    * candidates into dedup GROUPS (canonical = min id per component =
+    * the emitted `component`).
+    *
+    * Min-label propagation with self-loops: each round every node takes
+    * the minimum label over itself and its neighbors, so a component's
+    * minimum id travels one hop per round and `iterations` must be ≥ the
+    * largest component diameter (near-dup clusters are shallow; the
+    * default covers diameter 10). Each round is one join + one partial
+    * aggregate keyed on node id — no driver-side graph, no persist: the
+    * plan is a fixed-depth chain where each intermediate feeds exactly
+    * the next round. Callers clustering a very large candidate graph
+    * should persist `pairs` (it is re-read each round).
+    */
+  def connectedComponents(pairs: DataFrame, iterations: Int = 10): DataFrame = {
+    val nodes = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .union(nodes.select(col("id").as("src"), col("id").as("dst")))
+    var labels = nodes.withColumn("component", col("id"))
+    for (_ <- 1 to iterations) {
+      labels = edges.alias("e")
+        .join(labels.alias("l"), col("e.dst") === col("l.id"))
+        .groupBy(col("e.src").as("id"))
+        .agg(min(col("l.component")).as("component"))
+    }
+    labels
+  }
+
   /** Estimated Jaccard from signature agreement, for candidate scoring. */
   def signatureSimilarity(sigA: Column, sigB: Column): Column =
     size(filter(zip_with(sigA, sigB, (x, y) => (x === y).cast("int")),

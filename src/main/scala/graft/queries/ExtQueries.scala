@@ -235,6 +235,24 @@ object ExtQueries {
         .orderBy("lang")
     }),
 
+    // ---- dedup clustering: candidate pairs → connected components.
+    // Five exact copies of each doc_id<10 are planted at offsets
+    // k·100000; keeping only consecutive-copy candidate pairs yields
+    // 4-edge CHAINS, so the component min-label must propagate 4 hops —
+    // and every chain's component is provably the base doc_id.
+    "x21_dedup_components" -> ((s: SparkSession, dir: String) => {
+      val base = Tables(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") < 10)
+      val corpus = (0 until 5).map(k =>
+          base.select((col("doc_id") + k * 100000L).as("doc_id"), col("text")))
+        .reduce(_ union _)
+      val chains = Dedup.minhashCandidates(corpus, col("doc_id"), col("text"),
+          bands = 4, wordGrams = 3)
+        .filter(col("id_b") === col("id_a") + 100000L)
+      Dedup.connectedComponents(chains, iterations = 6)
+        .orderBy("id")
+    }),
+
     // ---- the end-to-end curation pipeline (quality → langid → dedup →
     // split) as ONE plan, oracled as a whole: the oracle recomposes
     // every stage in SQL, so any drift in any stage OR in their
@@ -375,6 +393,10 @@ object ExtQueries {
     "x18_stratified_sample" ->
       """SELECT lang, CAST(least(count(*), 20) AS BIGINT) AS n_sampled
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "x21_dedup_components" ->
+      """SELECT doc_id + k * 100000 AS id, doc_id AS component
+        |FROM documents, range(5) t(k)
+        |WHERE doc_id < 10 ORDER BY id""".stripMargin,
     "x20_curation_pipeline" ->
       """WITH t AS (
         |  SELECT doc_id, text,

@@ -72,6 +72,24 @@ class DedupSpec extends SparkSpec {
     assert(viaArray.size == 25 * 24 / 2)
   }
 
+  test("connected components: chains, stars, separate clusters, min canonical") {
+    val spark0 = spark
+    import spark0.implicits._
+    // component A: chain 1-2-3-4 (diameter 3); component B: star 10 with
+    // leaves 11,12,13; component C: single edge 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (10L, 13L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+    // insufficient iterations must NOT silently converge a long chain
+    val shallow = Dedup.connectedComponents(Seq((1L, 2L), (2L, 3L), (3L, 4L),
+        (4L, 5L), (5L, 6L), (6L, 7L)).toDF("id_a", "id_b"), iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shallow(7L) != 1L, "2 iterations cannot span a 6-edge chain")
+  }
+
   test("signature similarity ranks near-dups above unrelated") {
     val d = docs(1L -> base, 2L -> base.replace("lazy", "sleepy"),
       3L -> "completely different content on another topic entirely with other words")
