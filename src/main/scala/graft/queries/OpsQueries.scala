@@ -100,8 +100,15 @@ object OpsQueries {
       val docs = Tables(s, dir, "documents").select("doc_id", "n_chars")
         .coalesce(1).sortWithinPartitions("doc_id")
       Chunker.greedyChunkIds(docs, "n_chars", 10000L) match {
-        case Right(ch) => ch.df.select(col("doc_id"), col("_chunk").as("chunk_id"))
-          .orderBy("doc_id")
+        case Right(ch) =>
+          val out = ch.df.select(col("doc_id"), col("_chunk").as("chunk_id"))
+            .orderBy("doc_id")
+          // release the chunker's cache before handing the frame out: the
+          // gate session must end persist-clean, and the deterministic
+          // coalesce(1)+sort input recomputes identically for the
+          // driver's action
+          ch.unpersist()
+          out
         case Left(e) => throw new RuntimeException(e.message)
       }
     }),

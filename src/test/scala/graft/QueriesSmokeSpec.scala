@@ -20,9 +20,14 @@ class QueriesSmokeSpec extends SparkSpec {
 
   for ((name, fn) <- SparkEntry.queries) {
     test(s"$name runs on sf0.001") {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       val df = fn(spark, sf0001)
       assert(df.columns.nonEmpty)
       assert(df.count() >= 0)
+      // persist hygiene: a gate query must not leave cached RDDs behind
+      // in a long-lived session
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(leaked.isEmpty, s"$name leaked persists: $leaked")
     }
   }
 }
