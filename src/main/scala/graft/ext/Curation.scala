@@ -18,6 +18,25 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Shared quality + language stages: `(doc_id, text, quality,
+    * predicted)` with the token array staged once.
+    */
+  private def qualityLangFilter(docs: DataFrame, idCol: String,
+                                textCol: String, minQuality: Double,
+                                langs: Seq[String],
+                                stops: Seq[String]): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+      TextAnalysis.tokens(col(textCol)).as("_t"))
+    toks
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.qualityScoreOver(col("_t"), length(col("text")), stops)
+          .as("quality"),
+        TextAnalysis.langScoresOver(col("_t")).as("_ls"))
+      .withColumn("predicted", TextAnalysis.langIdFromScores(col("_ls")))
+      .drop("_ls")
+      .filter(col("quality") >= minQuality && col("predicted").isin(langs: _*))
+  }
+
   /** Curated corpus: the input columns plus `predicted` (language) and
     * `is_test` (hash split), one row per surviving canonical document.
     */
@@ -26,18 +45,7 @@ object Curation {
              langs: Seq[String] = TextAnalysis.LangMarkers.map(_._1),
              stops: Seq[String] = Seq("a", "the"),
              testPercent: Int = 10): DataFrame = {
-    // stage the token array once; every metric reads the attribute
-    val toks = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
-      TextAnalysis.tokens(col(textCol)).as("_t"))
-    val scored = toks
-      .select(col("doc_id"), col("text"),
-        TextAnalysis.qualityScoreOver(col("_t"), length(col("text")), stops)
-          .as("quality"),
-        TextAnalysis.langScoresOver(col("_t")).as("_ls"))
-      .withColumn("predicted", TextAnalysis.langIdFromScores(col("_ls")))
-      .drop("_ls")
-    val filtered = scored
-      .filter(col("quality") >= minQuality && col("predicted").isin(langs: _*))
+    val filtered = qualityLangFilter(docs, idCol, textCol, minQuality, langs, stops)
     // exact dedup keeping the minimum id per normalized text — a window
     // PARTITIONED on the content key (scales with key cardinality)
     val w = Window.partitionBy(Dedup.normalized(col("text")))
@@ -46,6 +54,31 @@ object Curation {
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn")
+      .withColumn("is_test", Sampling.isTest(col("doc_id"), testPercent))
+  }
+
+  /** Curation with NEAR-duplicate removal: the same quality/language
+    * stages, then MinHash LSH candidates → connected components → keep
+    * each component's canonical (min id) plus every unpaired document.
+    * Candidate pairs are xxhash64-based, so this variant is spec-pinned
+    * (planted copies must vanish; output ⊆ the exact-dedup `curate`)
+    * rather than DuckDB-oracled — `curate` is its oracle-checked twin.
+    */
+  def curateNearDedup(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", minQuality: Double = 0.5,
+                      langs: Seq[String] = TextAnalysis.LangMarkers.map(_._1),
+                      stops: Seq[String] = Seq("a", "the"),
+                      testPercent: Int = 10, bands: Int = 8,
+                      wordGrams: Int = 3, ccIterations: Int = 10): DataFrame = {
+    val filtered = qualityLangFilter(docs, idCol, textCol, minQuality, langs, stops)
+    val cands = Dedup.minhashCandidates(
+      filtered.select(col("doc_id"), col("text")),
+      col("doc_id"), col("text"), bands = bands, wordGrams = wordGrams)
+    val comps = Dedup.connectedComponents(cands, ccIterations)
+    filtered.alias("f")
+      .join(comps.alias("c"), col("f.doc_id") === col("c.id"), "left")
+      .filter(col("c.component").isNull || col("c.component") === col("f.doc_id"))
+      .select(col("f.doc_id"), col("f.text"), col("f.quality"), col("f.predicted"))
       .withColumn("is_test", Sampling.isTest(col("doc_id"), testPercent))
   }
 }

@@ -349,3 +349,32 @@ class SamplingSpec extends SparkSpec {
     assert(n1.size > total * 0.35 && n1.size < total * 0.65, s"${n1.size}/$total")
   }
 }
+
+/** The flagship composition: curation with near-duplicate removal.
+  * Planted exact copies must vanish; the near-dedup output is a subset
+  * of the exact-dedup curation; membership is rerun-deterministic.
+  */
+class CurationSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("near-dedup curation drops planted copies and only tightens exact curation") {
+    val base = Tables(spark, sf0001, "documents")
+    val copies = base.filter(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+    val corpus = base.unionByName(copies)
+    val near = graft.ext.Curation.curateNearDedup(corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // every planted copy either failed the same filters as its base or
+    // lost the canonical race to it — none can survive
+    assert(!near.exists(_ >= 100000L), s"planted copies survived: ${near.filter(_ >= 100000L)}")
+    // near-dedup only removes more than exact dedup on the base corpus
+    val exact = graft.ext.Curation.curate(base)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(near.subsetOf(exact), s"near-dedup kept non-canonical ids: ${near -- exact}")
+    assert(near.nonEmpty)
+    // canonical choice is deterministic across reruns
+    val again = graft.ext.Curation.curateNearDedup(corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(near == again)
+  }
+}
