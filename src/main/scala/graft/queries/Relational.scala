@@ -64,6 +64,30 @@ object Relational {
         .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
     }),
 
+    // ---- q20: uncorrelated scalar subquery (decimal-exact threshold so
+    // the filter boundary is bit-identical cross-engine).
+    "q20_scalar_subquery" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "part").createOrReplaceTempView("part_v")
+      s.sql("""SELECT p_partkey, p_name FROM part_v
+               WHERE CAST(p_retailprice AS DECIMAL(18,2)) >
+                 (SELECT max(CAST(p_retailprice AS DECIMAL(18,2))) FROM part_v)
+                   * CAST(0.9 AS DECIMAL(3,1))
+               ORDER BY p_partkey""")
+    }),
+
+    // ---- q21: correlated scalar subquery (per-order max line price;
+    // Catalyst rewrites to an aggregated left join).
+    "q21_correlated_subquery" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_v")
+      Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT o_orderkey,
+                 CAST((SELECT max(CAST(l_extendedprice AS DECIMAL(18,2)))
+                       FROM lineitem_v l WHERE l.l_orderkey = o.o_orderkey)
+                   AS DOUBLE) AS max_line_price
+               FROM orders_v o WHERE o_orderkey <= 500
+               ORDER BY o_orderkey""")
+    }),
+
     // ---- q19: CASE / NULLIF / COALESCE null-handling semantics.
     "q19_case_nulls" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -315,6 +339,19 @@ object Relational {
         |    AS priority_label,
         |  nullif(o_orderstatus, 'P') IS NULL AS is_pending
         |FROM orders WHERE o_orderkey <= 2000
+        |ORDER BY o_orderkey""".stripMargin,
+    "q20_scalar_subquery" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE CAST(p_retailprice AS DECIMAL(18,2)) >
+        |  (SELECT max(CAST(p_retailprice AS DECIMAL(18,2))) FROM part)
+        |    * CAST(0.9 AS DECIMAL(3,1))
+        |ORDER BY p_partkey""".stripMargin,
+    "q21_correlated_subquery" ->
+      """SELECT o_orderkey,
+        |  CAST((SELECT max(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |        FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |    AS DOUBLE) AS max_line_price
+        |FROM orders o WHERE o_orderkey <= 500
         |ORDER BY o_orderkey""".stripMargin,
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
