@@ -88,6 +88,34 @@ object Relational {
                ORDER BY o_orderkey""")
     }),
 
+    // ---- q22: pivot (long → wide conditional aggregation); empty cells
+    // coalesce to 0 so the shape matches FILTER-style conditional counts.
+    "q22_pivot" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select($"o_orderpriority",
+          coalesce($"F", lit(0L)).as("n_f"),
+          coalesce($"O", lit(0L)).as("n_o"),
+          coalesce($"P", lit(0L)).as("n_p"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // ---- q23: GROUPING SETS (two independent groupings in one pass)
+    // with grouping() to disambiguate the null rows.
+    "q23_grouping_sets" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+                 CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
+               FROM orders_gs
+               GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+               ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""")
+    }),
+
     // ---- q19: CASE / NULLIF / COALESCE null-handling semantics.
     "q19_case_nulls" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -340,6 +368,21 @@ object Relational {
         |  nullif(o_orderstatus, 'P') IS NULL AS is_pending
         |FROM orders WHERE o_orderkey <= 2000
         |ORDER BY o_orderkey""".stripMargin,
+    "q22_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q23_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin,
     "q20_scalar_subquery" ->
       """SELECT p_partkey, p_name FROM part
         |WHERE CAST(p_retailprice AS DECIMAL(18,2)) >
