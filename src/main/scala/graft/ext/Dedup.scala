@@ -181,9 +181,13 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, iterations: Int = 10): DataFrame = {
     val nodes = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id"))).distinct()
+    // the explicit repartition pins an Exchange over the edge list that
+    // every iteration's join shares (ReuseExchange): the upstream
+    // candidate pipeline computes ONCE instead of once per round
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .union(nodes.select(col("id").as("src"), col("id").as("dst")))
+      .repartition(col("dst"))
     var labels = nodes.withColumn("component", col("id"))
     for (_ <- 1 to iterations) {
       labels = edges.alias("e")

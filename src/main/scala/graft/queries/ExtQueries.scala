@@ -249,7 +249,7 @@ object ExtQueries {
       val chains = Dedup.minhashCandidates(corpus, col("doc_id"), col("text"),
           bands = 4, wordGrams = 3)
         .filter(col("id_b") === col("id_a") + 100000L)
-      Dedup.connectedComponents(chains, iterations = 6)
+      Dedup.connectedComponents(chains, iterations = 4)
         .orderBy("id")
     }),
 

@@ -64,11 +64,19 @@ object StreamQueries {
       import s.implicits._
       val gapMs = 30L * 60 * 1000
       val staged = java.nio.file.Files.createTempDirectory("graft-s02")
-      val ev = graft.Tables.events(s, dir)
-        .select("event_id", "ts", "user_id", "event_type", "value")
-      def stageOne(df: DataFrame, n: Int): Unit = {
+      // batch 0 = the raw events file, copied as-is (no Spark rewrite);
+      // sentinels use fixed far-future timestamps (testdata is bounded
+      // to 2024), so no max(ts) pre-pass either
+      val dest0 = staged.resolve("0.parquet")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"), dest0)
+      dest0.toFile.setLastModified(1000000000L)
+      def sentinel(n: Int, epochSec: Long): Unit = {
         val tmp = java.nio.file.Files.createTempDirectory(s"graft-s02-tmp$n")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        // same raw shape as the stored file: ts as epoch-NANOS long
+        Seq((-n.toLong, epochSec * 1000000000L, -1L, "tick", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val part = new java.io.File(tmp.toString).listFiles()
           .find(_.getName.endsWith(".parquet")).get
         val dest = staged.resolve(s"$n.parquet")
@@ -76,17 +84,13 @@ object StreamQueries {
         // file order = modification time (oldest first)
         dest.toFile.setLastModified(1000000000L + n * 1000000L)
       }
-      stageOne(ev, 0)
-      val maxTs = ev.agg(max("ts")).collect()(0).getTimestamp(0)
-      val tick1 = new java.sql.Timestamp(maxTs.getTime + gapMs + 3600L * 1000)
-      val tick2 = new java.sql.Timestamp(tick1.getTime + 24L * 3600 * 1000)
-      stageOne(Seq((-1L, tick1, -1L, "tick", 0.0))
-        .toDF("event_id", "ts", "user_id", "event_type", "value"), 1)
-      stageOne(Seq((-2L, tick2, -1L, "tick", 0.0))
-        .toDF("event_id", "ts", "user_id", "event_type", "value"), 2)
-      val stream = s.readStream.schema(ev.schema)
+      sentinel(1, 2051222400L) // 2035-01-01
+      sentinel(2, 2051308800L) // 2035-01-02
+      val stream = s.readStream.schema(eventsSchema)
         .option("maxFilesPerTrigger", 1)
         .parquet(staged.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select("event_id", "ts", "user_id", "event_type", "value")
       val sessions = EventStream.sessionize(stream.as[EventStream.Event],
         gapMillis = gapMs, watermarkDelay = "0 seconds")
       val q = sessions.writeStream
