@@ -43,12 +43,21 @@ object Similarity {
   def cosineFloat(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.vector_cosine(a, b)
 
-  /** Integer-quantized cosine (multiply by 2^20, round to long): every
+  /** Integer-quantized cosine (multiply by 2^20, round half-up): every
     * intermediate is an exact integer-valued double below 2^53, so the
     * result is bit-identical across engines and partitionings — the
-    * deterministic variant used for oracle-checked queries.
+    * deterministic variant used for oracle-checked queries. Runs the
+    * fused native kernel (graft.functions.CosineQuantizedFloat), which
+    * is bit-identical to the composed form below (VectorExpressionsSpec
+    * pins the equality on real embeddings).
     */
-  def cosineQuantized(a: Column, b: Column): Column = {
+  def cosineQuantized(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.vector_cosine_quantized(a, b)
+
+  /** The composed higher-order-function form of `cosineQuantized` — kept
+    * as the differential-testing reference for the fused kernel.
+    */
+  def cosineQuantizedComposed(a: Column, b: Column): Column = {
     val qa = transform(a, x => round(x.cast("double") * lit(1048576.0d)))
     val qb = transform(b, x => round(x.cast("double") * lit(1048576.0d)))
     dot(qa, qb) / (sqrt(dot(qa, qa)) * sqrt(dot(qb, qb)))

@@ -127,6 +127,71 @@ case class CosineSimilarityFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer-quantized cosine (×2²⁰, round half-up, exact-integer doubles)
+  * fused into one pass — the native kernel twin of
+  * `Similarity.cosineQuantizedComposed`, BIT-IDENTICAL by construction:
+  * per element the quantized value is the same (half-up rounding of an
+  * exactly-representable product; `floor(x+0.5)` / `ceil(x-0.5)` is
+  * exact below 2⁵¹), and all three accumulators add the same values in
+  * the same ascending order.
+  */
+case class CosineQuantizedFloat(left: Expression, right: Expression)
+    extends FloatVectorBinaryExpression {
+
+  override def prettyName: String = "vector_cosine_quantized"
+
+  @inline private def q(x: Double): Double = {
+    val s = x * 1048576.0d
+    if (s >= 0) math.floor(s + 0.5d) else math.ceil(s - 0.5d)
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0d
+    var na = 0.0d
+    var nb = 0.0d
+    var i = 0
+    while (i < n) {
+      val x = q(a.getFloat(i).toDouble)
+      val y = q(b.getFloat(i).toDouble)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val sx = ctx.freshName("sx")
+      val sy = ctx.freshName("sy")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $sx = ((double) $a.getFloat($i)) * 1048576.0;
+         |  double $sy = ((double) $b.getFloat($i)) * 1048576.0;
+         |  double $x = $sx >= 0 ? java.lang.Math.floor($sx + 0.5) : java.lang.Math.ceil($sx - 0.5);
+         |  double $y = $sy >= 0 ? java.lang.Math.floor($sy + 0.5) : java.lang.Math.ceil($sy - 0.5);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level API + SQL registration. */
 object VectorFunctions {
 
@@ -136,6 +201,10 @@ object VectorFunctions {
 
   def vector_cosine(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSimilarityFloat(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def vector_cosine_quantized(a: Column, b: Column): Column =
+    GraftColumnBridge.column(CosineQuantizedFloat(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   /** Make the functions available to `spark.sql` text queries. */

@@ -30,6 +30,26 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("fused quantized cosine agrees bitwise with the composed HOF form") {
+    // the quantized variant is the oracle-checked one: the kernel must
+    // reproduce Spark's half-up rounding and fold order exactly, over
+    // every pair of real embeddings incl. negatives near rounding ties
+    val e = Tables(spark, sf0001, "embeddings").limit(60)
+    val a = e.alias("a")
+    val b = e.alias("b")
+    val both = a.join(b, col("a.vec_id") < col("b.vec_id"))
+      .select(
+        Similarity.cosineQuantized(col("a.embedding"), col("b.embedding")).as("kernel"),
+        Similarity.cosineQuantizedComposed(col("a.embedding"), col("b.embedding")).as("composed"))
+      .collect()
+    assert(both.length == 60 * 59 / 2)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"kernel ${r.getDouble(0)} != composed ${r.getDouble(1)}")
+    }
+  }
+
   test("registered SQL functions evaluate") {
     VectorFunctions.register(spark)
     Tables(spark, sf0001, "embeddings").limit(5).createOrReplaceTempView("emb_v")
