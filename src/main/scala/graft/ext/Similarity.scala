@@ -71,9 +71,18 @@ object Similarity {
 
   /** Random-hyperplane LSH bucket id: one bit per plane = sign of the
     * dot product with that plane; bucket = the packed bit string.
-    * Exact integer arithmetic end to end.
+    * Exact integer arithmetic end to end. Runs the fused native kernel
+    * (graft.functions.HyperplaneBucketFloat) — the map-side pass over
+    * the whole corpus; identical assignments to the composed form
+    * (spec-pinned).
     */
-  def hyperplaneBucket(vec: Column, planes: Int = 8): Column = {
+  def hyperplaneBucket(vec: Column, planes: Int = 8): Column =
+    graft.functions.VectorFunctions.hyperplane_bucket(vec, planes)
+
+  /** The composed higher-order-function form of `hyperplaneBucket` —
+    * kept as the differential-testing reference for the fused kernel.
+    */
+  def hyperplaneBucketComposed(vec: Column, planes: Int = 8): Column = {
     val dims = sequence(lit(0L), size(vec).cast("long") - 1L)
     val bits = (0 until planes).map { p =>
       val s = aggregate(

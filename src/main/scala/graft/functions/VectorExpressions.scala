@@ -192,6 +192,85 @@ case class CosineQuantizedFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane LSH bucket id fused into one pass: per plane the
+  * sign of Σ_d q(v_d)·w(p,d) becomes bit p, with the quantization and the
+  * integer Weyl-style weights exactly matching the composed
+  * `Similarity.hyperplaneBucketComposed` (same half-up quantize, same
+  * long arithmetic, same ascending-dimension accumulation per plane) —
+  * bucket assignments are therefore identical, just computed in a single
+  * primitive loop instead of `planes` interpreted HOF folds per row.
+  */
+case class HyperplaneBucketFloat(child: Expression, planes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with Serializable {
+
+  override def prettyName: String = "hyperplane_bucket"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>, got ${other.sql}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var s = 0.0d
+      var d = 0
+      while (d < n) {
+        val sx = a.getFloat(d).toDouble * 1048576.0d
+        val qx = if (sx >= 0) math.floor(sx + 0.5d) else math.ceil(sx - 0.5d)
+        val t = (p.toLong * 64L + d.toLong) * 2654435761L
+        val m = ((t % 2147483648L) + 2147483648L) % 2147483648L
+        s += qx * (m - 1073741824L).toDouble
+        d += 1
+      }
+      if (s >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input => {
+      val n = ctx.freshName("n")
+      val p = ctx.freshName("p")
+      val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      val sx = ctx.freshName("sx")
+      val qx = ctx.freshName("qx")
+      val t = ctx.freshName("t")
+      val m = ctx.freshName("m")
+      val bucket = ctx.freshName("bucket")
+      s"""
+         |int $n = $input.numElements();
+         |long $bucket = 0L;
+         |for (int $p = 0; $p < $planes; $p++) {
+         |  double $s = 0.0;
+         |  for (int $d = 0; $d < $n; $d++) {
+         |    double $sx = ((double) $input.getFloat($d)) * 1048576.0;
+         |    double $qx = $sx >= 0 ? java.lang.Math.floor($sx + 0.5) : java.lang.Math.ceil($sx - 0.5);
+         |    long $t = (((long) $p) * 64L + (long) $d) * 2654435761L;
+         |    long $m = (($t % 2147483648L) + 2147483648L) % 2147483648L;
+         |    $s += $qx * (double) ($m - 1073741824L);
+         |  }
+         |  if ($s >= 0) $bucket |= (1L << $p);
+         |}
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level API + SQL registration. */
 object VectorFunctions {
 
@@ -206,6 +285,10 @@ object VectorFunctions {
   def vector_cosine_quantized(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineQuantizedFloat(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def hyperplane_bucket(vec: Column, planes: Int): Column =
+    GraftColumnBridge.column(HyperplaneBucketFloat(
+      GraftColumnBridge.expression(vec), planes))
 
   /** Make the functions available to `spark.sql` text queries. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -50,6 +50,17 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("fused hyperplane bucket matches the composed HOF assignment") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val both = e.select(
+        Similarity.hyperplaneBucket(col("embedding"), 8).as("kernel"),
+        Similarity.hyperplaneBucketComposed(col("embedding"), 8).as("composed"))
+      .collect()
+    assert(both.length == 500)
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"bucket ${r.getLong(0)} != ${r.getLong(1)}"))
+  }
+
   test("registered SQL functions evaluate") {
     VectorFunctions.register(spark)
     Tables(spark, sf0001, "embeddings").limit(5).createOrReplaceTempView("emb_v")
