@@ -283,6 +283,11 @@ object OpsQueries {
         |  ('l_suppkey', 'INTEGER', 'NULLABLE'),
         |  ('l_tax', 'FLOAT', 'NULLABLE')
         |) AS t(field_name, field_type, mode) ORDER BY field_name""".stripMargin,
+    "op_describe" ->
+      """SELECT 'region' || chr(10) || repeat('─', 53) || chr(10)
+        |  || '├─ r_regionkey                  INTEGER   NULLABLE ' || chr(10)
+        |  || '└─ r_name                       STRING    NULLABLE ' || chr(10)
+        |  AS tree""".stripMargin,
     "op_lifecycle_load" ->
       "SELECT CAST(count(*) AS BIGINT) AS n FROM customer",
     "op_load_fetch" ->
