@@ -100,4 +100,25 @@ class StreamingSpec extends SparkSpec {
     assert(out.sortBy(t => (t._2, t._1.getTime)).toSeq ==
       batch.sortBy(t => (t._2, t._1.getTime)).toSeq)
   }
+
+  test("toParquetSink lands the full stream as parquet with a checkpoint") {
+    import org.apache.spark.sql.types._
+    val staged = java.nio.file.Files.createTempDirectory("graft-sink-in")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      staged.resolve("events.parquet"))
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = spark.readStream.schema(rawSchema).parquet(staged.toString)
+      .select("event_id", "user_id", "event_type")
+    val out = java.nio.file.Files.createTempDirectory("graft-sink-out").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft-sink-cp").toString
+    val q = EventStream.toParquetSink(stream, out, cp).start()
+    q.awaitTermination(120000)
+    val landed = spark.read.parquet(out)
+    assert(landed.count() == Tables(spark, sf0001, "events").count())
+    assert(landed.columns.toSeq == Seq("event_id", "user_id", "event_type"))
+  }
 }
