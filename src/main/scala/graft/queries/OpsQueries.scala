@@ -191,6 +191,31 @@ object OpsQueries {
       }
     }),
 
+    // ---- warehouse upsert (key-based MERGE): changed rows replace,
+    // fresh rows append, untouched rows survive — the final table state
+    // is fully oracle-expressible.
+    "op_upsert" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val wh = tmpWarehouse(s)
+      val base = Tables(s, dir, "customer")
+        .select("c_custkey", "c_name").filter(col("c_custkey") <= 100)
+      wh.load("cust_ups", base) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      val changed = Tables(s, dir, "customer").filter(col("c_custkey") <= 10)
+        .select(col("c_custkey"), lit("UPDATED").as("c_name"))
+      val fresh = (1 to 5).map(k => (10000L + k, "NEW")).toDF("c_custkey", "c_name")
+      wh.upsert("cust_ups", changed.unionByName(fresh), Seq("c_custkey")) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.get("cust_ups") match {
+        case Right(df) => df.orderBy("c_custkey")
+        case Left(e) => throw new RuntimeException(e.message)
+      }
+    }),
+
     // ---- sources: the JDBC sink + scan pair (BASELINE "JDBC/Parquet
     // sinks") made oracle-visible — rows written through the batched
     // JDBC insert into embedded Derby must read back bit-identical.
@@ -293,6 +318,15 @@ object OpsQueries {
     "op_load_fetch" ->
       """SELECT doc_id, n_chars FROM documents
         |ORDER BY n_chars DESC, doc_id LIMIT 10""".stripMargin,
+    "op_upsert" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey <= 10 THEN 'UPDATED' ELSE c_name END AS c_name
+        |  FROM customer WHERE c_custkey <= 100
+        |  UNION ALL
+        |  SELECT CAST(10000 + k AS BIGINT) AS c_custkey, 'NEW' AS c_name
+        |  FROM range(1, 6) t(k)
+        |) ORDER BY c_custkey""".stripMargin,
     "op_jdbc_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,

@@ -320,6 +320,51 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String) {
       Right(())
     } catch { case e: Exception => Left(TableGenericError(e.getMessage, Some(e))) }
 
+  /** Key-based upsert (MERGE): rows of `data` replace existing rows with
+    * the same `keys` values; unmatched rows append. The merge plan is a
+    * left-anti join of the current table against the incoming key set
+    * (broadcast-friendly: the incoming batch is usually small next to
+    * the table), materialized to a sibling directory and atomically
+    * swapped in — never an in-place overwrite of a path being read
+    * (Spark's self-overwrite hazard). Meta (schema/expiry) is preserved.
+    */
+  def upsert(name: String, data: DataFrame,
+             keys: Seq[String]): Either[WarehouseError, Unit] =
+    get(name) match {
+      case Left(e) => Left(e)
+      case Right(existing) =>
+        try {
+          require(keys.nonEmpty, "upsert requires at least one key column")
+          val prepared = Ingest.prepare(data)
+          val missing = keys.filterNot(prepared.columns.contains)
+          if (missing.nonEmpty)
+            return Left(InvalidInput(s"upsert keys absent from data: $missing"))
+          // align incoming columns to the table schema (same discipline
+          // as load: every file must carry the table's column types)
+          val aligned = prepared.select(existing.schema.fields.toSeq.map { f =>
+            if (prepared.columns.contains(f.name))
+              col(f.name).cast(f.dataType).as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }: _*)
+          val survivors = existing.join(
+            aligned.select(keys.map(col): _*).distinct(), keys, "left_anti")
+          val merged = survivors.unionByName(aligned)
+          val tmp = new Path(warehouseDir, s"$name.__upsert_tmp")
+          if (fs.exists(tmp)) fs.delete(tmp, true)
+          merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          // swap: the merged data is fully materialized before the old
+          // directory goes away
+          val priorMeta = meta(name).toOption
+          fs.delete(tablePath(name), true)
+          fs.rename(tmp, tablePath(name))
+          priorMeta.foreach(writeMeta(name, _))
+          registerView(name)
+          Right(())
+        } catch {
+          case e: Exception => Left(TableGenericError(e.getMessage, Some(e)))
+        }
+    }
+
   /** delete == drop (classes.py `delete`/`drop` alias). */
   def delete(name: String): Either[WarehouseError, Unit] = drop(name)
 

@@ -200,4 +200,28 @@ class WarehouseSpec extends SparkSpec {
     assert(files >= 5, s"expected >=5 chunk files, got $files")
     assert(wh.get("ch").toOption.get.count() == 200L)
   }
+
+  test("upsert replaces matched keys, appends fresh keys, preserves meta") {
+    val spark0 = spark
+    import spark0.implicits._
+    val wh = freshWh()
+    val base = (1L to 20L).map(i => (i, s"v$i", i * 10.0)).toDF("id", "name", "score")
+    assert(wh.load("ups", base).isRight)
+    wh.setExpiry("ups", Some(java.time.Instant.ofEpochMilli(99999999999999L)))
+    val batch = Seq((5L, "CHANGED", 5.5), (21L, "FRESH", 21.5))
+      .toDF("id", "name", "score")
+    assert(wh.upsert("ups", batch, Seq("id")).isRight)
+    val rows = wh.get("ups").toOption.get.orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.length == 21)
+    assert(rows(4) == ((5L, "CHANGED", 5.5)))
+    assert(rows(20) == ((21L, "FRESH", 21.5)))
+    assert(rows(0) == ((1L, "v1", 10.0)))
+    // meta (expiry + schema) survives the directory swap
+    assert(wh.meta("ups").toOption.get.expiresAtMillis.contains(99999999999999L))
+    // missing key column rejected
+    assert(wh.upsert("ups", Seq(("x", 1.0)).toDF("name", "score"), Seq("id")).isLeft)
+    // unknown table rejected
+    assert(wh.upsert("nope", batch, Seq("id")).isLeft)
+  }
 }
