@@ -87,6 +87,26 @@ object Analytics {
         .orderBy("event_type")
     }),
 
+    // ---- rolling 7-day revenue per customer: a RANGE window frame
+    // (value-based bounds over epoch days — peers with equal days share
+    // the frame), partitioned per customer so it scales with customer
+    // cardinality. DECIMAL-exact sum.
+    "a07_rolling_window" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy($"o_custkey").orderBy($"od_days")
+        .rangeBetween(-6, 0)
+      Tables(s, dir, "orders")
+        .filter($"o_custkey" <= 200)
+        .select($"o_custkey", $"o_orderkey",
+          datediff($"o_orderdate", lit("1970-01-01")).cast("long").as("od_days"),
+          $"o_totalprice".cast(DecimalType(18, 2)).as("p"))
+        .withColumn("rolling_7d",
+          sum($"p").over(w).cast(DecimalType(38, 2)).cast("double"))
+        .select($"o_custkey", $"o_orderkey", $"od_days", $"rolling_7d")
+        .orderBy($"o_custkey", $"od_days", $"o_orderkey")
+    }),
+
     // ---- histogram binning of order totals (fixed-width buckets).
     "a04_histogram" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -135,6 +155,18 @@ object Analytics {
         |    AS DOUBLE) AS total_value,
         |  CAST(count(value) AS BIGINT) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a07_rolling_window" ->
+      """WITH t AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS od_days,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders WHERE o_custkey <= 200)
+        |SELECT o_custkey, o_orderkey, od_days,
+        |  CAST(CAST(sum(p) OVER (PARTITION BY o_custkey ORDER BY od_days
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2))
+        |    AS DOUBLE) AS rolling_7d
+        |FROM t ORDER BY o_custkey, od_days, o_orderkey""".stripMargin,
     "a04_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
         |  CAST(count(*) AS BIGINT) AS n
