@@ -152,6 +152,58 @@ object Dedup {
     small.union(big).distinct()
   }
 
+  // ---------- engine-portable MinHash (audit path) ----------
+
+  /** Modulus/multiplier constants of the portable hash family. The base
+    * shingle hash folds into the field GF(2^31 - 1); each family member
+    * is (a·x + b) mod (2^31 - 1) with a odd < 2^20, so a·x < 2^51 and the
+    * arithmetic stays exact in any engine's 64-bit integers (ANSI-safe:
+    * no overflow). Band combination chains (acc·K + m) mod 2^31.
+    */
+  private[ext] val PortP = 2147483647L // 2^31 - 1 (Mersenne prime)
+  private[ext] val PortM = 2147483648L // 2^31
+  private[ext] val PortK = 1000003L
+  private[ext] val portableAs: Seq[Long] = Seq(
+    999983L, 999979L, 999961L, 999959L, 999953L, 999931L, 999917L, 999907L,
+    999883L, 999863L, 999841L, 999809L, 999773L, 999749L, 999727L, 999721L)
+  private[ext] val portableBs: Seq[Long] = Seq(
+    12345L, 67891L, 234567L, 345679L, 456789L, 567891L, 678901L, 789013L,
+    890123L, 901237L, 123457L, 234563L, 345677L, 456791L, 567899L, 678911L)
+
+  /** Engine-portable MinHash band rows — same output shape and banding
+    * semantics as `minhashBands`, but the base shingle hash is md5-derived
+    * (first 12 hex chars parsed as an integer, folded mod 2^31-1) instead
+    * of xxhash64, so ANY engine with md5 recomputes the exact signature:
+    * this is the cross-engine audit path the DuckDB gate value-checks end
+    * to end. The fused xxhash64 kernel (`minhashBands`) remains the
+    * throughput path — md5 is ~10× the hash cost, worth paying only when
+    * a second engine must reproduce the signature bit for bit.
+    */
+  def minhashBandsPortable(df: DataFrame, idCol: Column, textCol: Column,
+                           wordGrams: Int = 3, numHashes: Int = 16,
+                           bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(numHashes <= portableAs.size, s"at most ${portableAs.size} hashes")
+    val r = numHashes / bands
+    // staged projections (tokens -> grams -> base hashes -> signature):
+    // each lambda consumes a plain attribute, nothing re-evaluates
+    val xs = df.select(idCol.as("id"), TextAnalysis.tokens(textCol).as("_t"))
+      .select(col("id"), TextAnalysis.wordNgramsOver(col("_t"), wordGrams).as("_g"))
+      .select(col("id"), transform(col("_g"),
+        g => conv(substring(md5(g), 1, 12), 16, 10).cast("long") % PortP)
+        .as("_x"))
+    val sig = xs.select(col("id"), array((0 until numHashes).map { j =>
+        array_min(transform(col("_x"),
+          x => (lit(portableAs(j)) * x + lit(portableBs(j))) % lit(PortP)))
+      }: _*).as("sig"))
+    sig.select(col("id"), posexplode(array((0 until bands).map { b =>
+        (0 until r).foldLeft(lit(0L): Column) { (acc, i) =>
+          (acc * lit(PortK) + element_at(col("sig"), b * r + i + 1)) % lit(PortM)
+        }
+      }: _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+  }
+
   /** LSH candidate pairs: bucket on (band, band_hash), id_a < id_b,
     * distinct. Pair generation is bucket-local (`candidatesFromBuckets`)
     * — never globally quadratic, one shuffle, no cache to leak.

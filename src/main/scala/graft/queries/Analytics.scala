@@ -58,14 +58,23 @@ object Analytics {
         .orderBy($"user_id")
     }),
 
-    // ---- HLL sketch: approximate distinct counts per group (rows-only:
-    // HLL++ internals are engine-specific; accuracy pinned in spec).
+    // ---- HLL sketch: approximate distinct counts per group. The sketch
+    // estimate itself is engine-specific (HLL++ register layout), so the
+    // ORACLED contract is the sketch's ACCURACY: the exact distinct count
+    // (which DuckDB recomputes) plus a boolean asserting the estimate
+    // landed within 3× the configured 2% relative standard deviation —
+    // deterministic (HLL is deterministic on a fixed input set) and an
+    // honest cross-engine check that the sketch works.
     "a05_approx_distinct" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       Tables(s, dir, "lineitem")
         .groupBy($"l_returnflag")
-        .agg(approx_count_distinct($"l_partkey", rsd = 0.02).as("approx_parts"),
+        .agg(approx_count_distinct($"l_partkey", rsd = 0.02).as("_approx"),
+          countDistinct($"l_partkey").as("exact_parts"),
           count(lit(1)).as("n"))
+        .select($"l_returnflag", $"exact_parts", $"n",
+          (abs($"_approx".cast("double") - $"exact_parts".cast("double"))
+            <= $"exact_parts".cast("double") * 0.06).as("approx_ok"))
         .orderBy($"l_returnflag")
     }),
 
@@ -149,6 +158,12 @@ object Analytics {
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
         |  CAST(max(n_events) AS BIGINT) AS longest_session
         |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "a05_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "a06_skew_salted_agg" ->
       """SELECT event_type,
         |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))

@@ -86,11 +86,15 @@ object ExtQueries {
         .orderBy("id_a", "id_b")
     }),
 
-    // ---- dedup: MinHash band signatures (deterministic, non-empty;
-    // xxhash64-based so spec-pinned rather than oracled).
+    // ---- dedup: MinHash band signatures through the ENGINE-PORTABLE
+    // hash family (md5-derived base hash, affine family mod 2^31-1):
+    // DuckDB recomputes every signature value, so the full
+    // shingle→minhash→band pipeline is value-checked end to end. The
+    // fused xxhash64 kernel path stays the throughput path, pinned by
+    // DedupSpec's planted-duplicate recall.
     "x07_minhash_bands" -> ((s: SparkSession, dir: String) => {
       val d = Tables(s, dir, "documents")
-      Dedup.minhashBands(d, col("doc_id"), col("text"), wordGrams = 3)
+      Dedup.minhashBandsPortable(d, col("doc_id"), col("text"), wordGrams = 3)
         .orderBy("id", "band")
     }),
 
@@ -346,6 +350,41 @@ object ExtQueries {
         |    AS jaccard
         |FROM g a, g b WHERE a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
+    "x07_minhash_bands" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |grams AS (
+        |  SELECT doc_id, list_transform(range(len(w) - 2),
+        |    i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3])) AS g FROM toks),
+        |xs AS (
+        |  SELECT doc_id, list_transform(g,
+        |    t -> CAST(('0x' || substr(md5(t), 1, 12)) AS BIGINT) % 2147483647) AS x
+        |  FROM grams),
+        |sig AS (
+        |  SELECT doc_id, [
+        |    list_min(list_transform(x, v -> (999983 * v + 12345) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999979 * v + 67891) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999961 * v + 234567) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999959 * v + 345679) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999953 * v + 456789) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999931 * v + 567891) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999917 * v + 678901) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999907 * v + 789013) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999883 * v + 890123) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999863 * v + 901237) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999841 * v + 123457) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999809 * v + 234563) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999773 * v + 345677) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999749 * v + 456791) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999727 * v + 567899) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999721 * v + 678911) % 2147483647))
+        |  ] AS s FROM xs)
+        |SELECT doc_id AS id, CAST(b AS INTEGER) AS band,
+        |  ((((((s[b*4+1] * 1000003 + s[b*4+2]) % 2147483648)
+        |      * 1000003 + s[b*4+3]) % 2147483648)
+        |      * 1000003 + s[b*4+4]) % 2147483648) AS band_hash
+        |FROM sig, range(4) t(b)
+        |ORDER BY id, band""".stripMargin,
     "x08_minhash_candidates" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b
         |FROM documents WHERE doc_id < 25 ORDER BY id_a""".stripMargin,

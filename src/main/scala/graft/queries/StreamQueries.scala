@@ -18,6 +18,22 @@ object StreamQueries {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered.
+    *
+    * A streaming query pins its state-store partition count to the shuffle
+    * partition setting at first plan, and every micro-batch then pays a
+    * fixed cost per state partition (store open, snapshot, commit). On a
+    * production cluster you SIZE this to the executor count; at gate scale
+    * (10k events, single JVM) 32 state stores per micro-batch is pure
+    * fixed overhead, so the streaming gates plan with a small count. Batch
+    * queries in the same session are unaffected — the conf is restored.
+    */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_stream_hourly" -> ((s: SparkSession, dir: String) => {
       // the file-stream source needs a directory: stage the events file
@@ -26,27 +42,29 @@ object StreamQueries {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"),
         staged.resolve("events.parquet"))
-      val stream = s.readStream
-        .schema(eventsSchema)
-        .parquet(staged.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      // decimal-cast inside the streaming agg: partial aggregation order
-      // must not affect the emitted double
-      val agg = stream
-        .withWatermark("ts", "2 hours")
-        .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(DecimalType(18, 2))).as("tv"))
-      val q = agg
-        .select(col("win.start").as("hour_start"), col("event_type"), col("n"),
-          col("tv").cast(DecimalType(38, 2)).cast("double").as("total_value"))
-        .writeStream
-        .format("memory")
-        .queryName("s01_stream_hourly_sink")
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination(120000)
+      withShufflePartitions(s, 4) {
+        val stream = s.readStream
+          .schema(eventsSchema)
+          .parquet(staged.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // decimal-cast inside the streaming agg: partial aggregation order
+        // must not affect the emitted double
+        val agg = stream
+          .withWatermark("ts", "2 hours")
+          .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2))).as("tv"))
+        val q = agg
+          .select(col("win.start").as("hour_start"), col("event_type"), col("n"),
+            col("tv").cast(DecimalType(38, 2)).cast("double").as("total_value"))
+          .writeStream
+          .format("memory")
+          .queryName("s01_stream_hourly_sink")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+      }
       s.table("s01_stream_hourly_sink")
         .orderBy("event_type", "hour_start")
     }),
@@ -86,20 +104,22 @@ object StreamQueries {
       }
       sentinel(1, 2051222400L) // 2035-01-01
       sentinel(2, 2051308800L) // 2035-01-02
-      val stream = s.readStream.schema(eventsSchema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(staged.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .select("event_id", "ts", "user_id", "event_type", "value")
-      val sessions = EventStream.sessionize(stream.as[EventStream.Event],
-        gapMillis = gapMs, watermarkDelay = "0 seconds")
-      val q = sessions.writeStream
-        .format("memory")
-        .queryName("s02_stream_sessions_sink")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination(180000)
+      withShufflePartitions(s, 4) {
+        val stream = s.readStream.schema(eventsSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(staged.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        val sessions = EventStream.sessionize(stream.as[EventStream.Event],
+          gapMillis = gapMs, watermarkDelay = "0 seconds")
+        val q = sessions.writeStream
+          .format("memory")
+          .queryName("s02_stream_sessions_sink")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(180000)
+      }
       s.table("s02_stream_sessions_sink")
         .filter(col("user_id") >= 0)
         .select(col("user_id"), col("session_start"), col("session_end"),
@@ -117,19 +137,21 @@ object StreamQueries {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"),
         staged.resolve("events.parquet"))
-      val stream = s.readStream
-        .schema(eventsSchema)
-        .parquet(staged.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val q = EventStream.dedupStream(stream)
-        .select("user_id", "event_type")
-        .writeStream
-        .format("memory")
-        .queryName("s03_stream_dedup_sink")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination(120000)
+      withShufflePartitions(s, 4) {
+        val stream = s.readStream
+          .schema(eventsSchema)
+          .parquet(staged.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val q = EventStream.dedupStream(stream)
+          .select("user_id", "event_type")
+          .writeStream
+          .format("memory")
+          .queryName("s03_stream_dedup_sink")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+      }
       s.table("s03_stream_dedup_sink")
         .orderBy("user_id", "event_type")
     }))
