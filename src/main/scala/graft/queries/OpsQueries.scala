@@ -235,6 +235,53 @@ object OpsQueries {
       Tables(s, dir, "region").createOrReplaceTempView("region_v")
       s.sql("""SELECT n_name, r_name FROM nation_v JOIN region_v
                ON n_regionkey = r_regionkey ORDER BY n_name""")
+    }),
+
+    // ---- SCD2 history merge: two update batches over a customer
+    // snapshot; every version (closed and open) of every key is
+    // oracle-reconstructable, covering all four merge paths (changed,
+    // unchanged no-op, unseen key, second change of the same key).
+    "op_scd2" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val ts0 = lit("2020-01-01 00:00:00").cast("timestamp")
+      val base = Tables(s, dir, "customer").filter(col("c_custkey") <= 100)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          ts0.as("valid_from"))
+      val hist0 = graft.ops.Scd2.initial(base)
+      val custs = Tables(s, dir, "customer").filter(col("c_custkey") <= 15)
+      val batch1 = custs.select(col("c_custkey"),
+          when(col("c_custkey") <= 5, lit("RENAMED"))
+            .otherwise(col("c_name")).as("c_name"),
+          when(col("c_custkey") >= 11, lit("ARCTIC"))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+          lit("2021-06-01 00:00:00").cast("timestamp").as("ts"))
+        .unionByName((9001 to 9003).map(k => (k.toLong, "NEW", "WEB"))
+          .toDF("c_custkey", "c_name", "c_mktsegment")
+          .withColumn("ts", lit("2021-06-01 00:00:00").cast("timestamp")))
+      val hist1 = graft.ops.Scd2.merge(hist0, batch1,
+        Seq("c_custkey"), Seq("c_name", "c_mktsegment"), "ts")
+      val batch2 = custs.filter(col("c_custkey") <= 3)
+        .select(col("c_custkey"), lit("RENAMED2").as("c_name"),
+          col("c_mktsegment"),
+          lit("2022-01-01 00:00:00").cast("timestamp").as("ts"))
+      graft.ops.Scd2.merge(hist1, batch2,
+          Seq("c_custkey"), Seq("c_name", "c_mktsegment"), "ts")
+        .orderBy("c_custkey", "valid_from")
+    }),
+
+    // ---- declarative validation report: row-local rules fold into one
+    // scan, uniqueness is one hash agg, referential integrity one
+    // anti-join; DuckDB recomputes every count independently.
+    "op_validate" -> ((s: SparkSession, dir: String) => {
+      import graft.ops.Validate
+      Validate.report(Tables(s, dir, "lineitem"), Seq(
+        Validate.NotNull("l_quantity"),
+        Validate.InRange("l_discount", 0.0, 0.05),
+        Validate.InRange("l_tax", 0.0, 0.04),
+        Validate.Matches("l_returnflag", "^[AN]$"),
+        Validate.Unique(Seq("l_orderkey", "l_linenumber")),
+        Validate.References(Seq("l_orderkey"),
+          Tables(s, dir, "orders"), Seq("o_orderkey"))))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -332,5 +379,64 @@ object OpsQueries {
         |FROM nation ORDER BY n_nationkey""".stripMargin,
     "op_query_sql" ->
       """SELECT n_name, r_name FROM nation JOIN region
-        |ON n_regionkey = r_regionkey ORDER BY n_name""".stripMargin)
+        |ON n_regionkey = r_regionkey ORDER BY n_name""".stripMargin,
+    "op_scd2" ->
+      """WITH c AS (SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |           WHERE c_custkey <= 100)
+        |SELECT * FROM (
+        |  SELECT c_custkey, c_name, c_mktsegment,
+        |    TIMESTAMP '2020-01-01 00:00:00' AS valid_from,
+        |    TIMESTAMP '2021-06-01 00:00:00' AS valid_to, FALSE AS is_current
+        |  FROM c WHERE c_custkey <= 5 OR c_custkey BETWEEN 11 AND 15
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_mktsegment,
+        |    TIMESTAMP '2020-01-01 00:00:00', CAST(NULL AS TIMESTAMP), TRUE
+        |  FROM c WHERE (c_custkey BETWEEN 6 AND 10) OR c_custkey >= 16
+        |  UNION ALL
+        |  SELECT c_custkey, 'RENAMED', c_mktsegment,
+        |    TIMESTAMP '2021-06-01 00:00:00',
+        |    TIMESTAMP '2022-01-01 00:00:00', FALSE
+        |  FROM c WHERE c_custkey <= 3
+        |  UNION ALL
+        |  SELECT c_custkey, 'RENAMED', c_mktsegment,
+        |    TIMESTAMP '2021-06-01 00:00:00', CAST(NULL AS TIMESTAMP), TRUE
+        |  FROM c WHERE c_custkey IN (4, 5)
+        |  UNION ALL
+        |  SELECT c_custkey, 'RENAMED2', c_mktsegment,
+        |    TIMESTAMP '2022-01-01 00:00:00', CAST(NULL AS TIMESTAMP), TRUE
+        |  FROM c WHERE c_custkey <= 3
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, 'ARCTIC',
+        |    TIMESTAMP '2021-06-01 00:00:00', CAST(NULL AS TIMESTAMP), TRUE
+        |  FROM c WHERE c_custkey BETWEEN 11 AND 15
+        |  UNION ALL
+        |  SELECT CAST(9000 + k AS BIGINT), 'NEW', 'WEB',
+        |    TIMESTAMP '2021-06-01 00:00:00', CAST(NULL AS TIMESTAMP), TRUE
+        |  FROM range(1, 4) t(k)
+        |) ORDER BY c_custkey, valid_from""".stripMargin,
+    "op_validate" ->
+      """SELECT * FROM (
+        |  SELECT 'in_range:l_discount' AS "check",
+        |    CAST((SELECT count(*) FROM lineitem WHERE l_discount IS NOT NULL
+        |      AND (l_discount < 0.0 OR l_discount > 0.05)) AS BIGINT) AS violations
+        |  UNION ALL
+        |  SELECT 'in_range:l_tax', CAST((SELECT count(*) FROM lineitem
+        |    WHERE l_tax IS NOT NULL AND (l_tax < 0.0 OR l_tax > 0.04)) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'matches:l_returnflag', CAST((SELECT count(*) FROM lineitem
+        |    WHERE l_returnflag IS NOT NULL
+        |    AND NOT regexp_matches(l_returnflag, '^[AN]$')) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'not_null:l_quantity', CAST((SELECT count(*) FROM lineitem
+        |    WHERE l_quantity IS NULL) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'references:l_orderkey', CAST((SELECT count(*) FROM lineitem l
+        |    WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (
+        |      SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'unique:l_orderkey,l_linenumber',
+        |    CAST(COALESCE((SELECT sum(n - 1) FROM (
+        |      SELECT count(*) AS n FROM lineitem
+        |      GROUP BY l_orderkey, l_linenumber)), 0) AS BIGINT)
+        |) ORDER BY "check"""".stripMargin)
 }

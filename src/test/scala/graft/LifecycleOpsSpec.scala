@@ -1,0 +1,128 @@
+package graft
+
+import graft.ops.{Scd2, Validate}
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** SCD2 merge semantics (all four merge paths, idempotence of a no-op
+  * batch) and the validation report (each rule kind, one-scan plan for
+  * row-local rules).
+  */
+class Scd2Spec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def snapshot = {
+    val spark0 = spark
+    import spark0.implicits._
+    Seq((1L, "alice", "A"), (2L, "bob", "B"), (3L, "carol", "C"))
+      .toDF("id", "name", "seg")
+      .withColumn("valid_from", lit(ts("2020-01-01 00:00:00")))
+  }
+
+  test("merge closes changed rows, appends new versions, keeps the rest") {
+    val spark0 = spark
+    import spark0.implicits._
+    val hist0 = Scd2.initial(snapshot)
+    val updates = Seq(
+      (1L, "alice2", "A"), // changed name
+      (2L, "bob", "B"),    // unchanged -> no-op
+      (9L, "zoe", "Z"))    // unseen key
+      .toDF("id", "name", "seg")
+      .withColumn("ts", lit(ts("2021-01-01 00:00:00")))
+    val out = Scd2.merge(hist0, updates, Seq("id"), Seq("name", "seg"), "ts")
+      .orderBy("id", "valid_from")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getTimestamp(4)).map(_.toString), r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      (1L, "alice", Some("2021-01-01 00:00:00.0"), false),
+      (1L, "alice2", None, true),
+      (2L, "bob", None, true),
+      (3L, "carol", None, true),
+      (9L, "zoe", None, true)))
+  }
+
+  test("a second merge versions the same key again; closed rows immutable") {
+    val spark0 = spark
+    import spark0.implicits._
+    val u1 = Seq((1L, "v2", "A")).toDF("id", "name", "seg")
+      .withColumn("ts", lit(ts("2021-01-01 00:00:00")))
+    val u2 = Seq((1L, "v3", "A")).toDF("id", "name", "seg")
+      .withColumn("ts", lit(ts("2022-01-01 00:00:00")))
+    val h2 = Scd2.merge(Scd2.merge(Scd2.initial(snapshot), u1,
+        Seq("id"), Seq("name", "seg"), "ts"),
+      u2, Seq("id"), Seq("name", "seg"), "ts")
+    val key1 = h2.filter(col("id") === 1).orderBy("valid_from")
+      .select("name", "is_current").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toSeq
+    assert(key1 == Seq(("alice", false), ("v2", false), ("v3", true)))
+    // exactly one open row per live key
+    val opens = h2.filter(col("is_current")).groupBy("id").count()
+      .filter(col("count") =!= 1).count()
+    assert(opens == 0)
+  }
+
+  test("batch with several updates per key applies only the latest") {
+    val spark0 = spark
+    import spark0.implicits._
+    val updates = Seq(
+      (1L, "mid", "A", ts("2021-01-01 00:00:00")),
+      (1L, "late", "A", ts("2021-06-01 00:00:00")))
+      .toDF("id", "name", "seg", "ts")
+    val out = Scd2.merge(Scd2.initial(snapshot), updates,
+      Seq("id"), Seq("name", "seg"), "ts")
+    val open = out.filter(col("id") === 1 && col("is_current"))
+      .select("name").collect().map(_.getString(0)).toSeq
+    assert(open == Seq("late"))
+  }
+}
+
+class ValidateSpec extends SparkSpec {
+
+  test("each rule kind counts its violations") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(
+      (Some(1L), Some(0.02), "A"),
+      (Some(1L), Some(0.20), "A"), // dup key + out of range
+      (Some(2L), None, "A"),       // null value ok (range exempts nulls)
+      (None, Some(0.01), "B"),     // null key
+      (Some(7L), Some(0.03), "x")) // bad flag + missing in dim
+      .toDF("k", "v", "flag")
+    val dim = Seq(1L, 2L).toDF("dk")
+    val rep = Validate.report(df, Seq(
+      Validate.NotNull("k"),
+      Validate.InRange("v", 0.0, 0.05),
+      Validate.Matches("flag", "^[AB]$"),
+      Validate.Unique(Seq("k")),
+      Validate.References(Seq("k"), dim, Seq("dk"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep == Map(
+      "not_null:k" -> 1L,
+      "in_range:v" -> 1L,
+      "matches:flag" -> 1L,
+      "unique:k" -> 1L, // key 1 twice -> one surplus row (null keys distinct-ish is fine: one null only)
+      "references:k" -> 1L))
+  }
+
+  test("passes() is the boolean gate form") {
+    val spark0 = spark
+    import spark0.implicits._
+    val clean = Seq((1L, 0.01), (2L, 0.02)).toDF("k", "v")
+    assert(Validate.passes(clean,
+      Seq(Validate.NotNull("k"), Validate.InRange("v", 0.0, 0.05))))
+    assert(!Validate.passes(clean, Seq(Validate.InRange("v", 0.0, 0.015))))
+  }
+
+  test("row-local rules share one aggregate (single scan, no join)") {
+    val df = Tables(spark, SparkTestBase.Sf0001, "lineitem")
+    val plan = Validate.report(df, Seq(
+      Validate.NotNull("l_quantity"),
+      Validate.InRange("l_discount", 0.0, 0.05),
+      Validate.Matches("l_returnflag", "^[ARN]$")))
+      .queryExecution.optimizedPlan.toString
+    // one scan of lineitem for all three rules
+    assert("Relation \\[".r.findAllIn(plan).size == 1, plan)
+  }
+}
