@@ -283,6 +283,49 @@ object ExtQueries {
       val media = Multimodal.attachPayload(d, "doc_id", "text")
       Multimodal.sampleFrames(media, stride = 64)
         .orderBy("media_id", "frame_idx")
+    }),
+
+    // ---- benchmark hygiene: train/test contamination by shared word
+    // 3-grams over the hash split — set-reduce + one join + one agg,
+    // never document-pairwise; DuckDB recomputes the full report.
+    "x22_contamination" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      val (train, test) = Sampling.splitByHash(d, col("doc_id"), testPercent = 20)
+      graft.ext.Contamination.report(train, test,
+          col("doc_id"), col("text"), col("doc_id"), col("text"), n = 3)
+        .orderBy("test_id")
+    }),
+
+    // ---- quantile cut: per-language p75 length threshold (exact
+    // interpolated percentile — partial-aggregable count-map, memory
+    // bounded by the value domain, not row count) then filter + profile.
+    "x23_percentile_cut" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      val thr = d.groupBy("lang")
+        .agg(expr("percentile(n_chars, 0.75)").as("thr"))
+      d.join(broadcast(thr), Seq("lang"))
+        .filter(col("n_chars").cast("double") >= col("thr"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_keep"), min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"))
+        .join(broadcast(thr), Seq("lang"))
+        .select(col("lang"), col("thr"), col("n_keep"),
+          col("min_chars"), col("max_chars"))
+        .orderBy("lang")
+    }),
+
+    // ---- z-order layout: Morton cells of (partkey, suppkey) — the
+    // clustering key under `ZOrder.clusteredWrite`; closed-form bit
+    // arithmetic, identical in any engine with shifts and masks.
+    "x24_zorder_cells" -> ((s: SparkSession, dir: String) => {
+      val li = Tables(s, dir, "lineitem")
+      li.select(graft.ops.ZOrder.zValue(
+            pmod(col("l_partkey"), lit(1024)).cast("int"),
+            pmod(col("l_suppkey"), lit(1024)).cast("int")).as("z"))
+        .select(shiftright(col("z"), 14).as("cell"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("cell")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -512,5 +555,57 @@ object ExtQueries {
         |  CAST(f * 64 AS BIGINT) AS frame_offset
         |FROM documents, unnest(range(((strlen(text) - 1) // 64) + 1)) AS t(f)
         |WHERE doc_id < 10
-        |ORDER BY media_id, frame_idx""".stripMargin)
+        |ORDER BY media_id, frame_idx""".stripMargin,
+    "x22_contamination" ->
+      """WITH sp AS (
+        |  SELECT doc_id, text,
+        |    (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 29791
+        |     + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) * 961
+        |     + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) * 31
+        |     + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 4, 1))) % 100 < 20
+        |      AS is_test
+        |  FROM documents),
+        |tg AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id, unnest(list_transform(range(len(w) - 2),
+        |      i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3]))) AS gram
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM sp
+        |          WHERE is_test))),
+        |trg AS (
+        |  SELECT DISTINCT gram FROM (
+        |    SELECT unnest(list_transform(range(len(w) - 2),
+        |      i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3]))) AS gram
+        |    FROM (SELECT string_split(text, ' ') AS w FROM sp
+        |          WHERE NOT is_test)))
+        |SELECT tg.doc_id AS test_id,
+        |  CAST(sum(CASE WHEN trg.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS shared_ngrams,
+        |  CAST(count(*) AS BIGINT) AS test_ngrams,
+        |  CAST(sum(CASE WHEN trg.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS contamination
+        |FROM tg LEFT JOIN trg ON tg.gram = trg.gram
+        |GROUP BY tg.doc_id HAVING shared_ngrams >= 1
+        |ORDER BY test_id""".stripMargin,
+    "x23_percentile_cut" ->
+      """WITH thr AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.75) AS thr
+        |  FROM documents GROUP BY lang)
+        |SELECT d.lang, t.thr, CAST(count(*) AS BIGINT) AS n_keep,
+        |  min(d.n_chars) AS min_chars, max(d.n_chars) AS max_chars
+        |FROM documents d JOIN thr t ON d.lang = t.lang
+        |WHERE CAST(d.n_chars AS DOUBLE) >= t.thr
+        |GROUP BY d.lang, t.thr ORDER BY d.lang""".stripMargin,
+    "x24_zorder_cells" ->
+      """WITH b AS (
+        |  SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y FROM lineitem),
+        |s1 AS (SELECT (x | (x << 8)) & 16711935 AS x,
+        |              (y | (y << 8)) & 16711935 AS y FROM b),
+        |s2 AS (SELECT (x | (x << 4)) & 252645135 AS x,
+        |              (y | (y << 4)) & 252645135 AS y FROM s1),
+        |s3 AS (SELECT (x | (x << 2)) & 858993459 AS x,
+        |              (y | (y << 2)) & 858993459 AS y FROM s2),
+        |s4 AS (SELECT (x | (x << 1)) & 1431655765 AS x,
+        |              (y | (y << 1)) & 1431655765 AS y FROM s3)
+        |SELECT ((x | (y << 1)) >> 14) AS cell, CAST(count(*) AS BIGINT) AS n
+        |FROM s4 GROUP BY cell ORDER BY cell""".stripMargin)
 }

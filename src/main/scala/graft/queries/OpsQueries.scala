@@ -229,6 +229,39 @@ object OpsQueries {
       graft.sources.Sources.jdbc(s, url, "nation_rt").orderBy("n_nationkey")
     }),
 
+    // ---- sources: CSV sink + schema-supplied scan (the `full_schema`
+    // analog — no inference pass on read). Doubles survive because the
+    // writer emits Java shortest-round-trip representations.
+    "op_csv_roundtrip" -> ((s: SparkSession, dir: String) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-csv-gate").toString
+      val part = Tables(s, dir, "part")
+        .select("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
+      graft.sources.Sources.writeCsv(part, s"$out/part_rt")
+      graft.sources.Sources.csv(s, s"$out/part_rt", Some(part.schema))
+        .orderBy("p_partkey")
+    }),
+
+    // ---- sources: JSON-lines sink read back through OUR warehouse-rule
+    // inference (ints ⇒ INTEGER/Long, strings ⇒ STRING — not Spark's
+    // JSON inference), closing the write→infer→load loop end to end.
+    "op_json_roundtrip" -> ((s: SparkSession, dir: String) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-json-gate").toString
+      val docs = Tables(s, dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+      graft.sources.Sources.writeJsonLines(docs, s"$out/docs_rt")
+      graft.sources.Sources.jsonRecords(s, s"$out/docs_rt")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // ---- sources: ORC sink + scan (the non-parquet columnar leg).
+    "op_orc_roundtrip" -> ((s: SparkSession, dir: String) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-orc-gate").toString
+      val supp = Tables(s, dir, "supplier")
+      graft.sources.Sources.writeOrc(supp, s"$out/supp_rt")
+      graft.sources.Sources.orc(s, s"$out/supp_rt").orderBy("s_suppkey")
+    }),
+
     // ---- op #45: query(sql) — full Catalyst SQL over registered tables.
     "op_query_sql" -> ((s: SparkSession, dir: String) => {
       Tables(s, dir, "nation").createOrReplaceTempView("nation_v")
@@ -380,6 +413,15 @@ object OpsQueries {
     "op_query_sql" ->
       """SELECT n_name, r_name FROM nation JOIN region
         |ON n_regionkey = r_regionkey ORDER BY n_name""".stripMargin,
+    "op_csv_roundtrip" ->
+      """SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "op_json_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "op_orc_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "op_scd2" ->
       """WITH c AS (SELECT c_custkey, c_name, c_mktsegment FROM customer
         |           WHERE c_custkey <= 100)

@@ -74,6 +74,27 @@ object Sources {
     df.write.mode(mode).jdbc(url, table, props)
   }
 
+  /** ORC scan (columnar alternative to parquet; same pushdown/pruning). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** CSV sink with header — flat schemas only (CSV has no nesting). */
+  def writeCsv(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("header", "true").csv(path)
+
+  /** JSON-lines sink — the wire format of the reference's chunked
+    * streaming insert (`/root/reference/src/load_datawarehouse/data.py:146-177`
+    * measures exactly this serialization); reads back through
+    * `jsonRecords`, i.e. OUR inference rules, closing the loop
+    * write→infer→load.
+    */
+  def writeJsonLines(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+
+  /** ORC sink. */
+  def writeOrc(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
+
   /** Round-trip helper: load any supported source into the warehouse
     * table shape (cleaned keys + recorded api_repr schema).
     */

@@ -1,0 +1,71 @@
+package graft
+
+import graft.ext.Contamination
+import graft.ops.ZOrder
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-3 extensions: Morton coding and the
+  * contamination report.
+  */
+class ZOrderSpec extends SparkSpec {
+
+  test("zValue interleaves bits (known values) and is injective on a grid") {
+    val spark0 = spark
+    import spark0.implicits._
+    val grid = (for (x <- 0 until 32; y <- 0 until 32) yield (x, y)).toDF("x", "y")
+    val z = grid.select(col("x"), col("y"),
+      ZOrder.zValue(col("x"), col("y")).as("z"))
+    // spot values: z(1,0)=1, z(0,1)=2, z(3,5)=interleave(011,101)=100111=39
+    val m = z.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(m((0, 0)) == 0L && m((1, 0)) == 1L && m((0, 1)) == 2L)
+    assert(m((3, 5)) == 39L && m((7, 7)) == 63L)
+    // bijective over the grid
+    assert(z.select("z").distinct().count() == 32L * 32L)
+  }
+
+  test("clusteredWrite bounds both dimensions per output file") {
+    val spark0 = spark
+    import spark0.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val df = (for (x <- 0 until 64; y <- 0 until 64) yield (x, y)).toDF("x", "y")
+    ZOrder.clusteredWrite(df, "x", "y", s"$out/t", numFiles = 16)
+    // every file's (x,y) envelope must cover far less than the full
+    // domain on BOTH axes — the point of z-clustering vs single-column
+    // sort (where y's per-file envelope stays ~the full range)
+    val perFile = spark.read.parquet(s"$out/t")
+      .withColumn("f", input_file_name())
+      .groupBy("f")
+      .agg((max("x") - min("x")).as("xr"), (max("y") - min("y")).as("yr"))
+      .agg(max("xr"), max("yr")).collect()(0)
+    assert(perFile.getInt(0) <= 31 && perFile.getInt(1) <= 31,
+      s"envelopes too wide: $perFile")
+  }
+}
+
+class ContaminationSpec extends SparkSpec {
+
+  test("report counts shared distinct n-grams per test doc") {
+    val spark0 = spark
+    import spark0.implicits._
+    val train = Seq((1L, "the quick brown fox jumps")).toDF("id", "text")
+    val test = Seq(
+      (10L, "the quick brown fox runs"), // shares 2 of 3 grams
+      (11L, "completely different words here now"), // shares 0
+      (12L, "the quick brown fox jumps")) // identical: 3 of 3
+      .toDF("id", "text")
+    val rep = Contamination.report(train, test, col("id"), col("text"),
+        col("id"), col("text"), n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rep == Map(10L -> ((2L, 3L)), 12L -> ((3L, 3L))))
+  }
+
+  test("hashed and string paths agree on the test corpus") {
+    val d = Tables(spark, SparkTestBase.Sf0001, "documents")
+    val (train, test) = graft.ext.Sampling.splitByHash(d, col("doc_id"), 20)
+    def run(h: Boolean) = Contamination.report(train, test, col("doc_id"),
+        col("text"), col("doc_id"), col("text"), n = 3, hashed = h)
+      .select("test_id", "shared_ngrams", "test_ngrams")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(true) == run(false))
+  }
+}

@@ -75,4 +75,34 @@ class SourcesSpec extends SparkSpec {
     Sources.writeJdbc(df, url, "loaded_rows", SaveMode.Append)
     assert(Sources.jdbc(spark, url, "loaded_rows").count() == 6)
   }
+
+  test("json-lines sink reads back through warehouse-rule inference") {
+    val spark0 = spark
+    import spark0.implicits._
+    val out = Files.createTempDirectory("graft-jsonl").toString
+    val df = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "name", "n")
+    Sources.writeJsonLines(df, s"$out/t")
+    val back = Sources.jsonRecords(spark, s"$out/t")
+    // OUR lattice: JSON ints land as LongType (INTEGER), strings as String
+    assert(back.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(back.schema("n").dataType == org.apache.spark.sql.types.LongType)
+    assert(back.select("id", "name", "n").orderBy("id").collect().map(
+      r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "a", 10L), (2L, "b", 20L)))
+  }
+
+  test("orc sink + scan round trip preserves schema and rows") {
+    val spark0 = spark
+    import spark0.implicits._
+    val out = Files.createTempDirectory("graft-orc").toString
+    val df = Seq((1L, "x", 1.5), (2L, "y", 2.5)).toDF("id", "name", "v")
+    Sources.writeOrc(df, s"$out/t")
+    val back = Sources.orc(spark, s"$out/t")
+    // files read back fully nullable (same as parquet) — names/types hold
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.orderBy("id").collect().map(
+      r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1L, "x", 1.5), (2L, "y", 2.5)))
+  }
 }
