@@ -242,6 +242,15 @@ object Dedup {
       .repartition(col("dst"))
     var labels = nodes.withColumn("component", col("id"))
     for (_ <- 1 to iterations) {
+      // neighbor-min: each node takes the smallest label in its closed
+      // neighborhood (the self-edges make it closed). Deliberately NOT
+      // pointer-jumped: the jump is a self-join of the evolving label
+      // table, which doubles the unresolved plan per round (2^k growth —
+      // Catalyst analysis, not execution, becomes the bottleneck) unless
+      // each round materializes; materializing would leak persisted
+      // blocks into the caller's session. Linear rounds keep the plan
+      // linear; candidate graphs here are near-dup clusters with tiny
+      // diameters, so `iterations` stays single-digit.
       labels = edges.alias("e")
         .join(labels.alias("l"), col("e.dst") === col("l.id"))
         .groupBy(col("e.src").as("id"))

@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.streaming.EventStream
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.warehouse.SparkWarehouse
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -154,6 +155,98 @@ object StreamQueries {
       }
       s.table("s03_stream_dedup_sink")
         .orderBy("user_id", "event_type")
+    }),
+
+    // ---- stream-stream inner join (clicks attributed to purchases
+    // within a 30-minute lookback): both sides watermarked, the
+    // time-range predicate bounds join state — the state store retains
+    // only a 30-minute window per key once watermarks advance. The
+    // generous gate watermark keeps every match (nothing is late), so
+    // the batch join is an exact oracle.
+    "s04_stream_join" -> ((s: SparkSession, dir: String) => {
+      val staged = java.nio.file.Files.createTempDirectory("graft-s04")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      withShufflePartitions(s, 4) {
+        def side(et: String) = s.readStream.schema(eventsSchema)
+          .parquet(staged.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .filter(col("event_type") === et)
+        val p = side("purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts").as("p_ts"))
+          .withWatermark("p_ts", "30 days")
+        val c = side("click")
+          .select(col("event_id").as("click_id"),
+            col("user_id").as("c_user"), col("ts").as("c_ts"))
+          .withWatermark("c_ts", "30 days")
+        val joined = p.join(c, col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c_ts") <= col("p_ts"))
+        val q = joined.select(col("purchase_id"), col("click_id"), col("user_id"))
+          .writeStream
+          .format("memory")
+          .queryName("s04_stream_join_sink")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+      }
+      s.table("s04_stream_join_sink").orderBy("purchase_id", "click_id")
+    }),
+
+    // ---- streaming MERGE sink: foreachBatch folds each micro-batch's
+    // per-user counts into a warehouse table through the key-based
+    // upsert (atomic tmp-write + swap per batch). Two staged files ⇒
+    // the merge really runs incrementally across micro-batches; the
+    // final table equals the one-shot batch aggregate regardless of
+    // batch boundaries (addition commutes), which DuckDB recomputes.
+    "s05_stream_upsert" -> ((s: SparkSession, dir: String) => {
+      val staged = java.nio.file.Files.createTempDirectory("graft-s05")
+      def stage(n: Int, pred: org.apache.spark.sql.Column): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft-s05-tmp$n")
+        s.read.parquet(s"$dir/events.parquet").filter(pred)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = staged.resolve(s"$n.parquet")
+        java.nio.file.Files.copy(part.toPath, dest)
+        dest.toFile.setLastModified(1000000000L + n * 1000000L)
+      }
+      stage(0, pmod(col("event_id"), lit(2)) === 0)
+      stage(1, pmod(col("event_id"), lit(2)) === 1)
+      val wh = new SparkWarehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-s05-wh").toString)
+      withShufflePartitions(s, 4) {
+        val stream = s.readStream.schema(eventsSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(staged.toString)
+        val q = stream.select("user_id").writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+            val agg = batch.groupBy("user_id").agg(count(lit(1)).as("n"))
+            wh.get("user_counts") match {
+              case Right(cur) =>
+                val combined = cur.withColumnRenamed("n", "_old")
+                  .join(agg, Seq("user_id"), "full_outer")
+                  .select(col("user_id"),
+                    (coalesce(col("_old"), lit(0L))
+                      + coalesce(col("n"), lit(0L))).as("n"))
+                wh.upsert("user_counts", combined, Seq("user_id")).fold(
+                  e => throw new RuntimeException(e.message), identity)
+              case Left(_) =>
+                wh.load("user_counts", agg).fold(
+                  e => throw new RuntimeException(e.message), _ => ())
+            }
+            ()
+          }
+          .option("checkpointLocation", staged.resolve("_ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+      }
+      wh.get("user_counts").fold(
+        e => throw new RuntimeException(e.message), identity).orderBy("user_id")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -186,5 +279,17 @@ object StreamQueries {
         |ORDER BY user_id, session_start""".stripMargin,
     "s03_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
-        |ORDER BY user_id, event_type""".stripMargin)
+        |ORDER BY user_id, event_type""".stripMargin,
+    "s04_stream_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |JOIN (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin,
+    "s05_stream_upsert" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
 }
