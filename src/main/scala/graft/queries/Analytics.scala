@@ -58,6 +58,24 @@ object Analytics {
         .orderBy($"user_id")
     }),
 
+    // ---- Spark's BUILT-IN session_window in batch mode (the declarative
+    // twin of a03's hand-rolled gaps-and-islands and of the streaming
+    // s02): one hash shuffle on user_id, sessions assembled by the
+    // native SessionWindow operator. Note the boundary delta: a gap of
+    // EXACTLY the gap duration starts a new session here (ts >= prev
+    // end), where a03's lag-based form uses strictly-greater — the
+    // oracle encodes >=.
+    "a08_session_window" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          max($"n_events").as("longest_session"))
+        .orderBy($"user_id")
+    }),
+
     // ---- HLL sketch: approximate distinct counts per group. The sketch
     // estimate itself is engine-specific (HLL++ register layout), so the
     // ORACLED contract is the sketch's ACCURACY: the exact distinct count
@@ -154,6 +172,26 @@ object Analytics {
         |), per_session AS (
         |  SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events
         |  FROM sessioned GROUP BY user_id, session_id
+        |)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(max(n_events) AS BIGINT) AS longest_session
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "a08_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER win IS NULL THEN 1
+        |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER win) >= 1800000000
+        |           THEN 1
+        |         ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked
+        |), per_session AS (
+        |  SELECT user_id, sid, count(*) AS n_events FROM s GROUP BY user_id, sid
         |)
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
         |  CAST(max(n_events) AS BIGINT) AS longest_session

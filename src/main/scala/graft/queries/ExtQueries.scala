@@ -314,6 +314,19 @@ object ExtQueries {
         .orderBy("lang")
     }),
 
+    // ---- corpus heavy hitters: exact token frequency top-k — partial
+    // (map-side) aggregation collapses per-partition counts before the
+    // single shuffle, and the top-k is TakeOrderedAndProject, never a
+    // global sort.
+    "x25_heavy_hitters" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      d.select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
+    }),
+
     // ---- z-order layout: Morton cells of (partkey, suppkey) — the
     // clustering key under `ZOrder.clusteredWrite`; closed-form bit
     // arithmetic, identical in any engine with shifts and masks.
@@ -595,6 +608,11 @@ object ExtQueries {
         |FROM documents d JOIN thr t ON d.lang = t.lang
         |WHERE CAST(d.n_chars AS DOUBLE) >= t.thr
         |GROUP BY d.lang, t.thr ORDER BY d.lang""".stripMargin,
+    "x25_heavy_hitters" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
     "x24_zorder_cells" ->
       """WITH b AS (
         |  SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y FROM lineitem),

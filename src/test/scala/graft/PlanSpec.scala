@@ -131,4 +131,37 @@ class PartitionPruningSpec extends SparkSpec {
       .listFiles().count(f => f.isDirectory && f.getName.startsWith("month="))
     assert(dirs == 6, s"expected 6 partition dirs, got $dirs")
   }
+
+  test("scd2 merge plans exactly one join over the current slice") {
+    val spark0 = spark
+    import spark0.implicits._
+    val hist = graft.ops.Scd2.initial(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+        .withColumn("valid_from",
+          lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))))
+    val upd = Seq((1L, "a2")).toDF("id", "name")
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2021-01-01 00:00:00")))
+    val plan = graft.ops.Scd2.merge(hist, upd, Seq("id"), Seq("name"), "ts")
+      .queryExecution.optimizedPlan.toString
+    val joins = "Join ".r.findAllIn(plan).size
+    assert(joins == 1, s"expected 1 join (close+reopen from one pass), got $joins:\n$plan")
+  }
+
+  test("contamination report: keyed joins only, never cartesian") {
+    val d = Tables(spark, sf0001, "documents")
+    val (train, test) = graft.ext.Sampling.splitByHash(d, col("doc_id"), 20)
+    val plan = graft.ext.Contamination.report(train, test, col("doc_id"),
+        col("text"), col("doc_id"), col("text"), n = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$plan")
+  }
+
+  test("heavy hitters: partial aggregation + TakeOrderedAndProject") {
+    val plan = SparkEntry.queries("x25_heavy_hitters")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      s"partial agg lost:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k plan lost:\n$plan")
+  }
 }
