@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text analysis for large-scale training-data pipelines: token counting,
@@ -168,4 +168,36 @@ object TextAnalysis {
     * hot paths project `tokens(text)` first and use `wordNgramsOver`).
     */
   def wordNgrams(text: Column, n: Int): Column = wordNgramsOver(tokens(text), n)
+
+  /** Top-k distinguishing terms per document, TF-IDF-shaped: score =
+    * tf · (N / df) — term frequency times inverse document frequency as
+    * a plain ratio rather than the textbook log(N/df). The ranking is
+    * identical for a single-term ordering (x ↦ log x is monotone); the
+    * ratio keeps the score ONE exact IEEE division on integer-valued
+    * doubles, so any engine reproduces the ordering bit-for-bit — the
+    * same portability trade as the quantized cosine in `Similarity`.
+    *
+    * Plan shape: one explode + two hash aggregations (per-(doc,term) tf,
+    * per-term df), one join keyed on the term, and a window PARTITIONED
+    * by document for the top-k — every stage keyed, nothing global.
+    */
+  def topDistinguishingTerms(docs: DataFrame, idCol: Column, textCol: Column,
+                             k: Int = 3): DataFrame = {
+    val terms = docs
+      .select(idCol.as("doc_id"), explode(tokens(textCol)).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(idCol).distinct().count()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .withColumn("score",
+        col("tf").cast("double") * lit(n.toDouble) / col("df").cast("double"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), col("tf"), col("df"), col("score"))
+  }
 }

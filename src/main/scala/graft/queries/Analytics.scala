@@ -76,6 +76,30 @@ object Analytics {
         .orderBy($"user_id")
     }),
 
+    // ---- point-in-interval join via the binned equi-join decomposition
+    // (RangeJoin): 40 deterministic 5-hour windows every 18 hours over
+    // January 2024, events assigned by [start, end) containment. The
+    // oracle runs the same join as a plain range predicate.
+    "a09_range_join" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val base = 1704067200000000L // 2024-01-01T00:00:00Z epoch micros
+      val hour = 3600000000L
+      val iv = s.range(40).select($"id".as("interval_id"),
+        timestamp_micros(lit(base) + $"id" * lit(18L * hour)).as("w_start"),
+        timestamp_micros(lit(base) + $"id" * lit(18L * hour) + lit(5L * hour))
+          .as("w_end"))
+      graft.ops.RangeJoin.joinPointsToIntervals(
+          Tables.events(s, dir), col("ts"), iv,
+          col("w_start"), col("w_end"), binMicros = 6L * hour)
+        .groupBy($"interval_id")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast(DecimalType(18, 2))).as("_tv"))
+        .select($"interval_id", $"n",
+          $"_tv".cast(DecimalType(38, 2)).cast("double").as("total_value"))
+        .orderBy($"interval_id")
+    }),
+
     // ---- HLL sketch: approximate distinct counts per group. The sketch
     // estimate itself is engine-specific (HLL++ register layout), so the
     // ORACLED contract is the sketch's ACCURACY: the exact distinct count
@@ -176,6 +200,19 @@ object Analytics {
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
         |  CAST(max(n_events) AS BIGINT) AS longest_session
         |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "a09_range_join" ->
+      """WITH iv AS (
+        |  SELECT k AS interval_id,
+        |    TIMESTAMP '2024-01-01 00:00:00' + k * INTERVAL 18 HOUR AS w_start,
+        |    TIMESTAMP '2024-01-01 00:00:00' + k * INTERVAL 18 HOUR
+        |      + INTERVAL 5 HOUR AS w_end
+        |  FROM range(40) t(k))
+        |SELECT iv.interval_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+        |    AS DOUBLE) AS total_value
+        |FROM iv JOIN events e
+        |  ON e.ts >= iv.w_start AND e.ts < iv.w_end
+        |GROUP BY iv.interval_id ORDER BY iv.interval_id""".stripMargin,
     "a08_session_window" ->
       """WITH marked AS (
         |  SELECT user_id, ts, event_id,

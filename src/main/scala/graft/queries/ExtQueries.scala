@@ -327,6 +327,15 @@ object ExtQueries {
         .limit(20)
     }),
 
+    // ---- TF-IDF distinguishing terms: per-document top-3 by
+    // tf·(N/df) — the exact-ratio idf (log-free, ordering-identical),
+    // so DuckDB reproduces every score and rank bit-for-bit.
+    "x26_tfidf_terms" -> ((s: SparkSession, dir: String) => {
+      TextAnalysis.topDistinguishingTerms(
+          Tables(s, dir, "documents"), col("doc_id"), col("text"), k = 3)
+        .orderBy("doc_id", "rank")
+    }),
+
     // ---- z-order layout: Morton cells of (partkey, suppkey) — the
     // clustering key under `ZOrder.clusteredWrite`; closed-form bit
     // arithmetic, identical in any engine with shifts and masks.
@@ -608,6 +617,29 @@ object ExtQueries {
         |FROM documents d JOIN thr t ON d.lang = t.lang
         |WHERE CAST(d.n_chars AS DOUBLE) >= t.thr
         |GROUP BY d.lang, t.thr ORDER BY d.lang""".stripMargin,
+    "x26_tfidf_terms" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM terms WHERE term <> '' GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+        |       GROUP BY term),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n
+        |      FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    CAST(tf.tf AS DOUBLE) * n.n / CAST(df.df AS DOUBLE) AS score
+        |  FROM tf JOIN df USING (term), n),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, df, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, tf, df, score
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
     "x25_heavy_hitters" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)

@@ -157,6 +157,22 @@ class PartitionPruningSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$plan")
   }
 
+  test("binned range join plans a hash join, never nested-loop") {
+    val spark0 = spark
+    import spark0.implicits._
+    val base = 1704067200000000L
+    val iv = spark.range(10).select($"id".as("iid"),
+      timestamp_micros(lit(base) + $"id" * lit(3600000000L)).as("s"),
+      timestamp_micros(lit(base) + $"id" * lit(3600000000L) + lit(1800000000L))
+        .as("e"))
+    val pts = Tables.events(spark, sf0001).select($"event_id", $"ts")
+    val plan = graft.ops.RangeJoin.joinPointsToIntervals(pts, $"ts", iv,
+        $"s", $"e", binMicros = 3600000000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"nested-loop range join:\n$plan")
+  }
+
   test("heavy hitters: partial aggregation + TakeOrderedAndProject") {
     val plan = SparkEntry.queries("x25_heavy_hitters")(spark, sf0001)
       .queryExecution.executedPlan.toString

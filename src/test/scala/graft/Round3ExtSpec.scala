@@ -42,6 +42,48 @@ class ZOrderSpec extends SparkSpec {
   }
 }
 
+class RangeJoinSpec extends SparkSpec {
+
+  test("half-open boundaries and multi-bin intervals match exactly") {
+    val spark0 = spark
+    import spark0.implicits._
+    def ts(us: Long) = timestamp_micros(lit(us))
+    // interval [100s, 300s) spans several 60s bins; points probe both ends
+    val iv = Seq(1L).toDF("iid")
+      .select(col("iid"), ts(100000000L).as("s"), ts(300000000L).as("e"))
+    val pts = Seq(
+      (10L, 99999999L),  // just before start -> out
+      (11L, 100000000L), // at start (inclusive) -> in
+      (12L, 200000000L), // middle, different bin -> in
+      (13L, 299999999L), // just before end -> in
+      (14L, 300000000L)) // at end (exclusive) -> out
+      .toDF("pid", "us")
+      .select(col("pid"), timestamp_micros(col("us")).as("ts"))
+    val got = graft.ops.RangeJoin.joinPointsToIntervals(pts, col("ts"), iv,
+        col("s"), col("e"), binMicros = 60000000L)
+      .select("pid").collect().map(_.getLong(0)).toSet
+    assert(got == Set(11L, 12L, 13L))
+  }
+
+  test("agrees with the naive cross-filter join on random data") {
+    val spark0 = spark
+    import spark0.implicits._
+    val iv = spark.range(20).select(col("id").as("iid"),
+      timestamp_micros(col("id") * 7000000L + 1000000L).as("s"),
+      timestamp_micros(col("id") * 7000000L + 5000000L).as("e"))
+    val pts = spark.range(500).select(col("id").as("pid"),
+      timestamp_micros(pmod(col("id") * 104729L, lit(150000000L)).cast("long"))
+        .as("ts"))
+    val binned = graft.ops.RangeJoin.joinPointsToIntervals(pts, col("ts"), iv,
+        col("s"), col("e"), binMicros = 3000000L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = pts.crossJoin(iv)
+      .filter(col("ts") >= col("s") && col("ts") < col("e"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(binned == naive)
+  }
+}
+
 class ContaminationSpec extends SparkSpec {
 
   test("report counts shared distinct n-grams per test doc") {
