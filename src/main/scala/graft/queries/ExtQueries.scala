@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Dedup, MisraGriesAgg, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -327,6 +327,27 @@ object ExtQueries {
         .limit(20)
     }),
 
+    // ---- sketch-then-verify heavy hitters: the Misra-Gries Aggregator
+    // (UDAF surface) finds candidates in one bounded-memory pass; the
+    // exact pass counts ONLY candidates. The guarantee (every term with
+    // n·k > N survives the sketch) makes the final output exact — equal
+    // to the full groupBy the oracle runs — or the gate fails, so the
+    // sketch's correctness is itself under test.
+    "x27_mg_heavy_hitters" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val toks = Tables(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      val sketch = toks.as[String]
+        .select(new MisraGriesAgg(50).toColumn).head()
+      val candidates = sketch.keys.toSeq.toDF("term")
+      val total = toks.count()
+      toks.join(broadcast(candidates), Seq("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .filter(col("n") * lit(50L) > lit(total))
+        .orderBy("term")
+    }),
+
     // ---- TF-IDF distinguishing terms: per-document top-3 by
     // tf·(N/df) — the exact-ratio idf (log-free, ordering-identical),
     // so DuckDB reproduces every score and rank bit-for-bit.
@@ -617,6 +638,14 @@ object ExtQueries {
         |FROM documents d JOIN thr t ON d.lang = t.lang
         |WHERE CAST(d.n_chars AS DOUBLE) >= t.thr
         |GROUP BY d.lang, t.thr ORDER BY d.lang""".stripMargin,
+    "x27_mg_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |t AS (SELECT term FROM toks WHERE term <> '')
+        |SELECT term, CAST(count(*) AS BIGINT) AS n
+        |FROM t GROUP BY term
+        |HAVING count(*) * 50 > (SELECT count(*) FROM t)
+        |ORDER BY term""".stripMargin,
     "x26_tfidf_terms" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term

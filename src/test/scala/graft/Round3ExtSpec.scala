@@ -42,6 +42,41 @@ class ZOrderSpec extends SparkSpec {
   }
 }
 
+class MisraGriesSpec extends SparkSpec {
+
+  test("every term above the N/(k+1) guarantee survives the sketch") {
+    val spark0 = spark
+    import spark0.implicits._
+    // skewed stream: term "hot_i" appears (10-i)*200 times, 500 noise terms
+    val rows = (0 until 5).flatMap(i =>
+      Seq.fill((10 - i) * 200)(s"hot_$i")) ++
+      (0 until 500).flatMap(i => Seq.fill(3)(s"noise_$i"))
+    val ds = rows.toDF("term").repartition(8).as[String]
+    val n = rows.size
+    val k = 20
+    val sketch = ds.select(new graft.ext.MisraGriesAgg(k).toColumn).head()
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val mustSurvive = exact.filter(_._2 > n.toLong / (k + 1)).keySet
+    assert(mustSurvive.nonEmpty && mustSurvive.subsetOf(sketch.keySet),
+      s"missing: ${mustSurvive -- sketch.keySet}")
+    // bounded state
+    assert(sketch.size <= k)
+    // sketch counts never overestimate
+    sketch.foreach { case (t, c) => assert(c <= exact(t), s"$t overcounted") }
+  }
+
+  test("merge keeps the bound and is order-insensitive on disjoint parts") {
+    val agg = new graft.ext.MisraGriesAgg(3)
+    val a = Map("x" -> 10L, "y" -> 4L, "z" -> 2L)
+    val b = Map("x" -> 5L, "w" -> 6L, "v" -> 1L)
+    val m1 = agg.merge(a, b)
+    val m2 = agg.merge(b, a)
+    assert(m1 == m2)
+    // summed: x=15 w=6 y=4 z=2 v=1; cut = 4th largest (2); survivors -2
+    assert(m1 == Map("x" -> 13L, "w" -> 4L, "y" -> 2L))
+  }
+}
+
 class RangeJoinSpec extends SparkSpec {
 
   test("half-open boundaries and multi-bin intervals match exactly") {
