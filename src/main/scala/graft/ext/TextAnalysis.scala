@@ -169,6 +169,47 @@ object TextAnalysis {
     */
   def wordNgrams(text: Column, n: Int): Column = wordNgramsOver(tokens(text), n)
 
+  /** Duplicate n-gram ratio over a pre-staged token array: 1 −
+    * distinct/total — the Gopher-style intra-document repetition signal
+    * (high ratio ⇒ boilerplate / looping text). Pure array expressions,
+    * one pass per row.
+    */
+  def dupNgramRatioOver(toks: Column, n: Int): Column = {
+    val grams = wordNgramsOver(toks, n)
+    lit(1.0) - size(array_distinct(grams)).cast("double") /
+      size(grams).cast("double")
+  }
+
+  /** Fraction of all tokens taken by the single most frequent token —
+    * the companion repetition signal. O(distinct·n) per row over the
+    * staged token attribute; fine for document-sized arrays.
+    */
+  def topTokenRatioOver(toks: Column): Column =
+    aggregate(array_distinct(toks), lit(0),
+      (acc, t) => greatest(acc, size(filter(toks, x => x === t))))
+      .cast("double") / size(toks).cast("double")
+
+  /** Count of non-overlapping matches of `pattern` in `text`. */
+  def countPattern(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** PII scrub: emails, simple phone shapes and IPv4 literals replaced
+    * by typed placeholder tags. Patterns deliberately use only
+    * character-class syntax shared by every mainstream regex dialect
+    * (no lookaround, no \d shorthands), so an external engine can audit
+    * the redaction byte-for-byte.
+    */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
   /** Top-k distinguishing terms per document, TF-IDF-shaped: score =
     * tf · (N / df) — term frequency times inverse document frequency as
     * a plain ratio rather than the textbook log(N/df). The ranking is

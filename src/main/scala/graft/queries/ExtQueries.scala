@@ -327,6 +327,43 @@ object ExtQueries {
         .limit(20)
     }),
 
+    // ---- intra-document repetition (Gopher-style quality signals):
+    // duplicate 2/3-gram ratios + top-token fraction, pure array
+    // expressions over the staged token attribute.
+    "x28_repetition" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      d.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_t"))
+        .select(col("doc_id"),
+          TextAnalysis.dupNgramRatioOver(col("_t"), 2).as("dup_2gram_ratio"),
+          TextAnalysis.dupNgramRatioOver(col("_t"), 3).as("dup_3gram_ratio"),
+          TextAnalysis.topTokenRatioOver(col("_t")).as("top_token_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- PII redaction: deterministic synthetic PII (email / phone /
+    // IPv4 derived from doc_id) injected ahead of the corpus text, then
+    // scrubbed by the dialect-portable patterns; DuckDB re-runs the
+    // same injection and redaction byte-for-byte.
+    "x29_pii_redaction" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      val withPii = d.select(col("doc_id"),
+        concat(lit("contact user"), col("doc_id"),
+          lit("@mail"), pmod(col("doc_id"), lit(7)), lit(".com or 555-"),
+          lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+          lit("-1234 at 10.0."), pmod(col("doc_id"), lit(256)), lit(".1 "),
+          col("text")).as("text"))
+      withPii.select(col("doc_id"),
+          TextAnalysis.countPattern(col("text"), TextAnalysis.EmailPattern)
+            .as("n_emails"),
+          TextAnalysis.countPattern(col("text"), TextAnalysis.PhonePattern)
+            .as("n_phones"),
+          TextAnalysis.redactPii(col("text")).as("redacted"))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          length(col("redacted")).cast("long").as("redacted_len"),
+          substring(col("redacted"), 1, 60).as("redacted_head"))
+        .orderBy("doc_id")
+    }),
+
     // ---- sketch-then-verify heavy hitters: the Misra-Gries Aggregator
     // (UDAF surface) finds candidates in one bounded-memory pass; the
     // exact pass counts ONLY candidates. The guarantee (every term with
@@ -638,6 +675,54 @@ object ExtQueries {
         |FROM documents d JOIN thr t ON d.lang = t.lang
         |WHERE CAST(d.n_chars AS DOUBLE) >= t.thr
         |GROUP BY d.lang, t.thr ORDER BY d.lang""".stripMargin,
+    "x28_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, w,
+        |    list_transform(range(len(w) - 1),
+        |      i -> concat(w[i+1], ' ', w[i+2])) AS g2,
+        |    list_transform(range(len(w) - 2),
+        |      i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3])) AS g3
+        |  FROM t)
+        |SELECT doc_id,
+        |  1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+        |      / CAST(len(g2) AS DOUBLE) AS dup_2gram_ratio,
+        |  1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
+        |      / CAST(len(g3) AS DOUBLE) AS dup_3gram_ratio,
+        |  CAST(list_max(list_transform(list_distinct(w),
+        |      t -> len(list_filter(w, x -> x = t)))) AS DOUBLE)
+        |    / CAST(len(w) AS DOUBLE) AS top_token_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "x29_pii_redaction" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    concat('contact user', CAST(doc_id AS VARCHAR),
+        |      '@mail', CAST(doc_id % 7 AS VARCHAR), '.com or 555-',
+        |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'),
+        |      '-1234 at 10.0.', CAST(doc_id % 256 AS VARCHAR), '.1 ',
+        |      text) AS text
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT)
+        |      AS n_emails,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text,
+        |          '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+        |          '<EMAIL>', 'g'),
+        |        '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}',
+        |        '<IP>', 'g'),
+        |      '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |  FROM p)
+        |SELECT doc_id, n_emails, n_phones,
+        |  CAST(strlen(redacted) AS BIGINT) AS redacted_len,
+        |  substr(redacted, 1, 60) AS redacted_head
+        |FROM r ORDER BY doc_id""".stripMargin,
     "x27_mg_heavy_hitters" ->
       """WITH toks AS (
         |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
