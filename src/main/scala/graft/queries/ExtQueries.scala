@@ -327,6 +327,27 @@ object ExtQueries {
         .limit(20)
     }),
 
+    // ---- sequence packing: greedy order-preserving assembly of
+    // documents into 512-token training packs (the exact hard-cap
+    // chunker applied to token budgets); per-pack profile oracled by
+    // the same recursive-CTE greedy walk as op_chunks_greedy.
+    "x30_sequence_packing" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .coalesce(1).sortWithinPartitions("doc_id")
+      graft.ingest.Chunker.greedyChunkIds(d, "n_tokens", 512L) match {
+        case Right(ch) =>
+          val out = ch.df.groupBy(col("_chunk").as("pack_id"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum("n_tokens").as("pack_tokens"))
+            .orderBy("pack_id")
+          ch.unpersist()
+          out
+        case Left(e) => throw new RuntimeException(e.message)
+      }
+    }),
+
     // ---- intra-document repetition (Gopher-style quality signals):
     // duplicate 2/3-gram ratios + top-token fraction, pure array
     // expressions over the staged token attribute.
@@ -675,6 +696,27 @@ object ExtQueries {
         |FROM documents d JOIN thr t ON d.lang = t.lang
         |WHERE CAST(d.n_chars AS DOUBLE) >= t.thr
         |GROUP BY d.lang, t.thr ORDER BY d.lang""".stripMargin,
+    "x30_sequence_packing" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+        |    AS n_tokens,
+        |    CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rn
+        |  FROM documents
+        |), g(rn, acc, chunk) AS (
+        |  SELECT CAST(1 AS BIGINT), (SELECT n_tokens FROM seq WHERE rn = 1),
+        |    CAST(0 AS BIGINT)
+        |  UNION ALL
+        |  SELECT s.rn,
+        |    CASE WHEN g.acc + s.n_tokens > 512 THEN s.n_tokens
+        |         ELSE g.acc + s.n_tokens END,
+        |    CASE WHEN g.acc + s.n_tokens > 512 THEN g.chunk + 1
+        |         ELSE g.chunk END
+        |  FROM g JOIN seq s ON s.rn = g.rn + 1
+        |)
+        |SELECT g.chunk AS pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(s.n_tokens) AS BIGINT) AS pack_tokens
+        |FROM g JOIN seq s ON s.rn = g.rn
+        |GROUP BY g.chunk ORDER BY pack_id""".stripMargin,
     "x28_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
