@@ -116,6 +116,25 @@ object Relational {
                ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""")
     }),
 
+    // ---- q24: the remaining ranking-window family — rank/dense_rank
+    // over a coarse key WITH ties (tie semantics are value-determined,
+    // so deterministic) and ntile over a unique ordering (row-order
+    // determined, so the key must be total). Partitioned windows only.
+    "q24_window_ranks" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val coarse = floor($"c_acctbal" / 1000.0)
+      val wTies = Window.partitionBy($"c_mktsegment")
+        .orderBy(coarse.desc)
+      val wTotal = Window.partitionBy($"c_mktsegment")
+        .orderBy($"c_acctbal".desc, $"c_custkey")
+      Tables(s, dir, "customer").filter($"c_custkey" <= 300)
+        .select($"c_custkey", $"c_mktsegment",
+          rank().over(wTies).cast("long").as("rnk"),
+          dense_rank().over(wTies).cast("long").as("drnk"),
+          ntile(4).over(wTotal).cast("long").as("quartile"))
+        .orderBy($"c_custkey")
+    }),
+
     // ---- q19: CASE / NULLIF / COALESCE null-handling semantics.
     "q19_case_nulls" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -375,6 +394,16 @@ object Relational {
         |  CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q24_window_ranks" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(rank() OVER w1 AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w1 AS BIGINT) AS drnk,
+        |  CAST(ntile(4) OVER w2 AS BIGINT) AS quartile
+        |FROM customer WHERE c_custkey <= 300
+        |WINDOW
+        |  w1 AS (PARTITION BY c_mktsegment ORDER BY floor(c_acctbal / 1000.0) DESC),
+        |  w2 AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
     "q23_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(count(*) AS BIGINT) AS n,
