@@ -63,6 +63,52 @@ class Scd2Spec extends SparkSpec {
     assert(opens == 0)
   }
 
+  test("merge matches a sequential reference model over random batches") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rnd = new scala.util.Random(7)
+    // reference model: per key, the full version list (v, from, to_opt)
+    var model = Map.empty[Long, Vector[(String, Int, Option[Int])]]
+    var hist = Scd2.initial(
+      Seq((1L, "v0"), (2L, "v0"), (3L, "v0")).toDF("id", "name")
+        .withColumn("valid_from", lit(ts("2020-01-01 00:00:00"))))
+    model ++= Seq(1L, 2L, 3L).map(k => k -> Vector(("v0", 0, None)))
+    val batchTs = (1 to 5).map(i => ts(s"202$i-01-01 00:00:00"))
+    for (b <- 1 to 5) {
+      val updates = (1L to 8L).filter(_ => rnd.nextBoolean()).map { k =>
+        val v = s"v${rnd.nextInt(3)}" // sometimes equals the open version
+        (k, v)
+      }
+      if (updates.nonEmpty) {
+        val df = updates.toDF("id", "name")
+          .withColumn("ts", lit(batchTs(b - 1)))
+        hist = Scd2.merge(hist, df, Seq("id"), Seq("name"), "ts")
+        updates.foreach { case (k, v) =>
+          model.get(k) match {
+            case None => model += k -> Vector((v, b, None))
+            case Some(versions) =>
+              val (ov, of, _) = versions.last
+              if (ov != v)
+                model += k -> (versions.init :+ ((ov, of, Some(b)))
+                  :+ ((v, b, None)))
+          }
+        }
+      }
+    }
+    def tsOf(i: Int) =
+      if (i == 0) ts("2020-01-01 00:00:00") else batchTs(i - 1)
+    val expected = model.toSeq.flatMap { case (k, versions) =>
+      versions.map { case (v, from, to) =>
+        (k, v, tsOf(from).toString, to.map(tsOf(_).toString), to.isEmpty)
+      }
+    }.toSet
+    val got = hist.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getTimestamp(2).toString,
+      Option(r.getTimestamp(3)).map(_.toString), r.getBoolean(4))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got}\nextra=${got -- expected}")
+  }
+
   test("batch with several updates per key applies only the latest") {
     val spark0 = spark
     import spark0.implicits._
