@@ -19,6 +19,30 @@ object Skew {
   /** @param aggs  phase-1 aggregations as (alias → agg column builder);
     *              `merge` gives the phase-2 re-aggregation per alias.
     */
+  /** Skew-mitigated equi-join: the big (skewed) side gets a uniform salt
+    * in [0, saltBuckets); the small side replicates once per salt value;
+    * the join runs on (keys :+ salt), spreading each hot key over
+    * `saltBuckets` tasks. The salt never reaches the output, so the
+    * result equals the plain join row-for-row. This is the manual form
+    * of what AQE's skew-join split does at runtime — needed when the
+    * skew is known ahead of time or AQE's per-partition thresholds
+    * cannot see it (e.g. one key inside an otherwise balanced
+    * partition).
+    *
+    * Cost: |small| × saltBuckets replicated rows — keep the salted side
+    * the big one.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 saltBuckets: Int): DataFrame = {
+    require(saltBuckets > 0, "need at least one salt bucket")
+    val salted = big.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(),
+        lit(saltBuckets)).cast("int"))
+    val replicated = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    salted.join(replicated, keys :+ "_salt").drop("_salt")
+  }
+
   def saltedAggregate(df: DataFrame, keyCols: Seq[String], saltBuckets: Int,
                       aggs: Map[String, Column => Column],
                       valueCol: String,

@@ -76,6 +76,23 @@ object Analytics {
         .orderBy($"user_id")
     }),
 
+    // ---- skew-mitigated JOIN (the join twin of a06's salted
+    // aggregation): events collapsed onto 4 hot keys — a 25%-per-key
+    // skew no hash partitioning survives — joined to a tiny dim through
+    // the salt spread; the salt never reaches the output, so the plain
+    // join is an exact oracle.
+    "a10_skew_salted_join" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val hot = Tables(s, dir, "events")
+        .select(pmod($"user_id", lit(4)).as("hot_key"), $"event_type")
+      val dim = (0L to 3L).map(k => (k, s"segment_$k")).toDF("hot_key", "label")
+      graft.ops.Skew.saltedJoin(hot, dim, Seq("hot_key"), saltBuckets = 8)
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"event_type").as("n_types"))
+        .orderBy($"label")
+    }),
+
     // ---- point-in-interval join via the binned equi-join decomposition
     // (RangeJoin): 40 deterministic 5-hour windows every 18 hours over
     // January 2024, events assigned by [start, end) containment. The
@@ -200,6 +217,11 @@ object Analytics {
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
         |  CAST(max(n_events) AS BIGINT) AS longest_session
         |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "a10_skew_salted_join" ->
+      """SELECT concat('segment_', CAST(user_id % 4 AS VARCHAR)) AS label,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        |FROM events GROUP BY label ORDER BY label""".stripMargin,
     "a09_range_join" ->
       """WITH iv AS (
         |  SELECT k AS interval_id,

@@ -67,6 +67,22 @@ class AsofJoinSpec extends SparkSpec {
     assert(salted("hot")._2 == 9000L)
   }
 
+  test("salted join equals plain join on a skewed key") {
+    val spark0 = spark
+    import spark0.implicits._
+    val big = ((1 to 9000).map(i => (0L, i.toLong)) ++
+      (1 to 1000).map(i => (i.toLong % 7, i.toLong)))
+      .toDF("k", "v").repartition(8)
+    val dim = (0L to 6L).map(k => (k, s"d$k")).toDF("k", "label")
+    val salted = Skew.saltedJoin(big, dim, Seq("k"), saltBuckets = 8)
+    assert(!salted.columns.contains("_salt"))
+    val a = salted.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getString(2))).sorted.toSeq
+    val b = big.join(dim, Seq("k")).collect().map(r => (r.getLong(0),
+      r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(a == b)
+  }
+
   test("bucketed tables join without a shuffle") {
     val wh = new graft.warehouse.SparkWarehouse(spark,
       java.nio.file.Files.createTempDirectory("graft-bucket").toString)
