@@ -1,0 +1,168 @@
+package graft.ext
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the memory-compression scale path of the
+  * ANN family (Jégou et al., "Product quantization for nearest neighbor
+  * search", TPAMI 2011), beside the hash path (`Similarity.lshTopK`) and
+  * the partition path (`Ivf`).
+  *
+  * A D-dim float vector (4·D bytes) compresses to `m` one-byte codes:
+  * the vector splits into `m` sub-vectors, each snapped to its nearest
+  * of `k ≤ 256` per-subspace centroids. At 100 TB that turns a 256-dim
+  * corpus (1 KiB/vector) into 8-16 bytes/vector — the difference between
+  * scanning the corpus from disk and holding the codes in executor
+  * memory.
+  *
+  * Search is asymmetric-distance (ADC): the RAW query precomputes an
+  * m×k table of sub-distances ONCE (query-side projection), and each
+  * corpus row's approximate distance is m table lookups + adds over its
+  * codes — no float vector is read on the scan side. ADC prunes to
+  * `nCandidates`; exact (integer-quantized) cosine re-ranks only those,
+  * so the emitted ranking is exact arithmetic over the true vectors and
+  * the sketch only decides WHICH rows get rescored.
+  *
+  * Train/encode reuse the IVF discipline: seeded bounded driver sample,
+  * Lloyd per subspace, assignment defined once and shared.
+  */
+object Pq {
+
+  /** codebooks(j)(c) = centroid c of subspace j. */
+  final case class Model(codebooks: Array[Array[Array[Float]]]) {
+    def m: Int = codebooks.length
+    def k: Int = codebooks.head.length
+    def subDim: Int = codebooks.head.head.length
+  }
+
+  /** Per-subspace Lloyd's k-means on one bounded driver-side sample
+    * (seeded top-n under a random key — no count pass, same recipe as
+    * `Ivf.train`).
+    */
+  def train(corpus: DataFrame, vecCol: String, m: Int, k: Int = 16,
+            sampleSize: Int = 4096, iterations: Int = 8,
+            seed: Long = 42L): Model = {
+    require(k <= 256, "PQ codes are byte-sized: k must be <= 256")
+    val sample = corpus.select(vecCol).orderBy(rand(seed).asc)
+      .limit(sampleSize).collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val sd = dim / m
+    val codebooks = (0 until m).toArray.map { j =>
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, j * sd, (j + 1) * sd))
+      var cs = subs.take(math.min(k, subs.length)).map(_.clone())
+      for (_ <- 1 to iterations) {
+        val sums = Array.fill(cs.length)(new Array[Double](sd))
+        val counts = new Array[Long](cs.length)
+        subs.foreach { v =>
+          val c = nearestSub(v, cs)
+          counts(c) += 1
+          var d = 0
+          while (d < sd) { sums(c)(d) += v(d); d += 1 }
+        }
+        cs = cs.zipWithIndex.map { case (old, c) =>
+          if (counts(c) == 0) old
+          else {
+            val out = new Array[Float](sd)
+            var d = 0
+            while (d < sd) { out(d) = (sums(c)(d) / counts(c)).toFloat; d += 1 }
+            out
+          }
+        }
+      }
+      cs
+    }
+    Model(codebooks)
+  }
+
+  private def nearestSub(v: Array[Float], cs: Array[Array[Float]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cs.length) {
+      var d2 = 0.0; var d = 0
+      while (d < v.length) { val x = v(d) - cs(c)(d); d2 += x * x; d += 1 }
+      if (d2 < bestD) { bestD = d2; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def centroidLit(c: Array[Float]): Column = array(c.map(lit(_)): _*)
+
+  /** |sub − c|² with the sub·sub term dropped (constant within a
+    * subspace, so it cannot change the argmin): c·c − 2·sub·c, via the
+    * native dot kernel.
+    */
+  private def relDist2(sub: Column, c: Array[Float]): Column = {
+    val cc = c.map(x => x.toDouble * x.toDouble).sum
+    lit(cc) - lit(2.0d) * VectorFunctions.vector_dot(sub, centroidLit(c))
+  }
+
+  private def subVec(vec: Column, model: Model, j: Int): Column =
+    slice(vec, j * model.subDim + 1, model.subDim)
+
+  /** Encode a vector to its m byte codes (0-based ints; argmin ties to
+    * the lowest code — the single assignment definition).
+    */
+  def encodeCol(vec: Column, model: Model): Column =
+    array((0 until model.m).map { j =>
+      val scores = array(model.codebooks(j).map(c =>
+        relDist2(subVec(vec, model, j), c)): _*)
+      (array_position(scores, array_min(scores)) - 1).cast("int")
+    }: _*)
+
+  /** The query-side ADC table: m arrays of k exact sub-distances
+    * (including the sub·sub term so the summed ADC is a true |q−ĉ|²).
+    * Stage as its own projection — computed once per query.
+    */
+  def queryTables(qvec: Column, model: Model): Column =
+    array((0 until model.m).map { j =>
+      val sub = subVec(qvec, model, j)
+      array(model.codebooks(j).map { c =>
+        val cc = c.map(x => x.toDouble * x.toDouble).sum
+        VectorFunctions.vector_dot(sub, sub) -
+          lit(2.0d) * VectorFunctions.vector_dot(sub, centroidLit(c)) + lit(cc)
+      }: _*)
+    }: _*)
+
+  /** ADC distance: sum over subspaces of the table entry the row's code
+    * selects — m lookups + adds per corpus row, no vector access.
+    */
+  def adcDistance(tables: Column, codes: Column): Column =
+    aggregate(zip_with(tables, codes, (t, c) => element_at(t, c + 1)),
+      lit(0.0d), (acc, x) => acc + x)
+
+  /** Corpus + codes. At scale persist (id, codes) as the compact scan
+    * table and fetch candidate vectors by id for the rescore; here the
+    * vector rides along to keep the gate a single join.
+    */
+  def encode(corpus: DataFrame, model: Model, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+      .withColumn("codes", encodeCol(col("nvec"), model))
+
+  /** Approximate top-k: ADC prunes to `nCandidates` per query over the
+    * codes, exact quantized cosine re-ranks the candidates.
+    */
+  def topK(encoded: DataFrame, queries: DataFrame, model: Model, k: Int,
+           nCandidates: Int = 64, idCol: String = "vec_id",
+           vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("_tables", queryTables(col("qvec"), model))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("_adc").asc, col("neighbor_id"))
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    encoded.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("_adc", adcDistance(col("_tables"), col("codes")))
+      .withColumn("_crank", row_number().over(wAdc))
+      .filter(col("_crank") <= nCandidates)
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosineQuantized(col("qvec"), col("nvec")).as("cos"))
+      .withColumn("rank", row_number().over(wCos).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+}

@@ -205,6 +205,22 @@ object ExtQueries {
         .orderBy("query_id")
     }),
 
+    // ---- similarity: product-quantization ANN (256 B/vector → 8 B;
+    // ADC table-lookup pruning + exact quantized-cosine rescore).
+    // Planted-query rank-1: the copy encodes identically, ADC keeps the
+    // original in the candidate set, exact rescore pins it at rank 1.
+    "x31_ann_pq" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings")
+      val model = graft.ext.Pq.train(e, "embedding", m = 8, k = 16)
+      val encoded = graft.ext.Pq.encode(e, model)
+      val q = e.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      graft.ext.Pq.topK(encoded, q, model, k = 3, nCandidates = 64)
+        .filter(col("rank") === 1)
+        .select("query_id", "neighbor_id")
+        .orderBy("query_id")
+    }),
+
     // ---- sampling: deterministic content-hash train/test split. The
     // bucket is md5-based so the EXACT membership is recomputable in
     // DuckDB — the oracle checks every row's assignment, not just
@@ -543,6 +559,9 @@ object ExtQueries {
       """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
     "x16_ann_ivf" ->
+      """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    "x31_ann_pq" ->
       """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
     "x11_ann_bruteforce" ->

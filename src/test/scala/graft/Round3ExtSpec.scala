@@ -42,6 +42,37 @@ class ZOrderSpec extends SparkSpec {
   }
 }
 
+class PqSpec extends SparkSpec {
+
+  test("PQ candidates + exact rescore reach >=0.8 recall@3 vs brute force") {
+    val e = Tables(spark, SparkTestBase.Sf0001, "embeddings")
+    val model = graft.ext.Pq.train(e, "embedding", m = 16, k = 32)
+    val q = e.filter(col("vec_id") < 20)
+    val pq = graft.ext.Pq.topK(graft.ext.Pq.encode(e, model), q, model,
+        k = 3, nCandidates = 64)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = graft.ext.Similarity.bruteForceTopK(e, q, k = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pq & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("encoding is deterministic and code arity/range match the model") {
+    val e = Tables(spark, SparkTestBase.Sf0001, "embeddings")
+    val model = graft.ext.Pq.train(e, "embedding", m = 8, k = 16)
+    val codes1 = graft.ext.Pq.encode(e, model).select("neighbor_id", "codes")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val codes2 = graft.ext.Pq.encode(e, model).select("neighbor_id", "codes")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes1 == codes2)
+    assert(codes1.values.forall(c => c.size == 8 && c.forall(x => x >= 0 && x < 16)))
+    // compression: 64 floats (256 B) -> 8 codes
+    assert(model.m * model.subDim == 64)
+  }
+}
+
 class MisraGriesSpec extends SparkSpec {
 
   test("every term above the N/(k+1) guarantee survives the sketch") {
