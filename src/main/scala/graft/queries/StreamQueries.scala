@@ -157,6 +157,39 @@ object StreamQueries {
         .orderBy("user_id", "event_type")
     }),
 
+    // ---- stream-static join: the streaming fact joined to a static
+    // in-memory dimension (broadcast per micro-batch — no state store
+    // involved), then aggregated per enriched category.
+    "s06_stream_static_join" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val staged = java.nio.file.Files.createTempDirectory("graft-s06")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      val dim = Seq(
+        ("click", "engagement"), ("view", "engagement"),
+        ("purchase", "revenue"), ("signup", "growth"),
+        ("error", "health")).toDF("event_type", "category")
+      withShufflePartitions(s, 4) {
+        val stream = s.readStream.schema(eventsSchema)
+          .parquet(staged.toString)
+        val q = stream.join(broadcast(dim), Seq("event_type"))
+          .groupBy($"category")
+          .agg(count(lit(1)).as("n"),
+            sum($"value".cast(DecimalType(18, 2))).as("_tv"))
+          .select($"category", $"n",
+            $"_tv".cast(DecimalType(38, 2)).cast("double").as("total_value"))
+          .writeStream
+          .format("memory")
+          .queryName("s06_stream_static_join_sink")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+      }
+      s.table("s06_stream_static_join_sink").orderBy("category")
+    }),
+
     // ---- stream-stream inner join (clicks attributed to purchases
     // within a 30-minute lookback): both sides watermarked, the
     // time-range predicate bounds join state — the state store retains
@@ -280,6 +313,15 @@ object StreamQueries {
     "s03_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    "s06_stream_static_join" ->
+      """SELECT CASE event_type
+        |    WHEN 'click' THEN 'engagement' WHEN 'view' THEN 'engagement'
+        |    WHEN 'purchase' THEN 'revenue' WHEN 'signup' THEN 'growth'
+        |    ELSE 'health' END AS category,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+        |    AS DOUBLE) AS total_value
+        |FROM events GROUP BY category ORDER BY category""".stripMargin,
     "s04_stream_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
         |FROM (SELECT event_id, user_id, ts FROM events
