@@ -76,6 +76,39 @@ object Analytics {
         .orderBy($"user_id")
     }),
 
+    // ---- sketch quantiles with an accuracy oracle (the a05 pattern):
+    // approx_percentile's t-digest-style estimate is engine-specific, so
+    // the oracled contract is the EXACT quantile (DuckDB recomputes)
+    // plus a flag that the sketch landed within 5% relative error.
+    "a11_approx_quantiles" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(expr("percentile(o_totalprice, 0.5)").as("exact_p50"),
+          expr("approx_percentile(o_totalprice, 0.5, 1000)").as("_ap50"),
+          count(lit(1)).as("n"))
+        .select($"o_orderpriority", $"exact_p50", $"n",
+          (abs($"_ap50" - $"exact_p50") <= $"exact_p50" * 0.05)
+            .as("approx_ok"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // ---- JSON scalar extraction: from_json with an explicit schema
+    // (the declared-schema fast path — no inference scan) + aggregation
+    // on the extracted field.
+    "a12_json_extract" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      Tables(s, dir, "events")
+        .select($"event_type",
+          from_json($"props", StructType(Seq(
+            StructField("k", LongType)))).getField("k").as("k"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+          min($"k").as("min_k"), max($"k").as("max_k"))
+        .orderBy($"event_type")
+    }),
+
     // ---- skew-mitigated JOIN (the join twin of a06's salted
     // aggregation): events collapsed onto 4 hot keys — a 25%-per-key
     // skew no hash partitioning survives — joined to a tiny dim through
@@ -217,6 +250,21 @@ object Analytics {
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
         |  CAST(max(n_events) AS BIGINT) AS longest_session
         |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "a11_approx_quantiles" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.5) AS exact_p50,
+        |  CAST(count(*) AS BIGINT) AS n, TRUE AS approx_ok
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "a12_json_extract" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS min_k,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "a10_skew_salted_join" ->
       """SELECT concat('segment_', CAST(user_id % 4 AS VARCHAR)) AS label,
         |  CAST(count(*) AS BIGINT) AS n,
