@@ -109,6 +109,20 @@ object Analytics {
         .orderBy($"event_type")
     }),
 
+    // ---- array aggregation: collect_set sorted to a canonical order
+    // (collect order is partition-dependent; sort_array restores
+    // determinism) — emitted as a joined string for cross-engine value
+    // compare.
+    "a13_array_agg" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(concat_ws(",", sort_array(collect_set($"o_orderstatus")))
+            .as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // ---- skew-mitigated JOIN (the join twin of a06's salted
     // aggregation): events collapsed onto 4 hot keys — a 25%-per-key
     // skew no hash partitioning survives — joined to a tiny dim through
@@ -250,6 +264,13 @@ object Analytics {
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
         |  CAST(max(n_events) AS BIGINT) AS longest_session
         |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "a13_array_agg" ->
+      """SELECT o_orderpriority,
+        |  list_aggregate(list_sort(list_distinct(list(o_orderstatus))),
+        |    'string_agg', ',') AS statuses,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "a11_approx_quantiles" ->
       """SELECT o_orderpriority,
         |  quantile_cont(o_totalprice, 0.5) AS exact_p50,
