@@ -151,12 +151,23 @@ object Pq {
            vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .withColumn("_tables", queryTables(col("qvec"), model))
+    // two-stage prune so no task ever sorts the whole corpus for one
+    // query: stage 1 ranks within (query, input partition) — the ADC
+    // scores never leave the scan task's hash bucket granularity — and
+    // only each partition's local top-nCandidates reach the per-query
+    // stage-2 rank (≤ nCandidates·partitions rows per query). Top-k of
+    // the union of local top-ks is exactly the global top-k.
+    val wLocal = Window.partitionBy(col("query_id"), col("_p"))
+      .orderBy(col("_adc").asc, col("neighbor_id"))
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("_adc").asc, col("neighbor_id"))
     val wCos = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     encoded.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("_adc", adcDistance(col("_tables"), col("codes")))
+      .withColumn("_p", spark_partition_id())
+      .withColumn("_lrank", row_number().over(wLocal))
+      .filter(col("_lrank") <= nCandidates)
       .withColumn("_crank", row_number().over(wAdc))
       .filter(col("_crank") <= nCandidates)
       .select(col("query_id"), col("neighbor_id"),

@@ -159,10 +159,15 @@ object TextAnalysis {
     * column MUST be a plain attribute (its own projection): an expression
     * subtree referenced inside a higher-order lambda is re-evaluated per
     * element, which turns shingling quadratic.
+    *
+    * A document with fewer than n tokens has NO n-grams (empty array) —
+    * the `range(len - n + 1)` semantics every SQL oracle of the gram
+    * pipelines encodes — not one truncated gram.
     */
   def wordNgramsOver(toks: Column, n: Int): Column =
-    transform(sequence(lit(0), greatest(size(toks) - lit(n), lit(0))),
-      i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - lit(n)),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
 
   /** Word n-grams as space-joined strings (single-expression sugar; for
     * hot paths project `tokens(text)` first and use `wordNgramsOver`).

@@ -30,8 +30,11 @@ object RangeJoin {
     require(binMicros > 0, "bin width must be positive")
     val p = points.withColumn("_bin",
       floor(unix_micros(pointTs) / lit(binMicros)))
-    // a [start, end) interval overlaps bins floor(start/w)..floor((end-1)/w)
-    val iv = intervals.withColumn("_bin",
+    // a [start, end) interval overlaps bins floor(start/w)..floor((end-1)/w);
+    // empty/inverted intervals (end <= start) contain nothing and are
+    // dropped — without the guard, sequence(lo, hi) with hi < lo would
+    // generate a DESCENDING bin sequence and explode spurious candidates
+    val iv = intervals.filter(endCol > startCol).withColumn("_bin",
       explode(sequence(floor(unix_micros(startCol) / lit(binMicros)),
         floor((unix_micros(endCol) - 1) / lit(binMicros)))))
     p.join(iv, Seq("_bin"))

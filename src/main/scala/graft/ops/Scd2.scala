@@ -57,7 +57,15 @@ object Scd2 {
       keyCols.map(k => col(k) <=> col(s"_u_$k")).reduce(_ && _), "full_outer")
     val hasCur = col("_c_present").isNotNull
     val hasUpd = col("_u_present").isNotNull
-    val changed = attrCols.map(a => !(col(a) <=> col(s"_u_$a")))
+    // late-data policy: an update timestamped BEFORE the open version's
+    // valid_from cannot retroactively rewrite history — closing the open
+    // row at a ts earlier than its own valid_from would emit a
+    // negative-duration version and break point-in-time queries. Stale
+    // updates are ignored (the open row passes through); a pipeline that
+    // needs bitemporal corrections models them as a new forward-dated
+    // version instead.
+    val fresh = !hasCur || col("_u_ts") >= col("valid_from")
+    val changed = fresh && attrCols.map(a => !(col(a) <=> col(s"_u_$a")))
       .reduceOption(_ || _).getOrElse(lit(false))
 
     def version(keys: Seq[Column], attrs: Seq[Column], from: Column,

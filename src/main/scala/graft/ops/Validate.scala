@@ -41,7 +41,10 @@ object Validate {
     val name = s"in_range:$column"
   }
 
-  /** Non-null value not fully matching `pattern` is a violation. */
+  /** Non-null value with no match of `pattern` is a violation (search
+    * semantics, like `rlike`/`regexp_matches` — anchor with `^...$` for
+    * a full-match rule).
+    */
   final case class Matches(column: String, pattern: String) extends Check {
     val name = s"matches:$column"
   }
@@ -71,13 +74,23 @@ object Validate {
     case _ => None
   }
 
-  /** One `(check, violations)` row per rule, ordered by check name. */
+  /** One `(check, violations)` row per rule, ordered by check name.
+    * Rules that generate the same name (two InRange bands on one column)
+    * are disambiguated with a `#i` suffix so the report row per rule
+    * stays well-defined.
+    */
   def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "validate requires at least one check")
     val spark = df.sparkSession
     import spark.implicits._
 
-    val rowChecks = checks.flatMap(c => rowPredicate(c).map(c.name -> _))
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val named = checks.map { c =>
+      val n = seen.updateWith(c.name)(v => Some(v.getOrElse(0) + 1)).get
+      (if (n == 1) c.name else s"${c.name}#$n") -> c
+    }
+    val rowChecks = named.flatMap { case (name, c) =>
+      rowPredicate(c).map(name -> _) }
     val rowReport: Option[DataFrame] =
       if (rowChecks.isEmpty) None
       else {
@@ -91,19 +104,19 @@ object Validate {
             Seq(lit(n), coalesce(col(n), lit(0L))) }: _*)).as(Seq("check", "violations"))))
       }
 
-    val setReports: Seq[DataFrame] = checks.collect {
-      case u @ Unique(columns) =>
+    val setReports: Seq[DataFrame] = named.collect {
+      case (name, Unique(columns)) =>
         df.groupBy(columns.map(col): _*).agg(count(lit(1)).as("_n"))
           .agg(coalesce(sum(col("_n") - 1L), lit(0L)).as("violations"))
-          .select(lit(u.name).as("check"), col("violations"))
-      case r @ References(columns, dim, dimColumns) =>
+          .select(lit(name).as("check"), col("violations"))
+      case (name, References(columns, dim, dimColumns)) =>
         val keyed = df.select(columns.map(col): _*)
           .filter(columns.map(col(_).isNotNull).reduce(_ && _))
         val dimKeys = dim.select(dimColumns.zip(columns).map {
           case (d, c) => col(d).as(c) }: _*).distinct()
         keyed.join(dimKeys, columns, "left_anti")
           .agg(count(lit(1)).as("violations"))
-          .select(lit(r.name).as("check"), col("violations"))
+          .select(lit(name).as("check"), col("violations"))
     }
 
     (rowReport.toSeq ++ setReports)

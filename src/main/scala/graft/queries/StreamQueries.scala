@@ -255,8 +255,17 @@ object StreamQueries {
         val stream = s.readStream.schema(eventsSchema)
           .option("maxFilesPerTrigger", 1)
           .parquet(staged.toString)
+        // foreachBatch is at-least-once: a batch can be re-delivered after
+        // a failure between the sink commit and the checkpoint commit. The
+        // increment below is NOT idempotent, so the sink records each
+        // applied batchId (marker after the atomic table swap) and skips
+        // replays — the standard exactly-once recipe for MERGE sinks.
+        val appliedDir = java.nio.file.Files.createTempDirectory("graft-s05-applied")
         val q = stream.select("user_id").writeStream
-          .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+            val marker = appliedDir.resolve(s"batch_$batchId")
+            if (java.nio.file.Files.exists(marker)) ()
+            else {
             val agg = batch.groupBy("user_id").agg(count(lit(1)).as("n"))
             wh.get("user_counts") match {
               case Right(cur) =>
@@ -270,6 +279,8 @@ object StreamQueries {
               case Left(_) =>
                 wh.load("user_counts", agg).fold(
                   e => throw new RuntimeException(e.message), _ => ())
+            }
+            java.nio.file.Files.createFile(marker)
             }
             ()
           }
@@ -317,11 +328,13 @@ object StreamQueries {
       """SELECT CASE event_type
         |    WHEN 'click' THEN 'engagement' WHEN 'view' THEN 'engagement'
         |    WHEN 'purchase' THEN 'revenue' WHEN 'signup' THEN 'growth'
-        |    ELSE 'health' END AS category,
+        |    WHEN 'error' THEN 'health' END AS category,
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
         |    AS DOUBLE) AS total_value
-        |FROM events GROUP BY category ORDER BY category""".stripMargin,
+        |FROM events
+        |WHERE event_type IN ('click','view','purchase','signup','error')
+        |GROUP BY category ORDER BY category""".stripMargin,
     "s04_stream_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
         |FROM (SELECT event_id, user_id, ts FROM events

@@ -264,6 +264,12 @@ class TextAnalysisSpec extends SparkSpec {
       .collect()(0).getSeq[String](0)
     assert(shingles.length == "a b c d".length - 3 + 1)
     assert(shingles.head == "a b" && shingles.last == "c d")
+    // fewer tokens than n => NO grams (range(len-n+1) semantics, matching
+    // every SQL oracle of the gram pipelines), not one truncated gram
+    val short = Seq(Tuple1("a b")).toDF("text")
+      .select(TextAnalysis.wordNgrams(col("text"), 3))
+      .collect()(0).getSeq[String](0)
+    assert(short.isEmpty)
   }
 }
 

@@ -109,6 +109,20 @@ class Scd2Spec extends SparkSpec {
       s"missing=${expected -- got}\nextra=${got -- expected}")
   }
 
+  test("stale (out-of-order) updates are ignored, never rewrite history") {
+    val spark0 = spark
+    import spark0.implicits._
+    val hist0 = Scd2.initial(snapshot) // open since 2020-01-01
+    val stale = Seq((1L, "timetravel", "A")).toDF("id", "name", "seg")
+      .withColumn("ts", lit(ts("2019-06-01 00:00:00")))
+    val out = Scd2.merge(hist0, stale, Seq("id"), Seq("name", "seg"), "ts")
+    // the open row survives untouched; no negative-duration version
+    val key1 = out.filter(col("id") === 1).collect()
+    assert(key1.length == 1 && key1(0).getString(1) == "alice"
+      && key1(0).getBoolean(5))
+    assert(out.filter(col("valid_to") < col("valid_from")).count() == 0)
+  }
+
   test("batch with several updates per key applies only the latest") {
     val spark0 = spark
     import spark0.implicits._
@@ -150,6 +164,17 @@ class ValidateSpec extends SparkSpec {
       "matches:flag" -> 1L,
       "unique:k" -> 1L, // key 1 twice -> one surplus row (null keys distinct-ish is fine: one null only)
       "references:k" -> 1L))
+  }
+
+  test("two rules with the same generated name get distinct report rows") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(0.02, 0.2, 0.5).toDF("v")
+    val rep = Validate.report(df, Seq(
+      Validate.InRange("v", 0.0, 0.1),   // 0.2, 0.5 violate
+      Validate.InRange("v", 0.0, 0.3)))  // 0.5 violates
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep == Map("in_range:v" -> 2L, "in_range:v#2" -> 1L))
   }
 
   test("passes() is the boolean gate form") {

@@ -131,6 +131,24 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Set(11L, 12L, 13L))
   }
 
+  test("empty and inverted intervals contribute nothing") {
+    val spark0 = spark
+    import spark0.implicits._
+    val iv = Seq(
+      (1L, 100000000L, 100000000L), // empty [t, t)
+      (2L, 300000000L, 100000000L), // inverted
+      (3L, 100000000L, 160000000L)) // real
+      .toDF("iid", "sus", "eus")
+      .select(col("iid"), timestamp_micros(col("sus")).as("s"),
+        timestamp_micros(col("eus")).as("e"))
+    val pts = Seq((10L, 120000000L)).toDF("pid", "us")
+      .select(col("pid"), timestamp_micros(col("us")).as("ts"))
+    val got = graft.ops.RangeJoin.joinPointsToIntervals(pts, col("ts"), iv,
+        col("s"), col("e"), binMicros = 60000000L)
+      .select("iid").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3L))
+  }
+
   test("agrees with the naive cross-filter join on random data") {
     val spark0 = spark
     import spark0.implicits._
