@@ -105,10 +105,19 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
     val cos = if (quantized) cosineQuantized(col("qvec"), col("nvec"))
               else cosineFloat(col("qvec"), col("nvec"))
+    // two-stage top-k: scores are ranked within (query, scan partition)
+    // first, so only each partition's local top-k reaches the per-query
+    // global rank — no task ever sorts the whole corpus for one query.
+    // Top-k of the union of local top-ks IS the global top-k.
+    val wLocal = Window.partitionBy(col("query_id"), col("_p"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     c.join(q, col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cos.as("cos"))
+      .select(col("query_id"), col("neighbor_id"), cos.as("cos"),
+        spark_partition_id().as("_p"))
+      .withColumn("_lrank", row_number().over(wLocal))
+      .filter(col("_lrank") <= k)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
