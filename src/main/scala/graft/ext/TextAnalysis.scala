@@ -20,6 +20,23 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** GPT-2-style pre-tokenizer pattern (the BPE-ish split: contractions,
+    * space-prefixed letter runs, digit runs, punctuation runs, residual
+    * whitespace), restricted to lookahead-free constructs so the SAME
+    * pattern runs under Java regex and RE2 (DuckDB/Go engines) with
+    * identical leftmost-first semantics.
+    */
+  val BpePattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+"
+
+  /** BPE-ish token count: the number of pre-tokenizer pieces — the unit
+    * a subword tokenizer's cost scales with, and the standard
+    * token-budget estimate when the real vocabulary is not on the
+    * cluster.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0))).cast("long")
+
   // ---- *Over variants take a pre-materialized token array column so a
   // multi-metric projection tokenizes each row once, not once per metric.
 

@@ -343,6 +343,17 @@ object ExtQueries {
         .limit(20)
     }),
 
+    // ---- BPE-ish token counting: whitespace tokens vs GPT-2-style
+    // pre-tokenizer pieces (the subword-cost estimate), same regex in
+    // both engines (lookahead-free, Java ≡ RE2).
+    "x32_bpe_tokens" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      d.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+          TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // ---- sequence packing: greedy order-preserving assembly of
     // documents into 512-token training packs (the exact hard-cap
     // chunker applied to token budgets); per-pack profile oracled by
@@ -715,6 +726,13 @@ object ExtQueries {
         |FROM documents d JOIN thr t ON d.lang = t.lang
         |WHERE CAST(d.n_chars AS DOUBLE) >= t.thr
         |GROUP BY d.lang, t.thr ORDER BY d.lang""".stripMargin,
+    "x32_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text,
+        |    '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+'))
+        |    AS BIGINT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x30_sequence_packing" ->
       """WITH RECURSIVE seq AS (
         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
