@@ -24,18 +24,20 @@ object TextAnalysis {
     * space-prefixed letter runs, digit runs, punctuation runs, residual
     * whitespace), restricted to lookahead-free constructs so the SAME
     * pattern runs under Java regex and RE2 (DuckDB/Go engines) with
-    * identical leftmost-first semantics.
+    * identical leftmost-first semantics. Whitespace is an EXPLICIT class
+    * — Java's `\s` includes U+000B while RE2's does not, so the
+    * shorthand would silently diverge on vertical tabs.
     */
   val BpePattern: String =
-    "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+"
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+" +
+      "| ?[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+"
 
   /** BPE-ish token count: the number of pre-tokenizer pieces — the unit
     * a subword tokenizer's cost scales with, and the standard
     * token-budget estimate when the real vocabulary is not on the
     * cluster.
     */
-  def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit(BpePattern), lit(0))).cast("long")
+  def bpeTokenCount(text: Column): Column = countPattern(text, BpePattern)
 
   // ---- *Over variants take a pre-materialized token array column so a
   // multi-metric projection tokenizes each row once, not once per metric.

@@ -728,9 +728,11 @@ object ExtQueries {
         |GROUP BY d.lang, t.thr ORDER BY d.lang""".stripMargin,
     "x32_bpe_tokens" ->
       """SELECT doc_id,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(string_split(trim(
+        |    regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')), ' '))
+        |    AS BIGINT) AS n_ws_tokens,
         |  CAST(len(regexp_extract_all(text,
-        |    '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+'))
+        |    '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+'))
         |    AS BIGINT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "x30_sequence_packing" ->

@@ -271,6 +271,18 @@ class TextAnalysisSpec extends SparkSpec {
       .collect()(0).getSeq[String](0)
     assert(short.isEmpty)
   }
+
+  test("bpe pre-tokenizer counts pieces incl. the vertical-tab edge") {
+    val spark0 = spark
+    import spark0.implicits._
+    def count(t: String) = Seq(Tuple1(t)).toDF("text")
+      .select(TextAnalysis.bpeTokenCount(col("text"))).collect()(0).getLong(0)
+    assert(count("hello world") == 2L)     // "hello", " world"
+    assert(count("it's 42 ok!") == 5L)     // it, 's, " 42", " ok", "!"
+    // U+000B is whitespace in the EXPLICIT class on both engines — the
+    // Java \s vs RE2 \s divergence the pattern deliberately avoids
+    assert(count("a \u000B. b") == 4L) // a, " <VT>", ".", " b"
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
