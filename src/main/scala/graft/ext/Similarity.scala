@@ -151,4 +151,24 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
   }
+
+  /** Per-class element-wise vector mean — class centroids / prototypes
+    * (the aggregation behind prototype classifiers, cluster profiling,
+    * and IVF-style seeding from labeled data). One posexplode + one hash
+    * aggregation keyed on (label, dimension): partial aggregation
+    * collapses each scan partition to ≤ |labels|·dims rows before the
+    * shuffle, so the pattern holds at any corpus size.
+    *
+    * Arithmetic is deterministic cross-engine: each component quantizes
+    * to an exact-integer double (×2²⁰, half-up — the `cosineQuantized`
+    * convention), sums of those are exact for any realistic group size,
+    * and the final single division is one IEEE op.
+    */
+  def classCentroids(df: DataFrame, labelCol: Column, vecCol: Column,
+                     maxDims: Int = Int.MaxValue): DataFrame =
+    df.select(labelCol.as("label"), posexplode(vecCol).as(Seq("pos", "x")))
+      .filter(col("pos") < maxDims)
+      .groupBy("label", "pos")
+      .agg((sum(round(col("x").cast("double") * lit(1048576.0)))
+        / count(lit(1))).as("centroid_q"))
 }

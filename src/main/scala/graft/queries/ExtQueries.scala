@@ -221,6 +221,14 @@ object ExtQueries {
         .orderBy("query_id")
     }),
 
+    // ---- similarity: class centroids (element-wise vector mean per
+    // label, quantized arithmetic — every value DuckDB-recomputable).
+    "x33_class_centroids" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.classCentroids(e, col("label"), col("embedding"), maxDims = 8)
+        .orderBy("label", "pos")
+    }),
+
     // ---- sampling: deterministic content-hash train/test split. The
     // bucket is md5-based so the EXACT membership is recomputable in
     // DuckDB — the oracle checks every row's assignment, not just
@@ -575,6 +583,12 @@ object ExtQueries {
     "x31_ann_pq" ->
       """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    "x33_class_centroids" ->
+      """SELECT label, CAST(p AS INTEGER) AS pos,
+        |  CAST(sum(round(CAST(embedding[CAST(p + 1 AS INTEGER)] AS DOUBLE)
+        |    * 1048576.0)) AS DOUBLE) / count(*) AS centroid_q
+        |FROM embeddings, range(8) t(p)
+        |GROUP BY label, p ORDER BY label, pos""".stripMargin,
     "x11_ann_bruteforce" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id,
