@@ -50,7 +50,10 @@ object Validate {
   }
 
   /** Every surplus row of a key that occurs more than once is a
-    * violation (a key seen k>1 times contributes k-1).
+    * violation (a key seen k>1 times contributes k-1). Rows with a null
+    * in any key column are exempt — SQL UNIQUE-constraint semantics
+    * (multiple NULL keys may coexist), consistent with `References`'
+    * null exemption; add a `NotNull` rule to forbid null keys.
     */
   final case class Unique(columns: Seq[String]) extends Check {
     val name = s"unique:${columns.mkString(",")}"
@@ -106,7 +109,8 @@ object Validate {
 
     val setReports: Seq[DataFrame] = named.collect {
       case (name, Unique(columns)) =>
-        df.groupBy(columns.map(col): _*).agg(count(lit(1)).as("_n"))
+        df.filter(columns.map(col(_).isNotNull).reduce(_ && _))
+          .groupBy(columns.map(col): _*).agg(count(lit(1)).as("_n"))
           .agg(coalesce(sum(col("_n") - 1L), lit(0L)).as("violations"))
           .select(lit(name).as("check"), col("violations"))
       case (name, References(columns, dim, dimColumns)) =>

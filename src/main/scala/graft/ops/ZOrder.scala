@@ -20,9 +20,16 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
-  /** Spread the low 16 bits of `v`: bit i moves to bit 2i. */
+  /** Spread the low 16 bits of `v`: bit i moves to bit 2i. The input is
+    * masked to its low 16 bits first — without the mask, a value with
+    * bit 16+ set would survive the first 0x00FF00FF stage (that mask
+    * covers bits 16-23) and corrupt the interleave; keys wider than 16
+    * bits now degrade to defined behavior (z-order on their low bits)
+    * instead of producing broken codes.
+    */
   private def spread16(v: Column): Column = {
-    val a = v.cast("long").bitwiseOR(shiftleft(v.cast("long"), 8)).bitwiseAND(lit(0x00FF00FFL))
+    val m = v.cast("long").bitwiseAND(lit(0xFFFFL))
+    val a = m.bitwiseOR(shiftleft(m, 8)).bitwiseAND(lit(0x00FF00FFL))
     val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0F0F0F0FL))
     val c = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x33333333L))
     c.bitwiseOR(shiftleft(c, 1)).bitwiseAND(lit(0x55555555L))

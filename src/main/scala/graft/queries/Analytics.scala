@@ -84,11 +84,17 @@ object Analytics {
       import s.implicits._
       Tables(s, dir, "orders")
         .groupBy($"o_orderpriority")
-        .agg(expr("percentile(o_totalprice, 0.5)").as("exact_p50"),
+        .agg(expr("percentile(o_totalprice, 0.5)").as("_p50"),
           expr("approx_percentile(o_totalprice, 0.5, 1000)").as("_ap50"),
           count(lit(1)).as("n"))
-        .select($"o_orderpriority", $"exact_p50", $"n",
-          (abs($"_ap50" - $"exact_p50") <= $"exact_p50" * 0.05)
+        // emit the exact quantile quantized to 1/1000 (prices are 2-dp,
+        // so the interpolated p50 is a multiple of 0.005: round(x*1000)
+        // lands on the same integer in any engine even when evaluation
+        // order differs by 1 ULP — the float-equality-across-engines
+        // hazard the raw double would carry)
+        .select($"o_orderpriority",
+          (round($"_p50" * 1000) / 1000).as("exact_p50"), $"n",
+          (abs($"_ap50" - $"_p50") <= $"_p50" * 0.05)
             .as("approx_ok"))
         .orderBy($"o_orderpriority")
     }),
@@ -273,7 +279,7 @@ object Analytics {
         |ORDER BY o_orderpriority""".stripMargin,
     "a11_approx_quantiles" ->
       """SELECT o_orderpriority,
-        |  quantile_cont(o_totalprice, 0.5) AS exact_p50,
+        |  round(quantile_cont(o_totalprice, 0.5) * 1000) / 1000 AS exact_p50,
         |  CAST(count(*) AS BIGINT) AS n, TRUE AS approx_ok
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,

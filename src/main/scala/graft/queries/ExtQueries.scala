@@ -325,8 +325,12 @@ object ExtQueries {
     // bounded by the value domain, not row count) then filter + profile.
     "x23_percentile_cut" -> ((s: SparkSession, dir: String) => {
       val d = Tables(s, dir, "documents")
+      // quantize the interpolated p75 to 1/4 (n_chars is integral, so
+      // the true quantile is a multiple of 0.25: round(x*4) lands on the
+      // same integer in any engine even if evaluation order differs by
+      // 1 ULP — raw-double equality across engines is not a contract)
       val thr = d.groupBy("lang")
-        .agg(expr("percentile(n_chars, 0.75)").as("thr"))
+        .agg((round(expr("percentile(n_chars, 0.75)") * 4) / 4).as("thr"))
       d.join(broadcast(thr), Seq("lang"))
         .filter(col("n_chars").cast("double") >= col("thr"))
         .groupBy("lang")
@@ -733,7 +737,7 @@ object ExtQueries {
         |ORDER BY test_id""".stripMargin,
     "x23_percentile_cut" ->
       """WITH thr AS (
-        |  SELECT lang, quantile_cont(n_chars, 0.75) AS thr
+        |  SELECT lang, round(quantile_cont(n_chars, 0.75) * 4) / 4 AS thr
         |  FROM documents GROUP BY lang)
         |SELECT d.lang, t.thr, CAST(count(*) AS BIGINT) AS n_keep,
         |  min(d.n_chars) AS min_chars, max(d.n_chars) AS max_chars

@@ -479,6 +479,7 @@ object OpsQueries {
         |  SELECT 'unique:l_orderkey,l_linenumber',
         |    CAST(COALESCE((SELECT sum(n - 1) FROM (
         |      SELECT count(*) AS n FROM lineitem
+        |      WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
         |      GROUP BY l_orderkey, l_linenumber)), 0) AS BIGINT)
         |) ORDER BY "check"""".stripMargin)
 }

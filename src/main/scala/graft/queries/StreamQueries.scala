@@ -257,30 +257,40 @@ object StreamQueries {
           .parquet(staged.toString)
         // foreachBatch is at-least-once: a batch can be re-delivered after
         // a failure between the sink commit and the checkpoint commit. The
-        // increment below is NOT idempotent, so the sink records each
-        // applied batchId (marker after the atomic table swap) and skips
-        // replays — the standard exactly-once recipe for MERGE sinks.
-        val appliedDir = java.nio.file.Files.createTempDirectory("graft-s05-applied")
+        // increment below is NOT idempotent, so the sink carries the
+        // last-applied batchId INSIDE the table itself (a sentinel row,
+        // user_id = -1) — the watermark commits in the SAME write as the
+        // data, so no crash point can separate "counts updated" from
+        // "batch recorded"; a replayed batchId <= the stored watermark is
+        // skipped. (A side-channel marker file written after the swap
+        // would reopen exactly that window.) AvailableNow delivers batch
+        // ids in order, so a single max-applied watermark suffices.
         val q = stream.select("user_id").writeStream
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
-            val marker = appliedDir.resolve(s"batch_$batchId")
-            if (java.nio.file.Files.exists(marker)) ()
-            else {
+            val sb = batch.sparkSession
+            import sb.implicits._
+            val sentinel = Seq((-1L, batchId)).toDF("user_id", "n")
             val agg = batch.groupBy("user_id").agg(count(lit(1)).as("n"))
             wh.get("user_counts") match {
               case Right(cur) =>
-                val combined = cur.withColumnRenamed("n", "_old")
-                  .join(agg, Seq("user_id"), "full_outer")
-                  .select(col("user_id"),
-                    (coalesce(col("_old"), lit(0L))
-                      + coalesce(col("n"), lit(0L))).as("n"))
-                wh.upsert("user_counts", combined, Seq("user_id")).fold(
-                  e => throw new RuntimeException(e.message), identity)
+                val applied = cur.filter(col("user_id") === -1L)
+                  .agg(max("n")).collect()(0)
+                val maxApplied = if (applied.isNullAt(0)) -1L else applied.getLong(0)
+                if (batchId <= maxApplied) () // replayed batch: already folded in
+                else {
+                  val combined = cur.filter(col("user_id") >= 0L)
+                    .withColumnRenamed("n", "_old")
+                    .join(agg, Seq("user_id"), "full_outer")
+                    .select(col("user_id"),
+                      (coalesce(col("_old"), lit(0L))
+                        + coalesce(col("n"), lit(0L))).as("n"))
+                    .unionByName(sentinel)
+                  wh.upsert("user_counts", combined, Seq("user_id")).fold(
+                    e => throw new RuntimeException(e.message), identity)
+                }
               case Left(_) =>
-                wh.load("user_counts", agg).fold(
+                wh.load("user_counts", agg.unionByName(sentinel)).fold(
                   e => throw new RuntimeException(e.message), _ => ())
-            }
-            java.nio.file.Files.createFile(marker)
             }
             ()
           }
@@ -290,7 +300,9 @@ object StreamQueries {
         q.awaitTermination(120000)
       }
       wh.get("user_counts").fold(
-        e => throw new RuntimeException(e.message), identity).orderBy("user_id")
+        e => throw new RuntimeException(e.message), identity)
+        .filter(col("user_id") >= 0L) // drop the batch-watermark sentinel
+        .orderBy("user_id")
     }))
 
   val oracle: Map[String, String] = Map(

@@ -166,6 +166,21 @@ class ValidateSpec extends SparkSpec {
       "references:k" -> 1L))
   }
 
+  test("Unique exempts null keys (SQL UNIQUE-constraint semantics)") {
+    val spark0 = spark
+    import spark0.implicits._
+    // three null keys + two null-composite keys: none are violations;
+    // the lone real duplicate contributes exactly one surplus row
+    val df = Seq(
+      (Option.empty[Long], Some(1L)), (None, Some(1L)), (None, None),
+      (Some(5L), None), (Some(5L), None),
+      (Some(9L), Some(2L)), (Some(9L), Some(2L)))
+      .toDF("a", "b")
+    val rep = Validate.report(df, Seq(Validate.Unique(Seq("a", "b"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep == Map("unique:a,b" -> 1L))
+  }
+
   test("two rules with the same generated name get distinct report rows") {
     val spark0 = spark
     import spark0.implicits._

@@ -23,6 +23,21 @@ class ZOrderSpec extends SparkSpec {
     assert(z.select("z").distinct().count() == 32L * 32L)
   }
 
+  test("zValue masks inputs to 16 bits (wide/negative keys degrade, not corrupt)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq((0x10003, 0), (3, 0), (-1, 0)).toDF("x", "y")
+    val zs = df.select(ZOrder.zValue(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0))
+    // bit 16 of x is discarded: z(0x10003, 0) == z(3, 0); before the
+    // input mask, the stray high bit survived the 0x00FF00FF stage and
+    // produced a code outside the 32-bit z-domain
+    assert(zs(0) == zs(1))
+    // negative input = low 16 bits (0xFFFF): all even bits set
+    assert(zs(2) == 0x55555555L)
+    assert(zs.forall(z => z >= 0 && z <= 0xFFFFFFFFL))
+  }
+
   test("clusteredWrite bounds both dimensions per output file") {
     val spark0 = spark
     import spark0.implicits._
