@@ -356,4 +356,44 @@ object Dedup {
         Similarity.cosineFloat(col("a._vec"), col("b._vec")).as("cos"))
     small.union(big).filter(col("cos") >= minCos)
   }
+
+  // ---------- cross-document repeated n-grams ----------
+
+  /** Per-document duplicate n-gram coverage across the WHOLE corpus —
+    * the substring-level dedup signal of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499),
+    * word-n-gram granularity: for each document, what fraction of its
+    * distinct n-grams also appears in at least one OTHER document.
+    * High coverage flags boilerplate (headers, licenses, templates) that
+    * whole-document dedup never catches.
+    *
+    * Scale shape: explode to distinct `(doc, gram)` once; count docs per
+    * gram with ONE hash aggregation (map-side partial applies); join the
+    * counts back on the gram key and fold per doc. Cost is linear in
+    * total gram volume — there is no document-pairwise step anywhere.
+    * At 100 TB, hash the gram strings first (the [[Contamination]]
+    * `hashed` trick) to shuffle 8-byte keys instead of strings.
+    *
+    * Documents with fewer than `n` tokens have no n-grams and are
+    * reported with `n_grams = 0` (coverage null), not dropped.
+    */
+  def dupNgramCoverage(df: DataFrame, idCol: Column, textCol: Column,
+                       n: Int = 5): DataFrame = {
+    val grams = df
+      .select(idCol.as("id"), TextAnalysis.tokens(textCol).as("_t"))
+      .select(col("id"), explode(TextAnalysis.wordNgramsOver(col("_t"), n)).as("gram"))
+      .distinct()
+    val counts = grams.groupBy("gram").agg(count(lit(1)).as("_docs"))
+    val perDoc = grams.join(counts, Seq("gram"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_docs") > 1L, 1L).otherwise(0L)).as("n_shared"))
+    df.select(idCol.as("id")).distinct()
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (col("n_shared").cast("double") / col("n_grams").cast("double"))
+          .as("dup_coverage"))
+  }
 }

@@ -129,6 +129,29 @@ object Analytics {
         .orderBy($"o_orderpriority")
     }),
 
+    // ---- bloom-prefiltered join (the operator form of Spark's runtime
+    // row-level filtering): a selective orders dim (~0.8% of keys)
+    // builds a bloom filter that drops non-matching lineitem rows
+    // BEFORE the fact side shuffles; no false negatives, and the
+    // trailing real join removes false positives, so the plain join is
+    // an exact oracle.
+    "a14_bloom_join" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val li = Tables(s, dir, "lineitem")
+      val dim = Tables(s, dir, "orders")
+        .filter($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 250000.0)
+        .select($"o_orderkey")
+      graft.ops.BloomJoin.join(li, dim, "l_orderkey", "o_orderkey",
+          expectedItems = 4096)
+        .groupBy($"o_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum($"l_quantity".cast(DecimalType(18, 2))).as("_q"))
+        .select($"o_orderkey", $"n_items",
+          $"_q".cast(DecimalType(38, 2)).cast("double").as("sum_qty"))
+        .orderBy($"o_orderkey")
+    }),
+
     // ---- skew-mitigated JOIN (the join twin of a06's salted
     // aggregation): events collapsed onto 4 hot keys — a 25%-per-key
     // skew no hash partitioning survives — joined to a tiny dim through
@@ -277,6 +300,13 @@ object Analytics {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "a14_bloom_join" ->
+      """SELECT o.o_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+        |    AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 250000.0
+        |GROUP BY o.o_orderkey ORDER BY o.o_orderkey""".stripMargin,
     "a11_approx_quantiles" ->
       """SELECT o_orderpriority,
         |  round(quantile_cont(o_totalprice, 0.5) * 1000) / 1000 AS exact_p50,

@@ -466,6 +466,42 @@ object ExtQueries {
         .groupBy("cell")
         .agg(count(lit(1)).as("n"))
         .orderBy("cell")
+    }),
+
+    // ---- semantic dedup (SemDeDup): cluster-then-prune with a
+    // deterministic seed codebook and exact quantized-cosine arithmetic
+    // — planted exact copies (vec_id+100000 of vec_id<25) land in their
+    // original's cluster (identical vector ⇒ identical argmax) and flag
+    // at cos ≈ 1 ≥ τ; DuckDB recomputes assignment AND pruning exactly.
+    "x34_semdedup" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings")
+      val copies = e.filter(col("vec_id") < 25)
+        .withColumn("vec_id", col("vec_id") + 100000L)
+      val corpus = e.unionByName(copies)
+      val cents = graft.ext.SemDedup.seedCentroids(corpus, k = 8)
+      graft.ext.SemDedup.report(corpus, cents, tau = 0.99)
+        .orderBy("cluster")
+    }),
+
+    // ---- similarity: int8 scalar-quantized brute force — the 4×
+    // compressed index (array<tinyint> codes + per-vector scale); exact
+    // integer code dot + two IEEE multiplies ⇒ scores oracle exactly.
+    "x35_ann_int8" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings")
+      val idx = Similarity.int8Index(e)
+      Similarity.int8TopK(idx, e.filter(col("vec_id") < 5), k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- cross-document repeated n-grams (Lee et al. 2022): per-doc
+    // fraction of distinct word 3-grams shared with ANY other document —
+    // linear gram explode + one count agg + one keyed join, no doc pairs.
+    "x36_dup_ngrams" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      Dedup.dupNgramCoverage(d, col("doc_id"), col("text"), n = 3)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_shared"),
+          col("dup_coverage"))
+        .orderBy("doc_id")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -870,5 +906,83 @@ object ExtQueries {
         |s4 AS (SELECT (x | (x << 1)) & 1431655765 AS x,
         |              (y | (y << 1)) & 1431655765 AS y FROM s3)
         |SELECT ((x | (y << 1)) >> 14) AS cell, CAST(count(*) AS BIGINT) AS n
-        |FROM s4 GROUP BY cell ORDER BY cell""".stripMargin)
+        |FROM s4 GROUP BY cell ORDER BY cell""".stripMargin,
+    "x34_semdedup" ->
+      """WITH u AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1048576.0)) AS v
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000,
+        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1048576.0))
+        |  FROM embeddings WHERE vec_id < 25),
+        |cent AS (
+        |  SELECT vec_id AS cid,
+        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1048576.0)) AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT u.id, cent.cid,
+        |    list_inner_product(u.v, cent.cv) /
+        |      (sqrt(list_inner_product(u.v, u.v)) *
+        |       sqrt(list_inner_product(cent.cv, cent.cv))) AS cos
+        |  FROM u, cent),
+        |asg AS (
+        |  SELECT id, cid AS cluster FROM (
+        |    SELECT id, cid,
+        |      row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |m AS (SELECT a.cluster, a.id, u.v FROM asg a JOIN u ON a.id = u.id),
+        |dup AS (
+        |  SELECT DISTINCT b.id FROM m a JOIN m b
+        |  ON a.cluster = b.cluster AND a.id < b.id
+        |  WHERE list_inner_product(a.v, b.v) /
+        |    (sqrt(list_inner_product(a.v, a.v)) *
+        |     sqrt(list_inner_product(b.v, b.v))) >= 0.99)
+        |SELECT CAST(m.cluster AS BIGINT) AS cluster,
+        |  CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(count(dup.id) AS BIGINT) AS n_dups
+        |FROM m LEFT JOIN dup ON m.id = dup.id
+        |GROUP BY m.cluster ORDER BY cluster""".stripMargin,
+    "x35_ann_int8" ->
+      """WITH c AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc
+        |  FROM c),
+        |q8 AS (
+        |  SELECT vec_id, sc, list_transform(v, x -> round(x / sc)) AS qv
+        |  FROM s),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    (q.sc * n.sc) * list_inner_product(q.qv, n.qv) AS score
+        |  FROM q8 q JOIN q8 n ON q.vec_id <> n.vec_id
+        |  WHERE q.vec_id < 5),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, score FROM ranked
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "x36_dup_ngrams" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id, unnest(list_transform(range(len(w) - 2),
+        |      i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3]))) AS gram
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+        |c AS (SELECT gram, count(*) AS docs FROM g GROUP BY gram),
+        |p AS (
+        |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN c.docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+        |  FROM g JOIN c USING (gram) GROUP BY g.doc_id)
+        |SELECT d.doc_id, COALESCE(p.n_grams, 0) AS n_grams,
+        |  COALESCE(p.n_shared, 0) AS n_shared,
+        |  CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN NULL
+        |       ELSE CAST(p.n_shared AS DOUBLE) / CAST(p.n_grams AS DOUBLE) END
+        |    AS dup_coverage
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN p ON d.doc_id = p.doc_id
+        |ORDER BY d.doc_id""".stripMargin)
 }
