@@ -54,6 +54,25 @@ object Sampling {
     }.reduce(_ unionByName _)
   }
 
+  /** Deterministic epoch shuffle: a reproducible global training order.
+    * Each record's sort key is `md5(seed ":" id)` — content-determined,
+    * so epoch N's order is identical across reruns, engines, and
+    * partitionings (and a different seed gives an independent order for
+    * epoch N+1); the id tiebreak makes the order total.
+    *
+    * NOT a global `row_number()` window (single-partition at scale):
+    * positions come from the range-partition + exact-offset composition
+    * (`Ingest.withPosition`) — the data shuffles once on the hash key,
+    * which simultaneously IS the shuffle that randomizes placement.
+    */
+  def epochShuffle(df: DataFrame, idCol: Column, seed: Long,
+                   as: String = "pos"): DataFrame =
+    graft.ingest.Ingest.withPosition(
+        df.withColumn("_graft_shuffle_key",
+          md5(concat_ws(":", lit(seed), idCol.cast("string")))),
+        Seq(col("_graft_shuffle_key"), idCol), as)
+      .drop("_graft_shuffle_key")
+
   /** Exact-n per-stratum sample: seeded rank within each stratum — a
     * PARTITIONED window (scales with stratum cardinality; never the
     * single-task global window). Returns min(n, |stratum|) rows per

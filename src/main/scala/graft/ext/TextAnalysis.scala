@@ -193,6 +193,16 @@ object TextAnalysis {
     */
   def wordNgrams(text: Column, n: Int): Column = wordNgramsOver(tokens(text), n)
 
+  /** Adjacent-token pairs over a pre-staged token array — the corpus
+    * statistic a BPE/WordPiece merge step ranks (most frequent adjacent
+    * pair becomes the next merge): `zip(toks, toks[1:])` as space-joined
+    * strings. Empty for single-token documents.
+    */
+  def adjacentPairsOver(toks: Column): Column =
+    when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(zip_with(slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1), (a, b) => concat_ws(" ", a, b)))
+
   /** Duplicate n-gram ratio over a pre-staged token array: 1 −
     * distinct/total — the Gopher-style intra-document repetition signal
     * (high ratio ⇒ boilerplate / looping text). Pure array expressions,

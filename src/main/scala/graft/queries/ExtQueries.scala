@@ -493,6 +493,30 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- BPE merge statistics: corpus-wide adjacent-token-pair
+    // frequencies, top 30 — the statistic one BPE/WordPiece training
+    // step ranks. Map-side partial agg collapses per-partition pair
+    // counts before the single shuffle; top-k is TakeOrderedAndProject.
+    "x37_bpe_pair_freqs" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      d.select(TextAnalysis.tokens(col("text")).as("_toks"))
+        .select(explode(TextAnalysis.adjacentPairsOver(col("_toks"))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(30)
+    }),
+
+    // ---- deterministic epoch shuffle: reproducible global training
+    // order from a content hash (md5(seed:id)) — positions assigned by
+    // the range-partition + exact-offset composition, never a global
+    // window; DuckDB recomputes the same md5 order.
+    "x38_epoch_shuffle" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      Sampling.epochShuffle(d.select(col("doc_id")), col("doc_id"), seed = 7L)
+        .filter(col("pos") < 100)
+        .orderBy("pos")
+    }),
+
     // ---- cross-document repeated n-grams (Lee et al. 2022): per-doc
     // fraction of distinct word 3-grams shared with ANY other document —
     // linear gram explode + one count agg + one keyed join, no doc pairs.
@@ -966,6 +990,19 @@ object ExtQueries {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, score FROM ranked
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "x37_bpe_pair_freqs" ->
+      """SELECT pair, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT unnest(list_transform(range(len(w) - 1),
+        |    i -> concat(w[i+1], ' ', w[i+2]))) AS pair
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents))
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin,
+    "x38_epoch_shuffle" ->
+      """SELECT doc_id, pos FROM (
+        |  SELECT doc_id, CAST(row_number() OVER (
+        |    ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |    AS BIGINT) AS pos
+        |  FROM documents)
+        |WHERE pos < 100 ORDER BY pos""".stripMargin,
     "x36_dup_ngrams" ->
       """WITH g AS (
         |  SELECT DISTINCT doc_id, gram FROM (

@@ -133,6 +133,39 @@ object StreamQueries {
     // equal the batch DISTINCT. Only the keys are compared (which
     // arrival gets kept per key is scheduling-dependent; the key set is
     // not).
+    // ---- sliding (hopping) windows: every event lands in FOUR
+    // overlapping 2-hour windows on a 30-minute hop — the overlapping-
+    // window shape tumbling s01 cannot express (state per (window,key)
+    // is 4× the tumbling count, still bounded by the watermark). DuckDB
+    // recomputes the hop arithmetic by exploding k = 0..3.
+    "s07_stream_sliding" -> ((s: SparkSession, dir: String) => {
+      val staged = java.nio.file.Files.createTempDirectory("graft-s07")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      withShufflePartitions(s, 4) {
+        val stream = s.readStream
+          .schema(eventsSchema)
+          .parquet(staged.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val agg = stream
+          .withWatermark("ts", "2 hours")
+          .groupBy(window(col("ts"), "2 hours", "30 minutes").as("win"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val q = agg
+          .select(col("win.start").as("win_start"), col("event_type"), col("n"))
+          .writeStream
+          .format("memory")
+          .queryName("s07_stream_sliding_sink")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+      }
+      s.table("s07_stream_sliding_sink").orderBy("event_type", "win_start")
+    }),
+
     "s03_stream_dedup" -> ((s: SparkSession, dir: String) => {
       val staged = java.nio.file.Files.createTempDirectory("graft-s03")
       java.nio.file.Files.copy(
@@ -333,6 +366,14 @@ object StreamQueries {
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "s07_stream_sliding" ->
+      """SELECT CAST(make_timestamp(
+        |    ((epoch_us(ts) // 1800000000) - k) * 1800000000) AS TIMESTAMP)
+        |    AS win_start,
+        |  event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events, range(4) t(k)
+        |GROUP BY win_start, event_type
+        |ORDER BY event_type, win_start""".stripMargin,
     "s03_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,

@@ -127,6 +127,49 @@ class DupNgramSpec extends SparkSpec {
   }
 }
 
+class EpochShuffleSpec extends SparkSpec {
+
+  test("positions are an exact permutation, rerun-identical, seed-sensitive") {
+    val d = Tables(spark, sf0001, "documents").select(col("doc_id"))
+    val n = d.count()
+    val p1 = ext.Sampling.epochShuffle(d, col("doc_id"), seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact permutation of [0, n)
+    assert(p1.values.toSeq.sorted == (0L until n).toSeq)
+    // content-deterministic: a rerun reproduces every position
+    val p2 = ext.Sampling.epochShuffle(d, col("doc_id"), seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p1 == p2)
+    // a different epoch seed produces a genuinely different order
+    val p3 = ext.Sampling.epochShuffle(d, col("doc_id"), seed = 8L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p1 != p3)
+  }
+
+  test("no single-partition Window operator in the plan") {
+    val d = Tables(spark, sf0001, "documents").select(col("doc_id"))
+    val plan = ext.Sampling.epochShuffle(d, col("doc_id"), seed = 7L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+}
+
+class AdjacentPairsSpec extends SparkSpec {
+
+  test("pairs zip consecutive tokens; single-token docs are empty") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = Seq("a b c", "solo", "x y")
+      .toDF("text")
+      .select(ext.TextAnalysis.adjacentPairsOver(
+        ext.TextAnalysis.tokens(col("text"))).as("p"))
+      .collect().map(_.getSeq[String](0))
+    assert(rows(0) == Seq("a b", "b c"))
+    assert(rows(1) == Seq())
+    assert(rows(2) == Seq("x y"))
+  }
+}
+
 class BloomJoinSpec extends SparkSpec {
 
   test("bloom-prefiltered join equals the plain join exactly") {
