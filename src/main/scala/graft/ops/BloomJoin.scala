@@ -28,12 +28,28 @@ import org.apache.spark.sql.types.BinaryType
   */
 object BloomJoin {
 
+  /** The sketch stores raw longs (probe = `mightContainLong`), so a
+    * non-integral key would cast to null on BOTH sides and the probe
+    * would silently drop every fact row the real join matches —
+    * violating the exact-join contract. Fail loudly instead.
+    */
+  private def requireIntegralKey(df: DataFrame, keyCol: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    df.schema(keyCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"BloomJoin key '$keyCol' must be an integral column " +
+          s"(byte/short/int/long); got $other")
+    }
+  }
+
   /** Serialized bloom filter over `dim(keyCol)` (an integral column —
     * the sketch stores raw longs, matching the probe's
     * `mightContainLong`).
     */
   def buildKeyFilter(dim: DataFrame, keyCol: String,
                      expectedItems: Long, fpp: Double = 0.03): Array[Byte] = {
+    requireIntegralKey(dim, keyCol)
     val bf = dim.select(col(keyCol).cast("long").as(keyCol))
       .stat.bloomFilter(keyCol, expectedItems, fpp)
     val out = new java.io.ByteArrayOutputStream()
@@ -56,6 +72,7 @@ object BloomJoin {
   def join(fact: DataFrame, dim: DataFrame,
            factKey: String, dimKey: String,
            expectedItems: Long, fpp: Double = 0.03): DataFrame = {
+    requireIntegralKey(fact, factKey)
     val bytes = buildKeyFilter(dim, dimKey, expectedItems, fpp)
     fact.filter(mightContain(bytes, col(factKey)))
       .join(dim, col(factKey) === col(dimKey))

@@ -142,8 +142,12 @@ object Analytics {
       val dim = Tables(s, dir, "orders")
         .filter($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 250000.0)
         .select($"o_orderkey")
+      // Size the filter from the dim itself (one cheap count on the
+      // already-selective side) — a hardcoded capacity saturates at
+      // larger scale factors and the prefilter stops pruning.
+      val expected = math.max(dim.count(), 64L)
       graft.ops.BloomJoin.join(li, dim, "l_orderkey", "o_orderkey",
-          expectedItems = 4096)
+          expectedItems = expected)
         .groupBy($"o_orderkey")
         .agg(count(lit(1)).as("n_items"),
           sum($"l_quantity".cast(DecimalType(18, 2))).as("_q"))

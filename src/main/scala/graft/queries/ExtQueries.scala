@@ -976,7 +976,10 @@ object ExtQueries {
         |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc
         |  FROM c),
         |q8 AS (
-        |  SELECT vec_id, sc, list_transform(v, x -> round(x / sc)) AS qv
+        |  SELECT vec_id, sc,
+        |    CASE WHEN sc = 0
+        |      THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+        |      ELSE list_transform(v, x -> round(x / sc)) END AS qv
         |  FROM s),
         |scored AS (
         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,

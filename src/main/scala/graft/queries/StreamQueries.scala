@@ -291,38 +291,47 @@ object StreamQueries {
         // foreachBatch is at-least-once: a batch can be re-delivered after
         // a failure between the sink commit and the checkpoint commit. The
         // increment below is NOT idempotent, so the sink carries the
-        // last-applied batchId INSIDE the table itself (a sentinel row,
-        // user_id = -1) — the watermark commits in the SAME write as the
-        // data, so no crash point can separate "counts updated" from
-        // "batch recorded"; a replayed batchId <= the stored watermark is
-        // skipped. (A side-channel marker file written after the swap
-        // would reopen exactly that window.) AvailableNow delivers batch
-        // ids in order, so a single max-applied watermark suffices.
+        // last-applied batchId INSIDE the table itself — the watermark
+        // commits in the SAME write as the data, so no crash point can
+        // separate "counts updated" from "batch recorded"; a replayed
+        // batchId <= the stored watermark is skipped. (A side-channel
+        // marker file written after the swap would reopen exactly that
+        // window.) The upsert key is a namespaced STRING ("u:<id>" for
+        // data rows, "wm" for the watermark), so the watermark lives
+        // outside the user_id keyspace entirely — a legitimate negative
+        // user_id can neither collide with it nor be dropped.
+        // AvailableNow delivers batch ids in order, so a single
+        // max-applied watermark suffices.
         val q = stream.select("user_id").writeStream
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
             val sb = batch.sparkSession
             import sb.implicits._
-            val sentinel = Seq((-1L, batchId)).toDF("user_id", "n")
+            val sentinel = Seq(("wm", Option.empty[Long], batchId))
+              .toDF("k", "user_id", "n")
+            def keyed(df: DataFrame): DataFrame = df.select(
+              concat(lit("u:"), col("user_id").cast("string")).as("k"),
+              col("user_id"), col("n"))
             val agg = batch.groupBy("user_id").agg(count(lit(1)).as("n"))
             wh.get("user_counts") match {
               case Right(cur) =>
-                val applied = cur.filter(col("user_id") === -1L)
+                val applied = cur.filter(col("k") === "wm")
                   .agg(max("n")).collect()(0)
                 val maxApplied = if (applied.isNullAt(0)) -1L else applied.getLong(0)
                 if (batchId <= maxApplied) () // replayed batch: already folded in
                 else {
-                  val combined = cur.filter(col("user_id") >= 0L)
-                    .withColumnRenamed("n", "_old")
-                    .join(agg, Seq("user_id"), "full_outer")
+                  val combined = keyed(cur.filter(col("k") =!= "wm")
+                    .select(col("user_id"), col("n").as("_old"))
+                    .join(agg.withColumnRenamed("n", "_new"),
+                      Seq("user_id"), "full_outer")
                     .select(col("user_id"),
                       (coalesce(col("_old"), lit(0L))
-                        + coalesce(col("n"), lit(0L))).as("n"))
+                        + coalesce(col("_new"), lit(0L))).as("n")))
                     .unionByName(sentinel)
-                  wh.upsert("user_counts", combined, Seq("user_id")).fold(
+                  wh.upsert("user_counts", combined, Seq("k")).fold(
                     e => throw new RuntimeException(e.message), identity)
                 }
               case Left(_) =>
-                wh.load("user_counts", agg.unionByName(sentinel)).fold(
+                wh.load("user_counts", keyed(agg).unionByName(sentinel)).fold(
                   e => throw new RuntimeException(e.message), _ => ())
             }
             ()
@@ -334,7 +343,8 @@ object StreamQueries {
       }
       wh.get("user_counts").fold(
         e => throw new RuntimeException(e.message), identity)
-        .filter(col("user_id") >= 0L) // drop the batch-watermark sentinel
+        .filter(col("k") =!= "wm") // drop the batch-watermark row
+        .select("user_id", "n")
         .orderBy("user_id")
     }))
 

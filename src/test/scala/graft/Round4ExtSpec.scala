@@ -183,6 +183,19 @@ class BloomJoinSpec extends SparkSpec {
     assert(got.sameElements(want))
   }
 
+  test("non-integral join key is rejected loudly, not silently dropped") {
+    val li = Tables(spark, sf0001, "lineitem")
+    val dim = Tables(spark, sf0001, "orders").select("o_orderpriority")
+    intercept[IllegalArgumentException] {
+      BloomJoin.buildKeyFilter(dim, "o_orderpriority", 64)
+    }
+    intercept[IllegalArgumentException] {
+      BloomJoin.join(li.withColumn("lk", col("l_orderkey").cast("string")),
+        Tables(spark, sf0001, "orders").select("o_orderkey"),
+        "lk", "o_orderkey", 64)
+    }
+  }
+
   test("prefilter drops most non-matching fact rows, never a matching one") {
     val li = Tables(spark, sf0001, "lineitem")
     val dim = Tables(spark, sf0001, "orders")
