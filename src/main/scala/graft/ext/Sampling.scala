@@ -85,4 +85,22 @@ object Sampling {
       .filter(col("_graft_rank") <= n)
       .drop("_graft_rank")
   }
+
+  /** Exact-n per-stratum sample whose MEMBERSHIP (not just the counts)
+    * is a pure function of content: rank within each stratum by
+    * `md5(seed ":" key)` with the key as tiebreak. Unlike
+    * [[stratifiedSampleExact]] (Spark's `rand`, reproducible only
+    * within one engine+partitioning), the selected rows are identical
+    * across engines, reruns, and partitionings — auditable in plain
+    * SQL. Partitioned window: scales with stratum cardinality, never a
+    * single-task global sort.
+    */
+  def stratifiedSampleByHash(df: DataFrame, stratum: Column, key: Column,
+                             n: Int, seed: Long = 7L): DataFrame = {
+    val w = Window.partitionBy(stratum)
+      .orderBy(md5(concat_ws(":", lit(seed), key.cast("string"))), key)
+    df.withColumn("_graft_rank", row_number().over(w))
+      .filter(col("_graft_rank") <= n)
+      .drop("_graft_rank")
+  }
 }

@@ -262,6 +262,51 @@ object Analytics {
         .select(floor($"o_totalprice" / 50000.0).cast("long").as("bucket"))
         .groupBy($"bucket").agg(count(lit(1)).as("n"))
         .orderBy($"bucket")
+    }),
+
+    // ---- CDC changelog apply: customer balances as the snapshot, an
+    // orders-derived changelog (every 10th change a delete, the rest
+    // upserts, o_orderkey as the sequence). Compact-then-join — the
+    // plain window+full-outer recomputation is the oracle.
+    "a15_cdc_apply" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val snap = Tables(s, dir, "customer").select(
+        $"c_custkey".as("cust_id"),
+        $"c_acctbal".cast(DecimalType(18, 2)).cast("double").as("bal"))
+      val changes = Tables(s, dir, "orders").select(
+        $"o_custkey".as("cust_id"), $"o_orderkey".as("seq"),
+        when(pmod($"o_orderkey", lit(10)) === 0, "D").otherwise("U").as("op"),
+        $"o_totalprice".cast(DecimalType(18, 2)).cast("double").as("bal"))
+      graft.ops.Cdc.applyChangelog(snap, changes, Seq("cust_id"), "seq", "op")
+        .orderBy("cust_id")
+    }),
+
+    // ---- co-located join over bucketed tables: both sides written
+    // bucketed on the join key (SparkWarehouse.createBucketed), so the
+    // join runs WITHOUT a shuffle (PlanSpec pins the no-Exchange
+    // property); the result must equal the plain join.
+    "a16_bucketed_join" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val wh = new graft.warehouse.SparkWarehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-a16-wh").toString)
+      wh.createBucketed("a16_orders_b",
+        Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey",
+          $"o_totalprice".cast(DecimalType(18, 2)).as("price")),
+        Seq("o_custkey"), numBuckets = 8)
+        .fold(e => throw new RuntimeException(e.message), identity)
+      wh.createBucketed("a16_customer_b",
+        Tables(s, dir, "customer").select($"c_custkey", $"c_mktsegment"),
+        Seq("c_custkey"), numBuckets = 8)
+        .fold(e => throw new RuntimeException(e.message), identity)
+      s.table("a16_orders_b")
+        .join(s.table("a16_customer_b"), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), sum($"price").as("_r"))
+        .select($"c_mktsegment", $"n_orders",
+          $"_r".cast(DecimalType(38, 2)).cast("double").as("revenue"))
+        .orderBy($"c_mktsegment")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -391,5 +436,31 @@ object Analytics {
     "a04_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
         |  CAST(count(*) AS BIGINT) AS n
-        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin)
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "a15_cdc_apply" ->
+      """WITH snap AS (
+        |  SELECT c_custkey AS cust_id,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+        |  FROM customer),
+        |ch AS (
+        |  SELECT o_custkey AS cust_id, o_orderkey AS seq,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS bal
+        |  FROM orders),
+        |latest AS (
+        |  SELECT cust_id, op, bal FROM (
+        |    SELECT cust_id, op, bal,
+        |      row_number() OVER (PARTITION BY cust_id ORDER BY seq DESC) AS rn
+        |    FROM ch) WHERE rn = 1)
+        |SELECT coalesce(s.cust_id, l.cust_id) AS cust_id,
+        |  CASE WHEN l.cust_id IS NOT NULL THEN l.bal ELSE s.bal END AS bal
+        |FROM snap s FULL OUTER JOIN latest l ON s.cust_id = l.cust_id
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY cust_id""".stripMargin,
+    "a16_bucketed_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
 }

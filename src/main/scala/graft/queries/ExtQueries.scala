@@ -526,6 +526,37 @@ object ExtQueries {
         .select(col("id").as("doc_id"), col("n_grams"), col("n_shared"),
           col("dup_coverage"))
         .orderBy("doc_id")
+    }),
+
+    // ---- distributed k-means: one full Lloyd step (map-side argmax
+    // assignment against 8 literal centroids + a k·d-key partial
+    // aggregation). Integer-exact sufficient statistics, so DuckDB
+    // recomputes the step bit-for-bit.
+    "x39_kmeans_step" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings")
+      val cents = graft.ext.SemDedup.seedCentroids(e, k = 8)
+      graft.ext.Clustering.lloydStepStats(e, cents, maxDims = 8)
+        .orderBy("cluster", "pos")
+    }),
+
+    // ---- exact-n stratified sample with VALUE-level reproducibility:
+    // md5-ranked membership per language (x18 oracles only the counts;
+    // here the selected doc_ids themselves are engine-portable).
+    "x40_stratified_hash_sample" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      Sampling.stratifiedSampleByHash(d, col("lang"), col("doc_id"),
+          n = 5, seed = 7L)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    }),
+
+    // ---- BPE merge learning: three rounds of count-pairs → argmax →
+    // greedy re-tokenize. DuckDB replays the identical fold with
+    // list_reduce, so the learned merge table is fully oracled.
+    "x41_bpe_learn" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      graft.ext.BpeLearn.learnMergesDF(d, col("text"), merges = 3)
+        .orderBy("rank")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1024,5 +1055,83 @@ object ExtQueries {
         |    AS dup_coverage
         |FROM (SELECT DISTINCT doc_id FROM documents) d
         |LEFT JOIN p ON d.doc_id = p.doc_id
-        |ORDER BY d.doc_id""".stripMargin)
+        |ORDER BY d.doc_id""".stripMargin,
+    "x39_kmeans_step" ->
+      """WITH p AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1048576.0)) AS qv
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+        |    qv AS cv
+        |  FROM (SELECT vec_id, qv FROM p ORDER BY vec_id LIMIT 8)),
+        |scored AS (
+        |  SELECT p.vec_id, cent.cid,
+        |    list_inner_product(p.qv, cent.cv) /
+        |      (sqrt(list_inner_product(p.qv, p.qv)) *
+        |       sqrt(list_inner_product(cent.cv, cent.cv))) AS cos
+        |  FROM p, cent),
+        |asg AS (
+        |  SELECT vec_id, cid AS cluster FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |m AS (SELECT a.cluster, e.embedding
+        |      FROM asg a JOIN embeddings e USING (vec_id))
+        |SELECT CAST(cluster AS BIGINT) AS cluster, CAST(t.p AS INTEGER) AS pos,
+        |  CAST(sum(round(CAST(embedding[CAST(t.p + 1 AS INTEGER)] AS DOUBLE)
+        |    * 1048576.0)) AS BIGINT) AS comp_sum,
+        |  CAST(count(*) AS BIGINT) AS n_members
+        |FROM m, range(8) t(p)
+        |GROUP BY cluster, t.p ORDER BY cluster, pos""".stripMargin,
+    "x40_stratified_hash_sample" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 5 ORDER BY lang, doc_id""".stripMargin,
+    "x41_bpe_learn" ->
+      """WITH wr AS (
+        |  SELECT unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
+        |    ' ')) AS w
+        |  FROM documents),
+        |t0 AS (
+        |  SELECT list_transform(range(length(w)), i -> w[i+1]) AS toks
+        |  FROM wr WHERE length(w) > 0),
+        |p1 AS (
+        |  SELECT unnest(list_transform(range(len(toks) - 1),
+        |    i -> toks[i+1] || ' ' || toks[i+2])) AS pair FROM t0),
+        |m1 AS (
+        |  SELECT pair, CAST(count(*) AS BIGINT) AS n,
+        |    string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
+        |  FROM p1 GROUP BY pair ORDER BY n DESC, pair LIMIT 1),
+        |t1 AS (
+        |  SELECT string_split(list_reduce(toks, (acc, x) -> CASE
+        |      WHEN x = m1.b AND (acc = m1.a
+        |        OR right(acc, length(m1.a) + 1) = ' ' || m1.a)
+        |      THEN acc || x ELSE acc || ' ' || x END), ' ') AS toks
+        |  FROM t0, m1),
+        |p2 AS (
+        |  SELECT unnest(list_transform(range(len(toks) - 1),
+        |    i -> toks[i+1] || ' ' || toks[i+2])) AS pair FROM t1),
+        |m2 AS (
+        |  SELECT pair, CAST(count(*) AS BIGINT) AS n,
+        |    string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
+        |  FROM p2 GROUP BY pair ORDER BY n DESC, pair LIMIT 1),
+        |t2 AS (
+        |  SELECT string_split(list_reduce(toks, (acc, x) -> CASE
+        |      WHEN x = m2.b AND (acc = m2.a
+        |        OR right(acc, length(m2.a) + 1) = ' ' || m2.a)
+        |      THEN acc || x ELSE acc || ' ' || x END), ' ') AS toks
+        |  FROM t1, m2),
+        |p3 AS (
+        |  SELECT unnest(list_transform(range(len(toks) - 1),
+        |    i -> toks[i+1] || ' ' || toks[i+2])) AS pair FROM t2),
+        |m3 AS (
+        |  SELECT pair, CAST(count(*) AS BIGINT) AS n
+        |  FROM p3 GROUP BY pair ORDER BY n DESC, pair LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS rank, pair, n FROM m1
+        |UNION ALL SELECT CAST(2 AS BIGINT), pair, n FROM m2
+        |UNION ALL SELECT CAST(3 AS BIGINT), pair, n FROM m3
+        |ORDER BY rank""".stripMargin)
 }

@@ -346,6 +346,53 @@ object StreamQueries {
         .filter(col("k") =!= "wm") // drop the batch-watermark row
         .select("user_id", "n")
         .orderBy("user_id")
+    }),
+
+    // ---- mapGroupsWithState running totals: the one-output-per-key
+    // stateful shape (vs s02's flatMapGroupsWithState sessionizer).
+    // The stream is staged as two files (event_id parity) so the state
+    // provably carries across micro-batches; every batch emits each
+    // touched user's UPDATED totals (Update mode), and since n is
+    // strictly increasing per user, the max-(n,...) row in the sink is
+    // the final state — which must equal the batch aggregate.
+    "s08_stream_running_totals" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val staged = java.nio.file.Files.createTempDirectory("graft-s08")
+      def stage(n: Int, pred: org.apache.spark.sql.Column): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft-s08-tmp$n")
+        s.read.parquet(s"$dir/events.parquet").filter(pred)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = staged.resolve(s"$n.parquet")
+        java.nio.file.Files.copy(part.toPath, dest)
+        dest.toFile.setLastModified(1000000000L + n * 1000000L)
+      }
+      stage(0, pmod(col("event_id"), lit(2)) === 0)
+      stage(1, pmod(col("event_id"), lit(2)) === 1)
+      withShufflePartitions(s, 4) {
+        val stream = s.readStream.schema(eventsSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(staged.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        val totals = EventStream.runningTotals(stream.as[EventStream.Event])
+        val q = totals.writeStream
+          .format("memory")
+          .queryName("s08_stream_running_totals_sink")
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+      }
+      s.table("s08_stream_running_totals_sink")
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("last_us"), col("total_cents")))
+          .as("_fin"))
+        .select(col("user_id"), col("_fin.n_events").as("n_events"),
+          col("_fin.last_us").as("last_us"),
+          col("_fin.total_cents").as("total_cents"))
+        .orderBy("user_id")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -409,5 +456,11 @@ object StreamQueries {
         |ORDER BY purchase_id, click_id""".stripMargin,
     "s05_stream_upsert" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "s08_stream_running_totals" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  max(epoch_us(ts)) AS last_us,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

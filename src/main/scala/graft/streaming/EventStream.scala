@@ -112,6 +112,43 @@ object EventStream {
       }
   }
 
+  /** Per-user running-totals state for [[runningTotals]]. `lastUs` is
+    * epoch micros; `cents` keeps the value sum as an exact integer
+    * (events carry 2-decimal values), so the accumulated total is
+    * independent of arrival order and batch boundaries — stream/batch
+    * agreement holds bit-for-bit.
+    */
+  final case class TotalsState(n: Long, lastUs: Long, cents: Long)
+
+  final case class TotalsOut(user_id: Long, n_events: Long, last_us: Long,
+                             total_cents: Long)
+
+  /** Per-user running totals via `mapGroupsWithState` — the
+    * one-output-per-key stateful shape (each micro-batch emits every
+    * touched user's UPDATED totals; Update output mode). State is one
+    * small record per distinct user: bounded by the key cardinality, not
+    * event volume — the profile/feature-store maintenance pattern. The
+    * final emission per user equals the batch aggregate over all
+    * batches, which is what the gate oracles.
+    */
+  def runningTotals(events: Dataset[Event]): Dataset[TotalsOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[TotalsState, TotalsOut](
+        GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[TotalsState]) =>
+          var s = state.getOption.getOrElse(TotalsState(0L, Long.MinValue, 0L))
+          rows.foreach { e =>
+            s = TotalsState(s.n + 1L, math.max(s.lastUs, microsOf(e.ts)),
+              s.cents + math.round(e.value * 100.0))
+          }
+          state.update(s)
+          TotalsOut(userId, s.n, s.lastUs, s.cents)
+      }
+  }
+
   /** Streaming near-dup filter: drop events whose props fingerprint was
     * already seen for the user (dropDuplicates with watermark — bounded
     * state, the streaming version of exact dedup).

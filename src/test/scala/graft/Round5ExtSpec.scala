@@ -1,0 +1,177 @@
+package graft
+
+import graft.ext.{BpeLearn, Clustering, Sampling, SemDedup}
+import graft.ops.Cdc
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-5 extensions: distributed k-means, CDC
+  * changelog application, hash-membership stratified sampling, BPE merge
+  * learning.
+  */
+class ClusteringSpec extends SparkSpec {
+
+  test("lloydStepStats sums every member exactly once per dimension") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val cents = SemDedup.seedCentroids(e, k = 4)
+    val stats = Clustering.lloydStepStats(e, cents, maxDims = 4).collect()
+    val total = e.count()
+    // each of the 4 dims partitions all points across clusters
+    (0 until 4).foreach { p =>
+      assert(stats.filter(_.getInt(1) == p).map(_.getLong(3)).sum == total)
+    }
+    // cluster ids within codebook range
+    assert(stats.map(_.getLong(0)).forall(c => c >= 0 && c < 4))
+  }
+
+  test("train converges on well-separated synthetic clusters") {
+    val sps = spark; import sps.implicits._
+    // two tight groups far apart on opposite axes; the seed codebook
+    // (lowest 2 ids = one point from each group) must settle on the
+    // group means
+    val pts = Seq(
+      (0L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (4L, Array(1.1f, -0.1f)),
+      (1L, Array(0.0f, 1.0f)), (3L, Array(0.1f, 0.9f)), (5L, Array(-0.1f, 1.1f)))
+      .toDF("vec_id", "embedding")
+    val codebook = Clustering.train(pts, k = 2, iters = 3)
+    assert(codebook.length == 2)
+    val c0 = codebook(0)._2
+    val c1 = codebook(1)._2
+    // centroid 0 (seeded from vec 0) ends x-heavy; centroid 1 y-heavy
+    assert(c0(0) > 0.8f && c0(1) < 0.2f)
+    assert(c1(0) < 0.2f && c1(1) > 0.8f)
+  }
+
+  test("a cluster that loses all members keeps its previous centroid") {
+    val sps = spark; import sps.implicits._
+    // both points sit on the x axis; centroid 1 (seeded from the second
+    // lowest id, also x-ish but strictly farther) is never nearest after
+    // the first step in a 2-codebook where centroid 0 dominates
+    val pts = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.001f)))
+      .toDF("vec_id", "embedding")
+    val codebook = Clustering.train(pts, k = 2, iters = 2)
+    // vec 0 assigns to centroid 0 (tie-break to lowest id on identical
+    // cosine is irrelevant here); both near-parallel vectors land on
+    // centroid 0 or 1 deterministically, and the empty one must retain
+    // a finite centroid (no NaN/zero-division)
+    assert(codebook.forall(_._2.forall(v => !v.isNaN && !v.isInfinite)))
+  }
+}
+
+class CdcSpec extends SparkSpec {
+
+  import org.apache.spark.sql.DataFrame
+
+  private def snap: DataFrame = {
+    val sps = spark; import sps.implicits._
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+  }
+
+  test("latest change wins: update, delete, insert, untouched") {
+    val sps = spark; import sps.implicits._
+    val changes = Seq(
+      (1L, 10L, "U", "a1"), (1L, 11L, "U", "a2"),   // two updates: seq 11 wins
+      (2L, 12L, "D", "x"),                          // delete id 2
+      (9L, 13L, "U", "new")                         // insert id 9
+    ).toDF("id", "seq", "op", "v")
+    val got = Cdc.applyChangelog(snap, changes, Seq("id"), "seq", "op")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "a2"), (3L, "c"), (9L, "new")))
+  }
+
+  test("a stale delete is overridden by a later upsert and vice versa") {
+    val sps = spark; import sps.implicits._
+    val changes = Seq(
+      (1L, 10L, "D", "x"), (1L, 11L, "U", "back"),  // delete then re-insert
+      (3L, 20L, "U", "c2"), (3L, 21L, "D", "x")     // update then delete
+    ).toDF("id", "seq", "op", "v")
+    val got = Cdc.applyChangelog(snap, changes, Seq("id"), "seq", "op")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "back"), (2L, "b")))
+  }
+
+  test("compaction is deterministic under duplicate sequence numbers") {
+    val sps = spark; import sps.implicits._
+    val changes = Seq(
+      (1L, 10L, "U", "zz"), (1L, 10L, "U", "aa")    // same seq: lexicographic
+    ).toDF("id", "seq", "op", "v")
+    val a = Cdc.latestChanges(changes, Seq("id"), "seq").collect()
+    val b = Cdc.latestChanges(changes.repartition(7), Seq("id"), "seq").collect()
+    assert(a.sameElements(b))
+    // output is (id, seq, op, v); max(struct(seq, op, v)) → "zz" beats "aa"
+    assert(a.head.getString(3) == "zz")
+  }
+
+  test("changelog missing a payload column fails loudly") {
+    val sps = spark; import sps.implicits._
+    val changes = Seq((1L, 10L, "U")).toDF("id", "seq", "op")
+    intercept[IllegalArgumentException] {
+      Cdc.applyChangelog(snap, changes, Seq("id"), "seq", "op")
+    }
+  }
+}
+
+class BpeLearnSpec extends SparkSpec {
+
+  test("merges match the hand-computed BPE rounds on a tiny corpus") {
+    val sps = spark; import sps.implicits._
+    // corpus: "abab abab aa" → chars. Round 1 pairs: (a b)×4, (b a)×2,
+    // (a a)×1 → merge "a b". Round 2 tokens: [ab ab] [ab ab] [a a] →
+    // pairs: (ab ab)×2, (a a)×1 → merge "ab ab". Round 3: [abab] [abab]
+    // [a a] → pairs: (a a)×1 → merge "a a".
+    val docs = Seq("abab abab aa").toDF("text")
+    val got = BpeLearn.learnMerges(docs, col("text"), merges = 3)
+    assert(got == Seq((1L, "a b", 4L), (2L, "ab ab", 2L), (3L, "a a", 1L)))
+  }
+
+  test("greedy application does not re-merge across a fresh merge") {
+    val sps = spark; import sps.implicits._
+    // "aaa" under rule (a,a): left-to-right gives [aa, a], never [a, aa]
+    // and never a triple merge
+    val t = Seq("a a a").toDF("tok")
+      .select(BpeLearn.applyMerge(col("tok"), "a", "a").as("t"))
+      .collect().head.getString(0)
+    assert(t == "aa a")
+  }
+
+  test("multi-char tokens only merge on full-token matches") {
+    val sps = spark; import sps.implicits._
+    // rule (a,b): "ca b" must NOT merge ("ca" ends in 'a' but is not
+    // the token "a"); "c a b" must merge the tail
+    val rows = Seq("ca b", "c a b").toDF("tok")
+      .select(BpeLearn.applyMerge(col("tok"), "a", "b").as("t"))
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("ca b", "c ab"))
+  }
+
+  test("learning stops early when no adjacent pairs remain") {
+    val sps = spark; import sps.implicits._
+    val docs = Seq("x y").toDF("text")
+    // single-char words have no intra-word pairs at all
+    val got = BpeLearn.learnMerges(docs, col("text"), merges = 5)
+    assert(got.isEmpty)
+  }
+}
+
+class HashSampleSpec extends SparkSpec {
+
+  test("membership is identical across partitionings and runs") {
+    val d = Tables(spark, sf0001, "documents")
+    val a = Sampling.stratifiedSampleByHash(d, col("lang"), col("doc_id"), 7)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Sampling.stratifiedSampleByHash(d.repartition(13), col("lang"),
+        col("doc_id"), 7)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("returns min(n, stratum size) rows per stratum") {
+    val d = Tables(spark, sf0001, "documents")
+    val sizes = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Sampling.stratifiedSampleByHash(d, col("lang"), col("doc_id"), 1000000)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == sizes)
+  }
+}
