@@ -396,4 +396,19 @@ object Dedup {
         (col("n_shared").cast("double") / col("n_grams").cast("double"))
           .as("dup_coverage"))
   }
+
+  /** Incremental corpus update: the rows of `incoming` whose content
+    * fingerprint (md5 of the text — engine-portable, auditable in SQL)
+    * does not already appear in `corpus`. One anti-join on the
+    * fingerprint: the corpus ships only its fingerprints (never the
+    * text), so adding a daily batch to a 100 TB corpus shuffles hashes,
+    * not documents; at that scale keep a fingerprint-only table as the
+    * join's build side.
+    */
+  def newDocuments(corpus: DataFrame, incoming: DataFrame,
+                   textCol: Column): DataFrame =
+    incoming.withColumn("_graft_fp", md5(textCol.cast("string")))
+      .join(corpus.select(md5(textCol.cast("string")).as("_graft_fp")),
+        Seq("_graft_fp"), "left_anti")
+      .drop("_graft_fp")
 }

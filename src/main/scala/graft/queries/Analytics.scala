@@ -264,6 +264,23 @@ object Analytics {
         .orderBy($"bucket")
     }),
 
+    // ---- gap-filled resample: each user's hourly event counts over
+    // their own [first, last] hour span — missing hours appear with
+    // n=0 and the cents level carried forward (exact integer cents, so
+    // the forward fill is engine-portable).
+    "a17_gap_fill" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val obs = Tables.events(s, dir).filter($"user_id" < 20)
+        .select($"user_id", expr("unix_micros(ts) div 3600000000").as("hr"),
+          round($"value" * 100).cast("long").as("cents"))
+        .groupBy($"user_id", $"hr")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("cents"))
+      graft.ops.Resample.gapFill(obs, "user_id", "hr",
+          zeroFill = Seq("n"), carryForward = Seq("cents"))
+        .select($"user_id", $"hr", $"n", $"cents".as("ff_cents"))
+        .orderBy("user_id", "hr")
+    }),
+
     // ---- CDC changelog apply: customer balances as the snapshot, an
     // orders-derived changelog (every 10th change a delete, the rest
     // upserts, o_orderkey as the sequence). Compact-then-join — the
@@ -437,6 +454,24 @@ object Analytics {
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "a17_gap_fill" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS hr,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE user_id < 20),
+        |a AS (
+        |  SELECT user_id, hr, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM e GROUP BY user_id, hr),
+        |span AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1
+        |         FROM a GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS hr FROM span)
+        |SELECT g.user_id, g.hr, CAST(coalesce(a.n, 0) AS BIGINT) AS n,
+        |  last_value(a.cents IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.hr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff_cents
+        |FROM grid g LEFT JOIN a ON g.user_id = a.user_id AND g.hr = a.hr
+        |ORDER BY g.user_id, g.hr""".stripMargin,
     "a15_cdc_apply" ->
       """WITH snap AS (
         |  SELECT c_custkey AS cust_id,

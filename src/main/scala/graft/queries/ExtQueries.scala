@@ -550,6 +550,19 @@ object ExtQueries {
         .orderBy("lang", "doc_id")
     }),
 
+    // ---- incremental corpus update: incoming = the 400+ docs plus 50
+    // re-submissions of existing docs under fresh ids; the content
+    // fingerprint anti-join must admit only genuinely-new text.
+    "x42_incremental_dedup" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") < 400).select("doc_id", "text")
+      val incoming = d.filter(col("doc_id") >= 400).select("doc_id", "text")
+        .unionByName(d.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      Dedup.newDocuments(corpus, incoming, col("text"))
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // ---- BPE merge learning: three rounds of count-pairs → argmax →
     // greedy re-tokenize. DuckDB replays the identical fold with
     // list_reduce, so the learned merge table is fully oracled.
@@ -1090,6 +1103,16 @@ object ExtQueries {
         |    PARTITION BY lang
         |    ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents) WHERE rn <= 5 ORDER BY lang, doc_id""".stripMargin,
+    "x42_incremental_dedup" ->
+      """WITH corpus AS (
+        |  SELECT md5(text) AS fp FROM documents WHERE doc_id < 400),
+        |inc AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 400
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50)
+        |SELECT i.doc_id FROM inc i
+        |WHERE md5(i.text) NOT IN (SELECT fp FROM corpus)
+        |ORDER BY doc_id""".stripMargin,
     "x41_bpe_learn" ->
       """WITH wr AS (
         |  SELECT unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),

@@ -135,6 +135,25 @@ object Relational {
         .orderBy($"c_custkey")
     }),
 
+    // ---- window offsets + distribution functions (the rest of the
+    // window family beyond q24's ranks): lag/lead neighbors and the
+    // exact-rational percent_rank/cume_dist.
+    "q25_window_offsets" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy($"c_mktsegment")
+        .orderBy($"c_acctbal", $"c_custkey")
+      def money(c: org.apache.spark.sql.Column) =
+        c.cast(DecimalType(18, 2)).cast("double")
+      Tables(s, dir, "customer").filter($"c_custkey" <= 300)
+        .select($"c_custkey", $"c_mktsegment",
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          money(lag($"c_acctbal", 1).over(w)).as("prev_bal"),
+          money(lead($"c_acctbal", 1).over(w)).as("next_bal"))
+        .orderBy($"c_custkey")
+    }),
+
     // ---- q19: CASE / NULLIF / COALESCE null-handling semantics.
     "q19_case_nulls" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -403,6 +422,17 @@ object Relational {
         |WINDOW
         |  w1 AS (PARTITION BY c_mktsegment ORDER BY floor(c_acctbal / 1000.0) DESC),
         |  w2 AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q25_window_offsets" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  CAST(CAST(lag(c_acctbal, 1) OVER w AS DECIMAL(18,2)) AS DOUBLE)
+        |    AS prev_bal,
+        |  CAST(CAST(lead(c_acctbal, 1) OVER w AS DECIMAL(18,2)) AS DOUBLE)
+        |    AS next_bal
+        |FROM customer WHERE c_custkey <= 300
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
     "q23_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,

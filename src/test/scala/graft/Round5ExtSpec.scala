@@ -153,6 +153,63 @@ class BpeLearnSpec extends SparkSpec {
   }
 }
 
+class ResampleSpec extends SparkSpec {
+
+  test("gapFill densifies the span, zero-fills counts, carries levels") {
+    val sps = spark; import sps.implicits._
+    import graft.ops.Resample
+    // key 1 observed at ticks 10 and 13 → grid 10..13; key 2 a single
+    // tick → grid of one row
+    val obs = Seq((1L, 10L, 2L, 100L), (1L, 13L, 1L, 250L), (2L, 5L, 4L, 40L))
+      .toDF("k", "t", "n", "level")
+    val got = Resample.gapFill(obs, "k", "t",
+        zeroFill = Seq("n"), carryForward = Seq("level"))
+      .orderBy("k", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 10L, 2L, 100L), (1L, 11L, 0L, 100L), (1L, 12L, 0L, 100L),
+      (1L, 13L, 1L, 250L), (2L, 5L, 4L, 40L)))
+  }
+
+  test("forwardFill leaves leading nulls null and is partition-local") {
+    val sps = spark; import sps.implicits._
+    import graft.ops.Resample
+    val df = Seq((1L, 1L, Option.empty[Long]), (1L, 2L, Some(7L)),
+      (1L, 3L, Option.empty[Long]), (2L, 1L, Option.empty[Long]))
+      .toDF("k", "t", "v")
+    val got = Resample.forwardFill(df, "k", "t", Seq("v"))
+      .orderBy("k", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    // key 1's leading null stays (nothing to carry); key 2 must NOT
+    // inherit key 1's value
+    assert(got.toSeq == Seq((1L, 1L, None), (1L, 2L, Some(7L)),
+      (1L, 3L, Some(7L)), (2L, 1L, None)))
+  }
+}
+
+class IncrementalDedupSpec extends SparkSpec {
+
+  test("re-submitted content is rejected regardless of its new id") {
+    val sps = spark; import sps.implicits._
+    val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val incoming = Seq((10L, "alpha"), (11L, "gamma"), (12L, "beta"),
+      (13L, "delta")).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.newDocuments(corpus, incoming, col("text"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(11L, 13L))
+  }
+
+  test("duplicates inside the corpus do not multiply incoming rows") {
+    val sps = spark; import sps.implicits._
+    val corpus = Seq((1L, "alpha"), (2L, "alpha")).toDF("doc_id", "text")
+    val incoming = Seq((10L, "alpha"), (11L, "new")).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.newDocuments(corpus, incoming, col("text"))
+      .collect()
+    assert(got.length == 1 && got.head.getLong(0) == 11L)
+  }
+}
+
 class HashSampleSpec extends SparkSpec {
 
   test("membership is identical across partitionings and runs") {
