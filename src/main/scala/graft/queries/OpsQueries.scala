@@ -159,6 +159,29 @@ object OpsQueries {
 
     // ---- ops #34-43, #47-51: table lifecycle — create/load/rebuild/drop
     // over a warehouse dir; reports the loaded row count.
+    // ---- table maintenance: a fragmented load (32 small files)
+    // compacted into 2 range-clustered files — content must be exactly
+    // preserved (the oracle reads the source table); the file-count
+    // and clustering effects are pinned by WarehouseSpec.
+    "op_compact" -> ((s: SparkSession, dir: String) => {
+      val wh = tmpWarehouse(s)
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      wh.load("op_compact_t", orders.repartition(32)) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.compact("op_compact_t", targetFiles = 2,
+        sortCols = Seq("o_orderkey")) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.get("op_compact_t") match {
+        case Right(df) => df.orderBy("o_orderkey")
+        case Left(e) => throw new RuntimeException(e.message)
+      }
+    }),
+
     "op_lifecycle_load" -> ((s: SparkSession, dir: String) => {
       val wh = tmpWarehouse(s)
       val cust = Tables(s, dir, "customer")
@@ -395,6 +418,9 @@ object OpsQueries {
         |  AS tree""".stripMargin,
     "op_lifecycle_load" ->
       "SELECT CAST(count(*) AS BIGINT) AS n FROM customer",
+    "op_compact" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
     "op_load_fetch" ->
       """SELECT doc_id, n_chars FROM documents
         |ORDER BY n_chars DESC, doc_id LIMIT 10""".stripMargin,

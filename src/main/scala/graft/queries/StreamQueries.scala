@@ -393,6 +393,71 @@ object StreamQueries {
           col("_fin.last_us").as("last_us"),
           col("_fin.total_cents").as("total_cents"))
         .orderBy("user_id")
+    }),
+
+    // ---- LEFT OUTER stream-stream join (s04's inner join emits a row
+    // per match; the outer variant must ALSO emit purchases with no
+    // click, which the engine can only do once the watermark proves no
+    // matching click can still arrive). Two far-future sentinel ticks —
+    // one per side so BOTH watermarks advance past every real event —
+    // staged as separate files force the state flush; sentinels carry
+    // user_id −1 (outside the testdata keyspace) and are filtered from
+    // the output.
+    "s09_stream_left_join" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val staged = java.nio.file.Files.createTempDirectory("graft-s09")
+      val dest0 = staged.resolve("0.parquet")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"), dest0)
+      dest0.toFile.setLastModified(1000000000L)
+      def sentinel(n: Int, epochSec: Long, et: String): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft-s09-tmp$n")
+        Seq((-n.toLong, epochSec * 1000000000L, -1L, et, 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = staged.resolve(s"$n.parquet")
+        java.nio.file.Files.copy(part.toPath, dest)
+        dest.toFile.setLastModified(1000000000L + n * 1000000L)
+      }
+      // one sentinel per join side, far enough apart not to join each
+      // other (30-minute band), plus a second pair so the no-data batch
+      // after the final watermark advance definitely runs
+      sentinel(1, 2051222400L, "purchase") // 2035-01-01
+      sentinel(2, 2051222400L, "click")    // same instant, user -1 only
+      sentinel(3, 2051481600L, "purchase") // 2035-01-04
+      sentinel(4, 2051481600L, "click")
+      withShufflePartitions(s, 4) {
+        def side(et: String) = s.readStream.schema(eventsSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(staged.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .filter(col("event_type") === et)
+        val p = side("purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts").as("p_ts"))
+          .withWatermark("p_ts", "0 seconds")
+        val c = side("click")
+          .select(col("event_id").as("click_id"),
+            col("user_id").as("c_user"), col("ts").as("c_ts"))
+          .withWatermark("c_ts", "0 seconds")
+        val joined = p.join(c, col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c_ts") <= col("p_ts"), "left_outer")
+        val q = joined
+          .select(col("purchase_id"), col("click_id"), col("user_id"))
+          .writeStream
+          .format("memory")
+          .queryName("s09_stream_left_join_sink")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(180000)
+      }
+      s.table("s09_stream_left_join_sink")
+        .filter(col("user_id") >= 0) // drop the sentinel rows
+        .orderBy("purchase_id", "click_id")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -462,5 +527,14 @@ object StreamQueries {
         |  max(epoch_us(ts)) AS last_us,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |    AS total_cents
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "s09_stream_left_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin)
 }

@@ -365,6 +365,44 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String) {
         }
     }
 
+  /** Small-file compaction — the OPTIMIZE step of table maintenance:
+    * rewrite the table's data into `targetFiles` files (content
+    * preserved exactly), optionally range-clustered on `sortCols` so
+    * later scans get min/max skipping on those columns. Streaming
+    * appends and chunked loads accrete small files; scan cost at 100 TB
+    * is dominated by file count, so maintenance compaction is what
+    * keeps read amplification flat (run it per partition of a
+    * date-partitioned table, not whole-table). Same
+    * materialize-then-swap discipline as [[upsert]] — never an
+    * in-place overwrite of a path being read; meta (schema/expiry)
+    * survives the rewrite.
+    */
+  def compact(name: String, targetFiles: Int,
+              sortCols: Seq[String] = Nil): Either[WarehouseError, Unit] =
+    get(name) match {
+      case Left(e) => Left(e)
+      case Right(existing) =>
+        try {
+          require(targetFiles > 0, "targetFiles must be positive")
+          val arranged =
+            if (sortCols.isEmpty) existing.repartition(targetFiles)
+            else existing
+              .repartitionByRange(targetFiles, sortCols.map(col): _*)
+              .sortWithinPartitions(sortCols.map(col): _*)
+          val tmp = new Path(warehouseDir, s"$name.__compact_tmp")
+          if (fs.exists(tmp)) fs.delete(tmp, true)
+          arranged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          val priorMeta = meta(name).toOption
+          fs.delete(tablePath(name), true)
+          fs.rename(tmp, tablePath(name))
+          priorMeta.foreach(writeMeta(name, _))
+          registerView(name)
+          Right(())
+        } catch {
+          case e: Exception => Left(TableGenericError(e.getMessage, Some(e)))
+        }
+    }
+
   /** delete == drop (classes.py `delete`/`drop` alias). */
   def delete(name: String): Either[WarehouseError, Unit] = drop(name)
 

@@ -224,4 +224,36 @@ class WarehouseSpec extends SparkSpec {
     // unknown table rejected
     assert(wh.upsert("nope", batch, Seq("id")).isLeft)
   }
+
+  test("compact shrinks file count, clusters, preserves content and meta") {
+    val spark0 = spark
+    import spark0.implicits._
+    val wh = freshWh()
+    val df = (1L to 500L).map(i => (i, s"p$i")).toDF("id", "payload")
+    assert(wh.load("cmp", df.repartition(24)).isRight)
+    wh.setExpiry("cmp", Some(java.time.Instant.ofEpochMilli(99999999999999L)))
+    def parquetFiles() = new java.io.File(s"${wh.warehouseDir}/cmp")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles() >= 20)
+    assert(wh.compact("cmp", targetFiles = 2, sortCols = Seq("id")).isRight)
+    assert(parquetFiles() <= 2)
+    // content identical
+    val rows = wh.get("cmp").toOption.get.orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.length == 500 && rows(0) == ((1L, "p1"))
+      && rows(499) == ((500L, "p500")))
+    // range clustering: each file's id span is disjoint (min/max skip)
+    val perFile = wh.get("cmp").toOption.get
+      .groupBy(input_file_name().as("f"))
+      .agg(min("id").as("lo"), max("id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    perFile.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2)
+      case _ => ()
+    }
+    // meta survives the swap
+    assert(wh.meta("cmp").toOption.get.expiresAtMillis.contains(99999999999999L))
+    // unknown table rejected
+    assert(wh.compact("nope", 2).isLeft)
+  }
 }
