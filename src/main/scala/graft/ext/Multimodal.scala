@@ -82,6 +82,40 @@ object Multimodal {
     }(Encoders.product[MediaFeature])
   }
 
+  /** Resized-media row (`resized_sum` = checksum of the resampled
+    * bytes — the cheap cross-engine witness that the right source
+    * positions were picked).
+    */
+  final case class ResizedMedia(media_id: Long, n_bytes: Long,
+                                resized_sum: Long)
+
+  /** ---- STUB ---- nearest-neighbor resize kernel: position `i` of the
+    * `target`-length output takes source byte `⌊i·n/target⌋`. A real
+    * implementation resamples the DECODED raster/waveform; the byte
+    * stream stands in for the tensor, and the index arithmetic is
+    * exactly nearest-neighbor interpolation, so the plumbing (batch
+    * shape, bounds handling, up/downsample in one formula) is real.
+    */
+  def resizeStub(payload: Array[Byte], target: Int): Array[Byte] =
+    if (payload.length == 0) Array.emptyByteArray
+    else Array.tabulate(target)(i =>
+      payload(((i.toLong * payload.length) / target).toInt))
+
+  /** Batched resize over the payload column — same per-partition batch
+    * boundary as [[decodeFeatures]].
+    */
+  def resizeFeatures(df: DataFrame, target: Int): Dataset[ResizedMedia] = {
+    val pairs: Dataset[(Long, Array[Byte])] =
+      df.select(col("media_id"), col("payload"))
+        .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    pairs.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        ResizedMedia(id, bytes.length.toLong,
+          resizeStub(bytes, target).map(b => (b & 0xFF).toLong).sum)
+      }
+    }(Encoders.product[ResizedMedia])
+  }
+
   /** Frame sampling for video-ish payloads: every `stride`-th offset
     * becomes a frame row (id, frame_idx, frame_offset). Pure expression
     * explode — the real version would emit decoded frame tensors from

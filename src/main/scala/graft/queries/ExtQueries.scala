@@ -309,6 +309,17 @@ object ExtQueries {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // ---- multimodal: nearest-neighbor resize plumbing (16-sample
+    // resample of each payload; checksum of the picked bytes is the
+    // cross-engine witness of the index arithmetic).
+    "x43_media_resize" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents").filter(col("doc_id") < 100)
+      val media = Multimodal.attachPayload(d, "doc_id", "text")
+      Multimodal.resizeFeatures(media, target = 16).toDF()
+        .filter(col("n_bytes") > 0)
+        .orderBy("media_id")
+    }),
+
     // ---- benchmark hygiene: train/test contamination by shared word
     // 3-grams over the hash split — set-reduce + one join + one agg,
     // never document-pairwise; DuckDB recomputes the full report.
@@ -1103,6 +1114,16 @@ object ExtQueries {
         |    PARTITION BY lang
         |    ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents) WHERE rn <= 5 ORDER BY lang, doc_id""".stripMargin,
+    "x43_media_resize" ->
+      """WITH b AS (
+        |  SELECT doc_id AS media_id, text, strlen(text) AS n
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT media_id, CAST(n AS BIGINT) AS n_bytes,
+        |  CAST(sum(ascii(text[CAST(i * n // 16 + 1 AS INTEGER)])) AS BIGINT)
+        |    AS resized_sum
+        |FROM b, range(16) t(i)
+        |WHERE n > 0
+        |GROUP BY media_id, n ORDER BY media_id""".stripMargin,
     "x42_incremental_dedup" ->
       """WITH corpus AS (
         |  SELECT md5(text) AS fp FROM documents WHERE doc_id < 400),

@@ -159,6 +159,14 @@ object OpsQueries {
 
     // ---- ops #34-43, #47-51: table lifecycle — create/load/rebuild/drop
     // over a warehouse dir; reports the loaded row count.
+    // ---- table maintenance: column statistics (ANALYZE) — one pass,
+    // every column's counts/NDV/min/max together, exploded long-form.
+    "op_profile" -> ((s: SparkSession, dir: String) => {
+      graft.ops.Profile.profile(Tables(s, dir, "orders"),
+          Seq("o_orderstatus", "o_orderpriority", "o_custkey", "o_orderdate"))
+        .orderBy("column")
+    }),
+
     // ---- table maintenance: a fragmented load (32 small files)
     // compacted into 2 range-clustered files — content must be exactly
     // preserved (the oracle reads the source table); the file-count
@@ -421,6 +429,36 @@ object OpsQueries {
     "op_compact" ->
       """SELECT o_orderkey, o_custkey FROM orders
         |ORDER BY o_orderkey""".stripMargin,
+    "op_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'o_orderstatus' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(*) - count(o_orderstatus) AS BIGINT) AS n_nulls,
+        |    CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+        |    CAST(min(o_orderstatus) AS VARCHAR) AS min_value,
+        |    CAST(max(o_orderstatus) AS VARCHAR) AS max_value
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(o_orderpriority) AS BIGINT),
+        |    CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+        |    CAST(min(o_orderpriority) AS VARCHAR),
+        |    CAST(max(o_orderpriority) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(o_custkey) AS BIGINT),
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT),
+        |    CAST(min(o_custkey) AS VARCHAR),
+        |    CAST(max(o_custkey) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(o_orderdate) AS BIGINT),
+        |    CAST(count(DISTINCT o_orderdate) AS BIGINT),
+        |    CAST(min(o_orderdate) AS VARCHAR),
+        |    CAST(max(o_orderdate) AS VARCHAR)
+        |  FROM orders
+        |) ORDER BY "column" """.stripMargin,
     "op_load_fetch" ->
       """SELECT doc_id, n_chars FROM documents
         |ORDER BY n_chars DESC, doc_id LIMIT 10""".stripMargin,

@@ -210,6 +210,49 @@ class IncrementalDedupSpec extends SparkSpec {
   }
 }
 
+class MediaResizeSpec extends SparkSpec {
+
+  import graft.ext.Multimodal
+
+  test("resizeStub downsamples and upsamples with nearest-neighbor picks") {
+    val bytes = Array[Byte](10, 20, 30, 40)
+    // downsample 4→2: indices 0*4/2=0, 1*4/2=2
+    assert(Multimodal.resizeStub(bytes, 2).toSeq == Seq[Byte](10, 30))
+    // upsample 4→8: indices 0,0,1,1,2,2,3,3
+    assert(Multimodal.resizeStub(bytes, 8).toSeq ==
+      Seq[Byte](10, 10, 20, 20, 30, 30, 40, 40))
+    // empty payload stays empty
+    assert(Multimodal.resizeStub(Array.emptyByteArray, 4).isEmpty)
+  }
+
+  test("resizeFeatures checksums the picked bytes per media row") {
+    val sps = spark; import sps.implicits._
+    val d = Seq((1L, "abcd")).toDF("doc_id", "text")
+    val got = Multimodal.resizeFeatures(
+        Multimodal.attachPayload(d, "doc_id", "text"), target = 2)
+      .collect().head
+    // picks 'a'(97) and 'c'(99)
+    assert(got == Multimodal.ResizedMedia(1L, 4L, 196L))
+  }
+}
+
+class ProfileSpec extends SparkSpec {
+
+  test("profile reports rows, nulls, ndv, min/max per column in one pass") {
+    val sps = spark; import sps.implicits._
+    val df = Seq((Some(1L), Some("a")), (Some(2L), None),
+      (Some(2L), Some("c")), (None, Some("a")))
+      .toDF("k", "s")
+    val got = graft.ops.Profile.profile(df, Seq("k", "s"))
+      .orderBy("column").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))
+    assert(got.toSeq == Seq(
+      ("k", 4L, 1L, 2L, "1", "2"),
+      ("s", 4L, 1L, 2L, "a", "c")))
+  }
+}
+
 class HashSampleSpec extends SparkSpec {
 
   test("membership is identical across partitionings and runs") {
