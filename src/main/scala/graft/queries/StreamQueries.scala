@@ -410,9 +410,13 @@ object StreamQueries {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"), dest0)
       dest0.toFile.setLastModified(1000000000L)
-      def sentinel(n: Int, epochSec: Long, et: String): Unit = {
+      def sentinel(n: Int, epochSec: Long): Unit = {
         val tmp = java.nio.file.Files.createTempDirectory(s"graft-s09-tmp$n")
-        Seq((-n.toLong, epochSec * 1000000000L, -1L, et, 0.0, "{}"))
+        // BOTH sides' ticks in one file: the stream-stream watermark is
+        // the MIN across sides, so each sentinel batch must advance the
+        // purchase AND click watermarks together
+        Seq((-(2 * n).toLong, epochSec * 1000000000L, -1L, "purchase", 0.0, "{}"),
+            (-(2 * n + 1).toLong, epochSec * 1000000000L, -1L, "click", 0.0, "{}"))
           .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
           .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val part = new java.io.File(tmp.toString).listFiles()
@@ -421,13 +425,11 @@ object StreamQueries {
         java.nio.file.Files.copy(part.toPath, dest)
         dest.toFile.setLastModified(1000000000L + n * 1000000L)
       }
-      // one sentinel per join side, far enough apart not to join each
-      // other (30-minute band), plus a second pair so the no-data batch
-      // after the final watermark advance definitely runs
-      sentinel(1, 2051222400L, "purchase") // 2035-01-01
-      sentinel(2, 2051222400L, "click")    // same instant, user -1 only
-      sentinel(3, 2051481600L, "purchase") // 2035-01-04
-      sentinel(4, 2051481600L, "click")
+      // two sentinel batches: the first advances both watermarks past
+      // every real event; the second makes the post-advance eviction
+      // batch run unconditionally (same epilogue discipline as s02)
+      sentinel(1, 2051222400L) // 2035-01-01
+      sentinel(2, 2051481600L) // 2035-01-04
       withShufflePartitions(s, 4) {
         def side(et: String) = s.readStream.schema(eventsSchema)
           .option("maxFilesPerTrigger", 1)
