@@ -11,8 +11,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * (cluster-wide, no per-session registration call needed).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => LevenshteinBandRule)
+  }
 }
 
 object GraftExtensions {
@@ -35,9 +37,17 @@ object GraftExtensions {
       info("simhash64", "simhash64(hashes) - 64-bit SimHash from an array of token hashes"),
       (exprs: Seq[Expression]) => SimHash64FromHashes(exprs.head)))
 
-  /** Register every engine function on an already-running session. */
-  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Register every engine function AND the optimizer rules on an
+    * already-running session (the extension path for sessions built
+    * without `spark.sql.extensions`; `extraOptimizations` is the
+    * supported post-hoc rule injection point).
+    */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (ident, inf, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, inf, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(LevenshteinBandRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ LevenshteinBandRule
+  }
 }

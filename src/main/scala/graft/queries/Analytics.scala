@@ -264,6 +264,28 @@ object Analytics {
         .orderBy($"bucket")
     }),
 
+    // ---- blocked fuzzy join: probes are customer names with a one-char
+    // typo, candidates blocked on the shared 12-char prefix (equi-join —
+    // never a nested loop), matched by edit distance ≤ 1. The session
+    // registers the engine's optimizer rules, so the threshold predicate
+    // runs as the BANDED O(k·n) levenshtein kernel (LevenshteinBandRule).
+    "a18_fuzzy_join" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      graft.functions.GraftExtensions.registerAll(s)
+      val cust = Tables(s, dir, "customer").select($"c_custkey", $"c_name")
+      val probe = cust.filter($"c_custkey" <= 50)
+        .select($"c_custkey".as("probe_id"),
+          concat($"c_name", lit("X")).as("probe_name"),
+          substring($"c_name", 1, 12).as("blk"))
+      val cand = cust.select($"c_custkey", $"c_name",
+        substring($"c_name", 1, 12).as("blk"))
+      probe.join(cand, Seq("blk"))
+        .filter(levenshtein($"probe_name", $"c_name") <= 1)
+        .select($"probe_id", $"c_custkey",
+          levenshtein($"probe_name", $"c_name").cast("long").as("dist"))
+        .orderBy("probe_id", "c_custkey")
+    }),
+
     // ---- gap-filled resample: each user's hourly event counts over
     // their own [first, last] hour span — missing hours appear with
     // n=0 and the cents level carried forward (exact integer cents, so
@@ -454,6 +476,19 @@ object Analytics {
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "a18_fuzzy_join" ->
+      """WITH probe AS (
+        |  SELECT c_custkey AS probe_id, c_name || 'X' AS probe_name,
+        |    substr(c_name, 1, 12) AS blk
+        |  FROM customer WHERE c_custkey <= 50),
+        |cand AS (
+        |  SELECT c_custkey, c_name, substr(c_name, 1, 12) AS blk
+        |  FROM customer)
+        |SELECT probe_id, c_custkey,
+        |  CAST(levenshtein(probe_name, c_name) AS BIGINT) AS dist
+        |FROM probe JOIN cand USING (blk)
+        |WHERE levenshtein(probe_name, c_name) <= 1
+        |ORDER BY probe_id, c_custkey""".stripMargin,
     "a17_gap_fill" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) // 3600000000 AS hr,

@@ -210,6 +210,65 @@ class IncrementalDedupSpec extends SparkSpec {
   }
 }
 
+class LevenshteinBandRuleSpec extends SparkSpec {
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.catalyst.expressions.{Expression, Levenshtein}
+
+  private def bandedIn(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan
+      .collect { case p => p.expressions }.flatten
+      .exists(_.exists {
+        case Levenshtein(_, _, Some(_)) => true
+        case _ => false
+      })
+
+  test("every threshold comparison shape rewrites to the banded kernel") {
+    val sps = spark; import sps.implicits._
+    graft.functions.GraftExtensions.registerAll(spark)
+    // parquet-backed (a literal LocalRelation would constant-fold the
+    // whole filter away before the shape could be observed)
+    val df = Tables(spark, sf0001, "customer")
+      .select($"c_name".as("a"), concat($"c_name", lit("X")).as("b"))
+    val shapes: Seq[Column] = Seq(
+      levenshtein($"a", $"b") <= 2, levenshtein($"a", $"b") < 3,
+      lit(2) >= levenshtein($"a", $"b"), lit(3) > levenshtein($"a", $"b"),
+      levenshtein($"a", $"b") > 2, levenshtein($"a", $"b") >= 3,
+      lit(2) < levenshtein($"a", $"b"), lit(2) <= levenshtein($"a", $"b"))
+    shapes.foreach { c =>
+      assert(bandedIn(df.filter(c)), s"not rewritten: $c")
+    }
+    // a bare projected distance must NOT be touched
+    assert(!bandedIn(df.select(levenshtein($"a", $"b").as("d"))))
+  }
+
+  test("banded filters keep exact unbanded semantics incl. nulls") {
+    val sps = spark; import sps.implicits._
+    graft.functions.GraftExtensions.registerAll(spark)
+    val df = Seq(("kitten", Some("sitting")), ("abc", Some("abc")),
+      ("abc", Some("abd")), ("abc", Some("xyzabcdef")), ("abc", None))
+      .toDF("a", "b")
+    def keys(d: org.apache.spark.sql.DataFrame) =
+      d.select("a", "b").collect()
+        .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    val dists = df.select($"a", $"b", levenshtein($"a", $"b").as("d"))
+      .collect()
+      .map(r => ((r.getString(0), Option(r.getString(1))),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)))).toMap
+    // lev <= 2: null rows drop, distance rows compare numerically
+    assert(keys(df.filter(levenshtein($"a", $"b") <= 2)) ==
+      dists.filter(_._2.exists(_ <= 2)).keySet)
+    // the negated band: lev > 2
+    assert(keys(df.filter(levenshtein($"a", $"b") > 2)) ==
+      dists.filter(_._2.exists(_ > 2)).keySet)
+    // strict/flipped forms agree with the same ground truth
+    assert(keys(df.filter(lit(3) > levenshtein($"a", $"b"))) ==
+      dists.filter(_._2.exists(_ < 3)).keySet)
+    assert(keys(df.filter(levenshtein($"a", $"b") >= 1)) ==
+      dists.filter(_._2.exists(_ >= 1)).keySet)
+  }
+}
+
 class MediaResizeSpec extends SparkSpec {
 
   import graft.ext.Multimodal
