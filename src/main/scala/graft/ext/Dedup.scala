@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication for training-data pipelines, each designed for the
@@ -399,16 +400,28 @@ object Dedup {
 
   /** Incremental corpus update: the rows of `incoming` whose content
     * fingerprint (md5 of the text — engine-portable, auditable in SQL)
-    * does not already appear in `corpus`. One anti-join on the
-    * fingerprint: the corpus ships only its fingerprints (never the
+    * does not already appear in `corpus` — deduplicated WITHIN the
+    * batch too (lowest `idCol` wins, deterministically), since a batch
+    * that carries the same new text twice must not plant a duplicate
+    * the moment it lands. Null-text rows carry no fingerprint and are
+    * excluded by policy (they would otherwise pass every anti-join
+    * forever). One partitioned window over the batch + one anti-join on
+    * the fingerprint: the corpus ships only its fingerprints (never the
     * text), so adding a daily batch to a 100 TB corpus shuffles hashes,
     * not documents; at that scale keep a fingerprint-only table as the
     * join's build side.
     */
   def newDocuments(corpus: DataFrame, incoming: DataFrame,
-                   textCol: Column): DataFrame =
-    incoming.withColumn("_graft_fp", md5(textCol.cast("string")))
-      .join(corpus.select(md5(textCol.cast("string")).as("_graft_fp")),
+                   idCol: Column, textCol: Column): DataFrame = {
+    val w = Window.partitionBy(col("_graft_fp")).orderBy(idCol)
+    incoming.filter(textCol.isNotNull)
+      .withColumn("_graft_fp", md5(textCol.cast("string")))
+      .withColumn("_graft_rn", row_number().over(w))
+      .filter(col("_graft_rn") === 1)
+      .drop("_graft_rn")
+      .join(corpus.filter(textCol.isNotNull)
+          .select(md5(textCol.cast("string")).as("_graft_fp")),
         Seq("_graft_fp"), "left_anti")
       .drop("_graft_fp")
+  }
 }

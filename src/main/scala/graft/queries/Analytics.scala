@@ -142,9 +142,12 @@ object Analytics {
       val dim = Tables(s, dir, "orders")
         .filter($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 250000.0)
         .select($"o_orderkey")
-      // Size the filter from the dim itself (one cheap count on the
-      // already-selective side) — a hardcoded capacity saturates at
-      // larger scale factors and the prefilter stops pruning.
+      // Size the filter from the dim itself — a hardcoded capacity
+      // saturates at larger scale factors and the prefilter stops
+      // pruning. The count IS an extra scan of the dim, but the dim
+      // carries pushed-down filters + a one-column projection, so the
+      // sizing pass costs a tiny fraction of the fact-side scan it
+      // saves (cache the dim when reusing one bloom across queries).
       val expected = math.max(dim.count(), 64L)
       graft.ops.BloomJoin.join(li, dim, "l_orderkey", "o_orderkey",
           expectedItems = expected)
@@ -265,20 +268,23 @@ object Analytics {
     }),
 
     // ---- blocked fuzzy join: probes are customer names with a one-char
-    // typo, candidates blocked on the shared 12-char prefix (equi-join —
-    // never a nested loop), matched by edit distance ≤ 1. The session
-    // registers the engine's optimizer rules, so the threshold predicate
-    // runs as the BANDED O(k·n) levenshtein kernel (LevenshteinBandRule).
+    // typo at the FRONT, candidates blocked on the last 8 name chars —
+    // a key the typo cannot touch AND that discriminates (TPC-H names
+    // share their prefix, so prefix blocking would collapse to one hot
+    // key = a disguised single-task cross product). Equi-join — never a
+    // nested loop — matched by edit distance ≤ 1; the session registers
+    // the engine's optimizer rules, so the threshold predicate runs as
+    // the BANDED O(k·n) levenshtein kernel (LevenshteinBandRule).
     "a18_fuzzy_join" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       graft.functions.GraftExtensions.registerAll(s)
       val cust = Tables(s, dir, "customer").select($"c_custkey", $"c_name")
       val probe = cust.filter($"c_custkey" <= 50)
         .select($"c_custkey".as("probe_id"),
-          concat($"c_name", lit("X")).as("probe_name"),
-          substring($"c_name", 1, 12).as("blk"))
+          concat(lit("K"), substring($"c_name", 2, 1000)).as("probe_name"),
+          expr("right(c_name, 8)").as("blk"))
       val cand = cust.select($"c_custkey", $"c_name",
-        substring($"c_name", 1, 12).as("blk"))
+        expr("right(c_name, 8)").as("blk"))
       probe.join(cand, Seq("blk"))
         .filter(levenshtein($"probe_name", $"c_name") <= 1)
         .select($"probe_id", $"c_custkey",
@@ -478,11 +484,12 @@ object Analytics {
         |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
     "a18_fuzzy_join" ->
       """WITH probe AS (
-        |  SELECT c_custkey AS probe_id, c_name || 'X' AS probe_name,
-        |    substr(c_name, 1, 12) AS blk
+        |  SELECT c_custkey AS probe_id,
+        |    'K' || substr(c_name, 2, 1000) AS probe_name,
+        |    right(c_name, 8) AS blk
         |  FROM customer WHERE c_custkey <= 50),
         |cand AS (
-        |  SELECT c_custkey, c_name, substr(c_name, 1, 12) AS blk
+        |  SELECT c_custkey, c_name, right(c_name, 8) AS blk
         |  FROM customer)
         |SELECT probe_id, c_custkey,
         |  CAST(levenshtein(probe_name, c_name) AS BIGINT) AS dist

@@ -570,7 +570,7 @@ object ExtQueries {
       val incoming = d.filter(col("doc_id") >= 400).select("doc_id", "text")
         .unionByName(d.filter(col("doc_id") < 50)
           .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
-      Dedup.newDocuments(corpus, incoming, col("text"))
+      Dedup.newDocuments(corpus, incoming, col("doc_id"), col("text"))
         .select("doc_id").orderBy("doc_id")
     }),
 
@@ -1126,12 +1126,18 @@ object ExtQueries {
         |GROUP BY media_id, n ORDER BY media_id""".stripMargin,
     "x42_incremental_dedup" ->
       """WITH corpus AS (
-        |  SELECT md5(text) AS fp FROM documents WHERE doc_id < 400),
+        |  SELECT md5(text) AS fp FROM documents
+        |  WHERE doc_id < 400 AND text IS NOT NULL),
         |inc AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id >= 400
         |  UNION ALL
-        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50)
-        |SELECT i.doc_id FROM inc i
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50),
+        |inc1 AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text, row_number() OVER (
+        |      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM inc WHERE text IS NOT NULL) WHERE rn = 1)
+        |SELECT i.doc_id FROM inc1 i
         |WHERE md5(i.text) NOT IN (SELECT fp FROM corpus)
         |ORDER BY doc_id""".stripMargin,
     "x41_bpe_learn" ->

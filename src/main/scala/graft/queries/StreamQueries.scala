@@ -330,9 +330,14 @@ object StreamQueries {
                   wh.upsert("user_counts", combined, Seq("k")).fold(
                     e => throw new RuntimeException(e.message), identity)
                 }
-              case Left(_) =>
+              case Left(_: graft.warehouse.TableNotFound) =>
                 wh.load("user_counts", keyed(agg).unionByName(sentinel)).fold(
                   e => throw new RuntimeException(e.message), _ => ())
+              case Left(e) =>
+                // ONLY "table absent" may initialize; a transient read
+                // error must fail the batch (foreachBatch retries it),
+                // not silently reset the accumulated counts
+                throw new RuntimeException(e.message)
             }
             ()
           }

@@ -384,6 +384,19 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String) {
       case Right(existing) =>
         try {
           require(targetFiles > 0, "targetFiles must be positive")
+          // a bucketed catalog table's files encode the bucket spec in
+          // their layout; a plain rewrite would silently void the
+          // co-located-join contract (and corrupt direct catalog reads)
+          val bucketed = try {
+            val ident = org.apache.spark.sql.catalyst.TableIdentifier(name)
+            spark.sessionState.catalog.tableExists(ident) &&
+              spark.sessionState.catalog.getTableMetadata(ident)
+                .bucketSpec.isDefined
+          } catch { case _: Exception => false }
+          if (bucketed)
+            return Left(InvalidInput(
+              s"table '$name' is bucketed; compact would break its " +
+                "bucket layout — rebuild via createBucketed instead"))
           val arranged =
             if (sortCols.isEmpty) existing.repartition(targetFiles)
             else existing

@@ -195,7 +195,8 @@ class IncrementalDedupSpec extends SparkSpec {
     val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
     val incoming = Seq((10L, "alpha"), (11L, "gamma"), (12L, "beta"),
       (13L, "delta")).toDF("doc_id", "text")
-    val got = graft.ext.Dedup.newDocuments(corpus, incoming, col("text"))
+    val got = graft.ext.Dedup.newDocuments(corpus, incoming,
+        col("doc_id"), col("text"))
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(got == Seq(11L, 13L))
   }
@@ -204,9 +205,32 @@ class IncrementalDedupSpec extends SparkSpec {
     val sps = spark; import sps.implicits._
     val corpus = Seq((1L, "alpha"), (2L, "alpha")).toDF("doc_id", "text")
     val incoming = Seq((10L, "alpha"), (11L, "new")).toDF("doc_id", "text")
-    val got = graft.ext.Dedup.newDocuments(corpus, incoming, col("text"))
-      .collect()
+    val got = graft.ext.Dedup.newDocuments(corpus, incoming,
+        col("doc_id"), col("text")).collect()
     assert(got.length == 1 && got.head.getLong(0) == 11L)
+  }
+
+  test("same new text twice in one batch admits only the lowest id") {
+    val sps = spark; import sps.implicits._
+    val corpus = Seq((1L, "alpha")).toDF("doc_id", "text")
+    val incoming = Seq((12L, "fresh"), (10L, "fresh"), (11L, "other"))
+      .toDF("doc_id", "text")
+    val got = graft.ext.Dedup.newDocuments(corpus, incoming,
+        col("doc_id"), col("text"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(10L, 11L))
+  }
+
+  test("null-text rows are excluded, not admitted forever") {
+    val sps = spark; import sps.implicits._
+    val corpus = Seq((1L, Some("alpha")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val incoming = Seq((10L, Option.empty[String]), (11L, Some("new")))
+      .toDF("doc_id", "text")
+    val got = graft.ext.Dedup.newDocuments(corpus, incoming,
+        col("doc_id"), col("text"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(11L))
   }
 }
 

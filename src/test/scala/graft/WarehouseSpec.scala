@@ -256,4 +256,16 @@ class WarehouseSpec extends SparkSpec {
     // unknown table rejected
     assert(wh.compact("nope", 2).isLeft)
   }
+
+  test("compact refuses bucketed tables instead of voiding their layout") {
+    val spark0 = spark
+    import spark0.implicits._
+    val wh = freshWh()
+    val df = (1L to 100L).map(i => (i, i % 7)).toDF("id", "k")
+    assert(wh.createBucketed("cmpb", df, Seq("k"), numBuckets = 4).isRight)
+    val res = wh.compact("cmpb", 2)
+    assert(res.isLeft)
+    assert(res.left.exists(_.message.contains("bucketed")))
+    spark.sql("DROP TABLE IF EXISTS cmpb")
+  }
 }
