@@ -101,4 +101,15 @@ object Scd2 {
       .withColumn("valid_to", lit(null).cast(snapshot.schema(tsCol).dataType))
       .withColumn("is_current", lit(true))
       .withColumnRenamed(tsCol, "valid_from")
+
+  /** Point-in-time read (time travel over the history table): each
+    * key's version valid at `ts` — `valid_from <= ts < valid_to`, with
+    * open-ended current rows included. A pure filter, so it pushes to
+    * the scan; store the history clustered/partitioned on `valid_from`
+    * (or `is_current`) and the slice prunes files instead of reading
+    * the full history.
+    */
+  def asOf(history: DataFrame, ts: Column): DataFrame =
+    history.filter(col("valid_from") <= ts &&
+      (col("valid_to").isNull || col("valid_to") > ts))
 }

@@ -21,6 +21,38 @@ object OpsQueries {
     new SparkWarehouse(s,
       java.nio.file.Files.createTempDirectory("graft-ops-wh").toString)
 
+  /** The SCD2 fixture history shared by op_scd2 / op_scd2_asof: a 100-key
+    * snapshot at 2020-01-01, batch1 (renames 1-5, segment moves 11-15,
+    * inserts 9001-9003) at 2021-06-01, batch2 (re-renames 1-3) at
+    * 2022-01-01.
+    */
+  private def scd2History(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val ts0 = lit("2020-01-01 00:00:00").cast("timestamp")
+    val base = Tables(s, dir, "customer").filter(col("c_custkey") <= 100)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        ts0.as("valid_from"))
+    val hist0 = graft.ops.Scd2.initial(base)
+    val custs = Tables(s, dir, "customer").filter(col("c_custkey") <= 15)
+    val batch1 = custs.select(col("c_custkey"),
+        when(col("c_custkey") <= 5, lit("RENAMED"))
+          .otherwise(col("c_name")).as("c_name"),
+        when(col("c_custkey") >= 11, lit("ARCTIC"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+        lit("2021-06-01 00:00:00").cast("timestamp").as("ts"))
+      .unionByName((9001 to 9003).map(k => (k.toLong, "NEW", "WEB"))
+        .toDF("c_custkey", "c_name", "c_mktsegment")
+        .withColumn("ts", lit("2021-06-01 00:00:00").cast("timestamp")))
+    val hist1 = graft.ops.Scd2.merge(hist0, batch1,
+      Seq("c_custkey"), Seq("c_name", "c_mktsegment"), "ts")
+    val batch2 = custs.filter(col("c_custkey") <= 3)
+      .select(col("c_custkey"), lit("RENAMED2").as("c_name"),
+        col("c_mktsegment"),
+        lit("2022-01-01 00:00:00").cast("timestamp").as("ts"))
+    graft.ops.Scd2.merge(hist1, batch2,
+      Seq("c_custkey"), Seq("c_name", "c_mktsegment"), "ts")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- ops #1-7: key sanitization as a plan-only deep rename.
     "op_clean_keys" -> ((s: SparkSession, dir: String) => {
@@ -167,6 +199,25 @@ object OpsQueries {
         .orderBy("column")
     }),
 
+    // ---- partitioned-table read path: events stored one directory per
+    // event_type; a type-filtered read scans only that directory
+    // (PartitionFilters — pruning pinned by PlanSpec).
+    "op_partitioned_read" -> ((s: SparkSession, dir: String) => {
+      val wh = tmpWarehouse(s)
+      wh.createPartitioned("events_by_type",
+        Tables.events(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type")), Seq("event_type")) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.get("events_by_type") match {
+        case Right(df) => df.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "event_type")
+          .orderBy("event_id")
+        case Left(e) => throw new RuntimeException(e.message)
+      }
+    }),
+
     // ---- table maintenance: a fragmented load (32 small files)
     // compacted into 2 range-clustered files — content must be exactly
     // preserved (the oracle reads the source table); the file-count
@@ -306,31 +357,16 @@ object OpsQueries {
     // oracle-reconstructable, covering all four merge paths (changed,
     // unchanged no-op, unseen key, second change of the same key).
     "op_scd2" -> ((s: SparkSession, dir: String) => {
-      import s.implicits._
-      val ts0 = lit("2020-01-01 00:00:00").cast("timestamp")
-      val base = Tables(s, dir, "customer").filter(col("c_custkey") <= 100)
-        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
-          ts0.as("valid_from"))
-      val hist0 = graft.ops.Scd2.initial(base)
-      val custs = Tables(s, dir, "customer").filter(col("c_custkey") <= 15)
-      val batch1 = custs.select(col("c_custkey"),
-          when(col("c_custkey") <= 5, lit("RENAMED"))
-            .otherwise(col("c_name")).as("c_name"),
-          when(col("c_custkey") >= 11, lit("ARCTIC"))
-            .otherwise(col("c_mktsegment")).as("c_mktsegment"),
-          lit("2021-06-01 00:00:00").cast("timestamp").as("ts"))
-        .unionByName((9001 to 9003).map(k => (k.toLong, "NEW", "WEB"))
-          .toDF("c_custkey", "c_name", "c_mktsegment")
-          .withColumn("ts", lit("2021-06-01 00:00:00").cast("timestamp")))
-      val hist1 = graft.ops.Scd2.merge(hist0, batch1,
-        Seq("c_custkey"), Seq("c_name", "c_mktsegment"), "ts")
-      val batch2 = custs.filter(col("c_custkey") <= 3)
-        .select(col("c_custkey"), lit("RENAMED2").as("c_name"),
-          col("c_mktsegment"),
-          lit("2022-01-01 00:00:00").cast("timestamp").as("ts"))
-      graft.ops.Scd2.merge(hist1, batch2,
-          Seq("c_custkey"), Seq("c_name", "c_mktsegment"), "ts")
-        .orderBy("c_custkey", "valid_from")
+      scd2History(s, dir).orderBy("c_custkey", "valid_from")
+    }),
+
+    // ---- point-in-time read over the SCD2 history: the version of
+    // every key valid at 2021-08-01 (after batch1's renames, before
+    // batch2's) — a pure pushdown filter over the history table.
+    "op_scd2_asof" -> ((s: SparkSession, dir: String) => {
+      graft.ops.Scd2.asOf(scd2History(s, dir),
+          lit("2021-08-01 00:00:00").cast("timestamp"))
+        .orderBy("c_custkey")
     }),
 
     // ---- declarative validation report: row-local rules fold into one
@@ -429,6 +465,9 @@ object OpsQueries {
     "op_compact" ->
       """SELECT o_orderkey, o_custkey FROM orders
         |ORDER BY o_orderkey""".stripMargin,
+    "op_partitioned_read" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
     "op_profile" ->
       """SELECT * FROM (
         |  SELECT 'o_orderstatus' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
@@ -520,6 +559,43 @@ object OpsQueries {
         |    TIMESTAMP '2021-06-01 00:00:00', CAST(NULL AS TIMESTAMP), TRUE
         |  FROM range(1, 4) t(k)
         |) ORDER BY c_custkey, valid_from""".stripMargin,
+    "op_scd2_asof" ->
+      """WITH c AS (SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |           WHERE c_custkey <= 100),
+        |h AS (
+        |  SELECT c_custkey, c_name, c_mktsegment,
+        |    TIMESTAMP '2020-01-01 00:00:00' AS valid_from,
+        |    TIMESTAMP '2021-06-01 00:00:00' AS valid_to, FALSE AS is_current
+        |  FROM c WHERE c_custkey <= 5 OR c_custkey BETWEEN 11 AND 15
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_mktsegment,
+        |    TIMESTAMP '2020-01-01 00:00:00', CAST(NULL AS TIMESTAMP), TRUE
+        |  FROM c WHERE (c_custkey BETWEEN 6 AND 10) OR c_custkey >= 16
+        |  UNION ALL
+        |  SELECT c_custkey, 'RENAMED', c_mktsegment,
+        |    TIMESTAMP '2021-06-01 00:00:00',
+        |    TIMESTAMP '2022-01-01 00:00:00', FALSE
+        |  FROM c WHERE c_custkey <= 3
+        |  UNION ALL
+        |  SELECT c_custkey, 'RENAMED', c_mktsegment,
+        |    TIMESTAMP '2021-06-01 00:00:00', CAST(NULL AS TIMESTAMP), TRUE
+        |  FROM c WHERE c_custkey IN (4, 5)
+        |  UNION ALL
+        |  SELECT c_custkey, 'RENAMED2', c_mktsegment,
+        |    TIMESTAMP '2022-01-01 00:00:00', CAST(NULL AS TIMESTAMP), TRUE
+        |  FROM c WHERE c_custkey <= 3
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, 'ARCTIC',
+        |    TIMESTAMP '2021-06-01 00:00:00', CAST(NULL AS TIMESTAMP), TRUE
+        |  FROM c WHERE c_custkey BETWEEN 11 AND 15
+        |  UNION ALL
+        |  SELECT CAST(9000 + k AS BIGINT), 'NEW', 'WEB',
+        |    TIMESTAMP '2021-06-01 00:00:00', CAST(NULL AS TIMESTAMP), TRUE
+        |  FROM range(1, 4) t(k))
+        |SELECT * FROM h
+        |WHERE valid_from <= TIMESTAMP '2021-08-01 00:00:00'
+        |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2021-08-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin,
     "op_validate" ->
       """SELECT * FROM (
         |  SELECT 'in_range:l_discount' AS "check",

@@ -43,6 +43,30 @@ class Scd2Spec extends SparkSpec {
       (9L, "zoe", None, true)))
   }
 
+  test("asOf slices the valid version per key, boundaries inclusive-exclusive") {
+    val spark0 = spark
+    import spark0.implicits._
+    val u1 = Seq((1L, "v2", "A")).toDF("id", "name", "seg")
+      .withColumn("ts", lit(ts("2021-01-01 00:00:00")))
+    val h = Scd2.merge(Scd2.initial(snapshot), u1,
+      Seq("id"), Seq("name", "seg"), "ts")
+    def nameAt(t: String) = Scd2.asOf(h, lit(ts(t)))
+      .filter(col("id") === 1).select("name").collect().map(_.getString(0)).toSeq
+    // strictly inside the first version
+    assert(nameAt("2020-06-01 00:00:00") == Seq("alice"))
+    // AT the transition instant: old version's valid_to is exclusive,
+    // new version's valid_from inclusive
+    assert(nameAt("2021-01-01 00:00:00") == Seq("v2"))
+    // before history began: no version
+    assert(nameAt("2019-01-01 00:00:00") == Seq())
+    // open-ended current version
+    assert(nameAt("2030-01-01 00:00:00") == Seq("v2"))
+    // exactly one version per key at any covered instant
+    val counts = Scd2.asOf(h, lit(ts("2021-06-01 00:00:00")))
+      .groupBy("id").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ == 1L))
+  }
+
   test("a second merge versions the same key again; closed rows immutable") {
     val spark0 = spark
     import spark0.implicits._
