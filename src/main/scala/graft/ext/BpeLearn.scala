@@ -117,4 +117,28 @@ object BpeLearn {
     import s.implicits._
     learnMerges(docs, textCol, merges).toDF("rank", "pair", "n")
   }
+
+  /** APPLY side of the tokenizer: tokenize the corpus with an ordered
+    * merge table (chars, then each merge's greedy fold in rank order —
+    * exactly the BPE apply algorithm) and report per-document token and
+    * word counts. One pass, no joins: the merge table folds into the
+    * projection as nested expressions, so a 100 TB tokenization is a
+    * single scan. For vocabularies of thousands of merges, apply in
+    * chunks of a few hundred folds with a checkpoint between chunks
+    * (same lineage discipline as [[learnMerges]]).
+    */
+  def tokenCounts(docs: DataFrame, idCol: Column, textCol: Column,
+                  merges: Seq[(String, String)]): DataFrame = {
+    val words = docs
+      .select(idCol.as("doc_id"), explode(TextAnalysis.tokens(textCol)).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"),
+        concat_ws(" ", array_remove(split(col("w"), ""), "")).as("tok"))
+    val folded = merges.foldLeft(col("tok")) {
+      case (c, (a, b)) => applyMerge(c, a, b)
+    }
+    words.select(col("doc_id"), size(split(folded, " ")).cast("long").as("_n"))
+      .groupBy("doc_id")
+      .agg(sum(col("_n")).as("n_tokens"), count(lit(1)).as("n_words"))
+  }
 }

@@ -581,6 +581,19 @@ object ExtQueries {
       val d = Tables(s, dir, "documents")
       graft.ext.BpeLearn.learnMergesDF(d, col("text"), merges = 3)
         .orderBy("rank")
+    }),
+
+    // ---- BPE apply: tokenize the corpus with the merge table just
+    // learned (learn → apply round trip); per-doc token counts after
+    // three merges, replayed end-to-end by the oracle's fold chain.
+    "x44_bpe_apply" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      val merges = graft.ext.BpeLearn.learnMerges(d, col("text"), merges = 3)
+        .map { case (_, pair, _) =>
+          val Array(a, b) = pair.split(" ", 2); (a, b)
+        }
+      graft.ext.BpeLearn.tokenCounts(d, col("doc_id"), col("text"), merges)
+        .orderBy("doc_id")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1183,5 +1196,57 @@ object ExtQueries {
         |SELECT CAST(1 AS BIGINT) AS rank, pair, n FROM m1
         |UNION ALL SELECT CAST(2 AS BIGINT), pair, n FROM m2
         |UNION ALL SELECT CAST(3 AS BIGINT), pair, n FROM m3
-        |ORDER BY rank""".stripMargin)
+        |ORDER BY rank""".stripMargin,
+    "x44_bpe_apply" ->
+      """WITH wr AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
+        |      ' ')) AS w
+        |  FROM documents),
+        |d0 AS (
+        |  SELECT doc_id, list_transform(range(length(w)), i -> w[i+1]) AS toks
+        |  FROM wr WHERE length(w) > 0),
+        |t0 AS (SELECT toks FROM d0),
+        |p1 AS (
+        |  SELECT unnest(list_transform(range(len(toks) - 1),
+        |    i -> toks[i+1] || ' ' || toks[i+2])) AS pair FROM t0),
+        |m1 AS (
+        |  SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
+        |  FROM (SELECT pair, count(*) AS n FROM p1 GROUP BY pair
+        |        ORDER BY n DESC, pair LIMIT 1)),
+        |d1 AS (
+        |  SELECT doc_id, string_split(list_reduce(toks, (acc, x) -> CASE
+        |      WHEN x = m1.b AND (acc = m1.a
+        |        OR right(acc, length(m1.a) + 1) = ' ' || m1.a)
+        |      THEN acc || x ELSE acc || ' ' || x END), ' ') AS toks
+        |  FROM d0, m1),
+        |p2 AS (
+        |  SELECT unnest(list_transform(range(len(toks) - 1),
+        |    i -> toks[i+1] || ' ' || toks[i+2])) AS pair FROM d1),
+        |m2 AS (
+        |  SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
+        |  FROM (SELECT pair, count(*) AS n FROM p2 GROUP BY pair
+        |        ORDER BY n DESC, pair LIMIT 1)),
+        |d2 AS (
+        |  SELECT doc_id, string_split(list_reduce(toks, (acc, x) -> CASE
+        |      WHEN x = m2.b AND (acc = m2.a
+        |        OR right(acc, length(m2.a) + 1) = ' ' || m2.a)
+        |      THEN acc || x ELSE acc || ' ' || x END), ' ') AS toks
+        |  FROM d1, m2),
+        |p3 AS (
+        |  SELECT unnest(list_transform(range(len(toks) - 1),
+        |    i -> toks[i+1] || ' ' || toks[i+2])) AS pair FROM d2),
+        |m3 AS (
+        |  SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
+        |  FROM (SELECT pair, count(*) AS n FROM p3 GROUP BY pair
+        |        ORDER BY n DESC, pair LIMIT 1)),
+        |d3 AS (
+        |  SELECT doc_id, string_split(list_reduce(toks, (acc, x) -> CASE
+        |      WHEN x = m3.b AND (acc = m3.a
+        |        OR right(acc, length(m3.a) + 1) = ' ' || m3.a)
+        |      THEN acc || x ELSE acc || ' ' || x END), ' ') AS toks
+        |  FROM d2, m3)
+        |SELECT doc_id, CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_words
+        |FROM d3 GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

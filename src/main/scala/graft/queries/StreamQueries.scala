@@ -465,6 +465,56 @@ object StreamQueries {
       s.table("s09_stream_left_join_sink")
         .filter(col("user_id") >= 0) // drop the sentinel rows
         .orderBy("purchase_id", "click_id")
+    }),
+
+    // ---- streaming parquet sink (EventStream.toParquetSink): the
+    // warehouse landing path — watermarked hourly aggregation appended
+    // to a parquet directory exactly-once (the file sink's manifest
+    // commits atomically per batch). Append mode only emits CLOSED
+    // windows, so far-future sentinel ticks flush the real windows;
+    // the directory read back must equal the batch aggregate.
+    "s10_stream_parquet_sink" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val staged = java.nio.file.Files.createTempDirectory("graft-s10")
+      val outDir = java.nio.file.Files.createTempDirectory("graft-s10-out")
+      val dest0 = staged.resolve("0.parquet")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"), dest0)
+      dest0.toFile.setLastModified(1000000000L)
+      def sentinel(n: Int, epochSec: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft-s10-tmp$n")
+        Seq((-n.toLong, epochSec * 1000000000L, -1L, "tick", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = staged.resolve(s"$n.parquet")
+        java.nio.file.Files.copy(part.toPath, dest)
+        dest.toFile.setLastModified(1000000000L + n * 1000000L)
+      }
+      sentinel(1, 2051222400L) // 2035-01-01
+      sentinel(2, 2051308800L) // 2035-01-02
+      withShufflePartitions(s, 4) {
+        val stream = s.readStream.schema(eventsSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(staged.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val agg = stream
+          .withWatermark("ts", "0 seconds")
+          .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2))).as("tv"))
+          .select(col("win.start").as("hour_start"), col("event_type"),
+            col("n"),
+            col("tv").cast(DecimalType(38, 2)).cast("double").as("total_value"))
+        val q = EventStream.toParquetSink(agg, outDir.toString,
+            staged.resolve("_ckpt").toString)
+          .start()
+        q.awaitTermination(120000)
+      }
+      s.read.parquet(outDir.toString)
+        .filter(col("event_type") =!= "tick") // sentinel epilogue windows
+        .orderBy("event_type", "hour_start")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -543,5 +593,13 @@ object StreamQueries {
         |      WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id
         | AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
-        |ORDER BY purchase_id, click_id""".stripMargin)
+        |ORDER BY purchase_id, click_id""".stripMargin,
+    "s10_stream_parquet_sink" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+        |  event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+        |    AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY hour_start, event_type
+        |ORDER BY event_type, hour_start""".stripMargin)
 }
