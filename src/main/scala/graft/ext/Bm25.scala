@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 (Okapi / Lucene variant) full-text retrieval over a document
+  * corpus — the standard lexical ranking function for search and for
+  * retrieval-based training-data curation (e.g. finding corpus documents
+  * relevant to a benchmark prompt before decontamination review).
+  *
+  * Scale design (the part that matters at 100 TB):
+  *   - the postings build is ONE explode + ONE aggregation keyed on
+  *     `(doc_id, term)` — a single shuffle over token occurrences;
+  *   - per-doc length `dl` is computed MAP-SIDE from the token array
+  *     (a codegen'd lambda), not via a second per-doc aggregation;
+  *   - at query time the exploded terms are pruned with `isin(query)`
+  *     BEFORE the shuffle, so per-query cost is proportional to the
+  *     matching postings, not the corpus;
+  *   - the per-term document frequencies for a query are a handful of
+  *     rows — Catalyst broadcasts them back onto the postings;
+  *   - corpus constants (N, avgdl) are one scalar aggregate pass,
+  *     collected once and inlined as literals so scoring stays inside
+  *     WholeStageCodegen;
+  *   - top-k is `orderBy(...).limit(k)` → `TakeOrderedAndProject`,
+  *     never a global sort.
+  *
+  * The reference has no retrieval surface; this extends its ETL/query
+  * contract per the north-star extensions (BASELINE.json). Formula:
+  * Lucene's BM25 — idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+  * tf-norm = tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)).
+  */
+object Bm25 {
+
+  private def cleanTokens(textCol: Column): Column =
+    filter(TextAnalysis.tokens(textCol), t => t =!= "")
+
+  /** Per-(doc, term) postings rows `(doc_id, term, tf, dl)`.
+    *
+    * @param termFilter when given, occurrences are pruned to these terms
+    *   BEFORE the `(doc_id, term)` shuffle — the query-time fast path.
+    *   `dl` stays the FULL document length either way (BM25's length
+    *   normalization is over the whole document, not the matched terms).
+    */
+  def postings(docs: DataFrame, idCol: Column, textCol: Column,
+               termFilter: Option[Seq[String]] = None): DataFrame = {
+    val occ = docs
+      .select(idCol.as("doc_id"), cleanTokens(textCol).as("_toks"))
+      .select(col("doc_id"), size(col("_toks")).cast("long").as("dl"),
+        explode(col("_toks")).as("term"))
+    val pruned = termFilter.fold(occ)(ts => occ.filter(col("term").isin(ts: _*)))
+    pruned.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+  }
+
+  /** Corpus constants in ONE aggregate pass: (n_docs, avgdl). */
+  def corpusStats(docs: DataFrame, textCol: Column): (Long, Double) = {
+    val row = docs
+      .select(size(cleanTokens(textCol)).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+      .head()
+    (row.getLong(0), row.getDouble(1))
+  }
+
+  /** Per-(doc, matched term) BM25 components
+    * `(doc_id, term, tf, df, dl, component)`. Deterministic map-side
+    * arithmetic after the postings shuffle — callers that need an
+    * order-independent exact total (e.g. the driver gate) can quantize
+    * `component` per row before summing.
+    */
+  def scoredTerms(docs: DataFrame, idCol: Column, textCol: Column,
+                  queryTerms: Seq[String],
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "BM25 query needs at least one term")
+    val post = postings(docs, idCol, textCol, Some(queryTerms))
+    val df = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val (n, avgdl) = corpusStats(docs, textCol)
+    val idf = log(lit(1.0) +
+      (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+    post.join(broadcast(df), Seq("term"))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("dl"),
+        (idf * tfNorm).as("component"))
+  }
+
+  /** Top-k documents for a bag-of-words query: `(doc_id, n_terms, score)`,
+    * ties broken by doc_id for determinism.
+    */
+  def topK(docs: DataFrame, idCol: Column, textCol: Column,
+           queryTerms: Seq[String], k: Int = 10,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    scoredTerms(docs, idCol, textCol, queryTerms, k1, b)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("component")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+}

@@ -244,6 +244,40 @@ object TextAnalysis {
         Ipv4Pattern, "<IP>"),
       PhonePattern, "<PHONE>")
 
+  /** Sliding-window token chunking with overlap — the standard training
+    * prep for splitting long documents into model-context-sized windows
+    * (window `w`, stride `s` < `w` ⇒ consecutive chunks overlap by
+    * `w − s` tokens, so no span is ever cut off at a boundary it
+    * doesn't also appear inside).
+    *
+    * Output: `(doc_id, chunk_id, chunk, chunk_len)` — one row per
+    * window; the final partial window is kept (standard behavior; cap
+    * via `chunk_len` downstream if a minimum is needed).
+    *
+    * Scale: ZERO shuffles — tokenize, start-offset generation
+    * (`sequence`), slice and join are all codegen'd array lambdas, so
+    * this runs entirely map-side over any corpus size; output order
+    * within a document is by construction `chunk_id`.
+    */
+  def slidingChunks(docs: DataFrame, idCol: Column, textCol: Column,
+                    window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    docs
+      .select(idCol.as("doc_id"),
+        filter(tokens(textCol), t => t =!= "").as("_toks"))
+      .select(col("doc_id"), col("_toks"),
+        explode(when(size(col("_toks")) > 0,
+            sequence(lit(0), size(col("_toks")) - 1, lit(stride)))
+          .otherwise(array().cast("array<int>"))).as("_start"))
+      .select(col("doc_id"),
+        (col("_start") / stride).cast("long").as("chunk_id"),
+        array_join(slice(col("_toks"), col("_start") + 1, lit(window)), " ")
+          .as("chunk"),
+        size(slice(col("_toks"), col("_start") + 1, lit(window))).cast("long")
+          .as("chunk_len"))
+  }
+
   /** Top-k distinguishing terms per document, TF-IDF-shaped: score =
     * tf · (N / df) — term frequency times inverse document frequency as
     * a plain ratio rather than the textbook log(N/df). The ranking is

@@ -68,4 +68,43 @@ object Cdc {
       .select(keyCols.map(col) ++ payload.map(c =>
         when(col("_op").isNotNull, col(s"_new_$c")).otherwise(col(c)).as(c)): _*)
   }
+
+  /** The inverse of [[applyChangelog]]: derive the changelog that turns
+    * snapshot `old` into snapshot `nu` — one `I`nsert row per key only
+    * in `nu`, one `D`elete per key only in `old`, one `U`pdate per key
+    * present in both whose payload differs. Payload columns carry the
+    * NEW values (null for deletes), so
+    * `applyChangelog(old, snapshotDiff(old, nu) + any seq, ...) == nu`.
+    *
+    * This is warehouse reconciliation (audit two loads, backfill a
+    * missed delta, validate a migration) done as ONE full-outer join
+    * keyed on `keyCols` — both sides shuffle once; pre-bucketing both
+    * snapshots on the key ([[graft.warehouse.SparkWarehouse.createBucketed]])
+    * makes it shuffle-free. Change detection is per-column null-safe
+    * equality (`<=>`), codegen'd — no row serialization, no hashing
+    * pass, and column NULL ↔ value transitions are real updates (a
+    * hash of concatenated strings would need an escape scheme to get
+    * that right).
+    */
+  def snapshotDiff(old: DataFrame, nu: DataFrame,
+                   keyCols: Seq[String], opCol: String = "op"): DataFrame = {
+    require(old.columns.sameElements(nu.columns),
+      s"snapshot schemas differ: ${old.columns.toSeq} vs ${nu.columns.toSeq}")
+    val payload = old.columns.filterNot(keyCols.contains).toSeq
+    val o = old.select(lit(true).as("_in_old") +: old.columns.toIndexedSeq
+      .map(c => col(c).as(if (keyCols.contains(c)) c else s"_old_$c")): _*)
+    val n = nu.select(lit(true).as("_in_new") +: nu.columns.toIndexedSeq
+      .map(c => col(c).as(if (keyCols.contains(c)) c else s"_new_$c")): _*)
+    val same = payload.map(c => col(s"_old_$c") <=> col(s"_new_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    o.join(n, keyCols, "full_outer")
+      .withColumn(opCol,
+        when(col("_in_old").isNull, lit("I"))
+          .when(col("_in_new").isNull, lit("D"))
+          .when(same, lit(null).cast("string"))
+          .otherwise(lit("U")))
+      .filter(col(opCol).isNotNull)
+      .select(keyCols.map(col) ++ Seq(col(opCol)) ++
+        payload.map(c => col(s"_new_$c").as(c)): _*)
+  }
 }

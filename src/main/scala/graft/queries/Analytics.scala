@@ -275,6 +275,46 @@ object Analytics {
     // nested loop — matched by edit distance ≤ 1; the session registers
     // the engine's optimizer rules, so the threshold predicate runs as
     // the BANDED O(k·n) levenshtein kernel (LevenshteinBandRule).
+    // ---- frame-navigation window functions (first/last/nth over an
+    // explicit unbounded ROWS frame — last_value/nth_value are only
+    // deterministic with the full frame + a total order).
+    "a20_window_firstlast" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val w = Window.partitionBy($"c_mktsegment")
+        .orderBy($"c_acctbal", $"c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, dir, "customer").filter($"c_custkey" <= 300)
+        .select($"c_custkey", $"c_mktsegment",
+          first($"c_custkey").over(w).as("poorest"),
+          last($"c_custkey").over(w).as("richest"),
+          nth_value($"c_custkey", 2).over(w).as("runner_up"))
+        .orderBy($"c_custkey")
+    }),
+
+    // ---- snapshot reconciliation: derive the I/U/D changelog between
+    // two snapshots of orders (the inverse of a15's changelog APPLY).
+    // One full-outer join on the key; change detection is per-column
+    // null-safe equality. Exact DECIMAL(18,2) money so both engines
+    // compare identical values.
+    "a19_snapshot_diff" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val base = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus",
+          $"o_totalprice".cast(DecimalType(18, 2)).as("price"),
+          $"o_orderpriority")
+      val old = base.filter($"o_orderkey" % 7 =!= 0)
+      val nu = base.filter($"o_orderkey" % 5 =!= 0)
+        .withColumn("price",
+          when($"o_orderkey" % 3 === 0,
+            $"price" + lit(java.math.BigDecimal.valueOf(10)))
+            .otherwise($"price"))
+      graft.ops.Cdc.snapshotDiff(old, nu, Seq("o_orderkey"))
+        .withColumn("price",
+          $"price".cast(DecimalType(19, 2)).cast("double"))
+        .orderBy("o_orderkey")
+    }),
+
     "a18_fuzzy_join" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       graft.functions.GraftExtensions.registerAll(s)
@@ -482,6 +522,42 @@ object Analytics {
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "a20_window_firstlast" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  first_value(c_custkey) OVER w AS poorest,
+        |  last_value(c_custkey) OVER w AS richest,
+        |  nth_value(c_custkey, 2) OVER w AS runner_up
+        |FROM customer WHERE c_custkey <= 300
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |  ORDER BY c_acctbal, c_custkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_custkey""".stripMargin,
+    "a19_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price, o_orderpriority
+        |  FROM orders),
+        |old AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0),
+        |nu AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN price + 10 ELSE price END AS price,
+        |    o_orderpriority
+        |  FROM base WHERE o_orderkey % 5 <> 0),
+        |j AS (
+        |  SELECT coalesce(old.o_orderkey, nu.o_orderkey) AS o_orderkey,
+        |    CASE WHEN old.o_orderkey IS NULL THEN 'I'
+        |         WHEN nu.o_orderkey IS NULL THEN 'D'
+        |         WHEN old.o_orderstatus IS NOT DISTINCT FROM nu.o_orderstatus
+        |          AND old.price IS NOT DISTINCT FROM nu.price
+        |          AND old.o_orderpriority IS NOT DISTINCT FROM nu.o_orderpriority
+        |           THEN NULL
+        |         ELSE 'U' END AS op,
+        |    nu.o_orderstatus AS o_orderstatus,
+        |    CAST(CAST(nu.price AS DECIMAL(19,2)) AS DOUBLE) AS price,
+        |    nu.o_orderpriority AS o_orderpriority
+        |  FROM old FULL OUTER JOIN nu ON old.o_orderkey = nu.o_orderkey)
+        |SELECT o_orderkey, op, o_orderstatus, price, o_orderpriority
+        |FROM j WHERE op IS NOT NULL ORDER BY o_orderkey""".stripMargin,
     "a18_fuzzy_join" ->
       """WITH probe AS (
         |  SELECT c_custkey AS probe_id,

@@ -594,9 +594,165 @@ object ExtQueries {
         }
       graft.ext.BpeLearn.tokenCounts(d, col("doc_id"), col("text"), merges)
         .orderBy("doc_id")
+    }),
+
+    // ---- BM25 retrieval: top-25 documents for a bag-of-words query.
+    // Per-(doc, term) components are quantized to integer micros BEFORE
+    // the per-doc sum, so the total is an order-independent BIGINT both
+    // engines agree on exactly (floating sums commute only after
+    // quantization). The library's `topK` returns the plain double.
+    "x45_bm25" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      graft.ext.Bm25.scoredTerms(d, col("doc_id"), col("text"),
+          Seq("vector", "stream", "merge", "dup"))
+        .select(col("doc_id"),
+          round(col("component") * lit(1000000.0), 0).cast("long")
+            .as("_cm"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"), sum(col("_cm")).as("score_micros"))
+        .orderBy(col("score_micros").desc, col("doc_id"))
+        .limit(25)
+    }),
+
+    // ---- sliding-window chunking: window 16, stride 8 (50% overlap) —
+    // model-context splitting as a pure map-side array computation.
+    "x46_sliding_chunks" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents").filter(col("doc_id") < 40)
+      graft.ext.TextAnalysis.slidingChunks(d, col("doc_id"), col("text"),
+          window = 16, stride = 8)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // ---- unigram-LM log-probability scoring (the perplexity-filter
+    // quality signal): per-doc Σ tf·ln p(t) under the corpus-trained
+    // add-one-smoothed unigram model; components quantized to micros
+    // before the order-independent integer sum (x45's device).
+    "x49_unigram_logprob" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      val model = graft.ext.UnigramLm.termCounts(d, col("text"))
+      graft.ext.UnigramLm.docTermComponents(d, col("doc_id"), col("text"),
+          model)
+        .select(col("doc_id"), col("tf"),
+          round(col("component") * lit(1000000.0), 0).cast("long")
+            .as("_cm"))
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).as("n_tokens"), sum(col("_cm")).as("lp_micros"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- per-source token-distribution drift: KL(source ‖ corpus) over
+    // the corpus top-40 vocabulary; components quantized to micros
+    // before summing (same portability device as x45).
+    "x48_source_divergence" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      graft.ext.Divergence.sourceTermComponents(d, col("source"), col("text"),
+          vocabSize = 40)
+        .select(col("grp"),
+          round(col("component") * lit(1000000.0), 0).cast("long")
+            .as("_cm"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n_terms"), sum(col("_cm")).as("kl_micros"))
+        .orderBy("grp")
     }))
 
   val oracle: Map[String, String] = Map(
+    // BM25: the formula is replayed with IDENTICAL operation order and
+    // parenthesization as Bm25.scoredTerms, so every double matches
+    // bit-for-bit before the micro-quantization.
+    "x45_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    avg(CAST(len(tk) AS DOUBLE)) AS avgdl
+        |  FROM toks),
+        |occ AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS term
+        |  FROM toks),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, min(dl) AS dl
+        |  FROM occ WHERE term IN ('vector', 'stream', 'merge', 'dup')
+        |  GROUP BY doc_id, term),
+        |dfv AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+        |        GROUP BY term),
+        |comp AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round(
+        |      (ln(1.0 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5)) *
+        |       ((tf.tf * (1.2 + 1.0)) /
+        |        (tf.tf + 1.2 * (0.25 + (0.75 * tf.dl) / stats.avgdl))))
+        |      * 1000000.0, 0) AS BIGINT) AS cm
+        |  FROM tf JOIN dfv USING (term), stats)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(sum(cm) AS BIGINT) AS score_micros
+        |FROM comp GROUP BY doc_id
+        |ORDER BY score_micros DESC, doc_id LIMIT 25""".stripMargin,
+    "x46_sliding_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id < 40),
+        |s AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0, len(toks) - 1, 8)) AS st
+        |  FROM t)
+        |SELECT doc_id, CAST(st // 8 AS BIGINT) AS chunk_id,
+        |  array_to_string(list_slice(toks, st + 1, st + 16), ' ') AS chunk,
+        |  CAST(len(list_slice(toks, st + 1, st + 16)) AS BIGINT) AS chunk_len
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    "x49_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |occ AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+        |tc AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM occ
+        |       GROUP BY term),
+        |st AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+        |         CAST(count(*) AS BIGINT) AS v FROM tc),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM occ GROUP BY doc_id, term),
+        |comp AS (
+        |  SELECT tf.doc_id, tf.tf,
+        |    CAST(round(
+        |      (tf.tf * ln(CAST(tc.cnt + 1 AS DOUBLE) /
+        |        (CAST(st.total AS DOUBLE) + CAST(st.v AS DOUBLE))))
+        |      * 1000000.0, 0) AS BIGINT) AS cm
+        |  FROM tf JOIN tc USING (term), st)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  CAST(sum(cm) AS BIGINT) AS lp_micros
+        |FROM comp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x48_source_divergence" ->
+      """WITH terms AS (
+        |  SELECT source AS grp,
+        |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+        |  FROM documents),
+        |gt AS (SELECT grp, term, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM terms GROUP BY grp, term),
+        |corpus AS (SELECT term, CAST(sum(cnt) AS BIGINT) AS corpus_cnt
+        |           FROM gt GROUP BY term),
+        |vocab AS (SELECT term, corpus_cnt FROM corpus
+        |          ORDER BY corpus_cnt DESC, term LIMIT 40),
+        |ct AS (SELECT CAST(sum(corpus_cnt) AS BIGINT) AS corpus_total
+        |       FROM vocab),
+        |gv AS (SELECT gt.grp, gt.term, gt.cnt, vocab.corpus_cnt
+        |       FROM gt JOIN vocab USING (term)),
+        |tot AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS grp_total
+        |        FROM gv GROUP BY grp),
+        |comp AS (
+        |  SELECT gv.grp,
+        |    CAST(round(
+        |      ((CAST(gv.cnt AS DOUBLE) / CAST(tot.grp_total AS DOUBLE)) *
+        |       ln((CAST(gv.cnt AS DOUBLE) / CAST(tot.grp_total AS DOUBLE)) /
+        |          (CAST(gv.corpus_cnt AS DOUBLE) /
+        |           CAST(ct.corpus_total AS DOUBLE))))
+        |      * 1000000.0, 0) AS BIGINT) AS cm
+        |  FROM gv JOIN tot USING (grp), ct)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(sum(cm) AS BIGINT) AS kl_micros
+        |FROM comp GROUP BY grp ORDER BY grp""".stripMargin,
     "x01_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -241,6 +241,48 @@ object OpsQueries {
       }
     }),
 
+    // ---- row-level DML DELETE ... WHERE: one-pass rewrite keeping the
+    // predicate's complement (materialize-then-swap, meta preserved).
+    "op_delete_where" -> ((s: SparkSession, dir: String) => {
+      val wh = tmpWarehouse(s)
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+      wh.load("op_delw_t", orders) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.deleteWhere("op_delw_t", col("o_orderkey") % 3 === 0) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.get("op_delw_t") match {
+        case Right(df) => df.orderBy("o_orderkey")
+        case Left(e) => throw new RuntimeException(e.message)
+      }
+    }),
+
+    // ---- row-level DML UPDATE ... SET ... WHERE: one-pass rewrite,
+    // codegen'd CASE per updated column.
+    "op_update_where" -> ((s: SparkSession, dir: String) => {
+      val wh = tmpWarehouse(s)
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+      wh.load("op_updw_t", orders) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.updateWhere("op_updw_t",
+          Map("o_orderstatus" -> lit("X")),
+          col("o_orderpriority") === "1-URGENT") match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.get("op_updw_t") match {
+        case Right(df) => df.orderBy("o_orderkey")
+        case Left(e) => throw new RuntimeException(e.message)
+      }
+    }),
+
     "op_lifecycle_load" -> ((s: SparkSession, dir: String) => {
       val wh = tmpWarehouse(s)
       val cust = Tables(s, dir, "customer")
@@ -465,6 +507,16 @@ object OpsQueries {
     "op_compact" ->
       """SELECT o_orderkey, o_custkey FROM orders
         |ORDER BY o_orderkey""".stripMargin,
+    "op_delete_where" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+        |WHERE NOT (o_orderkey % 3 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
+    "op_update_where" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderpriority = '1-URGENT' THEN 'X'
+        |       ELSE o_orderstatus END AS o_orderstatus,
+        |  o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "op_partitioned_read" ->
       """SELECT event_id, user_id, event_type FROM events
         |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,

@@ -154,6 +154,26 @@ object Relational {
         .orderBy($"c_custkey")
     }),
 
+    // ---- unpivot/melt (the inverse of q22's pivot): wide per-lineitem
+    // measures to long (metric, value) rows via Dataset.unpivot —
+    // Catalyst's Expand, one pass, no join. Exact DECIMAL(18,2) values.
+    "q26_unpivot" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      def m(c: org.apache.spark.sql.Column, n: String) =
+        c.cast(DecimalType(18, 2)).as(n)
+      Tables(s, dir, "lineitem").filter($"l_orderkey" < 200)
+        .select($"l_orderkey", $"l_linenumber".cast("long").as("l_linenumber"),
+          m($"l_quantity", "quantity"), m($"l_extendedprice", "extendedprice"),
+          m($"l_discount", "discount"), m($"l_tax", "tax"))
+        .unpivot(
+          Array($"l_orderkey", $"l_linenumber"),
+          Array($"quantity", $"extendedprice", $"discount", $"tax"),
+          "metric", "value")
+        .withColumn("value", $"value".cast("double"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"metric")
+    }),
+
     // ---- q19: CASE / NULLIF / COALESCE null-handling semantics.
     "q19_case_nulls" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -434,6 +454,25 @@ object Relational {
         |FROM customer WHERE c_custkey <= 300
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    "q26_unpivot" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS quantity,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS extendedprice,
+        |    CAST(l_discount AS DECIMAL(18,2)) AS discount,
+        |    CAST(l_tax AS DECIMAL(18,2)) AS tax
+        |  FROM lineitem WHERE l_orderkey < 200)
+        |SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+        |  CAST(quantity AS DOUBLE) AS value FROM base
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'extendedprice',
+        |  CAST(extendedprice AS DOUBLE) FROM base
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'discount', CAST(discount AS DOUBLE)
+        |FROM base
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'tax', CAST(tax AS DOUBLE) FROM base
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
     "q23_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(count(*) AS BIGINT) AS n,

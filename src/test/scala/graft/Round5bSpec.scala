@@ -1,0 +1,278 @@
+package graft
+
+import graft.ext.{Bm25, Divergence, TextAnalysis}
+import graft.ops.Cdc
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-5 second batch: BM25 retrieval, sliding-window
+  * chunking, snapshot diff (changelog derivation), and per-source
+  * distribution divergence.
+  */
+class Bm25Spec extends SparkSpec {
+
+  private def corpus = {
+    val sps = spark; import sps.implicits._
+    Seq(
+      (1L, "cat sat on the mat"),
+      (2L, "cat cat cat"),
+      (3L, "dog ate the bone and the cat watched"),
+      (4L, "nothing relevant here at all six")
+    ).toDF("doc_id", "text")
+  }
+
+  test("scoredTerms carries full doc length and only query terms") {
+    val rows = Bm25.scoredTerms(corpus, col("doc_id"), col("text"),
+      Seq("cat", "bone")).collect()
+    assert(rows.map(_.getString(1)).toSet == Set("cat", "bone"))
+    // doc 3 has 8 tokens; its rows keep dl=8 even though only 2 match
+    assert(rows.filter(_.getLong(0) == 3L).forall(_.getLong(4) == 8L))
+    // df(cat)=3 docs, df(bone)=1
+    assert(rows.find(r => r.getString(1) == "cat").get.getLong(3) == 3L)
+    assert(rows.find(r => r.getString(1) == "bone").get.getLong(3) == 1L)
+  }
+
+  test("topK matches the hand-computed Lucene BM25 formula") {
+    val res = Bm25.topK(corpus, col("doc_id"), col("text"),
+      Seq("cat"), k = 3).collect()
+    // N=4 docs, avgdl=(5+3+8+6)/4=5.5, df(cat)=3
+    val idf = math.log(1.0 + (4.0 - 3 + 0.5) / (3 + 0.5))
+    def s(tf: Long, dl: Long): Double =
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 5.5))
+    val expect = Map(1L -> s(1, 5), 2L -> s(3, 3), 3L -> s(1, 8))
+    assert(res.length == 3)
+    res.foreach { r =>
+      assert(math.abs(r.getDouble(2) - expect(r.getLong(0))) < 1e-12)
+    }
+    // doc 2 (high tf, short doc) must rank first
+    assert(res.head.getLong(0) == 2L)
+  }
+
+  test("rarer terms weigh more (idf ordering)") {
+    val res = Bm25.topK(corpus, col("doc_id"), col("text"),
+      Seq("bone", "mat"), k = 4).collect()
+    // docs 1 and 3 each match exactly one single-occurrence term with
+    // df=1; the shorter doc (1, dl=5) outranks the longer (3, dl=8)
+    assert(res.map(_.getLong(0)).take(2).toSeq == Seq(1L, 3L))
+  }
+}
+
+class SlidingChunksSpec extends SparkSpec {
+
+  test("window/stride chunking: starts, overlap, and short tail") {
+    val sps = spark; import sps.implicits._
+    val doc = Seq((1L, (1 to 20).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis
+      .slidingChunks(doc, col("doc_id"), col("text"), window = 16, stride = 8)
+      .orderBy("chunk_id").collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L))
+    assert(rows.map(_.getLong(3)).toSeq == Seq(16L, 12L, 4L))
+    val c0 = rows(0).getString(2).split(" ")
+    val c1 = rows(1).getString(2).split(" ")
+    // 50% overlap: second half of chunk 0 == first half of chunk 1
+    assert(c0.drop(8).toSeq == c1.take(8).toSeq)
+    assert(c1.head == "t9" && rows(2).getString(2) == "t17 t18 t19 t20")
+  }
+
+  test("documents shorter than one window produce a single short chunk") {
+    val sps = spark; import sps.implicits._
+    val doc = Seq((1L, "a b c"), (2L, "")).toDF("doc_id", "text")
+    val rows = TextAnalysis
+      .slidingChunks(doc, col("doc_id"), col("text"), window = 8, stride = 4)
+      .collect()
+    assert(rows.length == 1) // empty doc contributes nothing
+    assert(rows.head.getLong(0) == 1L && rows.head.getString(2) == "a b c")
+  }
+
+  test("plan stays shuffle-free (no Exchange)") {
+    val docs = Tables(spark, sf0001, "documents")
+    val plan = TextAnalysis
+      .slidingChunks(docs, col("doc_id"), col("text"), 16, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+}
+
+class SnapshotDiffSpec extends SparkSpec {
+
+  private def frames = {
+    val sps = spark; import sps.implicits._
+    val old = Seq(
+      (1L, Some("a"), Some(10L)),  // unchanged
+      (2L, Some("b"), Some(20L)),  // value update
+      (3L, Some("c"), Some(30L)),  // deleted
+      (4L, None: Option[String], Some(40L)),  // null -> value update
+      (5L, Some("e"), None: Option[Long])     // null payload unchanged
+    ).toDF("k", "s", "v")
+    val nu = Seq(
+      (1L, Some("a"), Some(10L)),
+      (2L, Some("b"), Some(21L)),
+      (4L, Some("d"), Some(40L)),
+      (5L, Some("e"), None: Option[Long]),
+      (6L, Some("f"), Some(60L))   // inserted
+    ).toDF("k", "s", "v")
+    (old, nu)
+  }
+
+  test("derives exactly the I/U/D rows, null transitions included") {
+    val (old, nu) = frames
+    val got = Cdc.snapshotDiff(old, nu, Seq("k"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((2L, "U"), (3L, "D"), (4L, "U"), (6L, "I")))
+  }
+
+  test("round-trips: applyChangelog(old, diff) == new snapshot") {
+    val (old, nu) = frames
+    val log = Cdc.snapshotDiff(old, nu, Seq("k"))
+      .withColumn("seq", lit(1L))
+    val applied = Cdc.applyChangelog(old, log, Seq("k"), "seq", "op")
+    assert(applied.exceptAll(nu).isEmpty && nu.exceptAll(applied).isEmpty)
+  }
+
+  test("identical snapshots produce an empty changelog") {
+    val (old, _) = frames
+    assert(Cdc.snapshotDiff(old, old, Seq("k")).isEmpty)
+  }
+}
+
+class UnigramLmSpec extends SparkSpec {
+
+  test("docLogProb matches the hand-computed smoothed unigram model") {
+    val sps = spark; import sps.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    val model = ext.UnigramLm.termCounts(docs, col("text"))
+    // counts: a=2, b=1, c=1; total=4, V=3 → denom=7
+    val got = ext.UnigramLm.docLogProb(docs, col("doc_id"), col("text"), model)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val lp1 = (2 * math.log(3.0 / 7) + math.log(2.0 / 7)) / 3
+    val lp2 = math.log(2.0 / 7)
+    assert(got(1L)._1 == 3 && math.abs(got(1L)._2 - lp1) < 1e-12)
+    assert(got(2L)._1 == 1 && math.abs(got(2L)._2 - lp2) < 1e-12)
+  }
+
+  test("terms unseen by a sampled model score as the unseen mass") {
+    val sps = spark; import sps.implicits._
+    val docs = Seq((1L, "zzz")).toDF("doc_id", "text")
+    val model = ext.UnigramLm
+      .termCounts(Seq((2L, "a b")).toDF("doc_id", "text"), col("text"))
+    val lp = ext.UnigramLm.docLogProb(docs, col("doc_id"), col("text"), model)
+      .head().getDouble(2)
+    // p(zzz) = (0+1)/(2+2)
+    assert(math.abs(lp - math.log(1.0 / 4)) < 1e-12)
+  }
+
+  test("typical documents outscore garbled ones") {
+    val docs = Tables(spark, sf0001, "documents")
+    val model = ext.UnigramLm.termCounts(docs, col("text"))
+    val scored = ext.UnigramLm
+      .docLogProb(docs, col("doc_id"), col("text"), model)
+    val sps = spark; import sps.implicits._
+    val garbled = Seq((-1L, "qqqq wwww eeee rrrr tttt"))
+      .toDF("doc_id", "text")
+    val gLp = ext.UnigramLm
+      .docLogProb(garbled, col("doc_id"), col("text"), model)
+      .head().getDouble(2)
+    val corpusMin = scored.agg(min(col("avg_logprob"))).head().getDouble(0)
+    assert(gLp < corpusMin, "out-of-distribution text must score below corpus")
+  }
+}
+
+class DmlSpec extends SparkSpec {
+
+  import graft.warehouse.SparkWarehouse
+
+  private def freshWh() = new SparkWarehouse(spark,
+    java.nio.file.Files.createTempDirectory("graft-dml").toString)
+
+  test("deleteWhere removes only TRUE-predicate rows and keeps meta") {
+    val sps = spark; import sps.implicits._
+    val wh = freshWh()
+    val data = Seq((1L, Some("a")), (2L, None: Option[String]), (3L, "b"
+      match { case s => Some(s) })).toDF("k", "s")
+    assert(wh.load("t", data).isRight)
+    // predicate s = 'a' is NULL for row 2 → row 2 survives (SQL DELETE)
+    assert(wh.deleteWhere("t", col("s") === "a").isRight)
+    val kept = wh.get("t").toOption.get.select("k")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(2L, 3L))
+  }
+
+  test("deleteWhere deleting every row keeps a readable empty table") {
+    val sps = spark; import sps.implicits._
+    val wh = freshWh()
+    assert(wh.load("t", Seq((1L, "a")).toDF("k", "s")).isRight)
+    assert(wh.deleteWhere("t", lit(true)).isRight)
+    val df = wh.get("t").toOption.get
+    assert(df.isEmpty && df.columns.toSeq == Seq("k", "s"))
+  }
+
+  test("updateWhere rewrites matching rows only; unknown column rejected") {
+    val sps = spark; import sps.implicits._
+    val wh = freshWh()
+    assert(wh.load("t", Seq((1L, "a", 10L), (2L, "b", 20L))
+      .toDF("k", "s", "v")).isRight)
+    assert(wh.updateWhere("t",
+      Map("s" -> lit("X"), "v" -> (col("v") + 1L)), col("k") === 1L).isRight)
+    val rows = wh.get("t").toOption.get.orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, "X", 11L), (2L, "b", 20L)))
+    val bad = wh.updateWhere("t", Map("nope" -> lit(1)), lit(true))
+    assert(bad.isLeft)
+  }
+
+  test("DML refuses bucketed tables (layout contract)") {
+    val sps = spark; import sps.implicits._
+    val wh = freshWh()
+    wh.createBucketed("tb", Seq((1L, "a")).toDF("k", "s"), Seq("k"), 4)
+    assert(wh.deleteWhere("tb", lit(true)).isLeft)
+    assert(wh.updateWhere("tb", Map("s" -> lit("x")), lit(true)).isLeft)
+  }
+}
+
+class DivergenceSpec extends SparkSpec {
+
+  test("a group distributed like the corpus has near-zero KL; a skewed one doesn't") {
+    val sps = spark; import sps.implicits._
+    val docs = Seq.tabulate(90)(i => (s"g${i % 2}", "x y")) ++
+      Seq.fill(10)(("g2", "x x"))
+    val kl = Divergence
+      .klBySource(docs.toDF("source", "text"), col("source"), col("text"),
+        vocabSize = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // g0/g1 are 50/50 over {x,y} like (almost) the corpus → tiny KL;
+    // g2 is all-x against a near-balanced corpus → large KL
+    assert(math.abs(kl("g0") - kl("g1")) < 1e-9)
+    assert(kl("g2") > 10 * kl("g0") && kl("g0") > 0.0)
+  }
+
+  test("a genuinely-null group key is kept distinct from the rollup row") {
+    val sps = spark; import sps.implicits._
+    val docs = Seq((Some("s1"), "a a b"), (None, "b b a"))
+      .toDF("source", "text")
+    val rows = Divergence.sourceTermComponents(docs, col("source"),
+      col("text"), vocabSize = 10).collect()
+    // the null-keyed GROUP must appear with its own components (2 terms),
+    // not be swallowed by the grouping-sets marginal
+    val nullGrp = rows.filter(_.isNullAt(0))
+    assert(nullGrp.length == 2)
+    assert(nullGrp.map(_.getLong(2)).sum == 3) // its 3 tokens all counted
+  }
+
+  test("the token-stream shuffle is computed once and reused (AQE)") {
+    val d = Tables(spark, sf0001, "documents")
+    val df = Divergence.klBySource(d, col("source"), col("text"), 40)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"corpus counts shuffle not reused — every consumer re-scans:\n$plan")
+  }
+
+  test("vocabulary restriction keeps only top-V corpus terms") {
+    val sps = spark; import sps.implicits._
+    val docs = Seq(("s1", "a a a b b c")).toDF("source", "text")
+    val terms = Divergence.sourceTermComponents(docs, col("source"),
+      col("text"), vocabSize = 2).collect().map(_.getString(1)).toSet
+    assert(terms == Set("a", "b")) // c cut by V=2 (ties: count desc, term asc)
+  }
+}
