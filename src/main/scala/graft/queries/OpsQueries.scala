@@ -365,6 +365,35 @@ object OpsQueries {
         .orderBy("p_partkey")
     }),
 
+    // ---- sources: plain-text sink + scan (raw-corpus line format).
+    "op_text_roundtrip" -> ((s: SparkSession, dir: String) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-text-gate").toString
+      val docs = Tables(s, dir, "documents").select(col("text"))
+      graft.sources.Sources.writeText(docs, s"$out/docs_txt")
+      graft.sources.Sources.text(s, s"$out/docs_txt")
+        .orderBy("value")
+    }),
+
+    // ---- sources: binary-file scan (opaque media ingestion): files
+    // staged from fixture bytes, read back as (path, length, content);
+    // identity pinned via md5 against the fixture's text bytes.
+    "op_binary_source" -> ((s: SparkSession, dir: String) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-bin-gate")
+      val rows = Tables(s, dir, "documents").filter(col("doc_id") < 5)
+        .select("doc_id", "text").collect()
+      rows.foreach { r =>
+        java.nio.file.Files.write(
+          out.resolve(s"doc_${r.getLong(0)}.bin"),
+          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      graft.sources.Sources.binaryFiles(s, out.toString, Some("*.bin"))
+        .select(
+          regexp_extract(col("path"), "doc_([0-9]+)\\.bin", 1).cast("long")
+            .as("doc_id"),
+          col("length"), md5(col("content")).as("content_md5"))
+        .orderBy("doc_id")
+    }),
+
     // ---- sources: JSON-lines sink read back through OUR warehouse-rule
     // inference (ints ⇒ INTEGER/Long, strings ⇒ STRING — not Spark's
     // JSON inference), closing the write→infer→load loop end to end.
@@ -574,6 +603,12 @@ object OpsQueries {
     "op_json_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "op_text_roundtrip" ->
+      """SELECT text AS value FROM documents ORDER BY text""".stripMargin,
+    "op_binary_source" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS length,
+        |  md5(text) AS content_md5
+        |FROM documents WHERE doc_id < 5 ORDER BY doc_id""".stripMargin,
     "op_orc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,

@@ -95,6 +95,33 @@ object Sources {
   def writeOrc(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).orc(path)
 
+  /** Plain-text scan: one row per line, column `value` — the raw-corpus
+    * ingestion format (crawl dumps, log shards). Reads a directory of
+    * shards in parallel, one task per split, like any file source.
+    */
+  def text(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  /** Plain-text sink: writes the single string column as line-per-row
+    * shard files. The caller guarantees values carry no newlines (text
+    * files have no quoting — a newline would silently split a row).
+    */
+  def writeText(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).text(path)
+
+  /** Binary-file scan: one row per file — `(path, modificationTime,
+    * length, content)` — the ingestion format for opaque media blobs
+    * (images/audio/video) feeding [[graft.ext.Multimodal]]. Files are
+    * NOT split: one task per file, so shard media into many files (the
+    * uploader's job), and set `pathGlobFilter` to prune by extension at
+    * the listing, before any byte is read.
+    */
+  def binaryFiles(spark: SparkSession, path: String,
+                  globFilter: Option[String] = None): DataFrame = {
+    val r = spark.read.format("binaryFile")
+    globFilter.fold(r)(g => r.option("pathGlobFilter", g)).load(path)
+  }
+
   /** Round-trip helper: load any supported source into the warehouse
     * table shape (cleaned keys + recorded api_repr schema).
     */

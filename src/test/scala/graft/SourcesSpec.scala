@@ -105,4 +105,25 @@ class SourcesSpec extends SparkSpec {
       r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
       Seq((1L, "x", 1.5), (2L, "y", 2.5)))
   }
+
+  test("text sink + scan round trip preserves every line") {
+    val sps = spark; import sps.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-text").toString
+    val lines = Seq("alpha beta", "gamma", "alpha beta").toDF("value")
+    Sources.writeText(lines, out)
+    val back = Sources.text(spark, out)
+    assert(back.columns.toSeq == Seq("value"))
+    assert(back.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("alpha beta", "alpha beta", "gamma"))
+  }
+
+  test("binaryFiles reads whole files and the glob filter prunes listing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bin")
+    java.nio.file.Files.write(dir.resolve("a.bin"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(dir.resolve("b.txt"), Array[Byte](9))
+    val rows = Sources.binaryFiles(spark, dir.toString, Some("*.bin")).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("length") == 3L)
+    assert(rows.head.getAs[Array[Byte]]("content").toSeq == Seq[Byte](1, 2, 3))
+  }
 }
