@@ -365,6 +365,34 @@ object OpsQueries {
         .orderBy("p_partkey")
     }),
 
+    // ---- table copy + rename lifecycle: storage-level copy (no query,
+    // no re-encode), O(1) rename; the copy must stay intact after the
+    // ORIGINAL is mutated (independence is the copy-job contract).
+    "op_rename_copy" -> ((s: SparkSession, dir: String) => {
+      val wh = tmpWarehouse(s)
+      val nat = Tables(s, dir, "nation")
+      wh.load("rc_src", nat) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.copyTable("rc_src", "rc_copy") match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.rename("rc_copy", "rc_final") match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.deleteWhere("rc_src", col("n_nationkey") >= 0) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.get("rc_final") match {
+        case Right(df) => df.orderBy("n_nationkey")
+        case Left(e) => throw new RuntimeException(e.message)
+      }
+    }),
+
     // ---- sources: plain-text sink + scan (raw-corpus line format).
     "op_text_roundtrip" -> ((s: SparkSession, dir: String) => {
       val out = java.nio.file.Files.createTempDirectory("graft-text-gate").toString
@@ -605,6 +633,9 @@ object OpsQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "op_text_roundtrip" ->
       """SELECT text AS value FROM documents ORDER BY text""".stripMargin,
+    "op_rename_copy" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
     "op_binary_source" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS length,
         |  md5(text) AS content_md5

@@ -515,9 +515,84 @@ object StreamQueries {
       s.read.parquet(outDir.toString)
         .filter(col("event_type") =!= "tick") // sentinel epilogue windows
         .orderBy("event_type", "hour_start")
+    }),
+
+    // Spark's NATIVE streaming session_window (the built-in stateful
+    // session operator — merging session state in the streaming
+    // runtime, vs s02's hand-rolled flatMapGroupsWithState): per-user
+    // 30-minute-gap sessions aggregated in append mode; sessions flush
+    // when the watermark passes their end, so two far-future sentinel
+    // ticks drain all state. Must equal the batch gaps-and-islands
+    // replay (>= gap starts a new session — session_window semantics).
+    "s11_stream_session_window" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val staged = java.nio.file.Files.createTempDirectory("graft-s11")
+      val dest0 = staged.resolve("0.parquet")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"), dest0)
+      dest0.toFile.setLastModified(1000000000L)
+      def sentinel(n: Int, epochSec: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft-s11-tmp$n")
+        Seq((-n.toLong, epochSec * 1000000000L, -1L, "tick", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = staged.resolve(s"$n.parquet")
+        java.nio.file.Files.copy(part.toPath, dest)
+        dest.toFile.setLastModified(1000000000L + n * 1000000L)
+      }
+      sentinel(1, 2051222400L) // 2035-01-01
+      sentinel(2, 2051308800L) // 2035-01-02
+      withShufflePartitions(s, 4) {
+        val stream = s.readStream.schema(eventsSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(staged.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val agg = stream
+          .withWatermark("ts", "0 seconds")
+          .groupBy(col("user_id"),
+            session_window(col("ts"), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n_events"))
+        val q = agg.writeStream
+          .format("memory")
+          .queryName("s11_stream_session_window_sink")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(180000)
+      }
+      s.table("s11_stream_session_window_sink")
+        .filter(col("user_id") >= 0)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          max(col("n_events")).as("longest_session"))
+        .orderBy("user_id")
     }))
 
   val oracle: Map[String, String] = Map(
+    // same shape as a08 (the batch session_window twin): gap >= 30 min
+    // starts a new session
+    "s11_stream_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER win IS NULL THEN 1
+        |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER win) >= 1800000000
+        |           THEN 1
+        |         ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked
+        |), per_session AS (
+        |  SELECT user_id, sid, count(*) AS n_events FROM s GROUP BY user_id, sid
+        |)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(max(n_events) AS BIGINT) AS longest_session
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
     "s01_stream_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
         |  event_type, CAST(count(*) AS BIGINT) AS n,

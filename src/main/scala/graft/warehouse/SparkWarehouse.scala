@@ -484,6 +484,50 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String) {
   /** delete == drop (classes.py `delete`/`drop` alias). */
   def delete(name: String): Either[WarehouseError, Unit] = drop(name)
 
+  /** Rename a table: one atomic filesystem rename (the meta sidecar
+    * lives inside the table directory, so it moves with it) + view
+    * re-registration. O(1) regardless of table size — a metadata
+    * operation, like BigQuery's table rename. Bucketed catalog tables
+    * are refused (their catalog entry pins the old location).
+    */
+  def rename(from: String, to: String): Either[WarehouseError, Unit] =
+    try {
+      if (!fs.exists(tablePath(from))) return Left(TableNotFound(from))
+      if (fs.exists(tablePath(to)))
+        return Left(TableGenericError(s"table $to already exists (Conflict)"))
+      requireNotBucketed(from, "rename")
+      fs.rename(tablePath(from), tablePath(to))
+      spark.catalog.dropTempView(from)
+      registerView(to)
+      Right(())
+    } catch {
+      case e: Exception => Left(TableGenericError(e.getMessage, Some(e)))
+    }
+
+  /** Copy a table — the BigQuery copy-job analog: a STORAGE-LEVEL file
+    * copy preserving the exact layout (file count, range clustering,
+    * row order) and the meta sidecar — no query, no shuffle, no
+    * re-encode. On a real cluster this is the distributed storage copy
+    * (distcp / object-store server-side copy); the semantics pinned
+    * here — destination is byte-identical and independently mutable —
+    * are what that job must deliver.
+    */
+  def copyTable(from: String, to: String,
+                replace: Boolean = false): Either[WarehouseError, Unit] =
+    try {
+      if (!fs.exists(tablePath(from))) return Left(TableNotFound(from))
+      if (fs.exists(tablePath(to)) && !replace)
+        return Left(TableGenericError(s"table $to already exists (Conflict)"))
+      requireNotBucketed(from, "copyTable")
+      if (fs.exists(tablePath(to))) fs.delete(tablePath(to), true)
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, tablePath(from), fs, tablePath(to), false, hadoopConf)
+      registerView(to)
+      Right(())
+    } catch {
+      case e: Exception => Left(TableGenericError(e.getMessage, Some(e)))
+    }
+
   /** Create a bucketed table: rows hash-bucketed (and sorted) on the
     * given columns at write time, registered in the session catalog.
     * Two tables bucketed the same way join WITHOUT a shuffle — the

@@ -221,6 +221,23 @@ class DmlSpec extends SparkSpec {
     assert(bad.isLeft)
   }
 
+  test("rename is a metadata move; copy survives source mutation") {
+    val sps = spark; import sps.implicits._
+    val wh = freshWh()
+    assert(wh.load("src", Seq((1L, "a"), (2L, "b")).toDF("k", "s")).isRight)
+    assert(wh.copyTable("src", "cp").isRight)
+    assert(wh.rename("cp", "cp2").isRight)
+    assert(wh.get("cp").isLeft)                       // old name gone
+    assert(wh.updateWhere("src", Map("s" -> lit("Z")), lit(true)).isRight)
+    val copied = wh.get("cp2").toOption.get.orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(copied.toSeq == Seq((1L, "a"), (2L, "b"))) // unaffected
+    // error surface: missing source, conflicting destination
+    assert(wh.rename("nope", "x").isLeft)
+    assert(wh.copyTable("src", "cp2").isLeft)
+    assert(wh.copyTable("src", "cp2", replace = true).isRight)
+  }
+
   test("DML refuses bucketed tables (layout contract)") {
     val sps = spark; import sps.implicits._
     val wh = freshWh()
