@@ -54,6 +54,43 @@ object Sampling {
     }.reduce(_ unionByName _)
   }
 
+  /** Token-budget corpus mixing — the planning step of a training mix:
+    * given per-group TOKEN budgets (not row fractions — what actually
+    * matters for a token-budgeted training run), derive each group's
+    * deterministic sampling rate `min(1, budget/total_tokens)` and
+    * materialize the mix by [[hashBucket]] membership. Groups without a
+    * budget pass through whole.
+    *
+    * Scale: one partial-aggregable pass for the per-group totals
+    * (|groups| rows to the driver — counts, not data), then a single
+    * filter over the corpus — no shuffle, no join; membership is
+    * content-determined (md5), so the same rows select in any engine
+    * and on any partitioning. Rates quantize to `1/buckets` by FLOOR,
+    * so quantization never overshoots a budget (hash variance of
+    * ±O(1/√n) per group still applies — budgets are targets, not hard
+    * caps).
+    */
+  def tokenBudgetMix(docs: DataFrame, grpCol: Column, tokenCount: Column,
+                     key: Column, budgets: Map[String, Long],
+                     buckets: Int = 4096): DataFrame = {
+    require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    val totals = docs
+      .select(grpCol.as("grp"), tokenCount.as("tok"))
+      .groupBy("grp").agg(sum(col("tok")).as("total"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rateBuckets: Map[String, Int] = budgets.map { case (g, b) =>
+      val total = totals.getOrElse(g, 0L)
+      val rate = if (total == 0L) 1.0
+        else math.min(1.0, b.toDouble / total.toDouble)
+      g -> math.floor(rate * buckets).toInt
+    }
+    val cap = rateBuckets.foldLeft(lit(buckets)) { case (acc, (g, rb)) =>
+      when(grpCol === g, lit(rb)).otherwise(acc)
+    }
+    docs.filter(hashBucket(key, buckets) < cap)
+  }
+
   /** Deterministic epoch shuffle: a reproducible global training order.
     * Each record's sort key is `md5(seed ":" id)` — content-determined,
     * so epoch N's order is identical across reruns, engines, and

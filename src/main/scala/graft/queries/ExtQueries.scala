@@ -623,6 +623,58 @@ object ExtQueries {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // ---- reciprocal-rank fusion: BM25 relevance (x45's list) fused
+    // with a quality prior (x02's score) — hybrid retrieval without
+    // score calibration. Both input lists are top-50 via
+    // TakeOrderedAndProject; the row_number windows run on those
+    // 50-row frames, never the corpus. RRF components quantized to
+    // micros before summing (the x45 device).
+    "x50_rrf_fusion" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables(s, dir, "documents")
+      val byScore = Window.orderBy(col("score_micros").desc, col("doc_id"))
+      val bm = graft.ext.Bm25.scoredTerms(d, col("doc_id"), col("text"),
+          Seq("vector", "stream", "merge", "dup"))
+        .select(col("doc_id"),
+          round(col("component") * lit(1000000.0), 0).cast("long").as("_cm"))
+        .groupBy("doc_id").agg(sum(col("_cm")).as("score_micros"))
+        .orderBy(col("score_micros").desc, col("doc_id")).limit(50)
+        .withColumn("rank", row_number().over(byScore).cast("long"))
+      val byQuality = Window.orderBy(col("quality").desc, col("doc_id"))
+      val toksCol = graft.ext.TextAnalysis.tokens(col("text"))
+      val q = d.select(col("doc_id"), col("text"), toksCol.as("_toks"))
+        .select(col("doc_id"),
+          graft.ext.TextAnalysis.qualityScoreOver(col("_toks"),
+            length(col("text")), Seq("a", "the")).as("quality"))
+        .orderBy(col("quality").desc, col("doc_id")).limit(50)
+        .withColumn("rank", row_number().over(byQuality).cast("long"))
+      graft.ext.Fusion.rrfComponents(
+          Seq(bm.select("doc_id", "rank"), q.select("doc_id", "rank")),
+          "doc_id", "rank")
+        .select(col("doc_id"),
+          round(col("component") * lit(1000000.0), 0).cast("long").as("_c"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_lists"), sum(col("_c")).as("rrf_micros"))
+        .orderBy(col("rrf_micros").desc, col("doc_id")).limit(20)
+    }),
+
+    // ---- token-budget corpus mixing: per-source sampling rates derived
+    // from TOKEN budgets (what a token-budgeted training run actually
+    // caps), membership by the portable md5 bucket — src0/src1 capped
+    // hard, src2's budget exceeds its total (rate-1 branch).
+    "x51_token_budget_mix" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      val budgets = Map("src0" -> 400L, "src1" -> 800L, "src2" -> 100000L)
+      val mix = graft.ext.Sampling.tokenBudgetMix(d, col("source"),
+        graft.ext.TextAnalysis.tokenCount(col("text")), col("doc_id"),
+        budgets)
+      mix.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.ext.TextAnalysis.tokenCount(col("text")))
+            .as("n_tokens"))
+        .orderBy("source")
+    }),
+
     // ---- unigram-LM log-probability scoring (the perplexity-filter
     // quality signal): per-doc Σ tf·ln p(t) under the corpus-trained
     // add-one-smoothed unigram model; components quantized to micros
@@ -702,6 +754,96 @@ object ExtQueries {
         |  array_to_string(list_slice(toks, st + 1, st + 16), ' ') AS chunk,
         |  CAST(len(list_slice(toks, st + 1, st + 16)) AS BIGINT) AS chunk_len
         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    "x50_rrf_fusion" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    avg(CAST(len(tk) AS DOUBLE)) AS avgdl
+        |  FROM toks),
+        |occ AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS term
+        |  FROM toks),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, min(dl) AS dl
+        |  FROM occ WHERE term IN ('vector', 'stream', 'merge', 'dup')
+        |  GROUP BY doc_id, term),
+        |dfv AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+        |        GROUP BY term),
+        |comp AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round(
+        |      (ln(1.0 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5)) *
+        |       ((tf.tf * (1.2 + 1.0)) /
+        |        (tf.tf + 1.2 * (0.25 + (0.75 * tf.dl) / stats.avgdl))))
+        |      * 1000000.0, 0) AS BIGINT) AS cm
+        |  FROM tf JOIN dfv USING (term), stats),
+        |bm_scored AS (
+        |  SELECT doc_id, CAST(sum(cm) AS BIGINT) AS score_micros
+        |  FROM comp GROUP BY doc_id),
+        |bm_rank AS (
+        |  SELECT doc_id, rank FROM (
+        |    SELECT doc_id, CAST(row_number() OVER (
+        |      ORDER BY score_micros DESC, doc_id) AS BIGINT) AS rank
+        |    FROM bm_scored) WHERE rank <= 50),
+        |qual AS (
+        |  SELECT doc_id,
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+        |    + least(((CAST(length(text) AS DOUBLE)
+        |        - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1))
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0,
+        |        1.0) * 0.3
+        |    + (1.0 - CAST(len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('a', 'the'))) AS DOUBLE)
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.2
+        |      AS quality
+        |  FROM documents),
+        |q_rank AS (
+        |  SELECT doc_id, rank FROM (
+        |    SELECT doc_id, CAST(row_number() OVER (
+        |      ORDER BY quality DESC, doc_id) AS BIGINT) AS rank
+        |    FROM qual) WHERE rank <= 50),
+        |u AS (SELECT doc_id, rank FROM bm_rank
+        |      UNION ALL SELECT doc_id, rank FROM q_rank),
+        |c AS (SELECT doc_id,
+        |        CAST(round((1.0 / (60.0 + rank)) * 1000000.0, 0) AS BIGINT)
+        |          AS cm
+        |      FROM u)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+        |  CAST(sum(cm) AS BIGINT) AS rrf_micros
+        |FROM c GROUP BY doc_id
+        |ORDER BY rrf_micros DESC, doc_id LIMIT 20""".stripMargin,
+    "x51_token_budget_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |  FROM documents),
+        |tot AS (SELECT source, CAST(sum(tok) AS BIGINT) AS total
+        |        FROM d GROUP BY source),
+        |rates AS (
+        |  SELECT source,
+        |    CASE source
+        |      WHEN 'src0' THEN
+        |        CAST(floor(least(1.0, 400.0 / total) * 4096) AS BIGINT)
+        |      WHEN 'src1' THEN
+        |        CAST(floor(least(1.0, 800.0 / total) * 4096) AS BIGINT)
+        |      WHEN 'src2' THEN
+        |        CAST(floor(least(1.0, 100000.0 / total) * 4096) AS BIGINT)
+        |      ELSE 4096 END AS cap
+        |  FROM tot),
+        |sel AS (
+        |  SELECT d.doc_id, d.source, d.tok
+        |  FROM d JOIN rates USING (source)
+        |  WHERE (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 29791
+        |     + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) * 961
+        |     + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) * 31
+        |     + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 4, 1))) % 4096
+        |     < cap)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS n_tokens
+        |FROM sel GROUP BY source ORDER BY source""".stripMargin,
     "x49_unigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -136,6 +136,61 @@ class SnapshotDiffSpec extends SparkSpec {
   }
 }
 
+class FusionSpec extends SparkSpec {
+
+  test("rrf matches the hand-computed reciprocal-rank sum") {
+    val sps = spark; import sps.implicits._
+    val l1 = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
+    val l2 = Seq((20L, 1L), (10L, 2L)).toDF("doc_id", "rank")
+    val got = ext.Fusion.rrf(Seq(l1, l2)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val s10 = 1.0 / 61 + 1.0 / 62
+    val s20 = 1.0 / 62 + 1.0 / 61
+    val s30 = 1.0 / 63
+    // 10 and 20 tie exactly (symmetric ranks) → doc_id breaks the tie
+    assert(got.map(_._1).toSeq == Seq(10L, 20L, 30L))
+    assert(math.abs(got(0)._3 - s10) < 1e-15 && got(0)._2 == 2)
+    assert(math.abs(got(1)._3 - s20) < 1e-15)
+    assert(math.abs(got(2)._3 - s30) < 1e-15 && got(2)._2 == 1)
+  }
+
+  test("a document high on both lists beats single-list leaders") {
+    val sps = spark; import sps.implicits._
+    val l1 = Seq((1L, 1L), (3L, 2L)).toDF("doc_id", "rank")
+    val l2 = Seq((2L, 1L), (3L, 2L)).toDF("doc_id", "rank")
+    val top = ext.Fusion.rrf(Seq(l1, l2)).head()
+    assert(top.getLong(0) == 3L) // two rank-2 hits beat one rank-1 hit
+  }
+}
+
+class TokenBudgetMixSpec extends SparkSpec {
+
+  test("budgets cap token mass; unbudgeted and over-budget groups pass whole") {
+    val sps = spark; import sps.implicits._
+    val docs = (1 to 200).map(i => (i.toLong, "g1", "t " * 10)) ++
+      (201 to 400).map(i => (i.toLong, "g2", "t " * 10)) ++
+      (401 to 410).map(i => (i.toLong, "g3", "t " * 10))
+    val df = docs.toDF("doc_id", "source", "text")
+    val tok = ext.TextAnalysis.tokenCount(col("text"))
+    // g1 has 2000 tokens ("t "*10 trims to 10 tokens); cap at ~27%
+    val mix = ext.Sampling.tokenBudgetMix(df, col("source"), tok,
+      col("doc_id"), Map("g1" -> 550L, "g3" -> 1000000L))
+    val by = mix.groupBy("source").agg(
+      count(lit(1)).as("n"), sum(tok).as("t")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(by("g2") == ((200L, 2000L)), "unbudgeted group must pass whole")
+    assert(by("g3") == ((10L, 100L)), "budget over total ⇒ rate 1")
+    val (n1, t1) = by("g1")
+    assert(t1 <= 550 * 1.5 && t1 >= 550 * 0.5,
+      s"g1 tokens $t1 far from its 550 budget")
+    assert(n1 < 200)
+    // determinism: same inputs select the same rows
+    val again = ext.Sampling.tokenBudgetMix(df, col("source"), tok,
+      col("doc_id"), Map("g1" -> 550L, "g3" -> 1000000L))
+    assert(mix.exceptAll(again).isEmpty && again.exceptAll(mix).isEmpty)
+  }
+}
+
 class UnigramLmSpec extends SparkSpec {
 
   test("docLogProb matches the hand-computed smoothed unigram model") {
