@@ -623,6 +623,18 @@ object ExtQueries {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // ---- exact-substring scrub (Lee et al. span-level dedup): every
+    // token covered by a w=8-token window appearing verbatim in >1
+    // document is removed; the remainder is rebuilt in order. String
+    // gram keys here (engine-auditable); xxhash64 keys are the scale
+    // mode, differential-tested in ExactSubstringSpec.
+    "x52_exact_substring_scrub" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      graft.ext.ExactSubstring.scrub(d, col("doc_id"), col("text"),
+          w = 8, hashGrams = false)
+        .orderBy("doc_id")
+    }),
+
     // ---- reciprocal-rank fusion: BM25 relevance (x45's list) fused
     // with a quality prior (x02's score) — hybrid retrieval without
     // score calibration. Both input lists are top-50 via
@@ -754,6 +766,38 @@ object ExtQueries {
         |  array_to_string(list_slice(toks, st + 1, st + 16), ' ') AS chunk,
         |  CAST(len(list_slice(toks, st + 1, st + 16)) AS BIGINT) AS chunk_len
         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    "x52_exact_substring_scrub" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0, len(toks) - 8)) AS st
+        |  FROM t),
+        |g2 AS (
+        |  SELECT doc_id, st,
+        |    array_to_string(list_slice(toks, st + 1, st + 8), ' ') AS gram
+        |  FROM g),
+        |dup AS (SELECT gram FROM g2 GROUP BY gram
+        |        HAVING count(DISTINCT doc_id) > 1),
+        |fl AS (SELECT g2.doc_id, g2.st FROM g2 JOIN dup USING (gram)),
+        |cov AS (SELECT DISTINCT doc_id, unnest(generate_series(st, st + 7))
+        |          AS pos
+        |        FROM fl),
+        |tok AS (SELECT doc_id, unnest(toks) AS tk,
+        |          unnest(range(len(toks))) AS pos
+        |        FROM t),
+        |kept AS (SELECT tok.doc_id, tok.tk, tok.pos FROM tok
+        |         ANTI JOIN cov USING (doc_id, pos)),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |          string_agg(tk, ' ' ORDER BY pos) AS new_text
+        |        FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  coalesce(agg.n_kept, 0) AS n_kept,
+        |  coalesce(agg.new_text, '') AS new_text
+        |FROM t LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "x50_rrf_fusion" ->
       """WITH toks AS (
         |  SELECT doc_id,

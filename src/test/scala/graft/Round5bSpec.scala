@@ -136,6 +136,54 @@ class SnapshotDiffSpec extends SparkSpec {
   }
 }
 
+class ExactSubstringSpec extends SparkSpec {
+
+  private val span = (1 to 8).map(i => s"s$i").mkString(" ")
+
+  test("a shared 8-gram is scrubbed from both documents; unique text kept") {
+    val sps = spark; import sps.implicits._
+    val docs = Seq(
+      (1L, s"u1 u2 $span u3"),
+      (2L, s"v1 $span"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9")).toDF("doc_id", "text")
+    val got = ext.ExactSubstring
+      .scrub(docs, col("doc_id"), col("text"), w = 8, hashGrams = false)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got(0) == ((1L, 11L, 3L, "u1 u2 u3")))
+    assert(got(1) == ((2L, 9L, 1L, "v1")))
+    assert(got(2) == ((3L, 9L, 9L, "w1 w2 w3 w4 w5 w6 w7 w8 w9")))
+  }
+
+  test("overlapping flagged windows merge coverage; full scrub empties") {
+    val sps = spark; import sps.implicits._
+    val nine = (1 to 9).map(i => s"s$i").mkString(" ")
+    val docs = Seq((1L, nine), (2L, nine)).toDF("doc_id", "text")
+    val got = ext.ExactSubstring
+      .scrub(docs, col("doc_id"), col("text"), w = 8, hashGrams = false)
+      .collect().map(r => (r.getLong(2), r.getString(3)))
+    assert(got.forall(_ == ((0L, ""))))
+  }
+
+  test("documents shorter than the window are never scrubbed") {
+    val sps = spark; import sps.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = ext.ExactSubstring
+      .scrub(docs, col("doc_id"), col("text"), w = 8, hashGrams = false)
+      .collect()
+    assert(got.forall(r => r.getLong(1) == 3L && r.getLong(2) == 3L))
+  }
+
+  test("hashed gram keys produce the identical scrub on real data") {
+    val docs = Tables(spark, sf0001, "documents")
+    val a = ext.ExactSubstring.scrub(docs, col("doc_id"), col("text"),
+      w = 8, hashGrams = false)
+    val b = ext.ExactSubstring.scrub(docs, col("doc_id"), col("text"),
+      w = 8, hashGrams = true)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+}
+
 class FusionSpec extends SparkSpec {
 
   test("rrf matches the hand-computed reciprocal-rank sum") {
