@@ -275,6 +275,26 @@ object Analytics {
     // nested loop — matched by edit distance ≤ 1; the session registers
     // the engine's optimizer rules, so the threshold predicate runs as
     // the BANDED O(k·n) levenshtein kernel (LevenshteinBandRule).
+    // ---- winsorized aggregation: clip per-group outliers to [p05, p95]
+    // before summing — the standard robust-statistics cleaning step for
+    // numeric quality signals. Percentile bounds broadcast back onto the
+    // fact side; cents quantization (a11's device) keeps the clipped
+    // sum exact under any summation order.
+    "a21_winsorize" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val o = Tables(s, dir, "orders")
+      val bounds = o.groupBy($"o_orderpriority")
+        .agg(expr("percentile(o_totalprice, 0.05)").as("lo"),
+          expr("percentile(o_totalprice, 0.95)").as("hi"))
+      o.join(broadcast(bounds), Seq("o_orderpriority"))
+        .select($"o_orderpriority",
+          least(greatest($"o_totalprice", $"lo"), $"hi").as("v"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(round($"v" * 100).cast("long")).as("clipped_cents"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // ---- frame-navigation window functions (first/last/nth over an
     // explicit unbounded ROWS frame — last_value/nth_value are only
     // deterministic with the full frame + a total order).
@@ -522,6 +542,21 @@ object Analytics {
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "a21_winsorize" ->
+      """WITH p AS (
+        |  SELECT o_orderpriority,
+        |    quantile_cont(o_totalprice, 0.05) AS lo,
+        |    quantile_cont(o_totalprice, 0.95) AS hi
+        |  FROM orders GROUP BY o_orderpriority),
+        |c AS (
+        |  SELECT o.o_orderpriority,
+        |    least(greatest(o.o_totalprice, p.lo), p.hi) AS v
+        |  FROM orders o JOIN p USING (o_orderpriority))
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT)
+        |    AS clipped_cents
+        |FROM c GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "a20_window_firstlast" ->
       """SELECT c_custkey, c_mktsegment,
         |  first_value(c_custkey) OVER w AS poorest,

@@ -174,6 +174,25 @@ object Relational {
         .orderBy($"l_orderkey", $"l_linenumber", $"metric")
     }),
 
+    // ---- correlated LATERAL subquery with per-row LIMIT (top-2 line
+    // items per order) — the "top-N per key as a join" SQL surface;
+    // Catalyst decorrelates it into a ranked join rather than running
+    // the inner query per row.
+    "q27_lateral_topn" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_lat")
+      Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_lat")
+      s.sql("""SELECT o.o_orderkey, t.l_linenumber,
+                 CAST(t.p AS DOUBLE) AS price
+               FROM orders_lat o JOIN LATERAL (
+                 SELECT l_linenumber,
+                   CAST(l_extendedprice AS DECIMAL(18,2)) AS p
+                 FROM lineitem_lat l
+                 WHERE l.l_orderkey = o.o_orderkey
+                 ORDER BY p DESC, l_linenumber LIMIT 2) t
+               WHERE o.o_orderkey <= 500
+               ORDER BY o.o_orderkey, price DESC, t.l_linenumber""")
+    }),
+
     // ---- q19: CASE / NULLIF / COALESCE null-handling semantics.
     "q19_case_nulls" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -454,6 +473,16 @@ object Relational {
         |FROM customer WHERE c_custkey <= 300
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    "q27_lateral_topn" ->
+      """SELECT o.o_orderkey, t.l_linenumber, CAST(t.p AS DOUBLE) AS price
+        |FROM orders o, LATERAL (
+        |  SELECT l_linenumber,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS p
+        |  FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |  ORDER BY p DESC, l_linenumber LIMIT 2) t
+        |WHERE o.o_orderkey <= 500
+        |ORDER BY o.o_orderkey, price DESC, t.l_linenumber""".stripMargin,
     "q26_unpivot" ->
       """WITH base AS (
         |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
