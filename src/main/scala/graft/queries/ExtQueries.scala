@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Dedup, MisraGriesAgg, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ext.{CountMin, CountMinAgg, Dedup, MisraGriesAgg, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -623,6 +623,30 @@ object ExtQueries {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // ---- Count-Min point-frequency sketch: estimates for the top-20
+    // tokens checked against their exact counts (a05/a11's accuracy-
+    // oracle device: the sketch's internal hashes are engine-specific,
+    // the CONTRACT — exact ≤ est ≤ exact + (e/width)·N — is the oracled
+    // output, deterministic on fixed data).
+    "x53_count_min" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val width = 1024; val depth = 4
+      val toks = Tables(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      val sketch = toks.as[String]
+        .select(new CountMinAgg(width, depth).toColumn).head()
+      val total = toks.count()
+      val bound = math.ceil(math.E / width * total).toLong
+      val top = toks.groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term")).limit(20)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      top.map { case (t, n) =>
+        val est = CountMin.estimate(sketch, width, depth, t)
+        (t, n, est >= n && est <= n + bound)
+      }.toSeq.toDF("term", "n", "cms_ok").orderBy("term")
+    }),
+
     // ---- exact-substring scrub (Lee et al. span-level dedup): every
     // token covered by a w=8-token window appearing verbatim in >1
     // document is removed; the remainder is rebuilt in order. String
@@ -766,6 +790,13 @@ object ExtQueries {
         |  array_to_string(list_slice(toks, st + 1, st + 16), ' ') AS chunk,
         |  CAST(len(list_slice(toks, st + 1, st + 16)) AS BIGINT) AS chunk_len
         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    "x53_count_min" ->
+      """SELECT token AS term, n, TRUE AS cms_ok FROM (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE token <> ''
+        |  GROUP BY token ORDER BY n DESC, token LIMIT 20)
+        |ORDER BY term""".stripMargin,
     "x52_exact_substring_scrub" ->
       """WITH t AS (
         |  SELECT doc_id,

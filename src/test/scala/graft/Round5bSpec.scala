@@ -91,6 +91,25 @@ class SlidingChunksSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("property: stride == window partitions every document exactly") {
+    // non-overlapping chunking must reconstruct each document verbatim
+    val docs = Tables(spark, sf0001, "documents").limit(100)
+    Seq(5, 16, 64).foreach { w =>
+      val rebuilt = TextAnalysis
+        .slidingChunks(docs, col("doc_id"), col("text"), w, w)
+        .groupBy("doc_id")
+        .agg(concat_ws(" ",
+          array_sort(collect_list(struct(col("chunk_id"), col("chunk"))))
+            .getField("chunk")).as("rebuilt"))
+      val orig = docs.select(col("doc_id"),
+        array_join(filter(TextAnalysis.tokens(col("text")), t => t =!= ""),
+          " ").as("orig"))
+      val bad = rebuilt.join(orig, "doc_id")
+        .filter(col("rebuilt") =!= col("orig")).count()
+      assert(bad == 0, s"w=$w: $bad documents failed reconstruction")
+    }
+  }
 }
 
 class SnapshotDiffSpec extends SparkSpec {
@@ -133,6 +152,70 @@ class SnapshotDiffSpec extends SparkSpec {
   test("identical snapshots produce an empty changelog") {
     val (old, _) = frames
     assert(Cdc.snapshotDiff(old, old, Seq("k")).isEmpty)
+  }
+
+  test("property: applyChangelog(old, diff(old, new)) == new on random snapshots") {
+    val sps = spark; import sps.implicits._
+    val rnd = new scala.util.Random(42)
+    def snapshot(): Seq[(Long, Option[String], Option[Long])] =
+      (1 to 60).flatMap { k =>
+        if (rnd.nextDouble() < 0.3) None // absent key
+        else Some((k.toLong,
+          if (rnd.nextDouble() < 0.2) None else Some("v" + rnd.nextInt(4)),
+          if (rnd.nextDouble() < 0.2) None else Some(rnd.nextInt(5).toLong)))
+      }
+    (1 to 5).foreach { round =>
+      val old = snapshot().toDF("k", "s", "v")
+      val nu = snapshot().toDF("k", "s", "v")
+      val log = Cdc.snapshotDiff(old, nu, Seq("k")).withColumn("seq", lit(1L))
+      val applied = Cdc.applyChangelog(old, log, Seq("k"), "seq", "op")
+      assert(applied.exceptAll(nu).isEmpty && nu.exceptAll(applied).isEmpty,
+        s"round-trip mismatch in round $round")
+    }
+  }
+}
+
+class CountMinSpec extends SparkSpec {
+
+  import graft.ext.{CountMin, CountMinAgg}
+
+  test("estimates never undercount and are exact without collisions") {
+    val sps = spark; import sps.implicits._
+    val terms = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("t")
+    val sk = terms.as[String].select(new CountMinAgg(64, 4).toColumn).head()
+    assert(CountMin.estimate(sk, 64, 4, "a") == 5L)
+    assert(CountMin.estimate(sk, 64, 4, "b") == 3L)
+    assert(CountMin.estimate(sk, 64, 4, "c") == 1L)
+    // absent term: bounded by collisions, never negative
+    val zz = CountMin.estimate(sk, 64, 4, "zz")
+    assert(zz >= 0L && zz <= 9L)
+  }
+
+  test("sketch of the whole equals merged sketches of the parts") {
+    val agg = new CountMinAgg(32, 3)
+    val all = ("x y z x x y w v u t s r q" * 3).split(" ")
+    val whole = all.foldLeft(agg.zero)(agg.reduce)
+    val (h1, h2) = all.splitAt(all.length / 2)
+    val merged = agg.merge(h1.foldLeft(agg.zero)(agg.reduce),
+      h2.foldLeft(agg.zero)(agg.reduce))
+    assert(whole.toSeq == merged.toSeq)
+  }
+
+  test("over-count stays within the (e/width)·N contract on real data") {
+    val sps = spark; import sps.implicits._
+    val toks = Tables(spark, sf0001, "documents")
+      .select(explode(ext.TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val sk = toks.as[String].select(new CountMinAgg(1024, 4).toColumn).head()
+    val total = toks.count()
+    val bound = math.ceil(math.E / 1024 * total).toLong
+    val exact = toks.groupBy("term").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    exact.foreach { case (t, n) =>
+      val est = CountMin.estimate(sk, 1024, 4, t)
+      assert(est >= n, s"undercount on $t")
+      assert(est <= n + bound, s"$t: est $est > exact $n + bound $bound")
+    }
   }
 }
 
