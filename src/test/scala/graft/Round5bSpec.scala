@@ -47,6 +47,15 @@ class Bm25Spec extends SparkSpec {
     assert(res.head.getLong(0) == 2L)
   }
 
+  test("plan: df side broadcasts back onto postings (no df shuffle join)") {
+    val docs = Tables(spark, sf0001, "documents")
+    val plan = Bm25.scoredTerms(docs, col("doc_id"), col("text"),
+        Seq("vector", "stream"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-term df must broadcast, not shuffle:\n$plan")
+  }
+
   test("rarer terms weigh more (idf ordering)") {
     val res = Bm25.topK(corpus, col("doc_id"), col("text"),
       Seq("bone", "mat"), k = 4).collect()
@@ -319,6 +328,16 @@ class TokenBudgetMixSpec extends SparkSpec {
     val again = ext.Sampling.tokenBudgetMix(df, col("source"), tok,
       col("doc_id"), Map("g1" -> 550L, "g3" -> 1000000L))
     assert(mix.exceptAll(again).isEmpty && again.exceptAll(mix).isEmpty)
+  }
+
+  test("plan: the mix itself is one filter — no shuffle, no join") {
+    val docs = Tables(spark, sf0001, "documents")
+    val mix = ext.Sampling.tokenBudgetMix(docs, col("source"),
+      ext.TextAnalysis.tokenCount(col("text")), col("doc_id"),
+      Map("src0" -> 100L))
+    val plan = mix.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"membership filter must stay map-side:\n$plan")
   }
 }
 
