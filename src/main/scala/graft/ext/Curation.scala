@@ -69,12 +69,12 @@ object Curation {
                       langs: Seq[String] = TextAnalysis.LangMarkers.map(_._1),
                       stops: Seq[String] = Seq("a", "the"),
                       testPercent: Int = 10, bands: Int = 8,
-                      wordGrams: Int = 3, ccIterations: Int = 10): DataFrame = {
+                      wordGrams: Int = 3, ccMaxIterations: Int = 200): DataFrame = {
     val filtered = qualityLangFilter(docs, idCol, textCol, minQuality, langs, stops)
     val cands = Dedup.minhashCandidates(
       filtered.select(col("doc_id"), col("text")),
       col("doc_id"), col("text"), bands = bands, wordGrams = wordGrams)
-    val comps = Dedup.connectedComponents(cands, ccIterations)
+    val comps = Dedup.connectedComponents(cands, ccMaxIterations)
     filtered.alias("f")
       .join(comps.alias("c"), col("f.doc_id") === col("c.id"), "left")
       .filter(col("c.component").isNull || col("c.component") === col("f.doc_id"))

@@ -221,42 +221,74 @@ object Dedup {
     * candidates into dedup GROUPS (canonical = min id per component =
     * the emitted `component`).
     *
-    * Min-label propagation with self-loops: each round every node takes
-    * the minimum label over itself and its neighbors, so a component's
-    * minimum id travels one hop per round and `iterations` must be ≥ the
-    * largest component diameter (near-dup clusters are shallow; the
-    * default covers diameter 10). Each round is one join + one partial
-    * aggregate keyed on node id — no driver-side graph, no persist: the
-    * plan is a fixed-depth chain where each intermediate feeds exactly
-    * the next round. Callers clustering a very large candidate graph
-    * should persist `pairs` (it is re-read each round).
+    * Min-label propagation with self-loops, iterated TO FIXPOINT: each
+    * round every node takes the minimum label over its closed
+    * neighborhood, so a component's minimum id travels one hop per
+    * round; the loop stops when a round changes no label (labels only
+    * ever decrease, so "changed" is one anti-monotone join check), and
+    * THROWS if `maxIterations` rounds don't reach the fixpoint — a
+    * component with diameter beyond the budget must fail loudly, never
+    * silently keep two labels.
+    *
+    * Scale shape: the edge list is `localCheckpoint`ed once up front
+    * (the upstream candidate pipeline — LSH banding, bucket joins —
+    * computes exactly once, not once per round), and the label table is
+    * checkpointed every `checkpointEvery` rounds so both the Catalyst
+    * plan depth and the RDD lineage stay bounded no matter how deep a
+    * boilerplate/license chain runs. Each round is one join + one
+    * partial aggregate keyed on node id; the convergence probe at each
+    * checkpoint reads two materialized label tables and early-exits on
+    * the first changed row. Superseded checkpoints are unpersisted as
+    * the loop advances; the RETURNED labels stay checkpointed (callers
+    * holding the result across a long session may `unpersist()` it when
+    * done). Deliberately NOT pointer-jumped: the jump is a self-join of
+    * the evolving label table whose unresolved plan doubles per round —
+    * with checkpointed linear rounds the plan stays flat and near-dup
+    * graphs converge in diameter rounds anyway.
     */
-  def connectedComponents(pairs: DataFrame, iterations: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 200,
+                          checkpointEvery: Int = 5): DataFrame = {
+    require(maxIterations >= 1, "maxIterations must be >= 1")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val nodes = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id"))).distinct()
-    // the explicit repartition pins an Exchange over the edge list that
-    // every iteration's join shares (ReuseExchange): the upstream
-    // candidate pipeline computes ONCE instead of once per round
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .union(nodes.select(col("id").as("src"), col("id").as("dst")))
       .repartition(col("dst"))
-    var labels = nodes.withColumn("component", col("id"))
-    for (_ <- 1 to iterations) {
-      // neighbor-min: each node takes the smallest label in its closed
-      // neighborhood (the self-edges make it closed). Deliberately NOT
-      // pointer-jumped: the jump is a self-join of the evolving label
-      // table, which doubles the unresolved plan per round (2^k growth —
-      // Catalyst analysis, not execution, becomes the bottleneck) unless
-      // each round materializes; materializing would leak persisted
-      // blocks into the caller's session. Linear rounds keep the plan
-      // linear; candidate graphs here are near-dup clusters with tiny
-      // diameters, so `iterations` stays single-digit.
-      labels = edges.alias("e")
-        .join(labels.alias("l"), col("e.dst") === col("l.id"))
-        .groupBy(col("e.src").as("id"))
-        .agg(min(col("l.component")).as("component"))
+      .localCheckpoint()
+    var labels = nodes.withColumn("component", col("id")).localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxIterations) {
+      val segment = math.min(checkpointEvery, maxIterations - rounds)
+      var next = labels
+      for (_ <- 1 to segment) {
+        next = edges.alias("e")
+          .join(next.alias("l"), col("e.dst") === col("l.id"))
+          .groupBy(col("e.src").as("id"))
+          .agg(min(col("l.component")).as("component"))
+      }
+      rounds += segment
+      val materialized = next.localCheckpoint()
+      // labels are anti-monotone: a round changed something iff some
+      // node's new label is strictly smaller than its old one
+      converged = materialized.alias("n")
+        .join(labels.alias("p"), col("n.id") === col("p.id"))
+        .where(col("n.component") < col("p.component"))
+        .isEmpty
+      labels.unpersist()
+      labels = materialized
     }
+    if (!converged) {
+      labels.unpersist()
+      edges.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not reach fixpoint within $maxIterations " +
+          "rounds: a component's diameter exceeds the iteration budget " +
+          "(raise maxIterations)")
+    }
+    edges.unpersist()
     labels
   }
 

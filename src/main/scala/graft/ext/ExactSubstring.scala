@@ -66,14 +66,19 @@ object ExactSubstring {
       .agg(collect_list(col("start")).as("_starts"))
     docs.select(idCol.as("doc_id"), cleanToks(textCol).as("_toks"))
       .join(starts, Seq("doc_id"), "left")
+      // sorted distinct covered positions, then ONE two-pointer walk
+      // (graft.functions.MaskedKeep) over tokens + positions — linear in
+      // n_tokens + n_covered. A per-token `array_contains(_covered, i)`
+      // re-scans the covered array each token: quadratic on exactly the
+      // heavily-duplicated documents this operator exists to scrub.
       .select(col("doc_id"), col("_toks"),
-        array_distinct(flatten(transform(
+        array_sort(array_distinct(flatten(transform(
           coalesce(col("_starts"), array().cast("array<int>")),
-          s => sequence(s, s + w - 1)))).as("_covered"))
+          s => sequence(s, s + w - 1))))).as("_covered"))
       .select(col("doc_id"),
         size(col("_toks")).cast("long").as("n_tokens"),
-        filter(col("_toks"),
-          (t, i) => !array_contains(col("_covered"), i)).as("_kept"))
+        graft.functions.SketchFunctions.masked_keep(
+          col("_toks"), col("_covered")).as("_kept"))
       .select(col("doc_id"), col("n_tokens"),
         size(col("_kept")).cast("long").as("n_kept"),
         array_join(col("_kept"), " ").as("new_text"))

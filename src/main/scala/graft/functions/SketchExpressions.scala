@@ -239,6 +239,84 @@ case class MarkerCounts(child: Expression, profiles: Seq[Seq[String]])
     copy(child = newChild)
 }
 
+/** Kept tokens after masking covered positions: `masked_keep(toks,
+  * sorted_covered)` emits the elements of `toks` whose 0-based position
+  * is NOT in `sorted_covered` (an ascending, distinct `array<int>`).
+  * One two-pointer walk, O(n_tokens + n_covered): the token index visits
+  * each position once and the covered pointer advances at most once per
+  * position. Composed as `filter(toks, (t, i) -> !array_contains(cov,
+  * i))` the covered array is re-scanned per token — O(n·k), quadratic
+  * exactly on the heavily-duplicated documents exact-substring dedup
+  * exists for.
+  */
+case class MaskedKeep(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with Serializable {
+
+  override def prettyName: String = "masked_keep"
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = true)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.StringType, _),
+            ArrayType(org.apache.spark.sql.types.IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<string>, array<int>), got (${l.sql}, ${r.sql})")
+    }
+
+  override def nullSafeEval(toksV: Any, covV: Any): Any = {
+    val toks = toksV.asInstanceOf[ArrayData]
+    val cov = covV.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val k = cov.numElements()
+    val out = new Array[AnyRef](n)
+    var kept = 0
+    var p = 0
+    var i = 0
+    while (i < n) {
+      if (p < k && cov.getInt(p) == i) {
+        p += 1
+      } else {
+        out(kept) = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+        kept += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, kept))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (toks, cov) => {
+      val n = ctx.freshName("n")
+      val k = ctx.freshName("k")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val kept = ctx.freshName("kept")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $toks.numElements();
+         |int $k = $cov.numElements();
+         |Object[] $out = new Object[$n];
+         |int $kept = 0;
+         |int $p = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($p < $k && $cov.getInt($p) == $i) {
+         |    $p++;
+         |  } else {
+         |    $out[$kept++] = $toks.isNullAt($i) ? null : $toks.getUTF8String($i);
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($out, $kept));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object SketchFunctions {
 
   def minhash_from_hashes(hashes: Column, numHashes: Int,
@@ -253,4 +331,9 @@ object SketchFunctions {
   def marker_counts(tokens: Column, profiles: Seq[Seq[String]]): Column =
     GraftColumnBridge.column(MarkerCounts(
       GraftColumnBridge.expression(tokens), profiles))
+
+  def masked_keep(tokens: Column, sortedCovered: Column): Column =
+    GraftColumnBridge.column(MaskedKeep(
+      GraftColumnBridge.expression(tokens),
+      GraftColumnBridge.expression(sortedCovered)))
 }

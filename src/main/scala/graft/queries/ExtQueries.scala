@@ -20,6 +20,21 @@ import org.apache.spark.sql.functions._
   */
 object ExtQueries {
 
+  /** A child session (shared SparkContext, own conf) with
+    * `spark.sql.shuffle.partitions` pinned. The iterative / bucketed
+    * gates (x09, x21, x22) schedule many tiny stages; letting AQE pick
+    * partition counts at 32-core gate scale makes their bench numbers
+    * measure stage-scheduling noise, not code. A DataFrame executes
+    * under the conf of the session that BUILT it, so pinning the child
+    * session pins every downstream `.count()`/write of the returned
+    * plan without touching the caller's session.
+    */
+  private def pinned(s: SparkSession, n: Int = 8): SparkSession = {
+    val child = s.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", n.toString)
+    child
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text: token/char counting.
     "x01_token_stats" -> ((s: SparkSession, dir: String) => {
@@ -119,7 +134,8 @@ object ExtQueries {
     // ---- dedup: SimHash planted-duplicate recovery, oracled. Identical
     // text ⇒ identical 64-bit signature ⇒ Hamming 0 ⇒ every 16-bit band
     // collides — guaranteed recovery with hamming = 0.
-    "x09_simhash" -> ((s: SparkSession, dir: String) => {
+    "x09_simhash" -> ((s0: SparkSession, dir: String) => {
+      val s = pinned(s0)
       val d = Tables(s, dir, "documents").select("doc_id", "text")
       val planted = d.filter(col("doc_id") < 50)
         .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
@@ -268,7 +284,8 @@ object ExtQueries {
     // k·100000; keeping only consecutive-copy candidate pairs yields
     // 4-edge CHAINS, so the component min-label must propagate 4 hops —
     // and every chain's component is provably the base doc_id.
-    "x21_dedup_components" -> ((s: SparkSession, dir: String) => {
+    "x21_dedup_components" -> ((s0: SparkSession, dir: String) => {
+      val s = pinned(s0)
       val base = Tables(s, dir, "documents").select("doc_id", "text")
         .filter(col("doc_id") < 10)
       val corpus = (0 until 5).map(k =>
@@ -277,7 +294,7 @@ object ExtQueries {
       val chains = Dedup.minhashCandidates(corpus, col("doc_id"), col("text"),
           bands = 4, wordGrams = 3)
         .filter(col("id_b") === col("id_a") + 100000L)
-      Dedup.connectedComponents(chains, iterations = 4)
+      Dedup.connectedComponents(chains)
         .orderBy("id")
     }),
 
@@ -323,7 +340,8 @@ object ExtQueries {
     // ---- benchmark hygiene: train/test contamination by shared word
     // 3-grams over the hash split — set-reduce + one join + one agg,
     // never document-pairwise; DuckDB recomputes the full report.
-    "x22_contamination" -> ((s: SparkSession, dir: String) => {
+    "x22_contamination" -> ((s0: SparkSession, dir: String) => {
+      val s = pinned(s0)
       val d = Tables(s, dir, "documents")
       val (train, test) = Sampling.splitByHash(d, col("doc_id"), testPercent = 20)
       graft.ext.Contamination.report(train, test,

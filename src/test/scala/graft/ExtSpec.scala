@@ -79,15 +79,34 @@ class DedupSpec extends SparkSpec {
     // leaves 11,12,13; component C: single edge 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
       (10L, 13L), (20L, 21L)).toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(pairs, iterations = 5)
+    val got = Dedup.connectedComponents(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
-    // insufficient iterations must NOT silently converge a long chain
-    val shallow = Dedup.connectedComponents(Seq((1L, 2L), (2L, 3L), (3L, 4L),
-        (4L, 5L), (5L, 6L), (6L, 7L)).toDF("id_a", "id_b"), iterations = 2)
+    // an exhausted iteration budget must fail loudly, never silently
+    // emit a half-propagated labeling
+    val chain6 = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 7L)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain6, maxIterations = 2).collect()
+    }
+    assert(ex.getMessage.contains("fixpoint"))
+  }
+
+  test("connected components: 15-hop chain converges to fixpoint past the old fixed budget") {
+    val spark0 = spark
+    import spark0.implicits._
+    // a chain of 16 nodes (diameter 15) — deeper than the old fixed
+    // 10-round default, which would have stopped with two labels alive.
+    // Interleave an unrelated star so convergence must be global.
+    val chain = (1L until 16L).map(i => (i, i + 1))
+    val star = Seq((100L, 101L), (100L, 102L), (100L, 103L))
+    val pairs = (chain ++ star).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, checkpointEvery = 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(shallow(7L) != 1L, "2 iterations cannot span a 6-edge chain")
+    val expected = (1L to 16L).map(_ -> 1L).toMap ++
+      Seq(100L, 101L, 102L, 103L).map(_ -> 100L).toMap
+    assert(got == expected)
   }
 
   test("signature similarity ranks near-dups above unrelated") {

@@ -266,6 +266,42 @@ class ExactSubstringSpec extends SparkSpec {
     assert(got.forall(r => r.getLong(1) == 3L && r.getLong(2) == 3L))
   }
 
+  test("long fully-duplicated document scrubs linearly (no quadratic mask)") {
+    val sps = spark; import sps.implicits._
+    // 30k tokens, fully duplicated: every position is covered, so the
+    // coverage array is as long as the document — the worst case for a
+    // per-token array_contains mask (~9·10⁸ comparisons); the two-pointer
+    // MaskedKeep walk does it in one linear pass.
+    val n = 30000
+    val longText = (0 until n).map(i => s"t${i % 97}x$i").mkString(" ")
+    val docs = Seq((1L, longText), (2L, longText),
+      (3L, "short unique tail piece")).toDF("doc_id", "text")
+    val got = ext.ExactSubstring
+      .scrub(docs, col("doc_id"), col("text"), w = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got(0) == ((1L, n.toLong, 0L)))
+    assert(got(1) == ((2L, n.toLong, 0L)))
+    assert(got(2) == ((3L, 4L, 4L)))
+  }
+
+  test("partially covered long document keeps exactly the uncovered prefix/suffix") {
+    val sps = spark; import sps.implicits._
+    // shared 1000-token span in the middle of distinct documents: the
+    // mask must remove exactly the span (merged overlapping windows)
+    // and keep both unique flanks in order.
+    val span = (0 until 1000).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $span z1 z2"),
+      (2L, s"b1 $span y1 y2 y3")).toDF("doc_id", "text")
+    val got = ext.ExactSubstring
+      .scrub(docs, col("doc_id"), col("text"), w = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(got(0) == ((1L, 5L, "a1 a2 a3 z1 z2")))
+    assert(got(1) == ((2L, 4L, "b1 y1 y2 y3")))
+  }
+
   test("hashed gram keys produce the identical scrub on real data") {
     val docs = Tables(spark, sf0001, "documents")
     val a = ext.ExactSubstring.scrub(docs, col("doc_id"), col("text"),
