@@ -14,10 +14,10 @@ import org.apache.spark.sql.functions._
   * 1` argmax — no driver-side corpus state, no per-word Python-style
   * loops. Applying a learned merge is a greedy left-to-right fold per
   * word expressed as a codegen-friendly `aggregate` lambda over the
-  * token array. Rounds chain linearly (each round's tokenization is a
-  * projection over the previous round's — linear lineage, no
-  * self-joins); for vocabularies of thousands of merges at 100 TB,
-  * checkpoint the tokenized corpus every few hundred rounds.
+  * token array. Each round `localCheckpoint`s the tokenized vocabulary
+  * (one projection per round over materialized state — flat plan, flat
+  * lineage, no self-joins); [[learnMergesBatched]] cuts the driver
+  * round-trips ~batch× for real vocabulary sizes.
   *
   * Determinism: count ties break to the lexicographically smallest
   * `"a b"` pair string, so the learned table is a pure function of the
@@ -73,37 +73,32 @@ object BpeLearn {
     */
   def learnMerges(docs: DataFrame, textCol: Column,
                   merges: Int): Seq[(Long, String, Long)] = {
-    // each round's vocabulary is cached so round r folds ONLY merge r
-    // over round r-1's materialized state — without this the linear
-    // lineage re-runs every earlier fold each round (quadratic in the
-    // number of merges). The cache materializes as a side effect of the
-    // round's pair-count action; the previous round's cache is released
-    // one round later. At cluster scale swap the cache for a checkpoint
-    // every few hundred rounds.
-    var tokenized = initialTokens(docs, textCol).persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var prev: Option[DataFrame] = None
+    // each round's vocabulary is localCheckpoint'ed so round r folds
+    // ONLY merge r over round r-1's MATERIALIZED state with a truncated
+    // logical plan — a lazy cache keeps the data but the plan still
+    // chains every earlier fold, and at hundreds of merges Catalyst
+    // analysis + plan rendering (not execution) become the bottleneck.
+    // Superseded rounds are unpersisted as the loop advances.
+    var tokenized = initialTokens(docs, textCol).localCheckpoint()
     val out = Seq.newBuilder[(Long, String, Long)]
     var r = 1
     var exhausted = false
     while (r <= merges && !exhausted) {
       val top = pairCounts(tokenized)
         .orderBy(col("n").desc, col("pair")).limit(1).collect()
-      prev.foreach(_.unpersist(blocking = false))
-      prev = None
       if (top.isEmpty) exhausted = true
       else {
         val pair = top(0).getString(0)
         out += ((r.toLong, pair, top(0).getLong(1)))
         val Array(a, b) = pair.split(" ", 2)
-        prev = Some(tokenized)
+        val prev = tokenized
         tokenized = tokenized
           .select(applyMerge(col("tok"), a, b).as("tok"), col("freq"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint()
+        prev.unpersist(blocking = false)
       }
       r += 1
     }
-    prev.foreach(_.unpersist(blocking = false))
     tokenized.unpersist(blocking = false)
     out.result()
   }
@@ -116,6 +111,112 @@ object BpeLearn {
     val s = docs.sparkSession
     import s.implicits._
     learnMerges(docs, textCol, merges).toDF("rank", "pair", "n")
+  }
+
+  /** BATCHED merge learning: one driver round-trip learns up to `batch`
+    * merges, cutting the sequential learner's one-job-per-merge driver
+    * loop ~batch× — the known hard part of distributed BPE (a 30k-merge
+    * vocabulary is 30k sequential Spark jobs otherwise).
+    *
+    * Output-EQUIVALENT to [[learnMerges]], not an approximation: each
+    * round collects the top-K pair counts and takes the longest prefix
+    * (in the same `n` desc, lexicographic tie order) that provably
+    * commutes with sequential selection —
+    *
+    *  - candidates must be pairwise TOKEN-DISJOINT: merging `(a,b)`
+    *    cannot create or destroy occurrences of a pair sharing no token
+    *    with it, so every later candidate's count is literally unchanged
+    *    when its turn comes;
+    *  - a candidate stops the batch if its count does not STRICTLY
+    *    exceed the best possible count of any pair a previous selection
+    *    could CREATE — a created pair `(x, ab)` inherits at most the old
+    *    count of `(x, a)` (and `(ab, y)` at most `(b, y)`), so that
+    *    bound is the max count among collected candidates sharing a
+    *    token with a selection, or the collection cutoff for pairs
+    *    below it;
+    *  - a selection whose merged token string collides with an existing
+    *    candidate token also stops the batch (the collision conflates
+    *    counts the sequential learner would see separately).
+    *
+    * The first candidate of a round is always taken, so the worst case
+    * degrades to the sequential learner, never past it.
+    * [[Round5ExtSpec]] differential-tests batched ≡ sequential.
+    */
+  def learnMergesBatched(docs: DataFrame, textCol: Column, merges: Int,
+                         batch: Int = 8): Seq[(Long, String, Long)] = {
+    require(batch >= 1, "batch must be >= 1")
+    var tokenized = initialTokens(docs, textCol).localCheckpoint()
+    val out = Seq.newBuilder[(Long, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= merges && !exhausted) {
+      val k = math.max(batch * 4, 16)
+      val rows = pairCounts(tokenized)
+        .orderBy(col("n").desc, col("pair")).limit(k).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      if (rows.isEmpty) exhausted = true
+      else {
+        // counts below the collection cutoff are invisible; any such
+        // pair (and any pair a merge creates out of one) is bounded by
+        // the last collected count
+        val cutoff = if (rows.length < k) 0L else rows.last._2
+        val sides = rows.map { case (p, n) =>
+          val Array(a, b) = p.split(" ", 2); (p, a, b, n)
+        }
+        val selected = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, Long)]
+        val used = scala.collection.mutable.Set.empty[String]
+        var guard = Long.MinValue // max count any applied merge could create
+        var stop = false
+        var i = 0
+        while (!stop && i < sides.length && selected.size < math.min(batch, merges - rank + 1)) {
+          val (pair, a, b, n) = sides(i)
+          val merged = a + b
+          if (selected.nonEmpty &&
+              (n <= guard || used.contains(a) || used.contains(b))) {
+            stop = true
+          } else {
+            selected += ((pair, a, b, n))
+            used += a; used += b
+            val sharing = sides.collect {
+              case (p2, c, d, n2) if p2 != pair &&
+                (c == a || c == b || d == a || d == b) => n2
+            }
+            // a pair this merge creates inherits at most the count of an
+            // old pair sharing a token (collected → sharing.max, or below
+            // the cutoff); if the merged token string already exists in
+            // the vocabulary the created occurrences additionally conflate
+            // with an unseen pair's old count (≤ cutoff) — hence the sum
+            guard = math.max(guard,
+              cutoff + math.max(cutoff, if (sharing.isEmpty) 0L else sharing.max))
+            // merged-token collision: counts for pairs touching `merged`
+            // would conflate with an existing token's — end the batch here
+            if (sides.exists { case (_, c, d, _) => c == merged || d == merged })
+              stop = true
+          }
+          i += 1
+        }
+        selected.foreach { case (pair, _, _, n) =>
+          out += ((rank.toLong, pair, n)); rank += 1
+        }
+        val prev = tokenized
+        tokenized = tokenized
+          .select(selected.foldLeft(col("tok")) {
+            case (c, (_, a, b, _)) => applyMerge(c, a, b)
+          }.as("tok"), col("freq"))
+          .localCheckpoint()
+        prev.unpersist(blocking = false)
+      }
+    }
+    tokenized.unpersist(blocking = false)
+    out.result()
+  }
+
+  /** [[learnMergesBatched]] as a DataFrame `(rank, pair, n)`. */
+  def learnMergesBatchedDF(docs: DataFrame, textCol: Column, merges: Int,
+                           batch: Int = 8): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    learnMergesBatched(docs, textCol, merges, batch).toDF("rank", "pair", "n")
   }
 
   /** APPLY side of the tokenizer: tokenize the corpus with an ordered

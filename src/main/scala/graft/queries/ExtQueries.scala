@@ -592,12 +592,14 @@ object ExtQueries {
         .select("doc_id").orderBy("doc_id")
     }),
 
-    // ---- BPE merge learning: three rounds of count-pairs → argmax →
-    // greedy re-tokenize. DuckDB replays the identical fold with
-    // list_reduce, so the learned merge table is fully oracled.
+    // ---- BPE merge learning via the BATCHED learner (one driver
+    // round-trip per batch of provably-commuting merges — the scale
+    // path; differential-tested ≡ sequential in BpeLearnSpec). DuckDB
+    // replays the identical sequential fold with list_reduce, so the
+    // learned merge table is fully oracled.
     "x41_bpe_learn" -> ((s: SparkSession, dir: String) => {
       val d = Tables(s, dir, "documents")
-      graft.ext.BpeLearn.learnMergesDF(d, col("text"), merges = 3)
+      graft.ext.BpeLearn.learnMergesBatchedDF(d, col("text"), merges = 3)
         .orderBy("rank")
     }),
 

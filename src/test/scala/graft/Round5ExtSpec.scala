@@ -151,6 +151,26 @@ class BpeLearnSpec extends SparkSpec {
     val got = BpeLearn.learnMerges(docs, col("text"), merges = 5)
     assert(got.isEmpty)
   }
+
+  test("batched learner is output-identical to sequential on the fixture corpus") {
+    val sps = spark; import sps.implicits._
+    val docs = Seq("abab abab aa", "the cat sat on the mat",
+      "banana bandana", "deduplicate the data then train").toDF("text")
+    for (m <- Seq(1, 3, 8, 20)) {
+      val seqM = BpeLearn.learnMerges(docs, col("text"), merges = m)
+      for (b <- Seq(2, 4, 8)) {
+        val batM = BpeLearn.learnMergesBatched(docs, col("text"), merges = m, batch = b)
+        assert(batM == seqM, s"divergence at merges=$m batch=$b")
+      }
+    }
+  }
+
+  test("batched learner matches sequential on real sf0.001 documents") {
+    val docs = Tables(spark, sf0001, "documents").limit(200)
+    val seqM = BpeLearn.learnMerges(docs, col("text"), merges = 12)
+    val batM = BpeLearn.learnMergesBatched(docs, col("text"), merges = 12, batch = 6)
+    assert(batM == seqM)
+  }
 }
 
 class ResampleSpec extends SparkSpec {
