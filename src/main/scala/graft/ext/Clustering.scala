@@ -11,9 +11,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape — one iteration over 100 TB costs exactly:
   *
-  *   1. one corpus scan with a map-side argmax against the k centroid
-  *      LITERALS ([[SemDedup.assignCluster]] — no join, no broadcast
-  *      table, stays in whole-stage codegen), and
+  *   1. one corpus scan with a map-side argmax against the broadcast
+  *      codebook kernel ([[SemDedup.assignCluster]] — no join, no
+  *      shuffle, stays in whole-stage codegen at any k), and
   *   2. one partially-aggregated (map-side combined) reduction whose
   *      key space is k·d (cluster × dimension) — the shuffle moves at
   *      most k·d rows per input partition, independent of corpus size.

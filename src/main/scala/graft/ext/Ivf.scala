@@ -81,23 +81,17 @@ object Ivf {
     best
   }
 
-  private def centroidLit(c: Array[Float]): Column =
-    array(c.map(x => lit(x)): _*)
-
-  /** Squared L2 distance to one centroid via the native dot kernel:
-    * |v-c|² = v·v − 2 v·c + c·c (c·c folded to a constant).
-    */
-  private def dist2(vec: Column, c: Array[Float]): Column = {
-    val cc = c.map(x => x.toDouble * x.toDouble).sum
-    VectorFunctions.vector_dot(vec, vec) -
-      lit(2.0d) * VectorFunctions.vector_dot(vec, centroidLit(c)) + lit(cc)
-  }
-
-  /** Distance array to every centroid — materialize in its own
-    * projection before the argmin so it computes once per row.
+  /** Squared-L2 distance array to every centroid, |v−cⱼ|² = v·v − 2·v·cⱼ
+    * + cⱼ·cⱼ, fused into one codebook-wide kernel
+    * ([[graft.functions.CentroidL2Scores]]): the codebook is a single
+    * broadcast reference object, so the plan holds ONE expression node
+    * whether k is 4 or 10⁴ (k·d centroid literals strain Catalyst
+    * analysis before any data moves). Scores are bit-identical to the
+    * per-centroid literal composition (same term order — pinned in
+    * VectorExpressionsSpec).
     */
   def centroidScores(vec: Column, model: Model): Column =
-    array(model.centroids.map(c => dist2(vec, c)): _*)
+    VectorFunctions.centroid_l2_scores(vec, model.centroids)
 
   /** Argmin over a materialized score array → centroid id (0-based;
     * array_position ties resolve to the first = lowest centroid id).

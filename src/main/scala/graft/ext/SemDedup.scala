@@ -13,9 +13,9 @@ import org.apache.spark.sql.functions._
   * Scale shape (never globally pairwise):
   *
   *   1. ASSIGN — every vector gets its nearest codebook centroid via a
-  *      map-side argmax over broadcast centroid literals (the [[Ivf]]
-  *      assignment pattern): one narrow pass, no shuffle beyond the
-  *      cluster key.
+  *      map-side argmax over the broadcast-codebook score kernel (the
+  *      [[Ivf]] assignment pattern): one narrow pass, no shuffle beyond
+  *      the cluster key.
   *   2. PRUNE — candidate pairs exist only INSIDE a cluster, so the
   *      pairwise cost is Σ|cluster|², bounded by the codebook size and
   *      cluster balance (at 100 TB you size k so clusters fit a
@@ -47,15 +47,17 @@ object SemDedup {
       .zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Float](1).toArray }
 
-  private def centroidLit(c: Array[Float]): Column = array(c.map(lit(_)): _*)
-
   /** Nearest-centroid id by quantized cosine (ties → lowest centroid id),
-    * computed map-side against centroid literals: scores materialize as
-    * ONE array projection per row, argmax is an array reduction over it.
+    * computed map-side: the whole codebook rides as ONE broadcast
+    * reference object inside the fused
+    * [[graft.functions.CentroidCosineQuantizedScores]] kernel (scores
+    * bit-identical to the per-centroid-literal composition — pinned in
+    * VectorExpressionsSpec — but the plan stays a single node at any k),
+    * argmax is an array reduction over the returned score array.
     */
   def assignCluster(vec: Column, centroids: Array[(Int, Array[Float])]): Column = {
-    val scores = array(centroids.map { case (_, c) =>
-      Similarity.cosineQuantized(vec, centroidLit(c)) }: _*)
+    val scores = graft.functions.VectorFunctions.centroid_cosq_scores(
+      vec, centroids.map(_._2))
     (array_position(scores, array_max(scores)) - 1).cast("long")
   }
 

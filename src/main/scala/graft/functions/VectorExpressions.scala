@@ -271,6 +271,203 @@ case class HyperplaneBucketFloat(child: Expression, planes: Int)
     copy(child = newChild)
 }
 
+/** Score array against a whole CODEBOOK in one fused pass — the
+  * broadcast-codebook replacement for building `array(score(vec, c₀),
+  * score(vec, c₁), …)` out of k per-centroid literal sub-trees: that
+  * form embeds k·d literals in the plan, and Catalyst analysis/codegen
+  * strain long before data moves once k reaches the thousands a real
+  * IVF/SemDeDup codebook uses. Here the codebook rides along as ONE
+  * reference object (broadcast with the task closure), the expression
+  * tree is a single node regardless of k, and the emitted loop is the
+  * same primitive nested scan either way. Downstream argmin/argmax and
+  * probe-slice composition over the returned array is unchanged — and
+  * per-element results are BIT-IDENTICAL to the composed form (same
+  * per-term arithmetic in the same ascending-dimension order; pinned in
+  * VectorExpressionsSpec).
+  */
+abstract class CodebookScoresExpression
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with Serializable {
+
+  def codebook: Array[Array[Float]]
+  require(codebook.nonEmpty, s"$prettyName requires a non-empty codebook")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>, got ${other.sql}")
+    }
+}
+
+/** Squared-L2 score per centroid: out[j] = (v·v − 2·v·cⱼ) + cⱼ·cⱼ, the
+  * exact association of `Ivf.dist2`'s composed form (cⱼ·cⱼ is
+  * precomputed driver-side in ascending-dimension order, as the literal
+  * fold was).
+  */
+case class CentroidL2Scores(child: Expression, codebook: Array[Array[Float]])
+    extends CodebookScoresExpression {
+
+  override def prettyName: String = "centroid_l2_scores"
+
+  private val cc: Array[Double] =
+    codebook.map(c => c.map(x => x.toDouble * x.toDouble).sum)
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var vv = 0.0d
+    var i = 0
+    while (i < n) { val x = a.getFloat(i).toDouble; vv += x * x; i += 1 }
+    val out = new Array[Double](codebook.length)
+    var j = 0
+    while (j < codebook.length) {
+      val c = codebook(j)
+      val m = math.min(n, c.length)
+      var dot = 0.0d
+      var d = 0
+      while (d < m) { dot += a.getFloat(d).toDouble * c(d).toDouble; d += 1 }
+      out(j) = vv - 2.0d * dot + cc(j)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebook", codebook, "float[][]")
+    val ccRef = ctx.addReferenceObj("centroidNorms", cc, "double[]")
+    nullSafeCodeGen(ctx, ev, input => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val m = ctx.freshName("m")
+      val x = ctx.freshName("x")
+      val vv = ctx.freshName("vv")
+      val dot = ctx.freshName("dot")
+      val c = ctx.freshName("c")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $input.numElements();
+         |double $vv = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $input.getFloat($i);
+         |  $vv += $x * $x;
+         |}
+         |double[] $out = new double[${codebook.length}];
+         |for (int $j = 0; $j < ${codebook.length}; $j++) {
+         |  float[] $c = $cbRef[$j];
+         |  int $m = java.lang.Math.min($n, $c.length);
+         |  double $dot = 0.0;
+         |  for (int $d = 0; $d < $m; $d++) {
+         |    $dot += ((double) $input.getFloat($d)) * ((double) $c[$d]);
+         |  }
+         |  $out[$j] = $vv - 2.0 * $dot + $ccRef[$j];
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Integer-quantized cosine score per centroid — the codebook-wide twin
+  * of [[CosineQuantizedFloat]], same quantization and accumulation
+  * order per centroid. The vector's quantized components are computed
+  * once per row instead of once per centroid (bit-identical either
+  * way: half-up quantization is deterministic).
+  */
+case class CentroidCosineQuantizedScores(child: Expression,
+                                         codebook: Array[Array[Float]])
+    extends CodebookScoresExpression {
+
+  override def prettyName: String = "centroid_cosq_scores"
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val qv = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val s = a.getFloat(i).toDouble * 1048576.0d
+      qv(i) = if (s >= 0) math.floor(s + 0.5d) else math.ceil(s - 0.5d)
+      i += 1
+    }
+    val out = new Array[Double](codebook.length)
+    var j = 0
+    while (j < codebook.length) {
+      val c = codebook(j)
+      val m = math.min(n, c.length)
+      var dot = 0.0d
+      var na = 0.0d
+      var nb = 0.0d
+      var d = 0
+      while (d < m) {
+        val sy = c(d).toDouble * 1048576.0d
+        val y = if (sy >= 0) math.floor(sy + 0.5d) else math.ceil(sy - 0.5d)
+        val x = qv(d)
+        dot += x * y; na += x * x; nb += y * y
+        d += 1
+      }
+      out(j) = dot / (math.sqrt(na) * math.sqrt(nb))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebook", codebook, "float[][]")
+    nullSafeCodeGen(ctx, ev, input => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val m = ctx.freshName("m")
+      val s = ctx.freshName("s")
+      val sy = ctx.freshName("sy")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val qv = ctx.freshName("qv")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val c = ctx.freshName("c")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $input.numElements();
+         |double[] $qv = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $s = ((double) $input.getFloat($i)) * 1048576.0;
+         |  $qv[$i] = $s >= 0 ? java.lang.Math.floor($s + 0.5) : java.lang.Math.ceil($s - 0.5);
+         |}
+         |double[] $out = new double[${codebook.length}];
+         |for (int $j = 0; $j < ${codebook.length}; $j++) {
+         |  float[] $c = $cbRef[$j];
+         |  int $m = java.lang.Math.min($n, $c.length);
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $d = 0; $d < $m; $d++) {
+         |    double $sy = ((double) $c[$d]) * 1048576.0;
+         |    double $y = $sy >= 0 ? java.lang.Math.floor($sy + 0.5) : java.lang.Math.ceil($sy - 0.5);
+         |    double $x = $qv[$d];
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  $out[$j] = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level API + SQL registration. */
 object VectorFunctions {
 
@@ -289,6 +486,14 @@ object VectorFunctions {
   def hyperplane_bucket(vec: Column, planes: Int): Column =
     GraftColumnBridge.column(HyperplaneBucketFloat(
       GraftColumnBridge.expression(vec), planes))
+
+  def centroid_l2_scores(vec: Column, codebook: Array[Array[Float]]): Column =
+    GraftColumnBridge.column(CentroidL2Scores(
+      GraftColumnBridge.expression(vec), codebook))
+
+  def centroid_cosq_scores(vec: Column, codebook: Array[Array[Float]]): Column =
+    GraftColumnBridge.column(CentroidCosineQuantizedScores(
+      GraftColumnBridge.expression(vec), codebook))
 
   /** Make the functions available to `spark.sql` text queries. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -61,6 +61,56 @@ class VectorExpressionsSpec extends SparkSpec {
       s"bucket ${r.getLong(0)} != ${r.getLong(1)}"))
   }
 
+  test("codebook score kernels agree bitwise with the per-centroid literal composition") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val codebook = e.orderBy("vec_id").limit(7).collect()
+      .map(_.getSeq[Float](1).toArray)
+    // the composed forms the kernels replaced: k literal sub-trees
+    def litArr(c: Array[Float]) = array(c.map(lit(_)): _*)
+    val composedL2 = array(codebook.map { c =>
+      val cc = c.map(x => x.toDouble * x.toDouble).sum
+      VectorFunctions.vector_dot(col("embedding"), col("embedding")) -
+        lit(2.0d) * VectorFunctions.vector_dot(col("embedding"), litArr(c)) + lit(cc)
+    }: _*)
+    val composedCos = array(codebook.map(c =>
+      Similarity.cosineQuantized(col("embedding"), litArr(c))): _*)
+    val rows = e.select(
+        VectorFunctions.centroid_l2_scores(col("embedding"), codebook).as("kl2"),
+        composedL2.as("cl2"),
+        VectorFunctions.centroid_cosq_scores(col("embedding"), codebook).as("kcos"),
+        composedCos.as("ccos"))
+      .collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val kl2 = r.getSeq[Double](0); val cl2 = r.getSeq[Double](1)
+      val kcos = r.getSeq[Double](2); val ccos = r.getSeq[Double](3)
+      assert(kl2.length == 7 && kcos.length == 7)
+      kl2.zip(cl2).foreach { case (k, c) =>
+        assert(java.lang.Double.doubleToLongBits(k) ==
+          java.lang.Double.doubleToLongBits(c), s"l2 $k != $c") }
+      kcos.zip(ccos).foreach { case (k, c) =>
+        assert(java.lang.Double.doubleToLongBits(k) ==
+          java.lang.Double.doubleToLongBits(c), s"cosq $k != $c") }
+    }
+  }
+
+  test("codebook score kernels stay flat at k in the thousands") {
+    // the literal composition chokes Catalyst analysis at large k; the
+    // kernel must plan and run with a 2000-centroid codebook untouched
+    val e = Tables(spark, sf0001, "embeddings")
+    val dim = e.select(size(col("embedding"))).first().getInt(0)
+    val codebook = Array.tabulate(2000, dim)((j, d) =>
+      ((j * 31 + d * 7) % 13 - 6).toFloat / 6.0f)
+    val assigned = e.select(
+        (array_position(
+          VectorFunctions.centroid_cosq_scores(col("embedding"), codebook),
+          array_max(VectorFunctions.centroid_cosq_scores(col("embedding"), codebook)))
+          - 1).cast("long").as("cluster"))
+      .groupBy("cluster").count().collect()
+    assert(assigned.map(_.getLong(1)).sum == 500L)
+    assert(assigned.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 2000))
+  }
+
   test("registered SQL functions evaluate") {
     VectorFunctions.register(spark)
     Tables(spark, sf0001, "embeddings").limit(5).createOrReplaceTempView("emb_v")
