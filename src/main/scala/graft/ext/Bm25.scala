@@ -52,13 +52,22 @@ object Bm25 {
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
   }
 
-  /** Corpus constants in ONE aggregate pass: (n_docs, avgdl). */
+  /** Corpus constants in ONE aggregate pass: (n_docs, avgdl). Fails
+    * fast on an empty corpus — `avg` over zero rows is NULL and avgdl=0
+    * would divide by zero in the tf normalization; a clear error beats
+    * an opaque NPE at unbox time.
+    */
   def corpusStats(docs: DataFrame, textCol: Column): (Long, Double) = {
     val row = docs
       .select(size(cleanTokens(textCol)).cast("long").as("dl"))
       .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
       .head()
-    (row.getLong(0), row.getDouble(1))
+    require(row.getLong(0) > 0L && !row.isNullAt(1),
+      "BM25 corpus is empty: no documents to compute (n_docs, avgdl) over")
+    val avgdl = row.getDouble(1)
+    require(avgdl > 0.0,
+      "BM25 corpus has no tokens: avgdl = 0 would divide by zero")
+    (row.getLong(0), avgdl)
   }
 
   /** Per-(doc, matched term) BM25 components

@@ -57,7 +57,12 @@ object Divergence {
       .agg(sum(col("cnt")).as("corpus_cnt"))
     val vocab = corpus
       .orderBy(col("corpus_cnt").desc, col("term")).limit(vocabSize)
-    val corpusTotal = vocab.agg(sum(col("corpus_cnt"))).head().getLong(0)
+    // sum over zero rows is NULL — fail fast with a clear message
+    // instead of an opaque NPE at unbox time
+    val totalRow = vocab.agg(sum(col("corpus_cnt"))).head()
+    require(!totalRow.isNullAt(0),
+      "divergence corpus is empty: no vocabulary terms to weight against")
+    val corpusTotal = totalRow.getLong(0)
     val grpV = perGrp.join(broadcast(vocab), Seq("term"))
     // null-safe join key: a genuinely-null group is a real group here,
     // not an absent match (a plain equi-join would silently drop it)

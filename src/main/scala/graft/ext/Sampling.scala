@@ -68,22 +68,33 @@ object Sampling {
     * and on any partitioning. Rates quantize to `1/buckets` by FLOOR,
     * so quantization never overshoots a budget (hash variance of
     * ±O(1/√n) per group still applies — budgets are targets, not hard
-    * caps).
+    * caps) — except that a NONZERO budget keeps a minimum of one
+    * bucket, so a tiny budget under-fills rather than silently dropping
+    * its group.
     */
   def tokenBudgetMix(docs: DataFrame, grpCol: Column, tokenCount: Column,
                      key: Column, budgets: Map[String, Long],
                      buckets: Int = 4096): DataFrame = {
     require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    // a null group key or an all-NULL token sum must not NPE the
+    // planning pass: null groups carry no budget (they pass through
+    // whole, like any unbudgeted group) and a null sum counts as 0
     val totals = docs
       .select(grpCol.as("grp"), tokenCount.as("tok"))
       .groupBy("grp").agg(sum(col("tok")).as("total"))
       .collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .flatMap(r => Option(r.getString(0))
+        .map(_ -> (if (r.isNullAt(1)) 0L else r.getLong(1))))
+      .toMap
     val rateBuckets: Map[String, Int] = budgets.map { case (g, b) =>
       val total = totals.getOrElse(g, 0L)
       val rate = if (total == 0L) 1.0
         else math.min(1.0, b.toDouble / total.toDouble)
-      g -> math.floor(rate * buckets).toInt
+      // floor quantization, but a NONZERO budget keeps at least one
+      // bucket — a tiny budget must under-fill, not silently drop the
+      // whole group
+      val rb = math.floor(rate * buckets).toInt
+      g -> (if (b > 0L && rb == 0) 1 else rb)
     }
     val cap = rateBuckets.foldLeft(lit(buckets)) { case (acc, (g, rb)) =>
       when(grpCol === g, lit(rb)).otherwise(acc)

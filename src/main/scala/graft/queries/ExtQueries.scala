@@ -648,6 +648,14 @@ object ExtQueries {
     // oracle device: the sketch's internal hashes are engine-specific,
     // the CONTRACT — exact ≤ est ≤ exact + (e/width)·N — is the oracled
     // output, deterministic on fixed data).
+    // NOTE on the gate's strength: the per-term Count-Min bound
+    // est ≤ exact + (e/width)·N is PROBABILISTIC — it holds with
+    // probability ≥ 1 − e^−depth (≈98.2% per query at depth 4), and the
+    // oracle pins cms_ok = TRUE for all 20 probed terms. That is valid
+    // for THIS frozen fixture + hash family + (width, depth) — a change
+    // to any of them can legitimately produce a (rare) in-contract
+    // violation; the contract itself (never undercount; bound holds at
+    // the e^−depth rate) is what CountMinSpec tests.
     "x53_count_min" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val width = 1024; val depth = 4
@@ -921,11 +929,11 @@ object ExtQueries {
         |  SELECT source,
         |    CASE source
         |      WHEN 'src0' THEN
-        |        CAST(floor(least(1.0, 400.0 / total) * 4096) AS BIGINT)
+        |        greatest(1, CAST(floor(least(1.0, 400.0 / total) * 4096) AS BIGINT))
         |      WHEN 'src1' THEN
-        |        CAST(floor(least(1.0, 800.0 / total) * 4096) AS BIGINT)
+        |        greatest(1, CAST(floor(least(1.0, 800.0 / total) * 4096) AS BIGINT))
         |      WHEN 'src2' THEN
-        |        CAST(floor(least(1.0, 100000.0 / total) * 4096) AS BIGINT)
+        |        greatest(1, CAST(floor(least(1.0, 100000.0 / total) * 4096) AS BIGINT))
         |      ELSE 4096 END AS cap
         |  FROM tot),
         |sel AS (

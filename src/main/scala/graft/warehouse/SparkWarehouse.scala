@@ -128,7 +128,7 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String) {
         if (schema.nonEmpty) schema
         else if (exists && replace) meta(name).map(_.schema).getOrElse(Nil)
         else Nil
-      if (exists) fs.delete(tablePath(name), true)
+      if (exists) checkedDelete(tablePath(name))
       if (effectiveSchema.nonEmpty) {
         val empty = spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -152,7 +152,7 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String) {
       if (!fs.exists(tablePath(name))) {
         if (notFoundOk) Right(()) else Left(TableNotFound(name))
       } else {
-        fs.delete(tablePath(name), true)
+        checkedDelete(tablePath(name))
         spark.catalog.dropTempView(name)
         Right(())
       }
@@ -349,16 +349,10 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String) {
           val survivors = existing.join(
             aligned.select(keys.map(col): _*).distinct(), keys, "left_anti")
           val merged = survivors.unionByName(aligned)
-          val tmp = new Path(warehouseDir, s"$name.__upsert_tmp")
-          if (fs.exists(tmp)) fs.delete(tmp, true)
-          merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-          // swap: the merged data is fully materialized before the old
-          // directory goes away
-          val priorMeta = meta(name).toOption
-          fs.delete(tablePath(name), true)
-          fs.rename(tmp, tablePath(name))
-          priorMeta.foreach(writeMeta(name, _))
-          registerView(name)
+          // swap: the merged data is fully materialized to a temp path
+          // before the old directory moves aside (backup-rename — the
+          // live table survives any failed step)
+          materializeSwap(name, merged)
           Right(())
         } catch {
           case e: Exception => Left(TableGenericError(e.getMessage, Some(e)))
@@ -414,19 +408,46 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String) {
           "bucket layout — rebuild via createBucketed instead")
   }
 
+  /** Hadoop `FileSystem.delete`/`rename` report many failures (missing
+    * destination parent, cross-filesystem move, destination-exists race)
+    * by returning FALSE, not by throwing — an unchecked call can lose a
+    * table while the caller sees success. These helpers turn false into
+    * an exception the public ops wrap as [[TableGenericError]].
+    */
+  private def checkedDelete(p: Path): Unit =
+    if (fs.exists(p) && !fs.delete(p, true))
+      throw new java.io.IOException(s"failed to delete $p")
+
+  private def checkedRename(src: Path, dst: Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"failed to rename $src to $dst")
+
   /** Materialize-then-swap rewrite discipline shared by [[compact]],
-    * [[deleteWhere]] and [[updateWhere]]: write the new content to a
-    * sibling temp path, then atomically rename over the table — never
-    * an in-place overwrite of a path being read. Meta (schema/expiry)
-    * survives the rewrite.
+    * [[deleteWhere]], [[updateWhere]] and [[upsert]]: write the new
+    * content to a sibling temp path, move the LIVE table aside to a
+    * backup path (never deleted first), rename the new content in, and
+    * only then drop the backup — so a failed rename at any step leaves
+    * the original table intact (restored from the backup if the final
+    * rename fails). Meta (schema/expiry) survives the rewrite.
     */
   private def materializeSwap(name: String, data: DataFrame): Unit = {
     val tmp = new Path(warehouseDir, s"$name.__rewrite_tmp")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val bak = new Path(warehouseDir, s"$name.__rewrite_bak")
+    checkedDelete(tmp)
     data.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val priorMeta = meta(name).toOption
-    fs.delete(tablePath(name), true)
-    fs.rename(tmp, tablePath(name))
+    checkedDelete(bak)
+    checkedRename(tablePath(name), bak)
+    try checkedRename(tmp, tablePath(name))
+    catch {
+      case e: Exception =>
+        if (!fs.rename(bak, tablePath(name)))
+          throw new java.io.IOException(
+            s"table rewrite failed and the backup restore failed too: " +
+              s"'$name' data is preserved at $bak", e)
+        throw e
+    }
+    checkedDelete(bak)
     priorMeta.foreach(writeMeta(name, _))
     registerView(name)
   }
@@ -496,7 +517,7 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String) {
       if (fs.exists(tablePath(to)))
         return Left(TableGenericError(s"table $to already exists (Conflict)"))
       requireNotBucketed(from, "rename")
-      fs.rename(tablePath(from), tablePath(to))
+      checkedRename(tablePath(from), tablePath(to))
       spark.catalog.dropTempView(from)
       registerView(to)
       Right(())
@@ -519,9 +540,11 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String) {
       if (fs.exists(tablePath(to)) && !replace)
         return Left(TableGenericError(s"table $to already exists (Conflict)"))
       requireNotBucketed(from, "copyTable")
-      if (fs.exists(tablePath(to))) fs.delete(tablePath(to), true)
-      org.apache.hadoop.fs.FileUtil.copy(
-        fs, tablePath(from), fs, tablePath(to), false, hadoopConf)
+      checkedDelete(tablePath(to))
+      if (!org.apache.hadoop.fs.FileUtil.copy(
+          fs, tablePath(from), fs, tablePath(to), false, hadoopConf))
+        throw new java.io.IOException(
+          s"file copy ${tablePath(from)} -> ${tablePath(to)} failed")
       registerView(to)
       Right(())
     } catch {
@@ -538,7 +561,7 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String) {
                      numBuckets: Int): Either[WarehouseError, TableRef] =
     try {
       spark.sql(s"DROP TABLE IF EXISTS $name")
-      if (fs.exists(tablePath(name))) fs.delete(tablePath(name), true)
+      checkedDelete(tablePath(name))
       Ingest.prepare(data).write
         .option("path", tablePath(name).toString)
         .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
@@ -558,7 +581,7 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String) {
   def createPartitioned(name: String, data: DataFrame,
                         partitionCols: Seq[String]): Either[WarehouseError, TableRef] =
     try {
-      if (fs.exists(tablePath(name))) fs.delete(tablePath(name), true)
+      checkedDelete(tablePath(name))
       val prepared = Ingest.prepare(data)
       prepared.write
         .partitionBy(partitionCols: _*)

@@ -220,11 +220,19 @@ class CountMinSpec extends SparkSpec {
     val bound = math.ceil(math.E / 1024 * total).toLong
     val exact = toks.groupBy("term").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
+    // never-undercount is deterministic; the (e/width)·N bound is
+    // PROBABILISTIC — it holds per query with probability ≥ 1 − e^−depth,
+    // so the contract being tested allows an e^−depth fraction of
+    // violations (2× margin for the finite sample), not zero
+    var violations = 0
     exact.foreach { case (t, n) =>
       val est = CountMin.estimate(sk, 1024, 4, t)
       assert(est >= n, s"undercount on $t")
-      assert(est <= n + bound, s"$t: est $est > exact $n + bound $bound")
+      if (est > n + bound) violations += 1
     }
+    val allowed = math.ceil(2.0 * math.exp(-4.0) * exact.length).toInt
+    assert(violations <= allowed,
+      s"$violations/${exact.length} bound violations > allowed $allowed")
   }
 }
 
