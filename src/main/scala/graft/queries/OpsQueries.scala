@@ -81,10 +81,19 @@ object OpsQueries {
         .orderBy("source")
     }),
 
-    // ---- op #10: sample — deterministic-seed uniform sample (no SQL
-    // oracle: sampling algorithms differ per engine; rows-only check).
+    // ---- op #10: sample — deterministic-seed uniform sample. The RNG
+    // is engine-specific, so the oracle checks the full CONTRACT rather
+    // than the membership draw: exactly 50 rows, all distinct, every
+    // one present in the input table (left-outer against the domain —
+    // a non-member would surface as n_outside > 0).
     "op_sample" -> ((s: SparkSession, dir: String) => {
-      Ingest.sample(Tables(s, dir, "documents"), 50).select("doc_id")
+      val docs = Tables(s, dir, "documents").select("doc_id")
+      Ingest.sample(docs, 50).select(col("doc_id").as("sid"))
+        .alias("s")
+        .join(docs.alias("d"), col("s.sid") === col("d.doc_id"), "left_outer")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("s.sid")).as("n_distinct"),
+          sum(when(col("d.doc_id").isNull, 1L).otherwise(0L)).as("n_outside"))
     }),
 
     // ---- op #10b: the exact-n contract of `sample` (random.sample
@@ -494,6 +503,9 @@ object OpsQueries {
         |  CAST(doc_id AS VARCHAR), ',"n_chars":', CAST(n_chars AS VARCHAR), '}')))
         |  AS BIGINT) AS json_bytes
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "op_sample" ->
+      """SELECT CAST(50 AS BIGINT) AS n_rows, CAST(50 AS BIGINT) AS n_distinct,
+        |  CAST(0 AS BIGINT) AS n_outside""".stripMargin,
     "op_sample_exact" ->
       """SELECT CAST(40 AS BIGINT) AS n_rows, CAST(40 AS BIGINT) AS n_distinct,
         |  CAST(0 AS BIGINT) AS out_of_domain""".stripMargin,
