@@ -95,11 +95,11 @@ object BpeLearn {
         tokenized = tokenized
           .select(applyMerge(col("tok"), a, b).as("tok"), col("freq"))
           .localCheckpoint()
-        prev.unpersist(blocking = false)
+        org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(prev)
       }
       r += 1
     }
-    tokenized.unpersist(blocking = false)
+    org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(tokenized)
     out.result()
   }
 
@@ -204,10 +204,10 @@ object BpeLearn {
             case (c, (_, a, b, _)) => applyMerge(c, a, b)
           }.as("tok"), col("freq"))
           .localCheckpoint()
-        prev.unpersist(blocking = false)
+        org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(prev)
       }
     }
-    tokenized.unpersist(blocking = false)
+    org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(tokenized)
     out.result()
   }
 

@@ -180,29 +180,85 @@ object Dedup {
     * throughput path — md5 is ~10× the hash cost, worth paying only when
     * a second engine must reproduce the signature bit for bit.
     */
-  def minhashBandsPortable(df: DataFrame, idCol: Column, textCol: Column,
-                           wordGrams: Int = 3, numHashes: Int = 16,
-                           bands: Int = 4): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
+  /** Engine-portable MinHash signature `(id, sig)` — the md5-derived
+    * family every engine recomputes bit for bit (see
+    * [[minhashBandsPortable]] for why/when to pay md5 over xxhash64).
+    * Staged projections (tokens → grams → base hashes → signature):
+    * each lambda consumes a plain attribute, nothing re-evaluates.
+    */
+  def minhashSignaturePortable(df: DataFrame, idCol: Column, textCol: Column,
+                               wordGrams: Int = 3,
+                               numHashes: Int = 16): DataFrame = {
     require(numHashes <= portableAs.size, s"at most ${portableAs.size} hashes")
-    val r = numHashes / bands
-    // staged projections (tokens -> grams -> base hashes -> signature):
-    // each lambda consumes a plain attribute, nothing re-evaluates
-    val xs = df.select(idCol.as("id"), TextAnalysis.tokens(textCol).as("_t"))
+    df.select(idCol.as("id"), TextAnalysis.tokens(textCol).as("_t"))
       .select(col("id"), TextAnalysis.wordNgramsOver(col("_t"), wordGrams).as("_g"))
       .select(col("id"), transform(col("_g"),
         g => conv(substring(md5(g), 1, 12), 16, 10).cast("long") % PortP)
         .as("_x"))
-    val sig = xs.select(col("id"), array((0 until numHashes).map { j =>
+      .select(col("id"), array((0 until numHashes).map { j =>
         array_min(transform(col("_x"),
           x => (lit(portableAs(j)) * x + lit(portableBs(j))) % lit(PortP)))
       }: _*).as("sig"))
-    sig.select(col("id"), posexplode(array((0 until bands).map { b =>
+  }
+
+  def minhashBandsPortable(df: DataFrame, idCol: Column, textCol: Column,
+                           wordGrams: Int = 3, numHashes: Int = 16,
+                           bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    minhashSignaturePortable(df, idCol, textCol, wordGrams, numHashes)
+      .select(col("id"), posexplode(array((0 until bands).map { b =>
         (0 until r).foldLeft(lit(0L): Column) { (acc, i) =>
           (acc * lit(PortK) + element_at(col("sig"), b * r + i + 1)) % lit(PortM)
         }
       }: _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+  }
+
+  /** LSH candidate pairs over the portable band rows — same bucket-local
+    * shape as [[minhashCandidates]]. Documents with fewer than
+    * `wordGrams` tokens carry a null band hash (no grams → no
+    * signature) and are excluded: a null bucket key would otherwise
+    * pair every gramless document with every other.
+    */
+  def minhashCandidatesPortable(df: DataFrame, idCol: Column, textCol: Column,
+                                wordGrams: Int = 3, numHashes: Int = 16,
+                                bands: Int = 4,
+                                maxBucket: Int = 1024): DataFrame =
+    candidatesFromBuckets(
+      minhashBandsPortable(df, idCol, textCol, wordGrams, numHashes, bands)
+        .filter(col("band_hash").isNotNull),
+      Seq("band", "band_hash"), "id", maxBucket)
+
+  /** The full Lee et al. 2022 NearDup pipeline (arXiv:2107.06499 §3) as
+    * ONE composition over the engine-portable signature path: LSH
+    * candidate pairs → estimated-Jaccard verification at `threshold` →
+    * [[connectedComponents]] over the surviving edges. Returns `(id,
+    * component)` for every document in the verified candidate graph
+    * (component = min id — the canonical survivor; all other members
+    * are the documents NearDup removes).
+    *
+    * Every stage is the portable variant, so an independent engine can
+    * recompute the ENTIRE pipeline — signatures, buckets, similarity,
+    * components — and value-check the output (the x47 DuckDB oracle
+    * does exactly that, closing components with a recursive
+    * reachability query). The xxhash64 kernel path ([[minhashCandidates]]
+    * → [[signatureSimilarity]] → [[connectedComponents]]) is the
+    * throughput twin with identical shape.
+    */
+  def nearDupComponentsPortable(df: DataFrame, idCol: Column, textCol: Column,
+                                threshold: Double = 0.5, wordGrams: Int = 3,
+                                numHashes: Int = 16, bands: Int = 4,
+                                maxBucket: Int = 1024): DataFrame = {
+    val cands = minhashCandidatesPortable(df, idCol, textCol, wordGrams,
+      numHashes, bands, maxBucket)
+    val sigs = minhashSignaturePortable(df, idCol, textCol, wordGrams, numHashes)
+    val verified = cands
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("_siga")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("_sigb")), Seq("id_b"))
+      .filter(signatureSimilarity(col("_siga"), col("_sigb")) >= threshold)
+      .select("id_a", "id_b")
+    connectedComponents(verified)
   }
 
   /** LSH candidate pairs: bucket on (band, band_hash), id_a < id_b,
@@ -239,9 +295,9 @@ object Dedup {
     * partial aggregate keyed on node id; the convergence probe at each
     * checkpoint reads two materialized label tables and early-exits on
     * the first changed row. Superseded checkpoints are unpersisted as
-    * the loop advances; the RETURNED labels stay checkpointed (callers
-    * holding the result across a long session may `unpersist()` it when
-    * done). Deliberately NOT pointer-jumped: the jump is a self-join of
+    * the loop advances; the RETURNED labels stay checkpointed for reuse
+    * — call [[releaseComponents]] once the result is consumed.
+    * Deliberately NOT pointer-jumped: the jump is a self-join of
     * the evolving label table whose unresolved plan doubles per round —
     * with checkpointed linear rounds the plan stays flat and near-dup
     * graphs converge in diameter rounds anyway.
@@ -277,20 +333,29 @@ object Dedup {
         .join(labels.alias("p"), col("n.id") === col("p.id"))
         .where(col("n.component") < col("p.component"))
         .isEmpty
-      labels.unpersist()
+      // NB: Dataset.unpersist only clears CacheManager entries; a local
+      // checkpoint persists at the RDD level, released via the bridge
+      org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(labels)
       labels = materialized
     }
     if (!converged) {
-      labels.unpersist()
-      edges.unpersist()
+      org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(labels)
+      org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(edges)
       throw new IllegalStateException(
         s"connectedComponents did not reach fixpoint within $maxIterations " +
           "rounds: a component's diameter exceeds the iteration budget " +
           "(raise maxIterations)")
     }
-    edges.unpersist()
+    org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(edges)
     labels
   }
+
+  /** Release the checkpointed blocks behind a [[connectedComponents]]
+    * result once it has been consumed (joined, written, collected) —
+    * the returned labels stay materialized for reuse until then.
+    */
+  def releaseComponents(labels: DataFrame): Unit =
+    org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(labels)
 
   /** Estimated Jaccard from signature agreement, for candidate scoring. */
   def signatureSimilarity(sigA: Column, sigB: Column): Column =

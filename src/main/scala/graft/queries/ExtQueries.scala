@@ -35,6 +35,20 @@ object ExtQueries {
     child
   }
 
+  /** Detach a small eagerly-computed result (connected components keep
+    * their label table localCheckpoint'ed for reuse) into a plain
+    * LocalRelation and release the checkpoint blocks — gate hygiene: a
+    * gate must leave no cached RDDs in a long-lived session. Gate
+    * component outputs are bounded (planted clusters + natural
+    * near-dups), so the driver round-trip is a few hundred rows.
+    */
+  private def detach(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val rows = java.util.Arrays.asList(df.collect(): _*)
+    val out = df.sparkSession.createDataFrame(rows, df.schema)
+    graft.ext.Dedup.releaseComponents(df)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text: token/char counting.
     "x01_token_stats" -> ((s: SparkSession, dir: String) => {
@@ -294,7 +308,7 @@ object ExtQueries {
       val chains = Dedup.minhashCandidates(corpus, col("doc_id"), col("text"),
           bands = 4, wordGrams = 3)
         .filter(col("id_b") === col("id_a") + 100000L)
-      Dedup.connectedComponents(chains)
+      detach(Dedup.connectedComponents(chains))
         .orderBy("id")
     }),
 
@@ -643,6 +657,24 @@ object ExtQueries {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // ---- the full Lee-et-al NearDup pipeline as ONE gate: portable
+    // MinHash signatures → LSH bucket candidates → estimated-Jaccard
+    // verify ≥ 0.5 → connected components. Two extra copies of each
+    // doc_id<10 are planted (three-member clusters whose component is
+    // provably the base id); the oracle recomputes EVERY stage — md5
+    // signatures, band hashes, bucket pairs, similarity, and the
+    // component closure via recursive reachability.
+    "x47_neardup_pipeline" -> ((s0: SparkSession, dir: String) => {
+      val s = pinned(s0)
+      val d = Tables(s, dir, "documents").select("doc_id", "text")
+      val planted = (1 to 2).map(k => d.filter(col("doc_id") < 10)
+          .select((col("doc_id") + k * 100000L).as("doc_id"), col("text")))
+        .reduce(_ union _)
+      detach(Dedup.nearDupComponentsPortable(d.union(planted),
+          col("doc_id"), col("text")))
+        .orderBy("id")
+    }),
+
     // ---- Count-Min point-frequency sketch: estimates for the top-20
     // tokens checked against their exact counts (a05/a11's accuracy-
     // oracle device: the sketch's internal hashes are engine-specific,
@@ -969,6 +1001,70 @@ object ExtQueries {
         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
         |  CAST(sum(cm) AS BIGINT) AS lp_micros
         |FROM comp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x47_neardup_pipeline" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 10
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text FROM documents WHERE doc_id < 10),
+        |toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        |grams AS (
+        |  SELECT doc_id, list_transform(range(len(w) - 2),
+        |    i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3])) AS g FROM toks),
+        |xs AS (
+        |  SELECT doc_id, list_transform(g,
+        |    t -> CAST(('0x' || substr(md5(t), 1, 12)) AS BIGINT) % 2147483647) AS x
+        |  FROM grams),
+        |sig AS (
+        |  SELECT doc_id, [
+        |    list_min(list_transform(x, v -> (999983 * v + 12345) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999979 * v + 67891) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999961 * v + 234567) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999959 * v + 345679) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999953 * v + 456789) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999931 * v + 567891) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999917 * v + 678901) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999907 * v + 789013) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999883 * v + 890123) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999863 * v + 901237) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999841 * v + 123457) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999809 * v + 234563) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999773 * v + 345677) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999749 * v + 456791) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999727 * v + 567899) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999721 * v + 678911) % 2147483647))
+        |  ] AS s FROM xs),
+        |bands AS (
+        |  SELECT doc_id AS id, CAST(b AS INTEGER) AS band,
+        |    ((((((s[b*4+1] * 1000003 + s[b*4+2]) % 2147483648)
+        |        * 1000003 + s[b*4+3]) % 2147483648)
+        |        * 1000003 + s[b*4+4]) % 2147483648) AS band_hash
+        |  FROM sig, range(4) t(b)),
+        |pairs AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id),
+        |verified AS (
+        |  SELECT p.id_a, p.id_b
+        |  FROM pairs p
+        |  JOIN sig sa ON p.id_a = sa.doc_id
+        |  JOIN sig sb ON p.id_b = sb.doc_id
+        |  WHERE CAST(len(list_filter(range(16), i -> sa.s[i+1] = sb.s[i+1]))
+        |          AS DOUBLE) / 16.0 >= 0.5),
+        |nodes AS (
+        |  SELECT id_a AS id FROM verified UNION SELECT id_b FROM verified),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM verified
+        |  UNION SELECT id_b, id_a FROM verified
+        |  UNION SELECT id, id FROM nodes),
+        |reach AS (
+        |  SELECT src AS a, dst AS b FROM edges
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+        |SELECT a AS id, CAST(min(b) AS BIGINT) AS component
+        |FROM reach GROUP BY a ORDER BY id""".stripMargin,
     "x48_source_divergence" ->
       """WITH terms AS (
         |  SELECT source AS grp,

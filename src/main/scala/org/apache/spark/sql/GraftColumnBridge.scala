@@ -12,4 +12,18 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Release the RDD blocks behind a `localCheckpoint()`ed DataFrame.
+    *
+    * `Dataset.unpersist` only clears CacheManager entries; a local
+    * checkpoint persists at the RDD level (inside the `LogicalRDD` the
+    * checkpoint plan wraps), which CacheManager never tracks — without
+    * this, every checkpoint leaks cached blocks into a long-lived
+    * session. No-op for non-checkpoint plans.
+    */
+  def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
