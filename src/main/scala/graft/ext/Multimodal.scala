@@ -8,14 +8,17 @@ import org.apache.spark.sql.types._
   * `binary` columns with a typed metadata struct, plus batched
   * decode / feature-extraction / frame-sampling plumbing.
   *
-  * The decode step is STUBBED (this container ships no codec
-  * libraries): `decodeStub` produces deterministic fake features from
-  * the raw bytes. Everything around it — the schema contract, the
-  * binary column handling, the per-partition batch shape (decode
-  * libraries amortize model/codec init per batch, exactly like a
-  * vectorized pandas-UDF boundary), and the partition sizing — is real
-  * and tested; a production build swaps `decodeStub`'s body for a JNI
-  * or process-pool codec call.
+  * Two decode paths share one batch boundary:
+  *  - [[decodeImages]] is a REAL image codec (`javax.imageio`,
+  *    JDK-bundled) — decode to raster, luma features out;
+  *  - [[decodeStub]] produces deterministic byte-level features and
+  *    remains the oracle-gate path (and the stand-in for the audio/
+  *    video codecs this container doesn't ship).
+  * Everything around them — the schema contract, the binary column
+  * handling, the per-partition batch shape (codec init amortized per
+  * batch, exactly like a vectorized pandas-UDF boundary), and the
+  * partition sizing — is identical, so swapping a stub for a JNI or
+  * process-pool codec changes one function body.
   */
 object Multimodal {
 
@@ -115,6 +118,66 @@ object Multimodal {
       }
     }(Encoders.product[ResizedMedia])
   }
+
+  /** Decoded-image feature row from the REAL codec path. `width = -1`
+    * marks an undecodable payload (wrong format, truncated bytes) —
+    * decode failures are data, not exceptions, so one bad file never
+    * kills a 100 TB scan.
+    */
+  final case class ImageFeature(media_id: Long, width: Int, height: Int,
+                                n_pixels: Long, mean_luma: Double,
+                                feature: Seq[Float])
+
+  /** REAL image decode via `javax.imageio` (JDK-bundled — public
+    * knowledge, zero extra dependencies) behind the exact same batched
+    * `mapPartitions` boundary as [[decodeFeatures]]: the ImageIO reader
+    * lookup happens once per partition, each row decodes its payload to
+    * a raster and emits fixed-shape features (dimensions, mean luma,
+    * 8-bin luma histogram). [[decodeStub]] remains the deterministic
+    * byte-level gate path (`x13`/`x43`); this is the production-shaped
+    * codec the stub stands in for, spec-tested against generated PNGs.
+    */
+  def decodeImages(df: DataFrame): Dataset[ImageFeature] = {
+    val pairs: Dataset[(Long, Array[Byte])] =
+      df.select(col("media_id"), col("payload"))
+        .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    pairs.mapPartitions { it =>
+      // per-partition codec init: ImageIO's plugin registry scan is paid
+      // once here, not per row
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { case (id, bytes) => decodeImage(id, bytes) }
+    }(Encoders.product[ImageFeature])
+  }
+
+  private[ext] def decodeImage(id: Long, bytes: Array[Byte]): ImageFeature =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) ImageFeature(id, -1, -1, 0L, 0.0, Nil)
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val hist = new Array[Long](8)
+        var lumaSum = 0.0d
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val luma = 0.299d * ((rgb >> 16) & 0xFF) +
+              0.587d * ((rgb >> 8) & 0xFF) + 0.114d * (rgb & 0xFF)
+            lumaSum += luma
+            hist((luma / 32.0d).toInt.min(7)) += 1L
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h.toLong
+        ImageFeature(id, w, h, n, lumaSum / n,
+          hist.map(_.toFloat / n.toFloat).toSeq)
+      }
+    } catch {
+      case _: Exception => ImageFeature(id, -1, -1, 0L, 0.0, Nil)
+    }
 
   /** Frame sampling for video-ish payloads: every `stride`-th offset
     * becomes a frame row (id, frame_idx, frame_offset). Pure expression

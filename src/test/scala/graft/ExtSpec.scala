@@ -322,6 +322,36 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(feats(1L).feature.sum - 1.0f) < 1e-6)
   }
 
+  test("real imageio decode extracts dimensions and luma from generated PNGs") {
+    val spark0 = spark
+    import spark0.implicits._
+    // two real PNGs via the JDK encoder: 5x3 all-white, 4x4 all-black —
+    // known dimensions, known mean luma, known histogram buckets
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, png(5, 3, 0xFFFFFF), "image/png"),
+      (2L, png(4, 4, 0x000000), "image/png"),
+      (3L, "not an image at all".getBytes("UTF-8"), "text/plain"))
+    val media = rows.toDF("media_id", "payload", "mime")
+    val feats = Multimodal.decodeImages(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(1L).width == 5 && feats(1L).height == 3 &&
+      feats(1L).n_pixels == 15L)
+    assert(math.abs(feats(1L).mean_luma - 255.0) < 1e-6)
+    assert(feats(1L).feature(7) == 1.0f) // all pixels in the top bucket
+    assert(feats(2L).width == 4 && feats(2L).height == 4 &&
+      feats(2L).mean_luma == 0.0 && feats(2L).feature(0) == 1.0f)
+    // undecodable payload is DATA (width -1), never a thrown task
+    assert(feats(3L).width == -1 && feats(3L).height == -1)
+  }
+
   test("frame sampling emits ceil(bytes/stride) frames at the right offsets") {
     val spark0 = spark
     import spark0.implicits._
