@@ -51,6 +51,102 @@ class GoldenFixturesSpec extends SparkSpec {
     assert(byName("G") == FieldRepr("G", "INTEGER", "REPEATED"))
   }
 
+  // ---- the reference's rendered `Erco_articles` describe tree
+  // (bigquery/schema.py:322-349, the describe() docstring example) —
+  // byte-identical golden render through Describe.referenceTree,
+  // including the 60/30/10 template, `├─┬ ` record branch, `│ ` rails,
+  // nested name-width narrowing, and trailing column padding.
+  test("describe renders the reference's Erco_articles docstring tree verbatim") {
+    def f(n: String, t: String) = FieldRepr(n, t, "NULLABLE")
+    val fields = Seq(
+      f("pkm_familie", "INTEGER"), f("b_neuheit", "BOOLEAN"),
+      f("s_familie", "STRING"), f("u_ugr", "FLOAT"),
+      f("led_module", "STRING"), f("s_farbe_kombifeld_indirekt", "STRING"),
+      f("s_abblendraster", "STRING"), f("s_control", "STRING"),
+      f("s_baugroesse_list_display_string", "STRING"),
+      f("u_beleuchtungsstaerke_dl_sym_raster", "FLOAT"),
+      f("power_singlefield_with_unit", "STRING"),
+      f("s_farbe_kombifeld", "STRING"),
+      FieldRepr("t_productfeature", "RECORD", "REPEATED", Seq(
+        f("ID", "STRING"), f("Kurztext", "STRING"), f("Text", "STRING"))),
+      f("s_montageart", "STRING"), f("s_artikelbild", "STRING"),
+      f("s_leuchtenlichtstrom_display_unit", "STRING"),
+      f("lumens_with_unit", "STRING"), f("artno_schoen", "STRING"),
+      f("pkm_artikel", "STRING"), f("s_einbaudetail", "FLOAT"),
+      f("s_untertitel", "STRING"), f("s_gehaeusefarbe", "STRING"),
+      f("s_leistung_display_unit", "STRING"), f("s_lichtwerkzeug", "STRING"),
+      f("s_lichtaustritt", "STRING"), f("product_image", "STRING"))
+    val got = Describe.referenceTree("Table [Erco_articles]", fields,
+      echo = false)
+    def pad(s: String, w: Int) = s + " " * (w - s.length)
+    val leaf = fields.map {
+      case r if r.fields.nonEmpty => None
+      case x => Some(x)
+    }
+    val expected = ("Table [Erco_articles]" +: fields.zipWithIndex.map {
+      case (fld, i) =>
+        val branch = if (i == fields.size - 1) "└" else "├"
+        if (fld.fields.isEmpty)
+          s"$branch── " + pad(fld.name, 60) + pad(fld.fieldType, 30) +
+            pad(fld.mode, 10)
+        else
+          (s"$branch─┬ " + pad(fld.name, 60) + pad(fld.fieldType, 30) +
+            pad(fld.mode, 10)) + "\n" +
+            fld.fields.zipWithIndex.map { case (c, j) =>
+              val cb = if (j == fld.fields.size - 1) "└" else "├"
+              s"│ $cb── " + pad(c.name, 58) + pad(c.fieldType, 30) +
+                pad(c.mode, 10)
+            }.mkString("\n")
+    }).mkString("", "\n", "\n")
+    assert(got == expected)
+    // spot-pin three raw lines against the docstring literal
+    val lines = got.split("\n")
+    assert(lines(1) ==
+      "├── pkm_familie                                                 INTEGER                       NULLABLE  ")
+    assert(lines(13) ==
+      "├─┬ t_productfeature                                            RECORD                        REPEATED  ")
+    assert(lines(14) ==
+      "│ ├── ID                                                        STRING                        NULLABLE  ")
+    assert(lines.last ==
+      "└── product_image                                               STRING                        NULLABLE  ")
+    assert(leaf.flatten.size == 25)
+  }
+
+  test("describe prints to stdout AND returns the tree (reference echo parity)") {
+    val sample = Seq(FieldRepr("a", "INTEGER", "NULLABLE"),
+      FieldRepr("r", "RECORD", "REPEATED", Seq(FieldRepr("b", "STRING", "NULLABLE"))))
+    val buf = new java.io.ByteArrayOutputStream()
+    val ps = new java.io.PrintStream(buf, true, "UTF-8")
+    val returned = Console.withOut(ps) { Describe("t", sample) }
+    ps.flush()
+    assert(buf.toString("UTF-8") == returned, "printed output must equal the returned string")
+    val refBuf = new java.io.ByteArrayOutputStream()
+    val refPs = new java.io.PrintStream(refBuf, true, "UTF-8")
+    val refReturned = Console.withOut(refPs) {
+      Describe.referenceTree("Table schema", sample)
+    }
+    refPs.flush()
+    assert(refBuf.toString("UTF-8") == refReturned)
+    // deep nesting: rails stack and the name column keeps narrowing
+    val deep = Seq(FieldRepr("D", "RECORD", "REPEATED", Seq(
+      FieldRepr("D1", "BOOLEAN", "NULLABLE"),
+      FieldRepr("D3", "RECORD", "REPEATED", Seq(
+        FieldRepr("D3a", "INTEGER", "NULLABLE"),
+        FieldRepr("D3b", "STRING", "NULLABLE"))))),
+      FieldRepr("G", "INTEGER", "REPEATED"))
+    val tree = Describe.referenceTree("Table schema", deep, echo = false)
+    val tl = tree.split("\n")
+    assert(tl(1).startsWith("├─┬ D "))
+    assert(tl(2).startsWith("│ ├── D1"))
+    assert(tl(3).startsWith("│ └─┬ D3"))
+    assert(tl(4).startsWith("│   ├── D3a"))
+    assert(tl(5).startsWith("│   └── D3b"))
+    assert(tl(6).startsWith("└── G"))
+    // name column narrows by indent per level: D3a pads to 56, after a
+    // 4-char rail + 4-char branch the type column stays at offset 64
+    assert(tl(4).indexOf("INTEGER") == 8 + 56)
+  }
+
   // ---- FIXTURES.md §1: the 26-field articles golden schema with the
   // existing-schema override pinning u_ugr / u_beleuchtungsstaerke…
   // (reference test_bigquery.py:422-445 passes the schema to pin fields
