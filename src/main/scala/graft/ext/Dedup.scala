@@ -250,15 +250,30 @@ object Dedup {
                                 threshold: Double = 0.5, wordGrams: Int = 3,
                                 numHashes: Int = 16, bands: Int = 4,
                                 maxBucket: Int = 1024): DataFrame = {
-    val cands = minhashCandidatesPortable(df, idCol, textCol, wordGrams,
-      numHashes, bands, maxBucket)
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    // the md5 signature is the expensive stage — materialize it ONCE
+    // and feed both the banding and the verification joins from it
+    // (released below once the components' edge list has captured it)
     val sigs = minhashSignaturePortable(df, idCol, textCol, wordGrams, numHashes)
+      .localCheckpoint()
+    val banded = sigs
+      .select(col("id"), posexplode(array((0 until bands).map { b =>
+        (0 until r).foldLeft(lit(0L): Column) { (acc, i) =>
+          (acc * lit(PortK) + element_at(col("sig"), b * r + i + 1)) % lit(PortM)
+        }
+      }: _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+      .filter(col("band_hash").isNotNull)
+    val cands = candidatesFromBuckets(banded, Seq("band", "band_hash"), "id", maxBucket)
     val verified = cands
       .join(sigs.select(col("id").as("id_a"), col("sig").as("_siga")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("sig").as("_sigb")), Seq("id_b"))
       .filter(signatureSimilarity(col("_siga"), col("_sigb")) >= threshold)
       .select("id_a", "id_b")
-    connectedComponents(verified)
+    val comps = connectedComponents(verified)
+    org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(sigs)
+    comps
   }
 
   /** LSH candidate pairs: bucket on (band, band_hash), id_a < id_b,
@@ -294,7 +309,10 @@ object Dedup {
     * boilerplate/license chain runs. Each round is one join + one
     * partial aggregate keyed on node id; the convergence probe at each
     * checkpoint reads two materialized label tables and early-exits on
-    * the first changed row. Superseded checkpoints are unpersisted as
+    * each checkpoint. Labels only ever DECREASE, so the probe needs no
+    * join: the exact DECIMAL sum of labels strictly decreases iff any
+    * node changed — one shuffle-free scalar aggregate per segment over
+    * materialized data. Superseded checkpoints are unpersisted as
     * the loop advances; the RETURNED labels stay checkpointed for reuse
     * — call [[releaseComponents]] once the result is consumed.
     * Deliberately NOT pointer-jumped: the jump is a self-join of
@@ -313,7 +331,12 @@ object Dedup {
       .union(nodes.select(col("id").as("src"), col("id").as("dst")))
       .repartition(col("dst"))
       .localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("component").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
     var labels = nodes.withColumn("component", col("id")).localCheckpoint()
+    var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxIterations) {
@@ -327,12 +350,11 @@ object Dedup {
       }
       rounds += segment
       val materialized = next.localCheckpoint()
-      // labels are anti-monotone: a round changed something iff some
-      // node's new label is strictly smaller than its old one
-      converged = materialized.alias("n")
-        .join(labels.alias("p"), col("n.id") === col("p.id"))
-        .where(col("n.component") < col("p.component"))
-        .isEmpty
+      // anti-monotone labels: the exact decimal sum strictly decreases
+      // iff any node's label changed — a shuffle-free scalar probe
+      val curSum = labelSum(materialized)
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       // NB: Dataset.unpersist only clears CacheManager entries; a local
       // checkpoint persists at the RDD level, released via the bridge
       org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(labels)
