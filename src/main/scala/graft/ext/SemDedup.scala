@@ -50,16 +50,16 @@ object SemDedup {
   /** Nearest-centroid id by quantized cosine (ties → lowest centroid id),
     * computed map-side: the whole codebook rides as ONE broadcast
     * reference object inside the fused
-    * [[graft.functions.CentroidCosineQuantizedScores]] kernel (scores
-    * bit-identical to the per-centroid-literal composition — pinned in
-    * VectorExpressionsSpec — but the plan stays a single node at any k),
-    * argmax is an array reduction over the returned score array.
+    * [[graft.functions.NearestCentroidCosQ]] kernel — argmax runs in
+    * the same loop as the scores, so no per-row score array
+    * materializes (at k = 10⁴ the array form allocates ~80 KB per row)
+    * and the plan stays a single node at any k. Assignment is pinned
+    * bit-identical to the composed `array_position(array_max)` form in
+    * VectorExpressionsSpec.
     */
-  def assignCluster(vec: Column, centroids: Array[(Int, Array[Float])]): Column = {
-    val scores = graft.functions.VectorFunctions.centroid_cosq_scores(
+  def assignCluster(vec: Column, centroids: Array[(Int, Array[Float])]): Column =
+    graft.functions.VectorFunctions.nearest_centroid_cosq(
       vec, centroids.map(_._2))
-    (array_position(scores, array_max(scores)) - 1).cast("long")
-  }
 
   /** Corpus + `cluster` + `is_dup`: `is_dup` marks members with a
     * lower-id same-cluster neighbor at quantized cosine ≥ `tau`.

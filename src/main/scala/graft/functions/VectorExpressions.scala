@@ -468,6 +468,127 @@ case class CentroidCosineQuantizedScores(child: Expression,
     copy(child = newChild)
 }
 
+/** Nearest-centroid id by quantized cosine, argmax fused INTO the
+  * codebook loop — no per-row score array materializes (at k = 10⁴ the
+  * composed `array_position(scores, array_max(scores))` allocates an
+  * 80 KB temporary per row; here the running best lives in two
+  * registers). Selection reproduces Spark's array ordering exactly:
+  * NaN sorts greatest, ±0.0 compare equal (zeros are canonicalized
+  * before `Double.compare`), ties keep the FIRST (lowest) centroid id —
+  * pinned bit-identical to the composed form in VectorExpressionsSpec.
+  */
+case class NearestCentroidCosQ(child: Expression, codebook: Array[Array[Float]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with Serializable {
+
+  require(codebook.nonEmpty, s"$prettyName requires a non-empty codebook")
+
+  override def prettyName: String = "nearest_centroid_cosq"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>, got ${other.sql}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val qv = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val s = a.getFloat(i).toDouble * 1048576.0d
+      qv(i) = if (s >= 0) math.floor(s + 0.5d) else math.ceil(s - 0.5d)
+      i += 1
+    }
+    var best = 0L
+    var bestScore = Double.NegativeInfinity
+    var first = true
+    var j = 0
+    while (j < codebook.length) {
+      val c = codebook(j)
+      val m = math.min(n, c.length)
+      var dot = 0.0d
+      var na = 0.0d
+      var nb = 0.0d
+      var d = 0
+      while (d < m) {
+        val sy = c(d).toDouble * 1048576.0d
+        val y = if (sy >= 0) math.floor(sy + 0.5d) else math.ceil(sy - 0.5d)
+        val x = qv(d)
+        dot += x * y; na += x * x; nb += y * y
+        d += 1
+      }
+      var score = dot / (math.sqrt(na) * math.sqrt(nb))
+      if (score == 0.0d) score = 0.0d // canonicalize -0.0 (Spark: ±0 equal)
+      if (first || java.lang.Double.compare(score, bestScore) > 0) {
+        best = j.toLong; bestScore = score; first = false
+      }
+      j += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebook", codebook, "float[][]")
+    nullSafeCodeGen(ctx, ev, input => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val m = ctx.freshName("m")
+      val s = ctx.freshName("s")
+      val sy = ctx.freshName("sy")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val qv = ctx.freshName("qv")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val c = ctx.freshName("c")
+      val score = ctx.freshName("score")
+      val best = ctx.freshName("best")
+      val bestScore = ctx.freshName("bestScore")
+      val firstFlag = ctx.freshName("first")
+      s"""
+         |int $n = $input.numElements();
+         |double[] $qv = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $s = ((double) $input.getFloat($i)) * 1048576.0;
+         |  $qv[$i] = $s >= 0 ? java.lang.Math.floor($s + 0.5) : java.lang.Math.ceil($s - 0.5);
+         |}
+         |long $best = 0L;
+         |double $bestScore = Double.NEGATIVE_INFINITY;
+         |boolean $firstFlag = true;
+         |for (int $j = 0; $j < ${codebook.length}; $j++) {
+         |  float[] $c = $cbRef[$j];
+         |  int $m = java.lang.Math.min($n, $c.length);
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $d = 0; $d < $m; $d++) {
+         |    double $sy = ((double) $c[$d]) * 1048576.0;
+         |    double $y = $sy >= 0 ? java.lang.Math.floor($sy + 0.5) : java.lang.Math.ceil($sy - 0.5);
+         |    double $x = $qv[$d];
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  double $score = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  if ($score == 0.0) $score = 0.0;
+         |  if ($firstFlag || java.lang.Double.compare($score, $bestScore) > 0) {
+         |    $best = (long) $j; $bestScore = $score; $firstFlag = false;
+         |  }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level API + SQL registration. */
 object VectorFunctions {
 
@@ -493,6 +614,10 @@ object VectorFunctions {
 
   def centroid_cosq_scores(vec: Column, codebook: Array[Array[Float]]): Column =
     GraftColumnBridge.column(CentroidCosineQuantizedScores(
+      GraftColumnBridge.expression(vec), codebook))
+
+  def nearest_centroid_cosq(vec: Column, codebook: Array[Array[Float]]): Column =
+    GraftColumnBridge.column(NearestCentroidCosQ(
       GraftColumnBridge.expression(vec), codebook))
 
   /** Make the functions available to `spark.sql` text queries. */

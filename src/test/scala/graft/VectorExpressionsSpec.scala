@@ -94,6 +94,44 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("fused nearest-centroid argmax matches the array_position(array_max) form") {
+    val spark0 = spark
+    import spark0.implicits._
+    val e = Tables(spark, sf0001, "embeddings")
+    val codebook = e.orderBy("vec_id").limit(9).collect()
+      .map(_.getSeq[Float](1).toArray)
+    val composed = {
+      val scores = VectorFunctions.centroid_cosq_scores(col("embedding"), codebook)
+      (array_position(scores, array_max(scores)) - 1).cast("long")
+    }
+    val rows = e.select(
+        VectorFunctions.nearest_centroid_cosq(col("embedding"), codebook).as("fused"),
+        composed.as("composed"))
+      .collect()
+    assert(rows.length == 500)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"fused ${r.getLong(0)} != composed ${r.getLong(1)}"))
+    // NaN edge: a zero-norm vector scores NaN against every centroid;
+    // Spark sorts NaN greatest, so the FIRST centroid wins in both forms
+    val dim = codebook.head.length
+    val zero = Seq(Tuple1(Seq.fill(dim)(0.0f))).toDF("embedding")
+    val z = zero.select(
+      VectorFunctions.nearest_centroid_cosq(col("embedding"), codebook).as("fused"),
+      composed.as("composed")).head()
+    assert(z.getLong(0) == z.getLong(1))
+    // tie edge: duplicated centroid -> lowest id wins in both forms
+    val dupBook = Array(codebook(3), codebook(3), codebook(0))
+    val composedDup = {
+      val scores = VectorFunctions.centroid_cosq_scores(col("embedding"), dupBook)
+      (array_position(scores, array_max(scores)) - 1).cast("long")
+    }
+    val t = e.select(
+        VectorFunctions.nearest_centroid_cosq(col("embedding"), dupBook).as("fused"),
+        composedDup.as("composed"))
+      .collect()
+    t.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("codebook score kernels stay flat at k in the thousands") {
     // the literal composition chokes Catalyst analysis at large k; the
     // kernel must plan and run with a 2000-centroid codebook untouched
