@@ -379,6 +379,52 @@ object Dedup {
   def releaseComponents(labels: DataFrame): Unit =
     org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(labels)
 
+  /** The THROUGHPUT twin of [[nearDupComponentsPortable]]: the same
+    * Lee-et-al NearDup composition (LSH candidates → estimated-Jaccard
+    * verify ≥ `threshold` → [[connectedComponents]]) on the fused
+    * xxhash64 kernel path — the variant a 100 TB run uses. Spark-native
+    * hashes are not replayable in another engine, so this path is
+    * spec-pinned (planted copies must cluster to the base id; see
+    * DedupSpec) while the portable variant is the oracle-audited twin.
+    * Documents with no shingles carry no signature and are excluded
+    * (same policy as the portable path — a degenerate shared signature
+    * must not cross-pair every empty document).
+    */
+  def nearDupComponents(df: DataFrame, idCol: Column, textCol: Column,
+                        threshold: Double = 0.5, numHashes: Int = 32,
+                        bands: Int = 8, shingleK: Int = 5, wordGrams: Int = 0,
+                        maxBucket: Int = 1024): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val hashed =
+      if (wordGrams > 0)
+        df.select(idCol.as("id"), TextAnalysis.tokens(textCol).as("_t"))
+          .select(col("id"), transform(
+            TextAnalysis.wordNgramsOver(col("_t"), wordGrams),
+            s => xxhash64(s)).as("_sh"))
+      else
+        df.select(idCol.as("id"),
+          shingleHashes(textCol, shingleK, wordGrams).as("_sh"))
+    val sigs = hashed
+      .filter(size(col("_sh")) > 0)
+      .select(col("id"), signatureOverHashes(col("_sh"), numHashes).as("sig"))
+      .localCheckpoint()
+    val banded = sigs
+      .select(col("id"), posexplode(array((0 until bands).map { b =>
+        xxhash64(slice(col("sig"), b * r + 1, r))
+      }: _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+    val cands = candidatesFromBuckets(banded, Seq("band", "band_hash"), "id", maxBucket)
+    val verified = cands
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("_siga")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("_sigb")), Seq("id_b"))
+      .filter(signatureSimilarity(col("_siga"), col("_sigb")) >= threshold)
+      .select("id_a", "id_b")
+    val comps = connectedComponents(verified)
+    org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(sigs)
+    comps
+  }
+
   /** Estimated Jaccard from signature agreement, for candidate scoring. */
   def signatureSimilarity(sigA: Column, sigB: Column): Column =
     size(filter(zip_with(sigA, sigB, (x, y) => (x === y).cast("int")),

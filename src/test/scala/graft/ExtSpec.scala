@@ -109,6 +109,43 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("neardup pipeline: fast and portable twins cluster planted copies identically") {
+    val spark0 = spark
+    import spark0.implicits._
+    val base = Tables(spark, sf0001, "documents").select("doc_id", "text")
+      .filter(col("doc_id") < 8)
+    val corpus = (0 until 3).map(k =>
+        base.select((col("doc_id") + k * 100000L).as("doc_id"), col("text")))
+      .reduce(_ union _)
+    val expectPlanted = (0L until 8L).flatMap(i =>
+      Seq(i, i + 100000L, i + 200000L).map(_ -> i)).toMap
+    for (comps <- Seq(
+        Dedup.nearDupComponents(corpus, col("doc_id"), col("text"), wordGrams = 3),
+        Dedup.nearDupComponentsPortable(corpus, col("doc_id"), col("text")))) {
+      val got = comps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // every planted triple collapses to its base id; natural near-dups
+      // may add more members but never split a planted cluster
+      expectPlanted.foreach { case (id, comp) =>
+        assert(got.get(id).exists(_ <= comp),
+          s"doc $id not clustered (got ${got.get(id)}, want component <= $comp)")
+        assert(got(id) == got(comp), s"doc $id split from its base $comp")
+      }
+      Dedup.releaseComponents(comps)
+    }
+  }
+
+  test("neardup pipeline: no candidates yields an empty component table") {
+    val spark0 = spark
+    import spark0.implicits._
+    val distinctDocs = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "one two three four five six seven eight nine",
+      3L -> "completely different words about storage engines again").toDF("doc_id", "text")
+    val comps = Dedup.nearDupComponents(distinctDocs, col("doc_id"), col("text"),
+      wordGrams = 3)
+    assert(comps.count() == 0L)
+  }
+
   test("signature similarity ranks near-dups above unrelated") {
     val d = docs(1L -> base, 2L -> base.replace("lazy", "sleepy"),
       3L -> "completely different content on another topic entirely with other words")
