@@ -224,9 +224,10 @@ object BpeLearn {
     * exactly the BPE apply algorithm) and report per-document token and
     * word counts. One pass, no joins: the merge table folds into the
     * projection as nested expressions, so a 100 TB tokenization is a
-    * single scan. For vocabularies of thousands of merges, apply in
-    * chunks of a few hundred folds with a checkpoint between chunks
-    * (same lineage discipline as [[learnMerges]]).
+    * single scan. For vocabularies of thousands of merges use
+    * [[tokenCountsChunked]] — one nested expression per merge is fine
+    * at gate sizes but Catalyst analysis cost grows with the fold
+    * depth.
     */
   def tokenCounts(docs: DataFrame, idCol: Column, textCol: Column,
                   merges: Seq[(String, String)]): DataFrame = {
@@ -242,4 +243,47 @@ object BpeLearn {
       .groupBy("doc_id")
       .agg(sum(col("_n")).as("n_tokens"), count(lit(1)).as("n_words"))
   }
+
+  /** [[tokenCounts]] for REAL vocabulary sizes: the merge table applies
+    * in chunks of `chunk` greedy folds with a `localCheckpoint` between
+    * chunks — each chunk is one projection over materialized state, so
+    * the Catalyst plan (and its analysis cost) stays bounded by `chunk`
+    * no matter how many thousand merges the vocabulary carries, exactly
+    * the lineage discipline of [[learnMerges]]. Output-identical to
+    * [[tokenCounts]] (fold order is preserved; chunking only cuts
+    * where the plan materializes — spec-pinned in BpeLearnSpec).
+    */
+  def tokenCountsChunked(docs: DataFrame, idCol: Column, textCol: Column,
+                         merges: Seq[(String, String)],
+                         chunk: Int = 128): DataFrame = {
+    require(chunk >= 1, "chunk must be >= 1")
+    var words = docs
+      .select(idCol.as("doc_id"), explode(TextAnalysis.tokens(textCol)).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"),
+        concat_ws(" ", array_remove(split(col("w"), ""), "")).as("tok"))
+    val checkpoints = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    merges.grouped(chunk).foreach { group =>
+      val folded = group.foldLeft(col("tok")) {
+        case (c, (a, b)) => applyMerge(c, a, b)
+      }
+      words = words.select(col("doc_id"), folded.as("tok")).localCheckpoint()
+      checkpoints += words
+    }
+    val out = words
+      .select(col("doc_id"), size(split(col("tok"), " ")).cast("long").as("_n"))
+      .groupBy("doc_id")
+      .agg(sum(col("_n")).as("n_tokens"), count(lit(1)).as("n_words"))
+      .localCheckpoint()
+    // every intermediate chunk is released; the RETURNED counts stay
+    // checkpointed for reuse — call [[release]] once consumed
+    checkpoints.foreach(org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint)
+    out
+  }
+
+  /** Release the checkpointed blocks behind a [[tokenCountsChunked]]
+    * result once it has been consumed.
+    */
+  def release(df: DataFrame): Unit =
+    org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(df)
 }

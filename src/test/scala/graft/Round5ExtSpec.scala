@@ -165,6 +165,23 @@ class BpeLearnSpec extends SparkSpec {
     }
   }
 
+  test("chunked apply is output-identical to the single-projection apply") {
+    val docs = Tables(spark, sf0001, "documents").limit(120)
+    val merges = BpeLearn.learnMerges(docs, col("text"), merges = 6)
+      .map { case (_, pair, _) =>
+        val Array(a, b) = pair.split(" ", 2); (a, b)
+      }
+    val whole = BpeLearn.tokenCounts(docs, col("doc_id"), col("text"), merges)
+      .orderBy("doc_id").collect().toSeq
+    for (chunk <- Seq(1, 2, 4)) {
+      val chunked = BpeLearn.tokenCountsChunked(docs, col("doc_id"), col("text"),
+        merges, chunk = chunk)
+      val got = chunked.orderBy("doc_id").collect().toSeq
+      BpeLearn.release(chunked)
+      assert(got == whole, s"chunk=$chunk diverged")
+    }
+  }
+
   test("batched learner matches sequential on real sf0.001 documents") {
     val docs = Tables(spark, sf0001, "documents").limit(200)
     val seqM = BpeLearn.learnMerges(docs, col("text"), merges = 12)
