@@ -60,6 +60,14 @@ object ExactSubstring {
             hashGrams: Boolean = true): DataFrame = {
     val g0 = grams(docs, idCol, textCol, w)
     val g = if (hashGrams) g0.withColumn("gram", xxhash64(col("gram"))) else g0
+    // the gram stream is derived twice (once for the >1-doc aggregate,
+    // once as the join probe) — a 2× constant factor on the map side,
+    // kept deliberately: the fused single-aggregation alternative
+    // (collect all (doc,start) occurrences per gram, filter, explode)
+    // does one shuffle but materializes EVERY occurrence of a
+    // duplicated gram in one row, and the grams this operator exists
+    // for (boilerplate/licenses) are exactly the ones with millions of
+    // occurrences at corpus scale
     val flagged = g.join(duplicatedGrams(g), Seq("gram"))
       .select(col("doc_id"), col("start"))
     val starts = flagged.groupBy("doc_id")
