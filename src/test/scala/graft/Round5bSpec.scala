@@ -310,6 +310,32 @@ class ExactSubstringSpec extends SparkSpec {
     assert(got(1) == ((2L, 4L, "b1 y1 y2 y3")))
   }
 
+  test("MaskedKeep kernel is differential-equal to the composed array_contains mask") {
+    val sps = spark; import sps.implicits._
+    // 60 seeded random (tokens, covered) workloads incl. empty masks,
+    // full masks, and out-of-range covered positions
+    val rnd = new scala.util.Random(20260813L)
+    val rows = (0 until 60).map { i =>
+      val n = rnd.nextInt(40)
+      val toks = Seq.fill(n)(s"t${rnd.nextInt(9)}")
+      val covered = (0 until rnd.nextInt(n + 8))
+        .map(_ => rnd.nextInt(n + 4)).distinct.sorted
+      (i.toLong, toks, covered)
+    }
+    val df = rows.toDF("id", "toks", "covered")
+    val got = df.select(col("id"),
+        graft.functions.SketchFunctions.masked_keep(
+          col("toks"), col("covered")).as("kernel"),
+        filter(col("toks"),
+          (t, idx) => !array_contains(col("covered"), idx)).as("composed"))
+      .collect()
+    assert(got.length == 60)
+    got.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"row ${r.getLong(0)}: kernel ${r.getSeq[String](1)} != composed ${r.getSeq[String](2)}")
+    }
+  }
+
   test("hashed gram keys produce the identical scrub on real data") {
     val docs = Tables(spark, sf0001, "documents")
     val a = ext.ExactSubstring.scrub(docs, col("doc_id"), col("text"),

@@ -184,13 +184,22 @@ class VectorExpressionsSpec extends SparkSpec {
 
   test("interpreted path (codegen disabled) matches codegen path") {
     val e = Tables(spark, sf0001, "embeddings").limit(10)
-    val expr = VectorFunctions.vector_cosine(col("embedding"), reverse(col("embedding")))
-    val withCodegen = e.select(expr).collect().map(_.getDouble(0)).toSeq
+    val codebook = e.orderBy("vec_id").limit(5).collect()
+      .map(_.getSeq[Float](1).toArray)
+    val projections = Seq(
+      VectorFunctions.vector_cosine(col("embedding"), reverse(col("embedding"))),
+      VectorFunctions.centroid_l2_scores(col("embedding"), codebook).cast("string"),
+      VectorFunctions.centroid_cosq_scores(col("embedding"), codebook).cast("string"),
+      VectorFunctions.nearest_centroid_cosq(col("embedding"), codebook).cast("string"),
+      graft.functions.SketchFunctions.masked_keep(
+        split(lit("a b c d e"), " "), array(lit(1), lit(3))).cast("string"))
+    def run() = e.select(projections: _*).collect()
+      .map(r => (0 until projections.size).map(r.get(_).toString)).toSeq
+    val withCodegen = run()
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     try {
-      val interpreted = e.select(expr).collect().map(_.getDouble(0)).toSeq
-      assert(withCodegen == interpreted)
+      assert(withCodegen == run())
     } finally {
       spark.conf.set("spark.sql.codegen.wholeStage", "true")
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
