@@ -35,4 +35,28 @@ class GlobalPlanGuardSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"accidental non-equi joins in: ${offenders.mkString(", ")}")
   }
+
+  test("detached component pipelines keep equi-join candidate plans") {
+    // the x21/x47 gates detach their results into a LocalRelation (the
+    // work runs eagerly inside connectedComponents), so the sweep above
+    // no longer sees their pipeline plans — guard the LAZY candidate
+    // building blocks directly: bucket-local pair generation (incl. the
+    // over-cap keyed-join fallback) must never plan a cartesian
+    import org.apache.spark.sql.functions.col
+    val d = Tables(spark, sf0001, "documents").limit(60)
+      .select(col("doc_id"), col("text"))
+    val plans = Seq(
+      graft.ext.Dedup.minhashCandidates(d, col("doc_id"), col("text"),
+        bands = 4, wordGrams = 3, maxBucket = 2),
+      graft.ext.Dedup.minhashCandidatesPortable(d, col("doc_id"), col("text"),
+        maxBucket = 2),
+      graft.ext.Dedup.simhashCandidates(d, col("doc_id"), col("text"),
+        maxBucket = 2))
+      .map(_.queryExecution.executedPlan.toString)
+    plans.zip(Seq("minhash", "portable", "simhash")).foreach { case (p, n) =>
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$n candidate generation plans a non-equi join")
+    }
+  }
 }
