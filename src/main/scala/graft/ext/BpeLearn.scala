@@ -229,19 +229,30 @@ object BpeLearn {
     * at gate sizes but Catalyst analysis cost grows with the fold
     * depth.
     */
-  def tokenCounts(docs: DataFrame, idCol: Column, textCol: Column,
-                  merges: Seq[(String, String)]): DataFrame = {
-    val words = docs
+  /** Per-(doc, word) char-split rows — the shared preparation stage of
+    * both apply forms (their output-identity contract depends on it
+    * being ONE definition).
+    */
+  private def wordRows(docs: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    docs
       .select(idCol.as("doc_id"), explode(TextAnalysis.tokens(textCol)).as("w"))
       .filter(length(col("w")) > 0)
       .select(col("doc_id"),
         concat_ws(" ", array_remove(split(col("w"), ""), "")).as("tok"))
+
+  private def countTokens(words: DataFrame): DataFrame =
+    words.select(col("doc_id"),
+        size(split(col("tok"), " ")).cast("long").as("_n"))
+      .groupBy("doc_id")
+      .agg(sum(col("_n")).as("n_tokens"), count(lit(1)).as("n_words"))
+
+  def tokenCounts(docs: DataFrame, idCol: Column, textCol: Column,
+                  merges: Seq[(String, String)]): DataFrame = {
+    val words = wordRows(docs, idCol, textCol)
     val folded = merges.foldLeft(col("tok")) {
       case (c, (a, b)) => applyMerge(c, a, b)
     }
-    words.select(col("doc_id"), size(split(folded, " ")).cast("long").as("_n"))
-      .groupBy("doc_id")
-      .agg(sum(col("_n")).as("n_tokens"), count(lit(1)).as("n_words"))
+    countTokens(words.select(col("doc_id"), folded.as("tok")))
   }
 
   /** [[tokenCounts]] for REAL vocabulary sizes: the merge table applies
@@ -257,11 +268,7 @@ object BpeLearn {
                          merges: Seq[(String, String)],
                          chunk: Int = 128): DataFrame = {
     require(chunk >= 1, "chunk must be >= 1")
-    var words = docs
-      .select(idCol.as("doc_id"), explode(TextAnalysis.tokens(textCol)).as("w"))
-      .filter(length(col("w")) > 0)
-      .select(col("doc_id"),
-        concat_ws(" ", array_remove(split(col("w"), ""), "")).as("tok"))
+    var words = wordRows(docs, idCol, textCol)
     val checkpoints = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     merges.grouped(chunk).foreach { group =>
       val folded = group.foldLeft(col("tok")) {
@@ -270,11 +277,7 @@ object BpeLearn {
       words = words.select(col("doc_id"), folded.as("tok")).localCheckpoint()
       checkpoints += words
     }
-    val out = words
-      .select(col("doc_id"), size(split(col("tok"), " ")).cast("long").as("_n"))
-      .groupBy("doc_id")
-      .agg(sum(col("_n")).as("n_tokens"), count(lit(1)).as("n_words"))
-      .localCheckpoint()
+    val out = countTokens(words).localCheckpoint()
     // every intermediate chunk is released; the RETURNED counts stay
     // checkpointed for reuse — call [[release]] once consumed
     checkpoints.foreach(org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint)

@@ -63,6 +63,13 @@ object Curation {
     * Candidate pairs are xxhash64-based, so this variant is spec-pinned
     * (planted copies must vanish; output ⊆ the exact-dedup `curate`)
     * rather than DuckDB-oracled — `curate` is its oracle-checked twin.
+    *
+    * NOT a single lazy plan: the component stage iterates to fixpoint,
+    * so calling this runs Spark jobs and the returned plan embeds the
+    * materialized label table. Once the result has been consumed
+    * (written / collected), call [[releaseNearDedup]] to free the
+    * embedded checkpoint blocks; the plan must not be re-executed after
+    * release.
     */
   def curateNearDedup(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", minQuality: Double = 0.5,
@@ -81,4 +88,10 @@ object Curation {
       .select(col("f.doc_id"), col("f.text"), col("f.quality"), col("f.predicted"))
       .withColumn("is_test", Sampling.isTest(col("doc_id"), testPercent))
   }
+
+  /** Release the component-label checkpoint embedded in a consumed
+    * [[curateNearDedup]] plan.
+    */
+  def releaseNearDedup(result: DataFrame): Unit =
+    org.apache.spark.sql.GraftColumnBridge.unpersistEmbeddedCheckpoints(result)
 }

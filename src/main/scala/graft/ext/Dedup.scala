@@ -83,35 +83,49 @@ object Dedup {
     graft.functions.SketchFunctions.minhash_from_hashes(hashes, numHashes, as, bs)
   }
 
+  /** Staged `(id, _sh)` shingle-hash rows shared by the xxhash64
+    * signature paths: tokens → shingles/word-grams → one xxhash64 per
+    * shingle. Staged projections so each expensive array is computed
+    * once per row (an expression subtree referenced inside a
+    * higher-order lambda re-evaluates per element, so every stage must
+    * hand the next one a plain attribute).
+    */
+  private def xxhashShingleRows(df: DataFrame, idCol: Column, textCol: Column,
+                                shingleK: Int, wordGrams: Int): DataFrame =
+    if (wordGrams > 0)
+      df.select(idCol.as("id"), TextAnalysis.tokens(textCol).as("_t"))
+        .select(col("id"), transform(
+          TextAnalysis.wordNgramsOver(col("_t"), wordGrams),
+          s => xxhash64(s)).as("_sh"))
+    else
+      df.select(idCol.as("id"),
+        shingleHashes(textCol, shingleK, wordGrams).as("_sh"))
+
+  /** Banded rows `(id, band, band_hash)` from an `(id, sig)` table —
+    * xxhash64 over each band's signature slice. The single definition
+    * both the banding API and the NearDup pipeline use.
+    */
+  private def xxhashBandsOverSigs(sigs: DataFrame, numHashes: Int,
+                                  bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    sigs.select(col("id"), posexplode(array((0 until bands).map { b =>
+        xxhash64(slice(col("sig"), b * r + 1, r))
+      }: _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+  }
+
   /** Banded signature rows: (id, band, band_hash) — `bands` rows per
     * document; equal band_hash within a band ⇒ candidate pair. One
     * explode, no join yet.
     */
   def minhashBands(df: DataFrame, idCol: Column, textCol: Column,
                    numHashes: Int = 32, bands: Int = 8, shingleK: Int = 5,
-                   wordGrams: Int = 0): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    // staged projections so each expensive array is computed once per row:
-    // tokens -> shingle hashes -> signature -> band hashes. (An expression
-    // subtree referenced inside a higher-order lambda re-evaluates per
-    // element, so every stage must hand the next one a plain attribute.)
-    val hashed =
-      if (wordGrams > 0)
-        df.select(idCol.as("id"), TextAnalysis.tokens(textCol).as("_t"))
-          .select(col("id"), transform(
-            TextAnalysis.wordNgramsOver(col("_t"), wordGrams),
-            s => xxhash64(s)).as("_sh"))
-      else
-        df.select(idCol.as("id"),
-          shingleHashes(textCol, shingleK, wordGrams).as("_sh"))
-    hashed
-      .select(col("id"), signatureOverHashes(col("_sh"), numHashes).as("sig"))
-      .select(col("id"), posexplode(array((0 until bands).map { b =>
-        xxhash64(slice(col("sig"), b * r + 1, r))
-      }: _*)))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
-  }
+                   wordGrams: Int = 0): DataFrame =
+    xxhashBandsOverSigs(
+      xxhashShingleRows(df, idCol, textCol, shingleK, wordGrams)
+        .select(col("id"), signatureOverHashes(col("_sh"), numHashes).as("sig")),
+      numHashes, bands)
 
   /** All ordered element pairs (a < b in array position) of a sorted
     * array, as `struct(a, b)` — the bucket-local pair combination,
@@ -201,19 +215,29 @@ object Dedup {
       }: _*).as("sig"))
   }
 
-  def minhashBandsPortable(df: DataFrame, idCol: Column, textCol: Column,
-                           wordGrams: Int = 3, numHashes: Int = 16,
-                           bands: Int = 4): DataFrame = {
+  /** Banded rows from an `(id, sig)` table in the PORTABLE band-hash
+    * arithmetic ((acc·K + m) mod 2³¹ chain) — the single definition the
+    * banding API, the NearDup pipeline, and therefore the DuckDB x47
+    * oracle all share: any change here must change the oracle SQL too.
+    */
+  private def portableBandsOverSigs(sigs: DataFrame, numHashes: Int,
+                                    bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    minhashSignaturePortable(df, idCol, textCol, wordGrams, numHashes)
-      .select(col("id"), posexplode(array((0 until bands).map { b =>
+    sigs.select(col("id"), posexplode(array((0 until bands).map { b =>
         (0 until r).foldLeft(lit(0L): Column) { (acc, i) =>
           (acc * lit(PortK) + element_at(col("sig"), b * r + i + 1)) % lit(PortM)
         }
       }: _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
   }
+
+  def minhashBandsPortable(df: DataFrame, idCol: Column, textCol: Column,
+                           wordGrams: Int = 3, numHashes: Int = 16,
+                           bands: Int = 4): DataFrame =
+    portableBandsOverSigs(
+      minhashSignaturePortable(df, idCol, textCol, wordGrams, numHashes),
+      numHashes, bands)
 
   /** LSH candidate pairs over the portable band rows — same bucket-local
     * shape as [[minhashCandidates]]. Documents with fewer than
@@ -246,26 +270,15 @@ object Dedup {
     * → [[signatureSimilarity]] → [[connectedComponents]]) is the
     * throughput twin with identical shape.
     */
-  def nearDupComponentsPortable(df: DataFrame, idCol: Column, textCol: Column,
-                                threshold: Double = 0.5, wordGrams: Int = 3,
-                                numHashes: Int = 16, bands: Int = 4,
-                                maxBucket: Int = 1024): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    // the md5 signature is the expensive stage — materialize it ONCE
-    // and feed both the banding and the verification joins from it
-    // (released below once the components' edge list has captured it)
-    val sigs = minhashSignaturePortable(df, idCol, textCol, wordGrams, numHashes)
-      .localCheckpoint()
-    val banded = sigs
-      .select(col("id"), posexplode(array((0 until bands).map { b =>
-        (0 until r).foldLeft(lit(0L): Column) { (acc, i) =>
-          (acc * lit(PortK) + element_at(col("sig"), b * r + i + 1)) % lit(PortM)
-        }
-      }: _*)))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
-      .filter(col("band_hash").isNotNull)
-    val cands = candidatesFromBuckets(banded, Seq("band", "band_hash"), "id", maxBucket)
+  /** Shared tail of both NearDup twins: estimated-Jaccard verification
+    * of the candidate pairs against a MATERIALIZED `(id, sig)` table
+    * (the expensive signature stage is computed once, feeding both
+    * banding and verification), then [[connectedComponents]]; the
+    * signature checkpoint is released once the components' edge list
+    * has captured it.
+    */
+  private def verifyAndCluster(sigs: DataFrame, cands: DataFrame,
+                               threshold: Double): DataFrame = {
     val verified = cands
       .join(sigs.select(col("id").as("id_a"), col("sig").as("_siga")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("sig").as("_sigb")), Seq("id_b"))
@@ -274,6 +287,19 @@ object Dedup {
     val comps = connectedComponents(verified)
     org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(sigs)
     comps
+  }
+
+  def nearDupComponentsPortable(df: DataFrame, idCol: Column, textCol: Column,
+                                threshold: Double = 0.5, wordGrams: Int = 3,
+                                numHashes: Int = 16, bands: Int = 4,
+                                maxBucket: Int = 1024): DataFrame = {
+    val sigs = minhashSignaturePortable(df, idCol, textCol, wordGrams, numHashes)
+      .localCheckpoint()
+    val banded = portableBandsOverSigs(sigs, numHashes, bands)
+      .filter(col("band_hash").isNotNull)
+    verifyAndCluster(sigs,
+      candidatesFromBuckets(banded, Seq("band", "band_hash"), "id", maxBucket),
+      threshold)
   }
 
   /** LSH candidate pairs: bucket on (band, band_hash), id_a < id_b,
@@ -295,11 +321,15 @@ object Dedup {
     * Min-label propagation with self-loops, iterated TO FIXPOINT: each
     * round every node takes the minimum label over its closed
     * neighborhood, so a component's minimum id travels one hop per
-    * round; the loop stops when a round changes no label (labels only
-    * ever decrease, so "changed" is one anti-monotone join check), and
-    * THROWS if `maxIterations` rounds don't reach the fixpoint — a
-    * component with diameter beyond the budget must fail loudly, never
-    * silently keep two labels.
+    * round; the loop stops when a full `checkpointEvery`-round segment
+    * changes no label (labels only ever decrease, so "unchanged over a
+    * segment" implies the fixpoint was already reached at its start),
+    * and THROWS if no unchanged segment is observed within
+    * `maxIterations` rounds — a component with diameter beyond the
+    * budget must fail loudly, never silently keep two labels. Since
+    * detection needs one trailing unchanged segment, size the budget to
+    * exceed the largest expected diameter by at least `checkpointEvery`
+    * rounds (the defaults leave ~195 effective rounds).
     *
     * Scale shape: the edge list is `localCheckpoint`ed once up front
     * (the upstream candidate pipeline — LSH banding, bucket joins —
@@ -307,18 +337,18 @@ object Dedup {
     * checkpointed every `checkpointEvery` rounds so both the Catalyst
     * plan depth and the RDD lineage stay bounded no matter how deep a
     * boilerplate/license chain runs. Each round is one join + one
-    * partial aggregate keyed on node id; the convergence probe at each
-    * checkpoint reads two materialized label tables and early-exits on
-    * each checkpoint. Labels only ever DECREASE, so the probe needs no
-    * join: the exact DECIMAL sum of labels strictly decreases iff any
-    * node changed — one shuffle-free scalar aggregate per segment over
-    * materialized data. Superseded checkpoints are unpersisted as
-    * the loop advances; the RETURNED labels stay checkpointed for reuse
-    * — call [[releaseComponents]] once the result is consumed.
-    * Deliberately NOT pointer-jumped: the jump is a self-join of
-    * the evolving label table whose unresolved plan doubles per round —
-    * with checkpointed linear rounds the plan stays flat and near-dup
-    * graphs converge in diameter rounds anyway.
+    * partial aggregate keyed on node id. The convergence probe per
+    * segment: for integral/decimal ids the exact DECIMAL label sum
+    * strictly decreases iff any node changed (one shuffle-free scalar
+    * aggregate over materialized data); for any other id type the probe
+    * is an id-keyed join of the two materialized label tables that
+    * early-exits on the first decreased label. Superseded checkpoints
+    * are unpersisted as the loop advances; the RETURNED labels stay
+    * checkpointed for reuse — call [[releaseComponents]] once the
+    * result is consumed. Deliberately NOT pointer-jumped: the jump is a
+    * self-join of the evolving label table whose unresolved plan
+    * doubles per round — with checkpointed linear rounds the plan stays
+    * flat and near-dup graphs converge in diameter rounds anyway.
     */
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 200,
                           checkpointEvery: Int = 5): DataFrame = {
@@ -331,12 +361,21 @@ object Dedup {
       .union(nodes.select(col("id").as("src"), col("id").as("dst")))
       .repartition(col("dst"))
       .localCheckpoint()
+    // the sum probe is only sound where the decimal cast is exact; any
+    // other id type (string, binary, float…) falls back to a join probe
+    val sumProbe = {
+      import org.apache.spark.sql.types._
+      edges.schema("src").dataType match {
+        case ByteType | ShortType | IntegerType | LongType | _: DecimalType => true
+        case _ => false
+      }
+    }
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val r = df.agg(sum(col("component").cast("decimal(38,0)"))).head()
       if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
     }
     var labels = nodes.withColumn("component", col("id")).localCheckpoint()
-    var prevSum = labelSum(labels)
+    var prevSum = if (sumProbe) labelSum(labels) else null
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxIterations) {
@@ -350,11 +389,18 @@ object Dedup {
       }
       rounds += segment
       val materialized = next.localCheckpoint()
-      // anti-monotone labels: the exact decimal sum strictly decreases
-      // iff any node's label changed — a shuffle-free scalar probe
-      val curSum = labelSum(materialized)
-      converged = curSum.compareTo(prevSum) == 0
-      prevSum = curSum
+      // anti-monotone labels: either the exact decimal sum strictly
+      // decreased, or (fallback) some node's label is strictly smaller
+      if (sumProbe) {
+        val curSum = labelSum(materialized)
+        converged = curSum.compareTo(prevSum) == 0
+        prevSum = curSum
+      } else {
+        converged = materialized.alias("n")
+          .join(labels.alias("p"), col("n.id") === col("p.id"))
+          .where(col("n.component") < col("p.component"))
+          .isEmpty
+      }
       // NB: Dataset.unpersist only clears CacheManager entries; a local
       // checkpoint persists at the RDD level, released via the bridge
       org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(labels)
@@ -364,9 +410,11 @@ object Dedup {
       org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(labels)
       org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(edges)
       throw new IllegalStateException(
-        s"connectedComponents did not reach fixpoint within $maxIterations " +
-          "rounds: a component's diameter exceeds the iteration budget " +
-          "(raise maxIterations)")
+        s"connectedComponents observed no fixpoint within $maxIterations " +
+          "rounds: the largest component diameter is within one probe " +
+          s"segment of (or exceeds) the budget — raise maxIterations so it " +
+          s"exceeds the expected diameter by at least checkpointEvery " +
+          s"($checkpointEvery) rounds")
     }
     org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(edges)
     labels
@@ -394,35 +442,14 @@ object Dedup {
                         threshold: Double = 0.5, numHashes: Int = 32,
                         bands: Int = 8, shingleK: Int = 5, wordGrams: Int = 0,
                         maxBucket: Int = 1024): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    val hashed =
-      if (wordGrams > 0)
-        df.select(idCol.as("id"), TextAnalysis.tokens(textCol).as("_t"))
-          .select(col("id"), transform(
-            TextAnalysis.wordNgramsOver(col("_t"), wordGrams),
-            s => xxhash64(s)).as("_sh"))
-      else
-        df.select(idCol.as("id"),
-          shingleHashes(textCol, shingleK, wordGrams).as("_sh"))
-    val sigs = hashed
+    val sigs = xxhashShingleRows(df, idCol, textCol, shingleK, wordGrams)
       .filter(size(col("_sh")) > 0)
       .select(col("id"), signatureOverHashes(col("_sh"), numHashes).as("sig"))
       .localCheckpoint()
-    val banded = sigs
-      .select(col("id"), posexplode(array((0 until bands).map { b =>
-        xxhash64(slice(col("sig"), b * r + 1, r))
-      }: _*)))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
-    val cands = candidatesFromBuckets(banded, Seq("band", "band_hash"), "id", maxBucket)
-    val verified = cands
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("_siga")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("_sigb")), Seq("id_b"))
-      .filter(signatureSimilarity(col("_siga"), col("_sigb")) >= threshold)
-      .select("id_a", "id_b")
-    val comps = connectedComponents(verified)
-    org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(sigs)
-    comps
+    verifyAndCluster(sigs,
+      candidatesFromBuckets(xxhashBandsOverSigs(sigs, numHashes, bands),
+        Seq("band", "band_hash"), "id", maxBucket),
+      threshold)
   }
 
   /** Estimated Jaccard from signature agreement, for candidate scoring. */

@@ -193,7 +193,7 @@ object OpsQueries {
     // ---- op #33: describe — box-drawing schema tree as a single row.
     "op_describe" -> ((s: SparkSession, dir: String) => {
       val repr = SchemaCodec.fromStructType(Tables(s, dir, "region").schema)
-      val tree = Describe("region", repr)
+      val tree = Describe("region", repr, echo = false)
       import s.implicits._
       Seq(tree).toDF("tree")
     }),

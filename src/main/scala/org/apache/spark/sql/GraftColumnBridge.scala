@@ -26,4 +26,18 @@ object GraftColumnBridge {
       case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Release EVERY checkpoint embedded anywhere in a DataFrame's plan —
+    * for operators that return a lazy plan built over internal
+    * `localCheckpoint`s (e.g. a curation plan joining a component label
+    * table): once the caller has consumed the result, this walks the
+    * analyzed plan and unpersists each `LogicalRDD`'s blocks. The plan
+    * must not be re-executed afterwards (checkpointed RDDs cannot
+    * recompute).
+    */
+  def unpersistEmbeddedCheckpoints(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

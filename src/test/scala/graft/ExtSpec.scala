@@ -93,6 +93,18 @@ class DedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("fixpoint"))
   }
 
+  test("connected components: string ids converge via the join-probe fallback") {
+    val spark0 = spark
+    import spark0.implicits._
+    // non-numeric ids cannot use the decimal-sum probe; the join probe
+    // must still detect the fixpoint across a multi-segment chain
+    val chain = (1 until 12).map(i => (f"doc-$i%03d", f"doc-${i + 1}%03d"))
+    val pairs = chain.toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, checkpointEvery = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == (1 to 12).map(i => f"doc-$i%03d" -> "doc-001").toMap)
+    }
+
   test("connected components: 15-hop chain converges to fixpoint past the old fixed budget") {
     val spark0 = spark
     import spark0.implicits._
@@ -477,8 +489,13 @@ class CurationSpec extends SparkSpec {
     assert(near.subsetOf(exact), s"near-dedup kept non-canonical ids: ${near -- exact}")
     assert(near.nonEmpty)
     // canonical choice is deterministic across reruns
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val again = graft.ext.Curation.curateNearDedup(corpus)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(near == again)
+    assert(again.select("doc_id").collect().map(_.getLong(0)).toSet == near)
+    // the consumed plan's embedded component checkpoint is releasable —
+    // no cached RDDs outlive the release
+    graft.ext.Curation.releaseNearDedup(again)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "curateNearDedup leaked checkpoint blocks after release")
   }
 }

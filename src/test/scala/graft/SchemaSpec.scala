@@ -189,7 +189,7 @@ class CodecSpec extends AnyFunSuite {
   }
 
   test("describe renders an aligned box tree") {
-    val out = Describe("t", sample)
+    val out = Describe("t", sample, echo = false)
     assert(out.contains("├─ id"))
     assert(out.contains("   ├─ k")) // children of the last field indent plain
     assert(out.contains("      └─ v")) // grandchild under deep
