@@ -311,15 +311,17 @@ object ExtQueries {
     }),
 
     // ---- dedup clustering: candidate pairs → connected components.
-    // Five exact copies of each doc_id<10 are planted at offsets
+    // THIRTEEN exact copies of each doc_id<10 are planted at offsets
     // k·100000; keeping only consecutive-copy candidate pairs yields
-    // 4-edge CHAINS, so the component min-label must propagate 4 hops —
-    // and every chain's component is provably the base doc_id.
+    // 12-edge CHAINS, so the component min-label must propagate 12 hops
+    // — deeper than any fixed-iteration budget the operator ever had
+    // (the fixpoint loop converges regardless of diameter) — and every
+    // chain's component is provably the base doc_id.
     "x21_dedup_components" -> ((s0: SparkSession, dir: String) => {
       val s = pinned(s0)
       val base = Tables(s, dir, "documents").select("doc_id", "text")
         .filter(col("doc_id") < 10)
-      val corpus = (0 until 5).map(k =>
+      val corpus = (0 until 13).map(k =>
           base.select((col("doc_id") + k * 100000L).as("doc_id"), col("text")))
         .reduce(_ union _)
       val chains = Dedup.minhashCandidates(corpus, col("doc_id"), col("text"),
@@ -1268,7 +1270,7 @@ object ExtQueries {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "x21_dedup_components" ->
       """SELECT doc_id + k * 100000 AS id, doc_id AS component
-        |FROM documents, range(5) t(k)
+        |FROM documents, range(13) t(k)
         |WHERE doc_id < 10 ORDER BY id""".stripMargin,
     "x20_curation_pipeline" ->
       """WITH t AS (
