@@ -93,6 +93,49 @@ class DedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("fixpoint"))
   }
 
+  test("connected components match a union-find oracle on random graphs") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    // three seeded regimes: sparse (forest-ish, long chains), clustered
+    // (few dense blobs), and a mix with isolated pairs
+    val cases = Seq(
+      (60, 40),  // 60 nodes, 40 random edges — mostly trees/chains
+      (30, 90),  // dense — few big components
+      (80, 25))  // sparse — many tiny components
+    for (((n, m), ci) <- cases.zipWithIndex) {
+      val edges = Seq.fill(m) {
+        val a = rnd.nextInt(n).toLong
+        var b = rnd.nextInt(n).toLong
+        while (b == a) b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.distinct
+      // driver-side union-find oracle
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val inGraph = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      val expected = inGraph.map(v => v -> {
+        // component = MIN member id; union-by-min keeps roots minimal
+        find(v.toInt).toLong
+      }).toMap
+      val comps = Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
+        checkpointEvery = 4)
+      val got = comps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Dedup.releaseComponents(comps)
+      assert(got == expected, s"case $ci diverged from union-find")
+    }
+  }
+
   test("connected components: string ids converge via the join-probe fallback") {
     val spark0 = spark
     import spark0.implicits._
