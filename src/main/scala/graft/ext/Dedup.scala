@@ -361,12 +361,16 @@ object Dedup {
       .union(nodes.select(col("id").as("src"), col("id").as("dst")))
       .repartition(col("dst"))
       .localCheckpoint()
-    // the sum probe is only sound where the decimal cast is exact; any
-    // other id type (string, binary, float…) falls back to a join probe
+    // the sum probe is only sound where the decimal(38,0) cast is EXACT
+    // — integral types and scale-0 decimals; a scaled decimal would
+    // round (two labels could collide after truncation and fake a
+    // fixpoint), and any other id type (string, binary, float…) falls
+    // back to the join probe
     val sumProbe = {
       import org.apache.spark.sql.types._
       edges.schema("src").dataType match {
-        case ByteType | ShortType | IntegerType | LongType | _: DecimalType => true
+        case ByteType | ShortType | IntegerType | LongType => true
+        case dt: DecimalType if dt.scale == 0 && dt.precision <= 38 => true
         case _ => false
       }
     }
