@@ -106,6 +106,24 @@ class PlanSpec extends SparkSpec {
       l.contains("vector_cosine") && l.trim.startsWith("*(")),
       s"codegen lost:\n$plan")
   }
+
+  test("broadcast-codebook kernels stay inside whole-stage codegen") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val codebook = e.orderBy("vec_id").limit(4).collect()
+      .map(_.getSeq[Float](1).toArray)
+    for ((expr, name) <- Seq(
+        (graft.functions.VectorFunctions
+          .centroid_l2_scores(col("embedding"), codebook), "centroid_l2_scores"),
+        (graft.functions.VectorFunctions
+          .centroid_cosq_scores(col("embedding"), codebook), "centroid_cosq_scores"),
+        (graft.functions.VectorFunctions
+          .nearest_centroid_cosq(col("embedding"), codebook), "nearest_centroid_cosq"))) {
+      val plan = e.select(expr.as("c")).queryExecution.executedPlan.toString
+      assert(plan.linesIterator.exists(l =>
+        l.contains(name) && l.trim.startsWith("*(")),
+        s"$name lost codegen:\n$plan")
+    }
+  }
 }
 
 /** Partition-layout guards: a partitioned table read filtered on the
