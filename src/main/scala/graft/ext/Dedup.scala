@@ -620,4 +620,72 @@ object Dedup {
         Seq("_graft_fp"), "left_anti")
       .drop("_graft_fp")
   }
+
+  // ---------- C4-style segment-level dedup ----------
+
+  /** C4-style segment-level exact deduplication (Raffel et al. 2020,
+    * "Exploring the Limits of Transfer Learning with a Unified
+    * Text-to-Text Transformer", §2.2 — "we discarded all but one of any
+    * three-sentence span occurring more than once in the data set"),
+    * generalized from sentence spans to fixed-width token segments so it
+    * applies to corpora without sentence structure: re-line every
+    * document into consecutive `segTokens`-token segments, keep only the
+    * FIRST corpus-wide occurrence of each distinct segment (minimum
+    * `(id, seg_idx)` — deterministic, and intra-document repeats dedup
+    * too), then reassemble each document from its surviving segments in
+    * order. This is the mid-granularity dedup between whole-document
+    * [[exact]] and token-span [[ExactSubstring]]: it kills repeated
+    * boilerplate lines (headers, license blocks, navigation chrome)
+    * without the suffix blow-up of span scrubbing.
+    *
+    * Returns one row per input document:
+    * `(id, n_segments, n_kept, text)` — documents whose every segment
+    * was seen earlier survive with `n_kept = 0` and empty text (the
+    * caller filters on `n_kept` to drop husks), so the output is a
+    * total function of the input corpus.
+    *
+    * Scale shape: segment derivation is per-row expressions; the
+    * keep-first choice is ONE hash aggregation on the segment key
+    * (map-side partial `min` applies) and the membership join is
+    * co-partitioned on that same key — no pairwise step and no window
+    * over the corpus. Reassembly groups by document id. At 100 TB,
+    * shuffle `xxhash64(seg)` instead of the segment text (the
+    * [[Contamination]] device) and resolve the rare collisions in the
+    * bucket; segments live at most twice in flight (once keyed by
+    * segment, once keyed by id).
+    */
+  def segmentDedup(df: DataFrame, idCol: Column, textCol: Column,
+                   segTokens: Int = 10): DataFrame = {
+    require(segTokens > 0, s"segTokens must be positive, got $segTokens")
+    val tk = filter(TextAnalysis.tokens(textCol), t => t =!= "")
+    val segs = df.select(idCol.as("id"), tk.as("_t"))
+      .select(col("id"),
+        when(size(col("_t")) > 0,
+          transform(
+            sequence(lit(0),
+              floor((size(col("_t")) - 1) / lit(segTokens)).cast("int")),
+            i => array_join(
+              slice(col("_t"), i * segTokens + 1, lit(segTokens)), " ")))
+          .otherwise(array().cast("array<string>")).as("_segs"))
+      .select(col("id"), posexplode(col("_segs")))
+      .withColumnsRenamed(Map("pos" -> "seg_idx", "col" -> "seg"))
+    val nsegs = segs.groupBy("id").agg(count(lit(1)).as("n_segments"))
+    val first = segs.groupBy("seg")
+      .agg(min(struct(col("id"), col("seg_idx"))).as("_f"))
+    val kept = segs.join(first, Seq("seg"))
+      .filter(col("id") === col("_f.id") &&
+        col("seg_idx") === col("_f.seg_idx"))
+    val reassembled = kept.groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+            array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+            s => s.getField("seg")), " ").as("text"))
+    df.select(idCol.as("id")).distinct()
+      .join(nsegs, Seq("id"), "left")
+      .join(reassembled, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text"), lit("")).as("text"))
+  }
 }

@@ -820,6 +820,45 @@ object ExtQueries {
         .groupBy("grp")
         .agg(count(lit(1)).as("n_terms"), sum(col("_cm")).as("kl_micros"))
         .orderBy("grp")
+    }),
+
+    // ---- C4-style segment-level dedup (Raffel et al. 2020 §2.2):
+    // keep-first corpus-wide dedup of 10-token segments, reassembling
+    // every document from its survivors. The corpus plants both failure
+    // modes the operator exists for: a shared 10-token boilerplate
+    // header on every third document (survives exactly once) and full
+    // copies of the first twenty documents (scrubbed to husks).
+    "x54_segment_dedup" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val hdr = "begin legal boilerplate header notice of all rights reserved end"
+      val base = d.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat_ws(" ", lit(hdr), col("text")))
+          .otherwise(col("text")).as("text"))
+      val corpus = base.union(
+        base.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      graft.ext.Dedup.segmentDedup(corpus, col("doc_id"), col("text"),
+          segTokens = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // ---- bigram conditional-LM scoring (the order-sensitive perplexity
+    // filter): per-doc Σ tf·ln p(nxt|ctx) under the corpus-trained
+    // add-one-smoothed bigram model; components quantized to micros
+    // before the order-independent integer sum (x49's device).
+    "x55_bigram_logprob" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      val model = graft.ext.BigramLm.bigramCounts(d, col("text"))
+      val v = graft.ext.BigramLm.vocabSize(d, col("text"))
+      graft.ext.BigramLm.docBigramComponents(d, col("doc_id"), col("text"),
+          model, v)
+        .select(col("doc_id"), col("tf"),
+          round(col("component") * lit(1000000.0), 0).cast("long")
+            .as("_cm"))
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).as("n_bigrams"), sum(col("_cm")).as("lp_micros"))
+        .orderBy("doc_id")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1764,5 +1803,70 @@ object ExtQueries {
         |  FROM d2, m3)
         |SELECT doc_id, CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
         |  CAST(count(*) AS BIGINT) AS n_words
-        |FROM d3 GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM d3 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x54_segment_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN 'begin legal boilerplate header notice of all rights ' ||
+        |           'reserved end ' || text
+        |      ELSE text END AS text
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM base WHERE doc_id < 20),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        |  FROM corpus),
+        |occ AS (SELECT doc_id, unnest(tk) AS term,
+        |          generate_subscripts(tk, 1) AS i FROM toks),
+        |segocc AS (SELECT doc_id, (i - 1) // 10 AS seg_idx, term, i FROM occ),
+        |segs AS (SELECT doc_id, seg_idx,
+        |           string_agg(term, ' ' ORDER BY i) AS seg
+        |         FROM segocc GROUP BY doc_id, seg_idx),
+        |kept AS (SELECT doc_id, seg_idx, seg FROM (
+        |           SELECT doc_id, seg_idx, seg, row_number() OVER (
+        |             PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+        |           FROM segs) WHERE rn = 1),
+        |reass AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |            string_agg(seg, ' ' ORDER BY seg_idx) AS text
+        |          FROM kept GROUP BY doc_id),
+        |nsegs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments
+        |          FROM segs GROUP BY doc_id)
+        |SELECT c.doc_id,
+        |  coalesce(n.n_segments, CAST(0 AS BIGINT)) AS n_segments,
+        |  coalesce(r.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+        |  coalesce(r.text, '') AS text
+        |FROM (SELECT DISTINCT doc_id FROM corpus) c
+        |LEFT JOIN nsegs n USING (doc_id)
+        |LEFT JOIN reass r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "x55_bigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |occ AS (SELECT doc_id, unnest(tk) AS term,
+        |          generate_subscripts(tk, 1) AS i FROM toks),
+        |bg AS (SELECT a.doc_id, a.term AS ctx, b.term AS nxt
+        |       FROM occ a JOIN occ b
+        |       ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        |bc AS (SELECT ctx, nxt, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM bg GROUP BY ctx, nxt),
+        |cc AS (SELECT ctx, CAST(sum(cnt) AS BIGINT) AS ccnt
+        |       FROM bc GROUP BY ctx),
+        |voc AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM occ),
+        |tf AS (SELECT doc_id, ctx, nxt, CAST(count(*) AS BIGINT) AS tf
+        |       FROM bg GROUP BY doc_id, ctx, nxt),
+        |comp AS (
+        |  SELECT tf.doc_id, tf.tf,
+        |    CAST(round((tf.tf * ln(CAST(bc.cnt + 1 AS DOUBLE) /
+        |      CAST(cc.ccnt + voc.v AS DOUBLE))) * 1000000.0, 0)
+        |      AS BIGINT) AS cm
+        |  FROM tf JOIN bc USING (ctx, nxt) JOIN cc USING (ctx), voc)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(cm) AS BIGINT) AS lp_micros
+        |FROM comp GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

@@ -452,6 +452,17 @@ object OpsQueries {
       graft.sources.Sources.orc(s, s"$out/supp_rt").orderBy("s_suppkey")
     }),
 
+    // ---- sources: XML sink + schema-supplied scan (Spark 4's built-in
+    // XML data source) — the config/feed interchange format; values
+    // XML-escape on write, so strings survive verbatim.
+    "op_xml_roundtrip" -> ((s: SparkSession, dir: String) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-xml-gate").toString
+      val nat = Tables(s, dir, "nation")
+      graft.sources.Sources.writeXml(nat, s"$out/nation_rt")
+      graft.sources.Sources.xml(s, s"$out/nation_rt", Some(nat.schema))
+        .orderBy("n_nationkey")
+    }),
+
     // ---- op #45: query(sql) — full Catalyst SQL over registered tables.
     "op_query_sql" -> ((s: SparkSession, dir: String) => {
       Tables(s, dir, "nation").createOrReplaceTempView("nation_v")
@@ -655,6 +666,9 @@ object OpsQueries {
     "op_orc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "op_xml_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "op_scd2" ->
       """WITH c AS (SELECT c_custkey, c_name, c_mktsegment FROM customer
         |           WHERE c_custkey <= 100)

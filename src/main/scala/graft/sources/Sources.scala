@@ -122,6 +122,27 @@ object Sources {
     globFilter.fold(r)(g => r.option("pathGlobFilter", g)).load(path)
   }
 
+  /** XML scan (Spark 4's built-in XML data source): one row per
+    * `rowTag` element. Schema either supplied (skips the inference
+    * scan, like the CSV path) or inferred by the XML reader. Files ARE
+    * split on row-tag boundaries, so a directory of large XML shards
+    * parallelizes like any file source.
+    */
+  def xml(spark: SparkSession, path: String,
+          schema: Option[org.apache.spark.sql.types.StructType] = None,
+          rowTag: String = "row"): DataFrame = {
+    val base = spark.read.format("xml").option("rowTag", rowTag)
+    schema.fold(base)(s => base.schema(s)).load(path)
+  }
+
+  /** XML sink — flat schemas round-trip losslessly (values are
+    * XML-escaped by the writer); element order inside a row follows the
+    * column order.
+    */
+  def writeXml(df: DataFrame, path: String, rowTag: String = "row",
+               mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).format("xml").option("rowTag", rowTag).save(path)
+
   /** Round-trip helper: load any supported source into the warehouse
     * table shape (cleaned keys + recorded api_repr schema).
     */

@@ -1,0 +1,135 @@
+package graft
+
+import graft.ext.{BigramLm, Dedup}
+import org.apache.spark.sql.functions._
+
+/** Round-6 additions beyond the verdict list: C4-style segment dedup,
+  * bigram conditional-LM scoring, and the XML source round trip.
+  */
+class Round6bSpec extends SparkSpec {
+  import testImplicits._
+
+  private lazy val testImplicits = spark.implicits
+
+  // ---------- Dedup.segmentDedup ----------
+
+  test("segmentDedup keeps the first corpus-wide occurrence of a segment") {
+    // w=2 segments: doc 1 = [a b][c d], doc 2 = [a b][x y] — doc 2 loses
+    // its first segment to doc 1 and keeps the second.
+    val df = Seq((1L, "a b c d"), (2L, "a b x y")).toDF("id", "text")
+    val out = Dedup.segmentDedup(df, col("id"), col("text"), segTokens = 2)
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq === Seq((1L, 2L, 2L, "a b c d"), (2L, 2L, 1L, "x y")))
+  }
+
+  test("segmentDedup dedups intra-document repeats and keeps order") {
+    // doc 1 repeats its own first segment at index 2; the survivor set is
+    // segments 0 and 1, reassembled in index order.
+    val df = Seq((1L, "a b c d a b")).toDF("id", "text")
+    val out = Dedup.segmentDedup(df, col("id"), col("text"), segTokens = 2)
+      .collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq === Seq((3L, 2L, "a b c d")))
+  }
+
+  test("segmentDedup reports fully-duplicated documents as empty husks") {
+    val df = Seq((1L, "a b c d"), (9L, "a b c d"), (5L, "   "))
+      .toDF("id", "text")
+    val out = Dedup.segmentDedup(df, col("id"), col("text"), segTokens = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // id 1 wins (min id); id 9 is a husk; whitespace-only doc has no
+    // segments but still appears — the output is total over the input.
+    assert(out.toSeq === Seq((1L, 2L, 2L, "a b c d"),
+      (5L, 0L, 0L, ""), (9L, 2L, 0L, "")))
+  }
+
+  test("segmentDedup tail segments shorter than the width dedup too") {
+    // Width 3: doc 1 = [a b c][d], doc 2 = [d] alone — doc 2's only
+    // segment equals doc 1's tail and is scrubbed.
+    val df = Seq((1L, "a b c d"), (2L, "d")).toDF("id", "text")
+    val out = Dedup.segmentDedup(df, col("id"), col("text"), segTokens = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(out.toSeq === Seq((1L, 2L, "a b c d"), (2L, 0L, "")))
+  }
+
+  // ---------- BigramLm ----------
+
+  test("bigram model counts pairs and contexts exactly") {
+    val df = Seq((1L, "a b a b c"), (2L, "b c")).toDF("id", "text")
+    val model = BigramLm.bigramCounts(df, col("text"))
+    val counts = model.collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // doc 1 pairs: (a,b) (b,a) (a,b) (b,c); doc 2 pairs: (b,c)
+    assert(counts === Map(("a", "b") -> 2L, ("b", "a") -> 1L,
+      ("b", "c") -> 2L))
+    val ctx = BigramLm.contextCounts(model).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(ctx === Map("a" -> 2L, "b" -> 3L))
+    assert(BigramLm.vocabSize(df, col("text")) === 3L)
+  }
+
+  test("bigram components apply add-one smoothing, seen and unseen") {
+    val train = Seq((1L, "a b a b c"), (2L, "b c")).toDF("id", "text")
+    val model = BigramLm.bigramCounts(train, col("text"))
+    val v = BigramLm.vocabSize(train, col("text"))
+    // Score a doc containing a seen bigram (a b), an unseen bigram with a
+    // seen context (b b), and an unseen context (z a).
+    val score = Seq((7L, "a b b"), (8L, "z a")).toDF("id", "text")
+    val comps = BigramLm
+      .docBigramComponents(score, col("id"), col("text"), model, v)
+      .collect()
+      .map(r => ((r.getLong(0), r.getString(1), r.getString(2)),
+        (r.getLong(3), r.getDouble(4)))).toMap
+    def ln(x: Double): Double = math.log(x)
+    assert(comps((7L, "a", "b"))._2 === 1L * ln((2.0 + 1) / (2.0 + 3)))
+    assert(comps((7L, "b", "b"))._2 === 1L * ln((0.0 + 1) / (3.0 + 3)))
+    assert(comps((8L, "z", "a"))._2 === 1L * ln((0.0 + 1) / (0.0 + 3)))
+  }
+
+  test("bigram docLogProb averages over the document's bigram count") {
+    val df = Seq((1L, "a b c")).toDF("id", "text")
+    val model = BigramLm.bigramCounts(df, col("text"))
+    val v = BigramLm.vocabSize(df, col("text"))
+    val row = BigramLm.docLogProb(df, col("id"), col("text"), model, v)
+      .collect().head
+    val expected = (math.log(2.0 / (1 + 3)) + math.log(2.0 / (1 + 3))) / 2
+    assert(row.getLong(1) === 2L)
+    assert(math.abs(row.getDouble(2) - expected) < 1e-12)
+  }
+
+  test("bigram scoring penalizes scrambled word order that unigrams miss") {
+    // Train on consistently-ordered text; score the same tokens in
+    // corpus order vs reversed order. Unigram tf is identical, so only
+    // an order-sensitive model separates them.
+    val train = Seq.tabulate(20)(i => (i.toLong, "the quick brown fox jumps"))
+      .toDF("id", "text")
+    val model = BigramLm.bigramCounts(train, col("text"))
+    val v = BigramLm.vocabSize(train, col("text"))
+    val probe = Seq((100L, "the quick brown fox jumps"),
+      (101L, "jumps fox brown quick the")).toDF("id", "text")
+    val scores = BigramLm.docLogProb(probe, col("id"), col("text"), model, v)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(scores(100L) > scores(101L))
+  }
+
+  // ---------- XML round trip ----------
+
+  test("xml sink and schema-supplied scan round-trip values and types") {
+    val out = java.nio.file.Files.createTempDirectory("graft-xml-spec").toString
+    val df = Seq((1L, "a <tag> & \"quoted\"", 3.5), (2L, "plain", -0.25))
+      .toDF("k", "s", "d")
+    graft.sources.Sources.writeXml(df, s"$out/t")
+    val back = graft.sources.Sources.xml(spark, s"$out/t", Some(df.schema))
+      .orderBy("k")
+    // the XML reader relaxes nullability on a supplied schema; names and
+    // types are the round-trip contract
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getDouble(2))).toSeq ===
+      Seq((1L, "a <tag> & \"quoted\"", 3.5), (2L, "plain", -0.25)))
+  }
+}
