@@ -653,9 +653,17 @@ object Dedup {
     * [[Contamination]] device) and resolve the rare collisions in the
     * bucket; segments live at most twice in flight (once keyed by
     * segment, once keyed by id).
+    *
+    * `hashKeys = true` selects the wire-size mode: the keep-first
+    * aggregation and the membership join key on `xxhash64(seg)` — an
+    * 8-byte key instead of the segment string, the same trade as
+    * [[Contamination]]'s and [[ExactSubstring]]'s hashed modes (a 64-bit
+    * collision silently merges two distinct segments; negligible below
+    * ~2^32 distinct segments, and not replayable in another SQL engine —
+    * keep the default for oracle-audited runs).
     */
   def segmentDedup(df: DataFrame, idCol: Column, textCol: Column,
-                   segTokens: Int = 10): DataFrame = {
+                   segTokens: Int = 10, hashKeys: Boolean = false): DataFrame = {
     require(segTokens > 0, s"segTokens must be positive, got $segTokens")
     val tk = filter(TextAnalysis.tokens(textCol), t => t =!= "")
     val segs = df.select(idCol.as("id"), tk.as("_t"))
@@ -670,9 +678,11 @@ object Dedup {
       .select(col("id"), posexplode(col("_segs")))
       .withColumnsRenamed(Map("pos" -> "seg_idx", "col" -> "seg"))
     val nsegs = segs.groupBy("id").agg(count(lit(1)).as("n_segments"))
-    val first = segs.groupBy("seg")
+    val keyed = segs.withColumn("_k",
+      if (hashKeys) xxhash64(col("seg")) else col("seg"))
+    val first = keyed.groupBy("_k")
       .agg(min(struct(col("id"), col("seg_idx"))).as("_f"))
-    val kept = segs.join(first, Seq("seg"))
+    val kept = keyed.join(first, Seq("_k"))
       .filter(col("id") === col("_f.id") &&
         col("seg_idx") === col("_f.seg_idx"))
     val reassembled = kept.groupBy("id")

@@ -118,7 +118,7 @@ object Ivf {
   /** Query side of a probe: each query exploded into its `nProbe`
     * nearest centroid ids (same assignment definition as the index).
     */
-  private def probes(queries: DataFrame, model: Model, nProbe: Int,
+  private[ext] def probes(queries: DataFrame, model: Model, nProbe: Int,
                      idCol: String, vecCol: String): DataFrame =
     queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .withColumn("_scores", centroidScores(col("qvec"), model))

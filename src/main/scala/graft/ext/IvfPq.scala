@@ -1,0 +1,100 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ — the composed ANN scale recipe (Jégou et al. 2011 §V:
+  * inverted file + product codes): [[Ivf]] partitions the corpus into
+  * centroid cells so a probe touches ~nProbe/nCentroids of the data, and
+  * [[Pq]] compresses what the probe scans from 4·D bytes to `m` bytes
+  * per vector. Together they bound BOTH the fraction of the corpus a
+  * query reads and the bytes per row it reads — at 100 TB the probed
+  * cells' code columns fit in executor memory where raw vectors never
+  * would.
+  *
+  * Codes here quantize the RAW vectors under one global PQ codebook
+  * (FAISS's `by_residual=false` configuration) rather than per-cell
+  * residuals: the codebook stays shared (one broadcast object), encoding
+  * stays a single map-side pass, and the exact-rescore stage makes the
+  * recall difference immaterial — the sketch only decides WHICH rows get
+  * rescored, exactly as in [[Pq.topK]].
+  *
+  * Index layout = [[Ivf]]'s: persist partitioned by `centroid`
+  * ([[Ivf.writeIndex]] works unchanged on the coded index) and the probe
+  * prunes partitions statically.
+  */
+object IvfPq {
+
+  final case class Model(ivf: Ivf.Model, pq: Pq.Model)
+
+  /** Train both codebooks on the same seeded bounded sample discipline. */
+  def train(corpus: DataFrame, vecCol: String, nCentroids: Int, m: Int,
+            k: Int = 16, sampleSize: Int = 4096, iterations: Int = 8,
+            seed: Long = 42L): Model =
+    Model(Ivf.train(corpus, vecCol, nCentroids, sampleSize, iterations, seed),
+      Pq.train(corpus, vecCol, m, k, sampleSize, iterations, seed))
+
+  /** Build the coded inverted file: `(neighbor_id, nvec, codes,
+    * centroid)` — one map-side pass (both assignments are broadcast-
+    * codebook kernels). At scale persist `(neighbor_id, codes)`
+    * partitioned by `centroid` as the scan table and fetch candidate
+    * vectors by id for the rescore; the vector rides along here to keep
+    * the gate a single join.
+    */
+  def index(corpus: DataFrame, model: Model, idCol: String = "vec_id",
+            vecCol: String = "embedding"): DataFrame =
+    Pq.encode(corpus, model.pq, idCol, vecCol)
+      .withColumn("centroid", Ivf.assignCol(col("nvec"), model.ivf))
+
+  /** Approximate top-k: each query probes its `nProbe` nearest cells,
+    * ADC over the codes prunes the probed rows to `nCandidates`, exact
+    * quantized cosine re-ranks only those. The candidate prune is
+    * two-stage (per-partition then global, the [[Pq.topK]] device) so no
+    * task ever sorts a whole cell for one query.
+    */
+  def topK(indexed: DataFrame, queries: DataFrame, model: Model, k: Int,
+           nProbe: Int = 2, nCandidates: Int = 64, idCol: String = "vec_id",
+           vecCol: String = "embedding"): DataFrame =
+    rank(Ivf.probes(queries, model.ivf, nProbe, idCol, vecCol), indexed,
+      model, k, nCandidates)
+
+  /** [[topK]] over a PERSISTED partitioned index with static partition
+    * pruning — the query batch's probe-cell union is collected
+    * driver-side (a few ints, the batch broadcasts anyway) and pushed as
+    * a partition filter, so the scan reads only the probed directories.
+    */
+  def topKPruned(indexed: DataFrame, queries: DataFrame, model: Model,
+                 k: Int, nProbe: Int = 2, nCandidates: Int = 64,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val q = Ivf.probes(queries, model.ivf, nProbe, idCol, vecCol)
+    val probeSet = q.select("centroid").distinct().collect().map(_.getInt(0))
+    rank(q, indexed.filter(col("centroid").isin(probeSet.toSeq: _*)),
+      model, k, nCandidates)
+  }
+
+  private def rank(probed: DataFrame, indexed: DataFrame, model: Model,
+                   k: Int, nCandidates: Int): DataFrame = {
+    val q = probed.withColumn("_tables", Pq.queryTables(col("qvec"), model.pq))
+    val wLocal = Window.partitionBy(col("query_id"), col("_p"))
+      .orderBy(col("_adc").asc, col("neighbor_id"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("_adc").asc, col("neighbor_id"))
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(q).join(indexed, Seq("centroid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("_adc", Pq.adcDistance(col("_tables"), col("codes")))
+      .withColumn("_p", spark_partition_id())
+      .withColumn("_lrank", row_number().over(wLocal))
+      .filter(col("_lrank") <= nCandidates)
+      .withColumn("_crank", row_number().over(wAdc))
+      .filter(col("_crank") <= nCandidates)
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosineQuantized(col("qvec"), col("nvec")).as("cos"))
+      .withColumn("rank", row_number().over(wCos).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+}

@@ -859,6 +859,28 @@ object ExtQueries {
         .groupBy("doc_id")
         .agg(sum(col("tf")).as("n_bigrams"), sum(col("_cm")).as("lp_micros"))
         .orderBy("doc_id")
+    }),
+
+    // ---- similarity: composed IVF-PQ ANN — centroid cells bound the
+    // corpus fraction a probe scans, byte codes bound the bytes per
+    // scanned row; index persisted partitioned by cell, probe statically
+    // pruned. Planted-query rank-1: the copy lands in the original's
+    // cell with identical codes, ADC keeps it, exact rescore pins it.
+    "x56_ann_ivfpq" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings")
+      val model = graft.ext.IvfPq.train(e, "embedding", nCentroids = 16,
+        m = 8, k = 16)
+      val idxPath = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-gate").resolve("index").toString
+      graft.ext.Ivf.writeIndex(graft.ext.IvfPq.index(e, model), idxPath)
+      val idx = graft.ext.Ivf.readIndex(s, idxPath)
+      val q = e.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      graft.ext.IvfPq.topKPruned(idx, q, model, k = 3, nProbe = 4,
+          nCandidates = 64)
+        .filter(col("rank") === 1)
+        .select("query_id", "neighbor_id")
+        .orderBy("query_id")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1268,6 +1290,9 @@ object ExtQueries {
       """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
     "x31_ann_pq" ->
+      """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    "x56_ann_ivfpq" ->
       """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
     "x33_class_centroids" ->

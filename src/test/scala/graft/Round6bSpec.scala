@@ -55,6 +55,21 @@ class Round6bSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L, "a b c d"), (2L, 0L, "")))
   }
 
+  test("segmentDedup hashed-key mode matches the text-keyed mode") {
+    // The 8-byte wire-key path must produce the identical result on a
+    // real corpus slice (planted copies included so dedup actually runs).
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 100)
+    val corpus = d.union(d.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 5000L).as("doc_id"), col("text")))
+    val a = Dedup.segmentDedup(corpus, col("doc_id"), col("text"), 10)
+      .orderBy("id").collect().toSeq
+    val b = Dedup.segmentDedup(corpus, col("doc_id"), col("text"), 10,
+      hashKeys = true).orderBy("id").collect().toSeq
+    assert(a === b)
+    assert(a.exists(r => r.getLong(2) < r.getLong(1))) // dedup happened
+  }
+
   // ---------- BigramLm ----------
 
   test("bigram model counts pairs and contexts exactly") {
@@ -113,6 +128,39 @@ class Round6bSpec extends SparkSpec {
     val scores = BigramLm.docLogProb(probe, col("id"), col("text"), model, v)
       .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
     assert(scores(100L) > scores(101L))
+  }
+
+  // ---------- IvfPq ----------
+
+  test("ivfpq index carries the same cell assignment and codes as its parts") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(col("vec_id") < 200)
+    val model = ext.IvfPq.train(e, "embedding", nCentroids = 8, m = 8, k = 16)
+    val idx = ext.IvfPq.index(e, model)
+    val viaParts = ext.Pq.encode(e, model.pq)
+      .withColumn("centroid", ext.Ivf.assignCol(col("nvec"), model.ivf))
+    assert(idx.select("neighbor_id", "centroid", "codes").orderBy("neighbor_id")
+      .collect().toSeq ===
+      viaParts.select("neighbor_id", "centroid", "codes").orderBy("neighbor_id")
+        .collect().toSeq)
+  }
+
+  test("ivfpq static partition pruning returns the same top-k as the " +
+    "unpruned probe") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(col("vec_id") < 300)
+    val model = ext.IvfPq.train(e, "embedding", nCentroids = 8, m = 8, k = 16)
+    val idx = ext.IvfPq.index(e, model)
+    val q = e.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 9000L).as("vec_id"), col("embedding"))
+    val a = ext.IvfPq.topK(idx, q, model, k = 3, nProbe = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    val b = ext.IvfPq.topKPruned(idx, q, model, k = 3, nProbe = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(a === b)
+    // planted copies must sit at rank 1 with quantized cosine 1
+    assert(a.count(r => r.getLong(1) == 1L &&
+      r.getLong(2) == r.getLong(0) - 9000L) === 5)
   }
 
   // ---------- XML round trip ----------
