@@ -621,6 +621,83 @@ object Dedup {
       .drop("_graft_fp")
   }
 
+  /** Incremental NEAR-dup corpus update — the near-duplicate twin of
+    * [[newDocuments]] and the production shape of the Lee-et-al NearDup
+    * pipeline: admit from `incoming` only documents that are neither
+    * near-duplicates (estimated Jaccard ≥ `threshold` on the portable
+    * MinHash signature) of ANY corpus document, nor redundant within the
+    * batch itself — batch-internal NearDup components keep their min-id
+    * member, unpaired survivors pass through. Ids must be distinct
+    * across `corpus` and `incoming` (they are labels, not joined data).
+    *
+    * Scale shape: the corpus contributes ONLY its signature table
+    * (`numHashes` ints) and band rows (`bands` longs) per document —
+    * never text — so admitting a daily batch against a 100 TB corpus
+    * shuffles signatures, not documents; at that scale keep the corpus
+    * signature/band tables persisted and bucketed by `band_hash`, and
+    * the cross join is co-partitioned on both sides. Candidate
+    * generation is band-bucketed everywhere (cross pairs by shared
+    * bucket, batch pairs via `candidatesFromBuckets` with the
+    * `maxBucket` skew fallback) — nothing is all-pairs.
+    *
+    * NOT a single lazy plan (the component stage iterates to fixpoint):
+    * the returned frame embeds materialized checkpoints — consume it
+    * once, then free the blocks with [[releaseNearDupUpdate]].
+    */
+  def newDocumentsNearDup(corpus: DataFrame, incoming: DataFrame,
+                          idCol: Column, textCol: Column,
+                          threshold: Double = 0.5, wordGrams: Int = 3,
+                          numHashes: Int = 16, bands: Int = 4,
+                          maxBucket: Int = 1024,
+                          ccMaxIterations: Int = 200): DataFrame = {
+    val csigs = minhashSignaturePortable(corpus, idCol, textCol, wordGrams,
+      numHashes).localCheckpoint()
+    val isigs = minhashSignaturePortable(incoming, idCol, textCol, wordGrams,
+      numHashes).localCheckpoint()
+    val cbands = portableBandsOverSigs(csigs, numHashes, bands)
+      .filter(col("band_hash").isNotNull)
+    val ibands = portableBandsOverSigs(isigs, numHashes, bands)
+      .filter(col("band_hash").isNotNull)
+    val cross = ibands.alias("i")
+      .join(cbands.alias("c"), col("i.band") === col("c.band") &&
+        col("i.band_hash") === col("c.band_hash"))
+      .select(col("i.id").as("iid"), col("c.id").as("cid")).distinct()
+    val corpusDup = cross
+      .join(isigs.select(col("id").as("iid"), col("sig").as("_isig")), Seq("iid"))
+      .join(csigs.select(col("id").as("cid"), col("sig").as("_csig")), Seq("cid"))
+      .filter(signatureSimilarity(col("_isig"), col("_csig")) >= threshold)
+      .select(col("iid").as("id")).distinct()
+    val survivors = isigs.join(corpusDup, Seq("id"), "left_anti")
+      .localCheckpoint()
+    // the survivor checkpoint is the only consumer of the two signature
+    // checkpoints — release them as soon as it is materialized
+    org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(csigs)
+    org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(isigs)
+    val sbands = portableBandsOverSigs(survivors, numHashes, bands)
+      .filter(col("band_hash").isNotNull)
+    val verified = candidatesFromBuckets(sbands, Seq("band", "band_hash"),
+        "id", maxBucket)
+      .join(survivors.select(col("id").as("id_a"), col("sig").as("_siga")),
+        Seq("id_a"))
+      .join(survivors.select(col("id").as("id_b"), col("sig").as("_sigb")),
+        Seq("id_b"))
+      .filter(signatureSimilarity(col("_siga"), col("_sigb")) >= threshold)
+      .select("id_a", "id_b")
+    val comps = connectedComponents(verified, ccMaxIterations)
+    val keep = survivors.alias("s")
+      .join(comps.alias("k"), col("s.id") === col("k.id"), "left")
+      .filter(col("k.component").isNull || col("k.component") === col("s.id"))
+      .select(col("s.id").as("_admit_id"))
+    incoming.join(keep, idCol === col("_admit_id"), "left_semi")
+  }
+
+  /** Release the checkpoints (survivor signatures + component labels)
+    * embedded in a consumed [[newDocumentsNearDup]] plan; the plan must
+    * not be re-executed after release.
+    */
+  def releaseNearDupUpdate(result: DataFrame): Unit =
+    org.apache.spark.sql.GraftColumnBridge.unpersistEmbeddedCheckpoints(result)
+
   // ---------- C4-style segment-level dedup ----------
 
   /** C4-style segment-level exact deduplication (Raffel et al. 2020,

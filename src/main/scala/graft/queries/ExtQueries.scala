@@ -66,6 +66,17 @@ object ExtQueries {
     out
   }
 
+  /** [[detach]] for plans whose checkpoints sit BELOW the root (e.g. a
+    * join over an embedded component-label table): collect once, rebuild
+    * as a LocalRelation, release every embedded checkpoint.
+    */
+  private def detachDeep(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val rows = java.util.Arrays.asList(df.collect(): _*)
+    val out = df.sparkSession.createDataFrame(rows, df.schema)
+    org.apache.spark.sql.GraftColumnBridge.unpersistEmbeddedCheckpoints(df)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text: token/char counting.
     "x01_token_stats" -> ((s: SparkSession, dir: String) => {
@@ -881,6 +892,30 @@ object ExtQueries {
         .filter(col("rank") === 1)
         .select("query_id", "neighbor_id")
         .orderBy("query_id")
+    }),
+
+    // ---- incremental near-dup corpus update (the production flow of
+    // x42's exact twin): a batch of five corpus copies (rejected as
+    // corpus near-dups), ten genuinely-new docs (sorted-token texts —
+    // no shared word 3-grams with their originals), and five
+    // batch-internal twins of the new docs (deduped to the min-id
+    // member). Portable signature path end to end, so the oracle
+    // replays admission exactly.
+    "x57_incremental_neardup" -> ((s0: SparkSession, dir: String) => {
+      val s = pinned(s0)
+      val d = Tables(s, dir, "documents").select("doc_id", "text")
+      val sortedText =
+        array_join(sort_array(split(col("text"), " ")), " ").as("text")
+      val fresh = d.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 600000L).as("doc_id"), sortedText)
+      val incoming = d.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+        .union(fresh)
+        .union(fresh.filter(col("doc_id") < 600005L)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      detachDeep(graft.ext.Dedup.newDocumentsNearDup(d, incoming,
+          col("doc_id"), col("text")))
+        .orderBy("doc_id")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1295,6 +1330,103 @@ object ExtQueries {
     "x56_ann_ivfpq" ->
       """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    // Replays the portable NearDup admission end to end (same signature
+    // machinery as the x47 oracle): cross near-dups vs the corpus are
+    // rejected, batch-internal components keep their min id.
+    "x57_incremental_neardup" ->
+      """WITH RECURSIVE fresh AS (
+        |  SELECT doc_id + 600000 AS doc_id,
+        |    array_to_string(list_sort(string_split(text, ' ')), ' ') AS text
+        |  FROM documents WHERE doc_id < 10),
+        |incoming AS (
+        |  SELECT doc_id + 500000 AS doc_id, text
+        |  FROM documents WHERE doc_id < 5
+        |  UNION ALL
+        |  SELECT doc_id, text FROM fresh
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM fresh WHERE doc_id < 600005),
+        |alldocs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, text FROM incoming),
+        |toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM alldocs),
+        |grams AS (
+        |  SELECT doc_id, list_transform(range(len(w) - 2),
+        |    i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3])) AS g FROM toks),
+        |xs AS (
+        |  SELECT doc_id, list_transform(g,
+        |    t -> CAST(('0x' || substr(md5(t), 1, 12)) AS BIGINT) % 2147483647) AS x
+        |  FROM grams),
+        |sig AS (
+        |  SELECT doc_id, [
+        |    list_min(list_transform(x, v -> (999983 * v + 12345) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999979 * v + 67891) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999961 * v + 234567) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999959 * v + 345679) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999953 * v + 456789) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999931 * v + 567891) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999917 * v + 678901) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999907 * v + 789013) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999883 * v + 890123) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999863 * v + 901237) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999841 * v + 123457) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999809 * v + 234563) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999773 * v + 345677) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999749 * v + 456791) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999727 * v + 567899) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999721 * v + 678911) % 2147483647))
+        |  ] AS s FROM xs),
+        |bands AS (
+        |  SELECT doc_id AS id, CAST(b AS INTEGER) AS band,
+        |    ((((((s[b*4+1] * 1000003 + s[b*4+2]) % 2147483648)
+        |        * 1000003 + s[b*4+3]) % 2147483648)
+        |        * 1000003 + s[b*4+4]) % 2147483648) AS band_hash
+        |  FROM sig, range(4) t(b)),
+        |crosspairs AS (
+        |  SELECT DISTINCT i.id AS iid, c.id AS cid
+        |  FROM bands i JOIN bands c
+        |    ON i.band = c.band AND i.band_hash = c.band_hash
+        |   AND i.id >= 500000 AND c.id < 500000),
+        |crossdup AS (
+        |  SELECT DISTINCT p.iid AS id
+        |  FROM crosspairs p
+        |  JOIN sig sa ON p.iid = sa.doc_id
+        |  JOIN sig sb ON p.cid = sb.doc_id
+        |  WHERE CAST(len(list_filter(range(16), i -> sa.s[i+1] = sb.s[i+1]))
+        |          AS DOUBLE) / 16.0 >= 0.5),
+        |surv AS (
+        |  SELECT doc_id FROM incoming
+        |  WHERE doc_id NOT IN (SELECT id FROM crossdup)),
+        |spairs AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id
+        |  WHERE a.id IN (SELECT doc_id FROM surv)
+        |    AND b.id IN (SELECT doc_id FROM surv)),
+        |sverified AS (
+        |  SELECT p.id_a, p.id_b
+        |  FROM spairs p
+        |  JOIN sig sa ON p.id_a = sa.doc_id
+        |  JOIN sig sb ON p.id_b = sb.doc_id
+        |  WHERE CAST(len(list_filter(range(16), i -> sa.s[i+1] = sb.s[i+1]))
+        |          AS DOUBLE) / 16.0 >= 0.5),
+        |nodes AS (
+        |  SELECT id_a AS id FROM sverified UNION SELECT id_b FROM sverified),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM sverified
+        |  UNION SELECT id_b, id_a FROM sverified
+        |  UNION SELECT id, id FROM nodes),
+        |reach AS (
+        |  SELECT src AS a, dst AS b FROM edges
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |comp AS (
+        |  SELECT a AS id, min(b) AS component FROM reach GROUP BY a)
+        |SELECT doc_id, text FROM incoming
+        |WHERE doc_id IN (SELECT doc_id FROM surv)
+        |  AND doc_id NOT IN (SELECT id FROM comp WHERE component <> id)
+        |ORDER BY doc_id""".stripMargin,
     "x33_class_centroids" ->
       """SELECT label, CAST(p AS INTEGER) AS pos,
         |  CAST(sum(round(CAST(embedding[CAST(p + 1 AS INTEGER)] AS DOUBLE)

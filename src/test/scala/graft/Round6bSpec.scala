@@ -70,6 +70,40 @@ class Round6bSpec extends SparkSpec {
     assert(a.exists(r => r.getLong(2) < r.getLong(1))) // dedup happened
   }
 
+  // ---------- Dedup.newDocumentsNearDup ----------
+
+  test("incremental near-dup admits new docs, rejects corpus dups and " +
+    "batch twins, and is idempotent") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 60)
+    val fresh = d.filter(col("doc_id") < 6)
+      .select((col("doc_id") + 600000L).as("doc_id"),
+        array_join(sort_array(split(col("text"), " ")), " ").as("text"))
+    val incoming = d.filter(col("doc_id") < 4)
+      .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+      .union(fresh)
+      .union(fresh.filter(col("doc_id") < 600003L)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    val admitted = ext.Dedup.newDocumentsNearDup(d, incoming,
+      col("doc_id"), col("text"))
+    val rows = admitted.orderBy("doc_id").collect().toSeq
+    val ids = rows.map(_.getLong(0)).toSet
+    // every corpus copy rejected, every batch twin rejected, and each
+    // admitted id is a min-id fresh doc
+    assert(ids.forall(id => id >= 600000L && id < 700000L))
+    assert((0 until 4).forall(k => !ids.contains(500000L + k)))
+    assert((0 until 3).forall(k => !ids.contains(700000L + k)))
+    assert(ids.nonEmpty)
+    // idempotence: admitting the same batch against corpus ∪ admitted
+    // finds every member an exact (hence near) duplicate
+    val grown = d.union(admitted.select(col("doc_id"), col("text")))
+    val again = ext.Dedup.newDocumentsNearDup(grown, incoming,
+      col("doc_id") + 1000000L, col("text"))
+    assert(again.count() === 0L)
+    ext.Dedup.releaseNearDupUpdate(admitted)
+    ext.Dedup.releaseNearDupUpdate(again)
+  }
+
   // ---------- BigramLm ----------
 
   test("bigram model counts pairs and contexts exactly") {
@@ -128,6 +162,31 @@ class Round6bSpec extends SparkSpec {
     val scores = BigramLm.docLogProb(probe, col("id"), col("text"), model, v)
       .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
     assert(scores(100L) > scores(101L))
+  }
+
+  test("segmentDedup and bigram scoring are invariant to partitioning") {
+    // keep-first and the quantized sums must not depend on how the
+    // corpus is sliced across tasks — the local[4] stand-in for the
+    // 1000-executor question.
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 120)
+    val corpus = d.union(d.filter(col("doc_id") < 12)
+      .select((col("doc_id") + 7000L).as("doc_id"), col("text")))
+    def segAt(n: Int) =
+      Dedup.segmentDedup(corpus.repartition(n), col("doc_id"), col("text"), 10)
+        .orderBy("id").collect().toSeq
+    assert(segAt(1) === segAt(7))
+    def lpAt(n: Int) = {
+      val c = corpus.repartition(n)
+      val model = BigramLm.bigramCounts(c, col("text"))
+      val v = BigramLm.vocabSize(c, col("text"))
+      BigramLm.docBigramComponents(c, col("doc_id"), col("text"), model, v)
+        .select(col("doc_id"),
+          round(col("component") * lit(1000000.0), 0).cast("long").as("cm"))
+        .groupBy("doc_id").agg(sum(col("cm")).as("lp"))
+        .orderBy("doc_id").collect().toSeq
+    }
+    assert(lpAt(1) === lpAt(7))
   }
 
   // ---------- IvfPq ----------
