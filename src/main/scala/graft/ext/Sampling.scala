@@ -102,6 +102,52 @@ object Sampling {
     docs.filter(hashBucket(key, buckets) < cap)
   }
 
+  /** Temperature-based source mixing — the multilingual α-sampling of
+    * XLM-R (Conneau et al. 2020 §3.1) / mT5: a source is sampled with
+    * probability ∝ n_s^α, so α < 1 upweights low-resource sources
+    * relative to their natural share and α = 1 is proportional
+    * sampling. Per-source doc counts n_s reweight to
+    * w_s = n_s^α / Σ_t n_t^α; a total target of `targetDocs` documents
+    * gives the per-source rate min(1, targetDocs·w_s / n_s), which
+    * materializes by [[hashBucket]] membership (content-determined —
+    * the same rows select in any engine and on any partitioning).
+    *
+    * Scale: one partial-aggregable count pass (|sources| rows to the
+    * driver), then a single filter — no shuffle, no join (the x51
+    * shape). Rates floor-quantize to `1/buckets` with the same
+    * nonzero-target-keeps-one-bucket rule as [[tokenBudgetMix]];
+    * documents with a NULL source carry no weight and drop.
+    */
+  def temperatureMixture(docs: DataFrame, grpCol: Column, key: Column,
+                         alpha: Double, targetDocs: Long,
+                         buckets: Int = 4096): DataFrame = {
+    require(alpha >= 0.0, s"alpha must be non-negative, got $alpha")
+    require(targetDocs >= 0L, s"targetDocs must be non-negative, got $targetDocs")
+    val counts = docs.select(grpCol.as("grp"))
+      .groupBy("grp").agg(count(lit(1)).as("n"))
+      .collect()
+      .flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1)))
+      .toMap
+    // n_s^α quantized to integer 2^-20ths BEFORE the sum: integer
+    // addition is order-free, so the normalizer (and therefore every
+    // rate) is identical in any engine regardless of summation order —
+    // the same portability device as the micro-quantized score sums
+    val pows: Map[String, Long] = counts.map { case (g, n) =>
+      g -> math.round(math.pow(n.toDouble, alpha) * 1048576.0)
+    }
+    val powSum = pows.values.sum
+    val rateBuckets: Map[String, Int] = counts.map { case (g, n) =>
+      val w = pows(g).toDouble / powSum.toDouble
+      val rate = math.min(1.0, targetDocs.toDouble * w / n.toDouble)
+      val rb = math.floor(rate * buckets).toInt
+      g -> (if (targetDocs > 0L && rb == 0) 1 else rb)
+    }
+    val cap = rateBuckets.foldLeft(lit(0): Column) { case (acc, (g, rb)) =>
+      when(grpCol === g, lit(rb)).otherwise(acc)
+    }
+    docs.filter(hashBucket(key, buckets) < cap)
+  }
+
   /** Deterministic epoch shuffle: a reproducible global training order.
     * Each record's sort key is `md5(seed ":" id)` — content-determined,
     * so epoch N's order is identical across reruns, engines, and

@@ -916,6 +916,23 @@ object ExtQueries {
       detachDeep(graft.ext.Dedup.newDocumentsNearDup(d, incoming,
           col("doc_id"), col("text")))
         .orderBy("doc_id")
+    }),
+
+    // ---- temperature-based source mixing (XLM-R §3.1 α-sampling):
+    // α = 0.5 upweights the rarer sources; membership is the portable
+    // md5-bucket device, weights integer-quantized before the
+    // normalizing sum so the rates replay exactly. (pow(n, 0.5) must
+    // agree across engines — both special-case to correctly-rounded
+    // sqrt; the 2^-20 round tolerates ulp drift except on exact .5
+    // boundaries, a fixture-frozen dependence like x53's.)
+    "x58_temperature_mix" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      // keyed on lang — the one skewed grouping in the fixture (en is
+      // ~2.7× de), so α = 0.5 visibly reweights
+      graft.ext.Sampling.temperatureMixture(d, col("lang"), col("doc_id"),
+          alpha = 0.5, targetDocs = 200)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1426,6 +1443,28 @@ object ExtQueries {
         |SELECT doc_id, text FROM incoming
         |WHERE doc_id IN (SELECT doc_id FROM surv)
         |  AND doc_id NOT IN (SELECT id FROM comp WHERE component <> id)
+        |ORDER BY doc_id""".stripMargin,
+    "x58_temperature_mix" ->
+      """WITH d AS (SELECT doc_id, lang FROM documents),
+        |cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |        FROM d GROUP BY lang),
+        |pw AS (SELECT lang, n,
+        |         CAST(round(pow(CAST(n AS DOUBLE), 0.5) * 1048576.0, 0)
+        |           AS BIGINT) AS pq
+        |       FROM cnt),
+        |ps AS (SELECT CAST(sum(pq) AS BIGINT) AS psum FROM pw),
+        |rates AS (
+        |  SELECT lang,
+        |    greatest(1, CAST(floor(least(1.0,
+        |      200.0 * (CAST(pq AS DOUBLE) / CAST(psum AS DOUBLE))
+        |        / CAST(n AS DOUBLE)) * 4096) AS BIGINT)) AS cap
+        |  FROM pw, ps)
+        |SELECT d.doc_id, d.lang
+        |FROM d JOIN rates USING (lang)
+        |WHERE (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 29791
+        |   + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) * 961
+        |   + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) * 31
+        |   + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 4, 1))) % 4096 < cap
         |ORDER BY doc_id""".stripMargin,
     "x33_class_centroids" ->
       """SELECT label, CAST(p AS INTEGER) AS pos,

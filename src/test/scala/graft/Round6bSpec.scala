@@ -189,6 +189,48 @@ class Round6bSpec extends SparkSpec {
     assert(lpAt(1) === lpAt(7))
   }
 
+  // ---------- Sampling.temperatureMixture ----------
+
+  test("temperature mixing upweights rare sources as alpha drops") {
+    // lang is the fixture's skewed grouping (en ≈ 2.7× de)
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    val byLang = d.groupBy("lang").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    def mixShare(alpha: Double): Map[String, Double] = {
+      val sel = ext.Sampling
+        .temperatureMixture(d, col("lang"), col("doc_id"), alpha, 200L)
+        .groupBy("lang").count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      byLang.keys.map(s => s -> (sel.getOrElse(s, 0L).toDouble / byLang(s)))
+        .toMap
+    }
+    val rare = byLang.minBy(_._2)._1
+    val common = byLang.maxBy(_._2)._1
+    val prop = mixShare(1.0)  // α = 1: same rate for every group
+    assert(math.abs(prop(rare) - prop(common)) < 0.15)
+    val temp = mixShare(0.25) // α « 1: the rare group keeps a larger share
+    assert(temp(rare) > temp(common))
+    // membership is content-determined: invariant to partitioning
+    val a = ext.Sampling
+      .temperatureMixture(d.repartition(1), col("lang"), col("doc_id"), 0.5, 200L)
+      .select("doc_id").orderBy("doc_id").collect().toSeq
+    val b = ext.Sampling
+      .temperatureMixture(d.repartition(7), col("lang"), col("doc_id"), 0.5, 200L)
+      .select("doc_id").orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+
+  test("temperature mixing drops null-source rows and honors zero target") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "src")
+    val sel = ext.Sampling
+      .temperatureMixture(df, col("src"), col("id"), 0.5, 100L)
+    assert(sel.filter(col("src").isNull).count() === 0L)
+    assert(ext.Sampling
+      .temperatureMixture(df, col("src"), col("id"), 0.5, 0L).count() === 0L)
+  }
+
   // ---------- IvfPq ----------
 
   test("ivfpq index carries the same cell assignment and codes as its parts") {
