@@ -568,9 +568,108 @@ object StreamQueries {
         .agg(count(lit(1)).as("n_sessions"),
           max(col("n_events")).as("longest_session"))
         .orderBy("user_id")
+    }),
+
+    // ---- streaming corpus ingestion with incremental dedup: each
+    // micro-batch admits only documents whose md5 fingerprint is in
+    // neither the static corpus nor the sink built by EARLIER batches
+    // (Dedup.newDocuments per batch, sink grows via warehouse append).
+    // Three staged files plant every admission case: corpus copies,
+    // fresh docs, an intra-batch twin, cross-BATCH twins, and a late
+    // corpus copy. The admission anti-join makes foreachBatch replay
+    // NATURALLY idempotent — a redelivered batch's documents are
+    // already in the sink, so the append degenerates to empty; no
+    // batch-id watermark is needed (contrast s05, whose increment is
+    // not idempotent and must carry one).
+    "s12_stream_incremental_dedup" -> ((s: SparkSession, dir: String) => {
+      val docsSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val sorted =
+        array_join(sort_array(split(col("text"), " ")), " ").as("text")
+      val fresh = d.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 600000L).as("doc_id"), sorted)
+      val batch0 = d.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+        .union(fresh.filter(col("doc_id") < 600005L))
+        .union(fresh.filter(col("doc_id") === 600000L)
+          .select(lit(680000L).as("doc_id"), col("text")))
+      val batch1 = fresh.filter(col("doc_id") < 600003L)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        .union(fresh.filter(col("doc_id").between(600005L, 600007L)))
+      val batch2 = d.filter(col("doc_id") === 5L)
+        .select(lit(500005L).as("doc_id"), col("text"))
+        .union(fresh.filter(col("doc_id") === 600005L)
+          .select(lit(700005L).as("doc_id"), col("text")))
+        .union(fresh.filter(col("doc_id") >= 600008L))
+      val staged = java.nio.file.Files.createTempDirectory("graft-s12")
+      Seq(batch0, batch1, batch2).zipWithIndex.foreach { case (b, n) =>
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft-s12-tmp$n")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = staged.resolve(s"$n.parquet")
+        java.nio.file.Files.copy(part.toPath, dest)
+        dest.toFile.setLastModified(1000000000L + n * 1000000L)
+      }
+      val wh = new SparkWarehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-s12-wh").toString)
+      withShufflePartitions(s, 4) {
+        val stream = s.readStream.schema(docsSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(staged.toString)
+        val q = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+            val known = wh.get("admitted") match {
+              case Right(sink) => d.unionByName(sink.select("doc_id", "text"))
+              case Left(_: graft.warehouse.TableNotFound) => d
+              case Left(e) => throw new RuntimeException(e.message)
+            }
+            val admitted = graft.ext.Dedup.newDocuments(
+              known, batch.toDF(), col("doc_id"), col("text"))
+            if (!admitted.isEmpty)
+              wh.load("admitted", admitted).fold(
+                e => throw new RuntimeException(e.message), _ => ())
+            ()
+          }
+          .option("checkpointLocation", staged.resolve("_ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+      }
+      wh.get("admitted").fold(
+        e => throw new RuntimeException(e.message), identity)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
     }))
 
   val oracle: Map[String, String] = Map(
+    // Admission is batch-sequential, but the staging puts every text's
+    // minimum id in the earliest batch containing it, so the final sink
+    // equals the batch-order-free form: min id per distinct text not
+    // already in the corpus.
+    "s12_stream_incremental_dedup" ->
+      """WITH fresh AS (
+        |  SELECT doc_id + 600000 AS doc_id,
+        |    array_to_string(list_sort(string_split(text, ' ')), ' ') AS text
+        |  FROM documents WHERE doc_id < 10),
+        |incoming AS (
+        |  SELECT doc_id + 500000 AS doc_id, text
+        |  FROM documents WHERE doc_id < 5
+        |  UNION ALL SELECT doc_id, text FROM fresh WHERE doc_id < 600005
+        |  UNION ALL SELECT 680000, text FROM fresh WHERE doc_id = 600000
+        |  UNION ALL SELECT doc_id + 100000, text FROM fresh
+        |    WHERE doc_id < 600003
+        |  UNION ALL SELECT doc_id, text FROM fresh
+        |    WHERE doc_id BETWEEN 600005 AND 600007
+        |  UNION ALL SELECT 500005 AS doc_id, text FROM documents
+        |    WHERE doc_id = 5
+        |  UNION ALL SELECT 700005, text FROM fresh WHERE doc_id = 600005
+        |  UNION ALL SELECT doc_id, text FROM fresh WHERE doc_id >= 600008)
+        |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text FROM incoming
+        |WHERE text NOT IN (SELECT text FROM documents)
+        |GROUP BY text ORDER BY doc_id""".stripMargin,
     // same shape as a08 (the batch session_window twin): gap >= 30 min
     // starts a new session
     "s11_stream_session_window" ->
