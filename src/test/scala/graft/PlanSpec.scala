@@ -198,4 +198,61 @@ class PartitionPruningSpec extends SparkSpec {
       s"partial agg lost:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"), s"top-k plan lost:\n$plan")
   }
+
+  test("temperature mixing selects with a map-side filter: no shuffle") {
+    // the count pass aggregates once; the SELECTION plan must be scan +
+    // filter only — caps are literals, membership is md5 arithmetic
+    val d = Tables(spark, sf0001, "documents")
+    val plan = graft.ext.Sampling
+      .temperatureMixture(d, col("lang"), col("doc_id"), 0.5, 200L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"selection plan grew a shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"selection plan grew a join:\n$plan")
+  }
+
+  test("segment dedup: keyed aggregations and equi-joins, no window") {
+    val plan = SparkEntry.queries("x54_segment_dedup")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"x54 grew a window:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"x54 degraded to a pairwise join:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("partial_"),
+      s"keep-first lost map-side partial aggregation:\n$plan")
+  }
+
+  test("segment dedup hashed-key mode keys the shuffle on xxhash64") {
+    val d = Tables(spark, sf0001, "documents")
+    val plan = graft.ext.Dedup
+      .segmentDedup(d, col("doc_id"), col("text"), 10, hashKeys = true)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("xxhash64"), s"hashed wire keys lost:\n$plan")
+  }
+
+  test("bigram scoring joins on bigram/context keys, never cartesian") {
+    val plan = SparkEntry.queries("x55_bigram_logprob")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"x55 degraded to a pairwise join:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"model counts lost map-side partial aggregation:\n$plan")
+  }
+
+  test("ivf-pq probe over a persisted index prunes centroid partitions") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val model = graft.ext.IvfPq.train(e, "embedding", nCentroids = 8,
+      m = 8, k = 16)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-plan").resolve("index").toString
+    graft.ext.Ivf.writeIndex(graft.ext.IvfPq.index(e, model), idxPath)
+    val idx = graft.ext.Ivf.readIndex(spark, idxPath)
+    val q = e.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 9000L).as("vec_id"), col("embedding"))
+    val plan = graft.ext.IvfPq.topKPruned(idx, q, model, k = 2, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [centroid"),
+      s"static centroid pruning lost:\n$plan")
+  }
 }
