@@ -933,6 +933,21 @@ object ExtQueries {
           alpha = 0.5, targetDocs = 200)
         .select("doc_id", "lang")
         .orderBy("doc_id")
+    }),
+
+    // ---- bounded-state per-group top-k (typed Aggregator UDAF): the
+    // map-side partial keeps ≤ 2k rows per (group, partition), so a hot
+    // group never funnels its full contents through one window task.
+    "x59_grouped_topk" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      val topk = udaf(new graft.ext.TopKAgg(5))
+      d.groupBy("lang")
+        .agg(topk(col("doc_id"), col("n_chars").cast("double")).as("_top"))
+        .select(col("lang"), posexplode(col("_top")))
+        .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+          col("col._2").as("doc_id"),
+          col("col._1").cast("long").as("n_chars"))
+        .orderBy("lang", "rank")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1466,6 +1481,14 @@ object ExtQueries {
         |   + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) * 31
         |   + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 4, 1))) % 4096 < cap
         |ORDER BY doc_id""".stripMargin,
+    "x59_grouped_topk" ->
+      """SELECT lang, CAST(rn AS INTEGER) AS rank, doc_id, n_chars
+        |FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5 ORDER BY lang, rank""".stripMargin,
     "x33_class_centroids" ->
       """SELECT label, CAST(p AS INTEGER) AS pos,
         |  CAST(sum(round(CAST(embedding[CAST(p + 1 AS INTEGER)] AS DOUBLE)

@@ -264,6 +264,51 @@ class Round6bSpec extends SparkSpec {
       r.getLong(2) == r.getLong(0) - 9000L) === 5)
   }
 
+  // ---------- TopKAgg ----------
+
+  test("bounded top-k agg matches the window form on any partitioning") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val topk = udaf(new ext.TopKAgg(4))
+    def viaAgg(n: Int) = d.repartition(n).groupBy("lang")
+      .agg(topk(col("doc_id"), col("n_chars").cast("double")).as("_top"))
+      .select(col("lang"), posexplode(col("_top")))
+      .select(col("lang"), (col("pos") + 1).as("rank"),
+        col("col._2").as("doc_id"))
+      .orderBy("lang", "rank").collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("n_chars").desc, col("doc_id"))
+    val viaWindow = d.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 4)
+      .select(col("lang"), col("rank").cast("long"), col("doc_id"))
+      .orderBy("lang", "rank").collect().toSeq
+    assert(viaAgg(1) === viaWindow)
+    assert(viaAgg(13) === viaWindow)
+  }
+
+  test("bounded top-k agg keeps groups smaller than k whole") {
+    val df = Seq((1L, "a", 5.0), (2L, "a", 7.0), (3L, "b", 1.0))
+      .toDF("id", "g", "v")
+    val topk = udaf(new ext.TopKAgg(5))
+    val out = df.groupBy("g").agg(topk(col("id"), col("v")).as("t"))
+      .select(col("g"), size(col("t")).as("n")).orderBy("g")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(out === Seq(("a", 2), ("b", 1)))
+  }
+
+  test("bounded top-k plans a partial (map-side) aggregation") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val topk = udaf(new ext.TopKAgg(3))
+    val plan = d.groupBy("lang")
+      .agg(topk(col("doc_id"), col("n_chars").cast("double")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"typed aggregate plan lost:\n$plan")
+    assert(plan.contains("partial_topkagg") ||
+      plan.toLowerCase.contains("partial_topk"),
+      s"map-side partial lost:\n$plan")
+  }
+
   // ---------- XML round trip ----------
 
   test("xml sink and schema-supplied scan round-trip values and types") {
