@@ -721,15 +721,16 @@ object Dedup {
     * caller filters on `n_kept` to drop husks), so the output is a
     * total function of the input corpus.
     *
-    * Scale shape: segment derivation is per-row expressions; the
-    * keep-first choice is ONE hash aggregation on the segment key
-    * (map-side partial `min` applies) and the membership join is
-    * co-partitioned on that same key — no pairwise step and no window
-    * over the corpus. Reassembly groups by document id. At 100 TB,
-    * shuffle `xxhash64(seg)` instead of the segment text (the
-    * [[Contamination]] device) and resolve the rare collisions in the
-    * bucket; segments live at most twice in flight (once keyed by
-    * segment, once keyed by id).
+    * Scale shape: segment derivation is per-row expressions, computed
+    * ONCE; the keep-first choice is ONE hash aggregation on the segment
+    * key whose `min(struct(id, seg_idx, seg))` already carries
+    * everything downstream needs — no membership join back, no window
+    * over the corpus, and map-side partial `min` applies. Reassembly
+    * groups the survivors (≤ one row per distinct segment) by document
+    * id, and per-document segment totals come from a second scan that
+    * reads only the text column. At 100 TB, `hashKeys` shuffles
+    * `xxhash64(seg)` instead of the segment text; each segment then
+    * crosses the wire once, inside the min-struct payload.
     *
     * `hashKeys = true` selects the wire-size mode: the keep-first
     * aggregation and the membership join key on `xxhash64(seg)` — an
@@ -754,24 +755,27 @@ object Dedup {
           .otherwise(array().cast("array<string>")).as("_segs"))
       .select(col("id"), posexplode(col("_segs")))
       .withColumnsRenamed(Map("pos" -> "seg_idx", "col" -> "seg"))
-    val nsegs = segs.groupBy("id").agg(count(lit(1)).as("n_segments"))
-    val keyed = segs.withColumn("_k",
-      if (hashKeys) xxhash64(col("seg")) else col("seg"))
-    val first = keyed.groupBy("_k")
-      .agg(min(struct(col("id"), col("seg_idx"))).as("_f"))
-    val kept = keyed.join(first, Seq("_k"))
-      .filter(col("id") === col("_f.id") &&
-        col("seg_idx") === col("_f.seg_idx"))
+    // min over struct(id, seg_idx, seg): (id, seg_idx) is unique per
+    // document, so seg never participates in the ordering — it rides
+    // along so no join back is needed to recover the survivor's text
+    val kept = segs
+      .withColumn("_k", if (hashKeys) xxhash64(col("seg")) else col("seg"))
+      .groupBy("_k")
+      .agg(min(struct(col("id"), col("seg_idx"), col("seg"))).as("_f"))
+      .select(col("_f.id").as("id"), col("_f.seg_idx").as("seg_idx"),
+        col("_f.seg").as("seg"))
     val reassembled = kept.groupBy("id")
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(
             array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
             s => s.getField("seg")), " ").as("text"))
-    df.select(idCol.as("id")).distinct()
-      .join(nsegs, Seq("id"), "left")
+    // totals re-derive from a text-column-only scan: cheaper than a
+    // second shuffle of the exploded segments
+    df.select(idCol.as("id"),
+        when(size(tk) > 0, floor((size(tk) - 1) / lit(segTokens)) + 1L)
+          .otherwise(0L).cast("long").as("n_segments"))
       .join(reassembled, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+      .select(col("id"), col("n_segments"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text"), lit("")).as("text"))
   }
