@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranking-quality evaluation — nDCG@k and MRR over ranked retrieval
+  * lists against graded relevance labels (Järvelin & Kekäläinen 2002
+  * for DCG; the standard exponential-gain form `(2^rel − 1)/log2(r+1)`).
+  * This is the eval half of the retrieval family ([[Bm25]], [[Fusion]],
+  * the ANN paths): a pipeline that tunes retrieval needs its quality
+  * metrics computed by the same engine, over the same tables, at the
+  * same scale as the retrieval itself.
+  *
+  * Determinism/portability: per-position gains quantize to integer
+  * micros BEFORE the per-query sum (order-free integer addition — the
+  * x45/x49 device), `IDCG` ranks relevance over the FULL label table
+  * (the proper normalizer, not retrieved-only), and `nDCG` is the ratio
+  * of the two integer sums. `MRR` is `round(10^6 / first_relevant_rank)`
+  * — exact integer arithmetic.
+  *
+  * Scale shape: one equi-join of the ranked lists against labels on
+  * `(query, doc)`, windows partitioned BY QUERY (bounded partitions —
+  * a ranked list is ≤ k rows by construction, labels per query are the
+  * candidate pool), and one keyed aggregation per query. Nothing is
+  * corpus-global.
+  */
+object RankEval {
+
+  private def gainMicros(rel: Column, rank: Column): Column =
+    round((pow(lit(2.0), rel.cast("double")) - lit(1.0)) /
+      log2(rank.cast("double") + lit(1.0)) * lit(1000000.0), 0).cast("long")
+
+  /** Per-query `(query, dcg_micros, idcg_micros, ndcg, mrr_micros)`.
+    *
+    * `ranked`: `(query, doc_id, rank)` — rank 1-based, unique per query.
+    * `rels`: `(query, doc_id, rel)` — graded relevance ≥ 0; docs absent
+    * from `rels` count as rel 0.
+    */
+  def ndcgMrr(ranked: DataFrame, rels: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val joined = ranked.filter(col("rank") <= k)
+      .join(rels, Seq("query", "doc_id"), "left")
+      .select(col("query"), col("rank"),
+        coalesce(col("rel"), lit(0L)).as("rel"))
+    val perQuery = joined.groupBy("query")
+      .agg(sum(gainMicros(col("rel"), col("rank"))).as("dcg_micros"),
+        min(when(col("rel") > 0L, col("rank"))).as("_first_rel"))
+    val wIdeal = Window.partitionBy(col("query"))
+      .orderBy(col("rel").desc, col("doc_id"))
+    val idcg = rels.filter(col("rel") > 0L)
+      .withColumn("_irank", row_number().over(wIdeal))
+      .filter(col("_irank") <= k)
+      .groupBy("query")
+      .agg(sum(gainMicros(col("rel"), col("_irank"))).as("idcg_micros"))
+    perQuery.join(idcg, Seq("query"), "left")
+      .select(col("query"), col("dcg_micros"),
+        coalesce(col("idcg_micros"), lit(0L)).as("idcg_micros"),
+        when(coalesce(col("idcg_micros"), lit(0L)) > 0L,
+          col("dcg_micros").cast("double") /
+            col("idcg_micros").cast("double"))
+          .otherwise(lit(0.0)).as("ndcg"),
+        coalesce(round(lit(1000000.0) / col("_first_rel"), 0).cast("long"),
+          lit(0L)).as("mrr_micros"))
+  }
+}

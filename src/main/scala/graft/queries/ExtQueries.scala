@@ -935,6 +935,35 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- ranking-quality evaluation (nDCG@10 + MRR): retrieval lists
+    // ranked by query-term frequency, graded relevance from a paired
+    // term — the eval half of the retrieval family, gains quantized to
+    // micros (x45's device) and IDCG normalized over the full label
+    // table.
+    "x60_rank_metrics" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables(s, dir, "documents")
+      val pairs = Seq("join" -> "merge", "merge" -> "window",
+        "scan" -> "join", "window" -> "scan")
+      val toks = d.select(col("doc_id"),
+        TextAnalysis.tokens(col("text")).as("_t"))
+      def tf(t: String) = size(filter(col("_t"), x => x === t)).cast("long")
+      val ranked = pairs.map { case (q, _) =>
+        toks.select(lit(q).as("query"), col("doc_id"), tf(q).as("_tf"))
+          .filter(col("_tf") > 0)
+          .withColumn("rank", row_number().over(Window.partitionBy("query")
+            .orderBy(col("_tf").desc, col("doc_id"))).cast("long"))
+          .filter(col("rank") <= 10)
+          .drop("_tf")
+      }.reduce(_ union _)
+      val rels = pairs.map { case (q, r) =>
+        toks.select(lit(q).as("query"), col("doc_id"),
+            least(tf(r), lit(3L)).as("rel"))
+          .filter(col("rel") > 0)
+      }.reduce(_ union _)
+      graft.ext.RankEval.ndcgMrr(ranked, rels, 10).orderBy("query")
+    }),
+
     // ---- bounded-state per-group top-k (typed Aggregator UDAF): the
     // map-side partial keeps ≤ 2k rows per (group, partition), so a hot
     // group never funnels its full contents through one window task.
@@ -1481,6 +1510,50 @@ object ExtQueries {
         |   + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) * 31
         |   + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 4, 1))) % 4096 < cap
         |ORDER BY doc_id""".stripMargin,
+    "x60_rank_metrics" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |q AS (SELECT * FROM (VALUES ('join','merge'), ('merge','window'),
+        |        ('scan','join'), ('window','scan')) v(query, rterm)),
+        |tf AS (
+        |  SELECT q.query, t.doc_id,
+        |    CAST(len(list_filter(t.tk, x -> x = q.query)) AS BIGINT) AS qtf,
+        |    CAST(least(len(list_filter(t.tk, x -> x = q.rterm)), 3)
+        |      AS BIGINT) AS rel
+        |  FROM toks t, q),
+        |ranked AS (
+        |  SELECT query, doc_id, rel, row_number() OVER (
+        |    PARTITION BY query ORDER BY qtf DESC, doc_id) AS rank
+        |  FROM tf WHERE qtf > 0),
+        |topk AS (SELECT * FROM ranked WHERE rank <= 10),
+        |dcg AS (
+        |  SELECT query,
+        |    CAST(sum(CAST(round((pow(2.0, CAST(rel AS DOUBLE)) - 1.0)
+        |      / log2(CAST(rank AS DOUBLE) + 1.0) * 1000000.0, 0)
+        |      AS BIGINT)) AS BIGINT) AS dcg_micros,
+        |    min(CASE WHEN rel > 0 THEN rank END) AS first_rel
+        |  FROM topk GROUP BY query),
+        |ideal AS (
+        |  SELECT query, rel, row_number() OVER (
+        |    PARTITION BY query ORDER BY rel DESC, doc_id) AS irank
+        |  FROM tf WHERE rel > 0),
+        |idcg AS (
+        |  SELECT query,
+        |    CAST(sum(CAST(round((pow(2.0, CAST(rel AS DOUBLE)) - 1.0)
+        |      / log2(CAST(irank AS DOUBLE) + 1.0) * 1000000.0, 0)
+        |      AS BIGINT)) AS BIGINT) AS idcg_micros
+        |  FROM ideal WHERE irank <= 10 GROUP BY query)
+        |SELECT d.query, d.dcg_micros,
+        |  coalesce(i.idcg_micros, CAST(0 AS BIGINT)) AS idcg_micros,
+        |  CASE WHEN coalesce(i.idcg_micros, 0) > 0
+        |    THEN CAST(d.dcg_micros AS DOUBLE) / CAST(i.idcg_micros AS DOUBLE)
+        |    ELSE 0.0 END AS ndcg,
+        |  coalesce(CAST(round(1000000.0 / d.first_rel, 0) AS BIGINT),
+        |    CAST(0 AS BIGINT)) AS mrr_micros
+        |FROM dcg d LEFT JOIN idcg i USING (query)
+        |ORDER BY query""".stripMargin,
     "x59_grouped_topk" ->
       """SELECT lang, CAST(rn AS INTEGER) AS rank, doc_id, n_chars
         |FROM (

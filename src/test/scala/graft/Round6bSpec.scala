@@ -309,6 +309,32 @@ class Round6bSpec extends SparkSpec {
       s"map-side partial lost:\n$plan")
   }
 
+  // ---------- RankEval ----------
+
+  test("ndcg and mrr match hand computation, including edge cases") {
+    // query A: ranked (d1 rel2, d2 rel0, d3 rel1); ideal (rel2, rel1)
+    // query B: perfect ranking; query C: nothing relevant retrieved,
+    // but relevant docs exist (ndcg 0, mrr 0)
+    val ranked = Seq(("A", 1L, 1L), ("A", 2L, 2L), ("A", 3L, 3L),
+      ("B", 10L, 1L), ("C", 20L, 1L))
+      .toDF("query", "doc_id", "rank")
+    val rels = Seq(("A", 1L, 2L), ("A", 3L, 1L), ("B", 10L, 3L),
+      ("C", 99L, 1L)).toDF("query", "doc_id", "rel")
+    val out = ext.RankEval.ndcgMrr(ranked, rels, 10)
+      .orderBy("query").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    def g(rel: Long, rank: Long): Long =
+      math.round((math.pow(2.0, rel.toDouble) - 1.0) /
+        (math.log(rank.toDouble + 1.0) / math.log(2.0)) * 1e6)
+    val aDcg = g(2, 1) + g(0, 2) + g(1, 3)
+    val aIdcg = g(2, 1) + g(1, 2)
+    assert(out(0) === (("A", aDcg, aIdcg,
+      aDcg.toDouble / aIdcg.toDouble, 1000000L)))
+    assert(out(1) === (("B", g(3, 1), g(3, 1), 1.0, 1000000L)))
+    assert(out(2) === (("C", 0L, g(1, 1), 0.0, 0L)))
+  }
+
   // ---------- XML round trip ----------
 
   test("xml sink and schema-supplied scan round-trip values and types") {
