@@ -65,4 +65,43 @@ object UnigramLm {
       .agg(sum(col("tf")).as("n_tokens"), sum(col("component")).as("_lp"))
       .select(col("doc_id"), col("n_tokens"),
         (col("_lp") / col("n_tokens")).as("avg_logprob"))
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3 splits a
+    * corpus into head/middle/tail by LM perplexity): every document gets
+    * `(doc_id, avg_milli, bucket)` where `avg_milli` is its integer
+    * milli-logprob-per-token and `bucket` is head (score ≥ pHi
+    * quantile), middle, or tail (score ≤ pLo quantile).
+    *
+    * Determinism device: per-(doc,term) components are quantized to
+    * integer micro-logprobs BEFORE summing (sum order is then
+    * irrelevant), and the quantile thresholds are rounded to exact
+    * binary quarters — so bucket assignment is engine-exact and
+    * partition-invariant. The thresholds are two driver-side doubles
+    * (never a single-row cross join); the rest is two keyed
+    * aggregations over the same postings shuffle the scorer uses.
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: Column, textCol: Column,
+                        model: DataFrame, pLo: Double = 0.25,
+                        pHi: Double = 0.75): DataFrame = {
+    require(pLo < pHi, s"pLo ($pLo) must be below pHi ($pHi)")
+    val scored = docTermComponents(docs, idCol, textCol, model)
+      .select(col("doc_id"), col("tf"),
+        round(col("component") * lit(1000000.0), 0).cast("long").as("_cm"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("_cm")).as("lp_micros"))
+      .select(col("doc_id"),
+        round(col("lp_micros").cast("double") * lit(1000.0) /
+          col("n_tokens").cast("double"), 0).cast("long").as("avg_milli"))
+    val thr = scored.agg(
+      (round(expr(s"percentile(avg_milli, $pLo)") * 4) / 4).as("t_lo"),
+      (round(expr(s"percentile(avg_milli, $pHi)") * 4) / 4).as("t_hi"))
+      .head()
+    require(!thr.isNullAt(0) && !thr.isNullAt(1),
+      "perplexityBuckets: empty corpus (no scored documents)")
+    val (tLo, tHi) = (thr.getDouble(0), thr.getDouble(1))
+    scored.select(col("doc_id"), col("avg_milli"),
+      when(col("avg_milli").cast("double") >= tHi, "head")
+        .when(col("avg_milli").cast("double") > tLo, "middle")
+        .otherwise("tail").as("bucket"))
+  }
 }

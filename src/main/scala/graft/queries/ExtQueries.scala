@@ -935,6 +935,25 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3
+    // splits the corpus into head/middle/tail by LM perplexity): docs
+    // bucket by corpus quantiles of their per-token unigram logprob.
+    // Thresholds use exact-binary p=0.25/0.75 and ×4 quantization
+    // (x23's device); the per-token score is an integer milli-logprob,
+    // so ordering and comparisons are engine-exact. Thresholds collect
+    // driver-side (two doubles) — never a single-row cross join.
+    "x61_perplexity_buckets" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      val model = graft.ext.UnigramLm.termCounts(d, col("text"))
+      graft.ext.UnigramLm
+        .perplexityBuckets(d, col("doc_id"), col("text"), model)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("avg_milli")).as("min_milli"),
+          max(col("avg_milli")).as("max_milli"))
+        .orderBy("bucket")
+    }),
+
     // ---- ranking-quality evaluation (nDCG@10 + MRR): retrieval lists
     // ranked by query-term frequency, graded relevance from a paired
     // term — the eval half of the retrieval family, gains quantized to
@@ -1510,6 +1529,45 @@ object ExtQueries {
         |   + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) * 31
         |   + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 4, 1))) % 4096 < cap
         |ORDER BY doc_id""".stripMargin,
+    "x61_perplexity_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |occ AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+        |tc AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM occ
+        |       GROUP BY term),
+        |st AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+        |         CAST(count(*) AS BIGINT) AS v FROM tc),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM occ GROUP BY doc_id, term),
+        |comp AS (
+        |  SELECT tf.doc_id, tf.tf,
+        |    CAST(round(
+        |      (tf.tf * ln(CAST(tc.cnt + 1 AS DOUBLE) /
+        |        (CAST(st.total AS DOUBLE) + CAST(st.v AS DOUBLE))))
+        |      * 1000000.0, 0) AS BIGINT) AS cm
+        |  FROM tf JOIN tc USING (term), st),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(round(CAST(sum(cm) AS DOUBLE) * 1000.0 /
+        |      CAST(sum(tf) AS DOUBLE), 0) AS BIGINT) AS avg_milli
+        |  FROM comp GROUP BY doc_id),
+        |thr AS (
+        |  SELECT round(quantile_cont(CAST(avg_milli AS DOUBLE), 0.25) * 4) / 4
+        |           AS t_lo,
+        |         round(quantile_cont(CAST(avg_milli AS DOUBLE), 0.75) * 4) / 4
+        |           AS t_hi
+        |  FROM scored),
+        |bucketed AS (
+        |  SELECT doc_id, avg_milli,
+        |    CASE WHEN CAST(avg_milli AS DOUBLE) >= thr.t_hi THEN 'head'
+        |         WHEN CAST(avg_milli AS DOUBLE) > thr.t_lo THEN 'middle'
+        |         ELSE 'tail' END AS bucket
+        |  FROM scored, thr)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(avg_milli) AS min_milli, max(avg_milli) AS max_milli
+        |FROM bucketed GROUP BY bucket ORDER BY bucket""".stripMargin,
     "x60_rank_metrics" ->
       """WITH toks AS (
         |  SELECT doc_id,

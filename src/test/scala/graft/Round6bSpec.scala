@@ -335,6 +335,52 @@ class Round6bSpec extends SparkSpec {
     assert(out(2) === (("C", 0L, g(1, 1), 0.0, 0L)))
   }
 
+  // ---------- UnigramLm.perplexityBuckets ----------
+
+  test("perplexity buckets partition the corpus, order by score, and are " +
+    "partition-invariant") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 150)
+    def bucketsAt(n: Int) = {
+      val c = d.repartition(n)
+      val model = ext.UnigramLm.termCounts(c, col("text"))
+      ext.UnigramLm.perplexityBuckets(c, col("doc_id"), col("text"), model)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    }
+    val out = bucketsAt(1)
+    // total over the input: every scored doc appears exactly once
+    assert(out.map(_._1) === out.map(_._1).distinct)
+    assert(out.size === d.filter(length(trim(col("text"))) > 0).count())
+    // bucket membership respects the score ordering strictly
+    val byBucket = out.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket.keySet === Set("head", "middle", "tail"))
+    assert(byBucket("head").min > byBucket("middle").max ||
+      byBucket("head").min >= byBucket("middle").max)
+    assert(byBucket("middle").min >= byBucket("tail").max)
+    // quartile cut: tail ≈ 25%, head ≈ 25% (quantized thresholds make
+    // the split approximate but bounded)
+    assert(byBucket("tail").size <= out.size / 2)
+    assert(byBucket("head").size <= out.size / 2)
+    // the 1000-executor question: identical on any slicing
+    assert(bucketsAt(7) === out)
+  }
+
+  test("perplexity buckets reject a degenerate quantile pair and an " +
+    "empty corpus") {
+    val d = Seq((1L, "a b")).toDF("doc_id", "text")
+    val model = ext.UnigramLm.termCounts(d, col("text"))
+    intercept[IllegalArgumentException] {
+      ext.UnigramLm.perplexityBuckets(d, col("doc_id"), col("text"), model,
+        pLo = 0.75, pHi = 0.25)
+    }
+    val empty = d.filter(col("doc_id") < 0)
+    intercept[IllegalArgumentException] {
+      ext.UnigramLm.perplexityBuckets(empty, col("doc_id"), col("text"),
+        ext.UnigramLm.termCounts(d, col("text")))
+    }
+  }
+
   // ---------- XML round trip ----------
 
   test("xml sink and schema-supplied scan round-trip values and types") {
