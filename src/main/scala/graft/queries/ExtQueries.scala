@@ -954,6 +954,20 @@ object ExtQueries {
         .orderBy("bucket")
     }),
 
+    // ---- DSIR importance resampling (Xie et al. 2023): tilt the
+    // corpus toward a target domain (lang='de') by the hashed-ngram
+    // log-likelihood ratio. Both distribution tables are bounded by the
+    // bucket count and broadcast — the corpus never shuffles for
+    // scoring; per-feature components quantize to micros before the
+    // per-doc sum (engine-exact); selection is a deterministic top-n.
+    "x62_dsir_selection" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      val target = d.filter(col("lang") === "de")
+      val w = graft.ext.Dsir.importanceWeights(d, target,
+        col("doc_id"), col("text"))
+      graft.ext.Dsir.selectTopN(w, 25)
+    }),
+
     // ---- ranking-quality evaluation (nDCG@10 + MRR): retrieval lists
     // ranked by query-term frequency, graded relevance from a paired
     // term — the eval half of the retrieval family, gains quantized to
@@ -1568,6 +1582,49 @@ object ExtQueries {
         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
         |  min(avg_milli) AS min_milli, max(avg_milli) AS max_milli
         |FROM bucketed GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "x62_dsir_selection" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, lang, unnest(tk) AS t,
+        |    generate_subscripts(tk, 1) AS i
+        |  FROM toks),
+        |grams AS (
+        |  SELECT doc_id, lang, t AS gram FROM pos
+        |  UNION ALL
+        |  SELECT a.doc_id, a.lang, a.t || ' ' || b.t AS gram
+        |  FROM pos a JOIN pos b
+        |    ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        |feats AS (
+        |  SELECT doc_id, lang,
+        |    (ascii(substr(md5(gram), 1, 1)) * 29791
+        |     + ascii(substr(md5(gram), 2, 1)) * 961
+        |     + ascii(substr(md5(gram), 3, 1)) * 31
+        |     + ascii(substr(md5(gram), 4, 1))) % 4096 AS feat
+        |  FROM grams),
+        |df AS (SELECT doc_id, feat, CAST(count(*) AS BIGINT) AS tf,
+        |         max(lang) AS lang
+        |       FROM feats GROUP BY doc_id, feat),
+        |sc AS (SELECT feat, CAST(sum(tf) AS BIGINT) AS s_cnt
+        |       FROM df GROUP BY feat),
+        |tc AS (SELECT feat, CAST(sum(tf) AS BIGINT) AS t_cnt
+        |       FROM df WHERE lang = 'de' GROUP BY feat),
+        |st AS (SELECT CAST(sum(s_cnt) AS BIGINT) AS tot FROM sc),
+        |tt AS (SELECT CAST(sum(t_cnt) AS BIGINT) AS tot FROM tc),
+        |w AS (
+        |  SELECT df.doc_id,
+        |    CAST(round((CAST(df.tf AS DOUBLE) *
+        |      (ln(CAST(coalesce(tc.t_cnt, 0) + 1 AS DOUBLE) /
+        |         (CAST(tt.tot AS DOUBLE) + 4096.0))
+        |       - ln(CAST(sc.s_cnt + 1 AS DOUBLE) /
+        |         (CAST(st.tot AS DOUBLE) + 4096.0))))
+        |      * 1000000.0, 0) AS BIGINT) AS wm
+        |  FROM df JOIN sc USING (feat) LEFT JOIN tc USING (feat), st, tt)
+        |SELECT doc_id, CAST(sum(wm) AS BIGINT) AS weight_micros
+        |FROM w GROUP BY doc_id
+        |ORDER BY weight_micros DESC, doc_id LIMIT 25""".stripMargin,
     "x60_rank_metrics" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -335,6 +335,73 @@ class Round6bSpec extends SparkSpec {
     assert(out(2) === (("C", 0L, g(1, 1), 0.0, 0L)))
   }
 
+  // ---------- Dsir ----------
+
+  test("dsir upweights target-domain documents over off-domain ones") {
+    // Source corpus: 3 "legal" docs, 3 "chat" docs, 1 mixed. Target
+    // sample: legal-domain text. Every legal doc must outscore every
+    // chat doc, with the mixed doc in between.
+    val source = Seq(
+      (1L, "whereas the party of the first part agrees"),
+      (2L, "the party hereby covenants and agrees"),
+      (3L, "whereas the covenants bind the first part"),
+      (4L, "lol that meme is so funny omg"),
+      (5L, "omg did you see that lol"),
+      (6L, "so funny i cant even lol"),
+      (7L, "the party posted a funny meme")).toDF("doc_id", "text")
+    val target = Seq(
+      (100L, "whereas the party agrees to the covenants"),
+      (101L, "the first part hereby agrees")).toDF("doc_id", "text")
+    val w = ext.Dsir.importanceWeights(source, target, col("doc_id"),
+      col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val legal = Seq(1L, 2L, 3L).map(w); val chat = Seq(4L, 5L, 6L).map(w)
+    assert(legal.min > w(7L) && w(7L) > chat.max)
+    // selection takes the legal family first
+    val top3 = ext.Dsir.selectTopN(
+      ext.Dsir.importanceWeights(source, target, col("doc_id"), col("text")),
+      3).collect().map(_.getLong(0)).toSet
+    assert(top3 === Set(1L, 2L, 3L))
+  }
+
+  test("dsir weights are partition-invariant and total over non-blank docs") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+      .filter(col("doc_id") < 150)
+    def wAt(n: Int) = {
+      val c = d.repartition(n)
+      ext.Dsir.importanceWeights(c, c.filter(col("lang") === "de"),
+          col("doc_id"), col("text"))
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    val out = wAt(1)
+    assert(out.size === d.count())
+    assert(wAt(7) === out)
+  }
+
+  test("dsir scoring broadcasts both distribution tables") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val plan = ext.Dsir.importanceWeights(d, d.filter(col("lang") === "de"),
+      col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"broadcast lost:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"distribution join degraded to a corpus shuffle:\n$plan")
+  }
+
+  test("dsir rejects an all-blank target or source") {
+    val src = Seq((1L, "a b"), (2L, "c")).toDF("doc_id", "text")
+    val blank = Seq((9L, "   ")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      ext.Dsir.importanceWeights(src, blank, col("doc_id"), col("text"))
+    }
+    intercept[IllegalArgumentException] {
+      ext.Dsir.importanceWeights(blank, src, col("doc_id"), col("text"))
+    }
+  }
+
   // ---------- UnigramLm.perplexityBuckets ----------
 
   test("perplexity buckets partition the corpus, order by score, and are " +
