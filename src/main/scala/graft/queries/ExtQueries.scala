@@ -968,6 +968,24 @@ object ExtQueries {
       graft.ext.Dsir.selectTopN(w, 25)
     }),
 
+    // ---- model-based quality classifier (the GPT-3-style LR filter):
+    // two full-batch logistic-regression gradient steps over hashed
+    // ngram features (y = lang='en'), then score the corpus. All model
+    // state is integer micros — margins are exact long sums, the
+    // sigmoid quantizes the moment it leaves double-land — so training
+    // is engine-exact and the oracle replays both steps in SQL.
+    "x63_quality_classifier" -> ((s0: SparkSession, dir: String) => {
+      val s = pinned(s0)
+      val d = Tables(s, dir, "documents")
+      val labels = d.select(col("doc_id"),
+        when(col("lang") === "en", 1).otherwise(0).as("y"))
+      val model = graft.ext.QualityClassifier.train(d, col("doc_id"),
+        col("text"), labels, steps = 2, lr = 0.05)
+      detachDeep(graft.ext.QualityClassifier
+        .score(d, col("doc_id"), col("text"), model)
+        .orderBy(col("prob_micros").desc, col("doc_id")).limit(25))
+    }),
+
     // ---- ranking-quality evaluation (nDCG@10 + MRR): retrieval lists
     // ranked by query-term frequency, graded relevance from a paired
     // term — the eval half of the retrieval family, gains quantized to
@@ -1625,6 +1643,81 @@ object ExtQueries {
         |SELECT doc_id, CAST(sum(wm) AS BIGINT) AS weight_micros
         |FROM w GROUP BY doc_id
         |ORDER BY weight_micros DESC, doc_id LIMIT 25""".stripMargin,
+    "x63_quality_classifier" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS i
+        |  FROM toks),
+        |grams AS (
+        |  SELECT doc_id, t AS gram FROM pos
+        |  UNION ALL
+        |  SELECT a.doc_id, a.t || ' ' || b.t AS gram
+        |  FROM pos a JOIN pos b
+        |    ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        |df AS (
+        |  SELECT doc_id,
+        |    (ascii(substr(md5(gram), 1, 1)) * 29791
+        |     + ascii(substr(md5(gram), 2, 1)) * 961
+        |     + ascii(substr(md5(gram), 3, 1)) * 31
+        |     + ascii(substr(md5(gram), 4, 1))) % 4096 AS feat,
+        |    CAST(count(*) AS BIGINT) AS tf
+        |  FROM grams GROUP BY 1, 2),
+        |lab AS (SELECT doc_id,
+        |          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |        FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lab),
+        |e1 AS (
+        |  SELECT m.doc_id,
+        |    CAST(500000 - l.y * 1000000 AS BIGINT) AS err
+        |  FROM (SELECT DISTINCT doc_id FROM df) m JOIN lab l USING (doc_id)),
+        |g1 AS (SELECT feat, CAST(sum(df.tf * e1.err) AS BIGINT) AS g
+        |       FROM df JOIN e1 USING (doc_id) GROUP BY feat),
+        |w1 AS (SELECT feat,
+        |         CAST(0 - CAST(round(CAST(g AS DOUBLE)
+        |           * (0.05 / CAST(n.n AS DOUBLE)), 0) AS BIGINT) AS BIGINT)
+        |           AS w
+        |       FROM g1, n),
+        |b1 AS (SELECT CAST(0 - CAST(round(CAST(sum(err) AS DOUBLE)
+        |         * (0.05 / CAST(n.n AS DOUBLE)), 0) AS BIGINT) AS BIGINT)
+        |         AS b
+        |       FROM e1, n GROUP BY n.n),
+        |m2 AS (
+        |  SELECT df.doc_id,
+        |    CAST(b1.b + sum(df.tf * coalesce(w1.w, 0)) AS BIGINT) AS mm
+        |  FROM df LEFT JOIN w1 USING (feat), b1
+        |  GROUP BY df.doc_id, b1.b),
+        |e2 AS (
+        |  SELECT m2.doc_id,
+        |    CAST(CAST(round(1000000.0 /
+        |        (1.0 + exp((0.0 - CAST(mm AS DOUBLE)) / 1000000.0)), 0)
+        |      AS BIGINT) - l.y * 1000000 AS BIGINT) AS err
+        |  FROM m2 JOIN lab l USING (doc_id)),
+        |g2 AS (SELECT feat, CAST(sum(df.tf * e2.err) AS BIGINT) AS g
+        |       FROM df JOIN e2 USING (doc_id) GROUP BY feat),
+        |w2 AS (
+        |  SELECT coalesce(g2.feat, w1.feat) AS feat,
+        |    CAST(coalesce(w1.w, 0) - CAST(round(CAST(coalesce(g2.g, 0)
+        |        AS DOUBLE) * (0.05 / CAST(n.n AS DOUBLE)), 0) AS BIGINT)
+        |      AS BIGINT) AS w
+        |  FROM g2 FULL JOIN w1 ON g2.feat = w1.feat, n),
+        |b2 AS (SELECT CAST(b1.b - CAST(round(CAST(sum(err) AS DOUBLE)
+        |         * (0.05 / CAST(n.n AS DOUBLE)), 0) AS BIGINT) AS BIGINT)
+        |         AS b
+        |       FROM e2, b1, n GROUP BY b1.b, n.n),
+        |m3 AS (
+        |  SELECT df.doc_id,
+        |    CAST(b2.b + sum(df.tf * coalesce(w2.w, 0)) AS BIGINT) AS mm
+        |  FROM df LEFT JOIN w2 USING (feat), b2
+        |  GROUP BY df.doc_id, b2.b)
+        |SELECT doc_id,
+        |  CAST(round(1000000.0 /
+        |      (1.0 + exp((0.0 - CAST(mm AS DOUBLE)) / 1000000.0)), 0)
+        |    AS BIGINT) AS prob_micros
+        |FROM m3
+        |ORDER BY prob_micros DESC, doc_id LIMIT 25""".stripMargin,
     "x60_rank_metrics" ->
       """WITH toks AS (
         |  SELECT doc_id,

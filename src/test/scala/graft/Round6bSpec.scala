@@ -402,6 +402,92 @@ class Round6bSpec extends SparkSpec {
     }
   }
 
+  // ---------- QualityClassifier ----------
+
+  test("one gradient step from zero matches hand computation") {
+    // Two one-token docs, opposite labels. Step 1: all margins 0,
+    // p = 0.5, so err = ∓500000; with lr=1, n=2 the weights move to
+    // ±250000 micros and the bias gradient cancels to 0.
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val labels = Seq((1L, 1), (2L, 0)).toDF("doc_id", "y")
+    val model = ext.QualityClassifier.train(docs, col("doc_id"), col("text"),
+      labels, steps = 1, lr = 1.0)
+    val featOf = spark.range(1).select(
+      ext.Sampling.hashBucket(lit("a"), 4096).as("fa"),
+      ext.Sampling.hashBucket(lit("b"), 4096).as("fb")).head()
+    val w = model.weights.collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(w === Map(featOf.getInt(0) -> 250000L, featOf.getInt(1) -> -250000L))
+    assert(model.biasMicros === 0L)
+    // scoring with those weights: p(doc1) = sigma(0.25)
+    val scores = ext.QualityClassifier
+      .score(docs, col("doc_id"), col("text"), model)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(scores(1L) === math.round(1e6 / (1.0 + math.exp(-0.25))))
+    assert(scores(2L) === math.round(1e6 / (1.0 + math.exp(0.25))))
+    ext.QualityClassifier.release(model)
+  }
+
+  test("trained classifier separates a planted two-domain corpus") {
+    val docs = Seq(
+      (1L, "whereas the party of the first part agrees"),
+      (2L, "the party hereby covenants and agrees"),
+      (3L, "whereas the covenants bind the first part"),
+      (4L, "lol that meme is so funny omg"),
+      (5L, "omg did you see that lol"),
+      (6L, "so funny i cant even lol")).toDF("doc_id", "text")
+    val labels = docs.select(col("doc_id"),
+      when(col("doc_id") <= 3L, 1).otherwise(0).as("y"))
+    val model = ext.QualityClassifier.train(docs, col("doc_id"), col("text"),
+      labels, steps = 5, lr = 0.5)
+    val p = ext.QualityClassifier
+      .score(docs, col("doc_id"), col("text"), model)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(Seq(1L, 2L, 3L).map(p).min > Seq(4L, 5L, 6L).map(p).max)
+    ext.QualityClassifier.release(model)
+  }
+
+  test("classifier training and scoring are partition-invariant") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+      .filter(col("doc_id") < 150)
+    def at(n: Int) = {
+      val c = d.repartition(n)
+      val labels = c.select(col("doc_id"),
+        when(col("lang") === "en", 1).otherwise(0).as("y"))
+      val m = ext.QualityClassifier.train(c, col("doc_id"), col("text"),
+        labels, steps = 2, lr = 0.05)
+      val w = m.weights.orderBy("feat").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSeq
+      val s = ext.QualityClassifier.score(c, col("doc_id"), col("text"), m)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      ext.QualityClassifier.release(m)
+      (w, m.biasMicros, s)
+    }
+    assert(at(1) === at(7))
+  }
+
+  test("classifier scoring broadcasts the model and rejects empty labels") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val labels = d.select(col("doc_id"),
+      when(col("lang") === "en", 1).otherwise(0).as("y"))
+    val m = ext.QualityClassifier.train(d, col("doc_id"), col("text"),
+      labels, steps = 1, lr = 0.05)
+    val plan = ext.QualityClassifier
+      .score(d, col("doc_id"), col("text"), m)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"broadcast lost:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"model join degraded to a corpus shuffle:\n$plan")
+    ext.QualityClassifier.release(m)
+    intercept[IllegalArgumentException] {
+      ext.QualityClassifier.train(d, col("doc_id"), col("text"),
+        labels.filter(col("doc_id") < 0), steps = 1, lr = 0.05)
+    }
+  }
+
   // ---------- UnigramLm.perplexityBuckets ----------
 
   test("perplexity buckets partition the corpus, order by score, and are " +
