@@ -986,6 +986,21 @@ object ExtQueries {
         .orderBy(col("prob_micros").desc, col("doc_id")).limit(25))
     }),
 
+    // ---- Gopher rule-based quality gauntlet (Rae et al. 2021 A1.1):
+    // per-doc verdict struct for every rule, all thresholds compared by
+    // integer cross-multiplication — one map-side projection, and the
+    // oracle replays each rule verbatim. Word bounds + stopword list
+    // tuned so the rules discriminate on the synthetic corpus.
+    "x64_gopher_rules" -> ((s0: SparkSession, dir: String) => {
+      val s = pinned(s0)
+      val d = Tables(s, dir, "documents")
+      val cfg = graft.ext.GopherRules.Config(
+        minWords = 30L, maxWords = 80L,
+        stopwords = Seq("the", "a", "of"), minDistinctStopwords = 2)
+      graft.ext.GopherRules.evaluate(d, col("doc_id"), col("text"), cfg)
+        .orderBy("doc_id")
+    }),
+
     // ---- ranking-quality evaluation (nDCG@10 + MRR): retrieval lists
     // ranked by query-term frequency, graded relevance from a paired
     // term — the eval half of the retrieval family, gains quantized to
@@ -1718,6 +1733,47 @@ object ExtQueries {
         |    AS BIGINT) AS prob_micros
         |FROM m3
         |ORDER BY prob_micros DESC, doc_id LIMIT 25""".stripMargin,
+    "x64_gopher_rules" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, text, tk,
+        |    CAST(len(tk) AS BIGINT) AS words,
+        |    CAST(coalesce(list_sum(list_transform(tk, t -> strlen(t))), 0)
+        |      AS BIGINT) AS chars,
+        |    CAST(len(regexp_extract_all(text, '#'))
+        |      + len(regexp_extract_all(text, '\.\.\.'))
+        |      + len(regexp_extract_all(text, '…')) AS BIGINT) AS sym,
+        |    list_filter(string_split(text, chr(10)),
+        |      l -> strlen(l) > 0) AS lines,
+        |    CAST(len(list_filter(tk,
+        |      t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS alphaw,
+        |    CAST(len(list_filter(['the', 'a', 'of'],
+        |      s -> list_contains(tk, s))) AS BIGINT) AS stop
+        |  FROM toks),
+        |r AS (
+        |  SELECT doc_id,
+        |    words >= 30 AND words <= 80 AS r_word_count,
+        |    chars >= 3 * words AND chars <= 10 * words AS r_mean_word_len,
+        |    sym * 100 < 10 * words AS r_symbol_ratio,
+        |    CAST(len(list_filter(lines, l -> starts_with(l, '•')
+        |        OR starts_with(l, '- ') OR starts_with(l, '* ')))
+        |      AS BIGINT) * 100
+        |      < 90 * CAST(len(lines) AS BIGINT) AS r_bullet_lines,
+        |    CAST(len(list_filter(lines, l -> ends_with(l, '...')
+        |        OR ends_with(l, '…'))) AS BIGINT) * 100
+        |      < 30 * CAST(len(lines) AS BIGINT) AS r_ellipsis_lines,
+        |    alphaw * 100 >= 80 * words AS r_alpha_words,
+        |    stop >= 2 AS r_stopwords
+        |  FROM m)
+        |SELECT doc_id, r_word_count, r_mean_word_len, r_symbol_ratio,
+        |  r_bullet_lines, r_ellipsis_lines, r_alpha_words, r_stopwords,
+        |  (r_word_count AND r_mean_word_len AND r_symbol_ratio
+        |   AND r_bullet_lines AND r_ellipsis_lines AND r_alpha_words
+        |   AND r_stopwords) AS pass
+        |FROM r ORDER BY doc_id""".stripMargin,
     "x60_rank_metrics" ->
       """WITH toks AS (
         |  SELECT doc_id,

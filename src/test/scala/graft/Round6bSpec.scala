@@ -488,6 +488,71 @@ class Round6bSpec extends SparkSpec {
     }
   }
 
+  // ---------- GopherRules ----------
+
+  test("gopher rules judge each boundary the way the paper states it") {
+    val cfg = ext.GopherRules.Config(minWords = 3L, maxWords = 5L,
+      stopwords = Seq("the", "of"), minDistinctStopwords = 1)
+    val docs = Seq(
+      (1L, "the quick brown fox"), // all rules pass
+      (2L, "the of"), // under minWords
+      (3L, "the cat ate all of it six"), // over maxWords (7)
+      (4L, "a ab the x"), // mean word len 7/4 < 3 → fails
+      (5L, "quick brown foxes run"), // no stopword
+      (6L, "the ### ### fox"), // 6 '#' vs 4 words → symbol ratio fails
+      (7L, "the 12 34 56"), // alpha words 1/4 < 80%
+      (8L, "• the one\n• of two\n• and three"), // 3/3 bullet lines
+      (9L, "the one...\nof two...\nand three") // 2/3 ellipsis lines
+    ).toDF("doc_id", "text")
+    val out = ext.GopherRules
+      .evaluate(docs, col("doc_id"), col("text"), cfg)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(8)) // pass
+    assert(!out(2L).getBoolean(1) && !out(2L).getBoolean(8)) // r_word_count
+    assert(!out(3L).getBoolean(1))
+    assert(!out(4L).getBoolean(2)) // r_mean_word_len
+    assert(!out(5L).getBoolean(7)) // r_stopwords
+    assert(!out(6L).getBoolean(3)) // r_symbol_ratio
+    assert(!out(7L).getBoolean(6)) // r_alpha_words
+    assert(!out(8L).getBoolean(4)) // r_bullet_lines
+    assert(!out(9L).getBoolean(5)) // r_ellipsis_lines
+    // each line-rule failure leaves the OTHER line rule passing
+    assert(out(8L).getBoolean(5))
+    assert(out(9L).getBoolean(4))
+  }
+
+  test("gopher filterDocs keeps exactly the passing documents and " +
+    "stays map-side") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val cfg = ext.GopherRules.Config(minWords = 30L, maxWords = 80L,
+      stopwords = Seq("the", "a", "of"), minDistinctStopwords = 2)
+    val flags = ext.GopherRules
+      .evaluate(d, col("doc_id"), col("text"), cfg)
+    val passIds = flags.where(col("pass")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val kept = ext.GopherRules
+      .filterDocs(d, col("doc_id"), col("text"), cfg)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet === passIds)
+    assert(passIds.nonEmpty && passIds.size < d.count())
+    // the filter keeps the original schema
+    assert(kept.columns.toSeq === d.columns.toSeq)
+    // map-side: no exchange anywhere in the filter plan
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gopher filter shuffled:\n$plan")
+  }
+
+  test("gopher verdicts are partition-invariant and total on the corpus") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    def at(n: Int) = ext.GopherRules
+      .evaluate(d.repartition(n), col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), (1 to 8).map(r.getBoolean))).toSeq
+    val one = at(1)
+    assert(one === at(7))
+    assert(one.size === d.count())
+  }
+
   // ---------- UnigramLm.perplexityBuckets ----------
 
   test("perplexity buckets partition the corpus, order by score, and are " +
