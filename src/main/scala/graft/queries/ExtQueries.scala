@@ -1001,6 +1001,20 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- pretraining concat-and-chunk packing: documents concatenated
+    // in id order and cut into 128-token sequences, docs straddling
+    // boundaries — the layout manifest (seq, doc, slice) a dataloader
+    // assembles sequences from. Offsets come from the shared-shuffle
+    // Positional pass, never a global window; the oracle replays the
+    // cumulative-offset arithmetic with a window cumsum.
+    "x65_concat_packing" -> ((s0: SparkSession, dir: String) => {
+      val s = pinned(s0)
+      val d = Tables(s, dir, "documents")
+      graft.ext.ConcatPacking
+        .packLayout(d, col("doc_id"), col("text"), seqTokens = 128)
+        .orderBy("seq_id", "doc_id")
+    }),
+
     // ---- ranking-quality evaluation (nDCG@10 + MRR): retrieval lists
     // ranked by query-term frequency, graded relevance from a paired
     // term — the eval half of the retrieval family, gains quantized to
@@ -1733,6 +1747,30 @@ object ExtQueries {
         |    AS BIGINT) AS prob_micros
         |FROM m3
         |ORDER BY prob_micros DESC, doc_id LIMIT 25""".stripMargin,
+    "x65_concat_packing" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+        |      AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n,
+        |    CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS off
+        |  FROM toks),
+        |s AS (
+        |  SELECT doc_id, n, off,
+        |    unnest(generate_series(off // 128, (off + n - 1) // 128))
+        |      AS seq_id
+        |  FROM c WHERE n > 0)
+        |SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+        |  CAST(greatest(off, seq_id * 128) - off AS BIGINT) AS tok_start,
+        |  CAST(greatest(off, seq_id * 128) - seq_id * 128 AS BIGINT)
+        |    AS seq_off,
+        |  CAST(least(off + n, (seq_id + 1) * 128)
+        |    - greatest(off, seq_id * 128) AS BIGINT) AS n_toks
+        |FROM s ORDER BY seq_id, doc_id""".stripMargin,
     "x64_gopher_rules" ->
       """WITH toks AS (
         |  SELECT doc_id, text,

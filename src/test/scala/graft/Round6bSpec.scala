@@ -553,6 +553,78 @@ class Round6bSpec extends SparkSpec {
     assert(one.size === d.count())
   }
 
+  // ---------- ConcatPacking ----------
+
+  test("concat packing lays out straddling documents by hand") {
+    // token counts 3, 4, 2 against 4-token sequences: doc 20 straddles
+    // seq 0→1, doc 30 straddles seq 1→2 (the final partial sequence).
+    val docs = Seq((10L, "a b c"), (20L, "d e f g"), (30L, "h i"))
+      .toDF("doc_id", "text")
+    val out = ext.ConcatPacking
+      .packLayout(docs, col("doc_id"), col("text"), seqTokens = 4)
+      .orderBy("seq_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out === Seq(
+      (0L, 10L, 0L, 0L, 3L),
+      (0L, 20L, 0L, 3L, 1L),
+      (1L, 20L, 1L, 0L, 3L),
+      (1L, 30L, 0L, 3L, 1L),
+      (2L, 30L, 1L, 0L, 1L)))
+    intercept[IllegalArgumentException] {
+      ext.ConcatPacking.packLayout(docs, col("doc_id"), col("text"), 0)
+    }
+  }
+
+  test("concat packing is total, gap-free, and partition-invariant") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    def at(n: Int) = ext.ConcatPacking
+      .packLayout(d.repartition(n), col("doc_id"), col("text"), 64)
+      .orderBy("seq_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val one = at(1)
+    assert(one === at(7))
+    // every document's slices cover exactly its token count, in order
+    val docTotals = one.groupBy(_._2).view
+      .mapValues(_.map(_._5).sum).toMap
+    val expected = d
+      .select(col("doc_id"), ext.TextAnalysis.tokenCount(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(docTotals === expected.filter(_._2 > 0))
+    // every sequence except the last is filled to exactly 64 tokens,
+    // with slice offsets tiling [0, fill) gap-free
+    val bySeq = one.groupBy(_._1)
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (seq, slices) =>
+      val fill = slices.map(_._5).sum
+      if (seq != lastSeq) assert(fill === 64L, s"seq $seq underfilled")
+      val tiles = slices.map(s => (s._4, s._4 + s._5)).sortBy(_._1)
+      assert(tiles.head._1 === 0L)
+      tiles.sliding(2).foreach {
+        case Seq((_, e), (s2, _)) => assert(e === s2, s"gap in seq $seq")
+        case _ =>
+      }
+    }
+  }
+
+  test("sequenceStats rolls the layout up per sequence") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val layout = ext.ConcatPacking
+      .packLayout(d, col("doc_id"), col("text"), 64)
+    val stats = ext.ConcatPacking.sequenceStats(layout)
+      .orderBy("seq_id").collect()
+    val byId = layout.collect().groupBy(_.getLong(0))
+    assert(stats.length === byId.size)
+    stats.foreach { r =>
+      val rows = byId(r.getLong(0))
+      assert(r.getLong(1) === rows.length.toLong)
+      assert(r.getLong(2) === rows.map(_.getLong(4)).sum)
+      assert(r.getLong(3) === rows.map(_.getLong(1)).min)
+      assert(r.getLong(4) === rows.map(_.getLong(1)).max)
+    }
+  }
+
   // ---------- UnigramLm.perplexityBuckets ----------
 
   test("perplexity buckets partition the corpus, order by score, and are " +
