@@ -63,4 +63,43 @@ object RankEval {
         coalesce(round(lit(1000000.0) / col("_first_rel"), 0).cast("long"),
           lit(0L)).as("mrr_micros"))
   }
+
+  /** ROC-AUC of a score column against a binary label, by the
+    * Mann–Whitney rank-sum with EXACT tie handling: group rows by
+    * score, cumulative-count the groups in score order, and use the
+    * doubled tie-averaged rank `2c + m + 1` (always an integer) so the
+    * whole statistic stays in long arithmetic; the single final
+    * division runs in IEEE doubles (correctly-rounded, so any engine
+    * reproduces it bit-for-bit from the same integers).
+    *
+    * Returns one row `(n_pos, n_neg, auc_micros)`; `auc_micros` is NULL
+    * when either class is empty (AUC undefined).
+    *
+    * Scale shape: one groupBy on the score (partial-aggregable) and one
+    * global cumulative window over DISTINCT scores only — callers feed
+    * quantized scores (micros, counts), so that table is bounded by the
+    * quantization range, not the corpus.
+    */
+  def auc(scored: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    val g = scored
+      .select(scoreCol.as("score"), labelCol.cast("long").as("y"))
+      .groupBy("score")
+      .agg(count(lit(1)).as("m"), sum(col("y")).as("npos"))
+    val w = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r = g
+      .withColumn("c", coalesce(sum(col("m")).over(w), lit(0L)))
+      .agg(
+        sum(col("npos") * (lit(2L) * col("c") + col("m") + lit(1L)))
+          .as("r2"),
+        sum(col("npos")).as("np"),
+        sum(col("m") - col("npos")).as("nn"))
+    r.select(col("np").as("n_pos"), col("nn").as("n_neg"),
+      when(col("np") > 0L && col("nn") > 0L,
+        round((col("r2") - col("np") * (col("np") + lit(1L)))
+          .cast("double") * lit(1000000.0) /
+          (lit(2.0) * col("np").cast("double") * col("nn").cast("double")),
+          0).cast("long"))
+        .as("auc_micros"))
+  }
 }

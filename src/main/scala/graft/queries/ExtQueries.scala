@@ -1015,6 +1015,20 @@ object ExtQueries {
         .orderBy("seq_id", "doc_id")
     }),
 
+    // ---- ROC-AUC of a per-doc score against a binary label
+    // (Mann-Whitney rank-sum, exact tie handling via doubled
+    // tie-averaged ranks): all-long arithmetic up to ONE final IEEE
+    // double division, replayed verbatim by the oracle. Score = token
+    // count, label = lang='en' — the calibration check a filtering
+    // pipeline runs on its quality scores.
+    "x66_auc_eval" -> ((s0: SparkSession, dir: String) => {
+      val s = pinned(s0)
+      val d = Tables(s, dir, "documents")
+      graft.ext.RankEval.auc(d,
+        graft.ext.TextAnalysis.tokenCount(col("text")),
+        (col("lang") === "en").cast("int"))
+    }),
+
     // ---- ranking-quality evaluation (nDCG@10 + MRR): retrieval lists
     // ranked by query-term frequency, graded relevance from a paired
     // term — the eval half of the retrieval family, gains quantized to
@@ -1747,6 +1761,33 @@ object ExtQueries {
         |    AS BIGINT) AS prob_micros
         |FROM m3
         |ORDER BY prob_micros DESC, doc_id LIMIT 25""".stripMargin,
+    "x66_auc_eval" ->
+      """WITH t AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |g AS (
+        |  SELECT score, CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(y) AS BIGINT) AS npos
+        |  FROM t GROUP BY score),
+        |w AS (
+        |  SELECT score, m, npos,
+        |    CAST(coalesce(sum(m) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS c
+        |  FROM g),
+        |a AS (
+        |  SELECT CAST(sum(npos * (2 * c + m + 1)) AS BIGINT) AS r2,
+        |    CAST(sum(npos) AS BIGINT) AS np,
+        |    CAST(sum(m - npos) AS BIGINT) AS nn
+        |  FROM w)
+        |SELECT np AS n_pos, nn AS n_neg,
+        |  CASE WHEN np > 0 AND nn > 0 THEN
+        |    CAST(round(CAST(r2 - np * (np + 1) AS DOUBLE) * 1000000.0
+        |      / (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 0)
+        |      AS BIGINT)
+        |  ELSE NULL END AS auc_micros
+        |FROM a""".stripMargin,
     "x65_concat_packing" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -553,6 +553,38 @@ class Round6bSpec extends SparkSpec {
     assert(one.size === d.count())
   }
 
+  // ---------- RankEval.auc ----------
+
+  test("auc matches hand-computed pair probabilities incl. ties") {
+    def aucOf(rows: Seq[(Long, Int)]): Option[Long] = {
+      val df = rows.toDF("score", "y")
+      val r = ext.RankEval.auc(df, col("score"), col("y")).head()
+      if (r.isNullAt(2)) None else Some(r.getLong(2))
+    }
+    // perfect separation, reversed, coin-flip ties
+    assert(aucOf(Seq((3L, 1), (4L, 1), (1L, 0), (2L, 0))) === Some(1000000L))
+    assert(aucOf(Seq((1L, 1), (2L, 1), (3L, 0), (4L, 0))) === Some(0L))
+    assert(aucOf(Seq((7L, 1), (7L, 1), (7L, 0), (7L, 0))) === Some(500000L))
+    // pos {2,3} vs neg {2}: pairs (2,2)=0.5, (3,2)=1 → 0.75
+    assert(aucOf(Seq((2L, 1), (3L, 1), (2L, 0))) === Some(750000L))
+    // single-class inputs have no defined AUC
+    assert(aucOf(Seq((1L, 1), (2L, 1))) === None)
+    assert(aucOf(Seq((1L, 0), (2L, 0))) === None)
+  }
+
+  test("auc is partition-invariant and counts both classes") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    def at(n: Int) = {
+      val r = ext.RankEval.auc(d.repartition(n),
+        ext.TextAnalysis.tokenCount(col("text")),
+        (col("lang") === "en").cast("int")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val one = at(1)
+    assert(one === at(7))
+    assert(one._1 > 0 && one._2 > 0 && one._1 + one._2 === d.count())
+  }
+
   // ---------- ConcatPacking ----------
 
   test("concat packing lays out straddling documents by hand") {
