@@ -64,6 +64,36 @@ object RankEval {
           lit(0L)).as("mrr_micros"))
   }
 
+  /** Recall@k of a candidate ranking against a ground-truth ranking —
+    * the eval harness for the ANN family ([[Similarity]], [[Ivf]],
+    * [[Pq]], [[IvfPq]]): how much of the exact top-k an approximate
+    * index actually returns. Both inputs are `(query_id, neighbor_id,
+    * rank)`; rows ranked beyond k are ignored. Returns per-query
+    * `(query_id, n_truth, n_hits, recall_micros)` with the denominator
+    * `n_truth` (truth lists shorter than k — tiny corpora — divide by
+    * what exists).
+    *
+    * Scale shape: one semi join on `(query, neighbor)` + two keyed aggs
+    * over top-k lists only (≤ k rows per query a side) — the corpus
+    * never reappears here.
+    */
+  def recallAtK(truth: DataFrame, candidate: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val t = truth.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val c = candidate.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val nTruth = t.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
+    val hits = t.join(c, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    nTruth.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_truth"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double")
+          * lit(1000000.0) / col("n_truth").cast("double"), 0)
+          .cast("long").as("recall_micros"))
+  }
+
   /** ROC-AUC of a score column against a binary label, by the
     * Mann–Whitney rank-sum with EXACT tie handling: group rows by
     * score, cumulative-count the groups in score order, and use the

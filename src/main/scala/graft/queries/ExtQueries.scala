@@ -1029,6 +1029,24 @@ object ExtQueries {
         (col("lang") === "en").cast("int"))
     }),
 
+    // ---- ANN recall@k: the exact top-10 under full 64-dim cosine vs
+    // the top-10 under the first 8 dims only (Matryoshka-style
+    // dimension truncation) — both deterministic quantized-grid brute
+    // force, so the oracle replays BOTH rankings and the recall join.
+    // The same evaluator pins IVF/LSH/PQ recall in the spec suite.
+    "x67_ann_recall" -> ((s0: SparkSession, dir: String) => {
+      val s = pinned(s0)
+      val e = Tables(s, dir, "embeddings")
+      def trunc(df: DataFrame) = df.select(col("vec_id"),
+        slice(col("embedding"), 1, 8).as("embedding"))
+      val q = e.filter(col("vec_id") < 20)
+      val truth = graft.ext.Similarity
+        .bruteForceTopK(e, q, k = 10, quantized = true)
+      val cand = graft.ext.Similarity
+        .bruteForceTopK(trunc(e), trunc(q), k = 10, quantized = true)
+      graft.ext.RankEval.recallAtK(truth, cand, 10).orderBy("query_id")
+    }),
+
     // ---- ranking-quality evaluation (nDCG@10 + MRR): retrieval lists
     // ranked by query-term frequency, graded relevance from a paired
     // term — the eval half of the retrieval family, gains quantized to
@@ -1761,6 +1779,55 @@ object ExtQueries {
         |    AS BIGINT) AS prob_micros
         |FROM m3
         |ORDER BY prob_micros DESC, doc_id LIMIT 25""".stripMargin,
+    "x67_ann_recall" ->
+      """WITH fq AS (
+        |  SELECT vec_id AS query_id, list_transform(embedding,
+        |    x -> round(CAST(x AS DOUBLE) * 1048576.0)) AS v
+        |  FROM embeddings WHERE vec_id < 20),
+        |fc AS (
+        |  SELECT vec_id AS neighbor_id, list_transform(embedding,
+        |    x -> round(CAST(x AS DOUBLE) * 1048576.0)) AS v
+        |  FROM embeddings),
+        |ft AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT fq.query_id, fc.neighbor_id,
+        |      row_number() OVER (PARTITION BY fq.query_id ORDER BY
+        |        list_inner_product(fq.v, fc.v) /
+        |          (sqrt(list_inner_product(fq.v, fq.v))
+        |           * sqrt(list_inner_product(fc.v, fc.v))) DESC,
+        |        fc.neighbor_id) AS rk
+        |    FROM fq, fc WHERE fq.query_id <> fc.neighbor_id)
+        |  WHERE rk <= 10),
+        |tq AS (
+        |  SELECT vec_id AS query_id, list_transform(embedding[1:8],
+        |    x -> round(CAST(x AS DOUBLE) * 1048576.0)) AS v
+        |  FROM embeddings WHERE vec_id < 20),
+        |tc AS (
+        |  SELECT vec_id AS neighbor_id, list_transform(embedding[1:8],
+        |    x -> round(CAST(x AS DOUBLE) * 1048576.0)) AS v
+        |  FROM embeddings),
+        |tt AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT tq.query_id, tc.neighbor_id,
+        |      row_number() OVER (PARTITION BY tq.query_id ORDER BY
+        |        list_inner_product(tq.v, tc.v) /
+        |          (sqrt(list_inner_product(tq.v, tq.v))
+        |           * sqrt(list_inner_product(tc.v, tc.v))) DESC,
+        |        tc.neighbor_id) AS rk
+        |    FROM tq, tc WHERE tq.query_id <> tc.neighbor_id)
+        |  WHERE rk <= 10),
+        |n AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth
+        |      FROM ft GROUP BY 1),
+        |h AS (SELECT ft.query_id, CAST(count(*) AS BIGINT) AS n_hits
+        |      FROM ft JOIN tt ON ft.query_id = tt.query_id
+        |        AND ft.neighbor_id = tt.neighbor_id
+        |      GROUP BY 1)
+        |SELECT n.query_id, n.n_truth,
+        |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) * 1000000.0
+        |    / CAST(n.n_truth AS DOUBLE), 0) AS BIGINT) AS recall_micros
+        |FROM n LEFT JOIN h ON n.query_id = h.query_id
+        |ORDER BY n.query_id""".stripMargin,
     "x66_auc_eval" ->
       """WITH t AS (
         |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS score,

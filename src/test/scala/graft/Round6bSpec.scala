@@ -585,6 +585,51 @@ class Round6bSpec extends SparkSpec {
     assert(one._1 > 0 && one._2 > 0 && one._1 + one._2 === d.count())
   }
 
+  // ---------- RankEval.recallAtK ----------
+
+  test("recallAtK counts top-k overlap per query by hand") {
+    def ranked(rows: (Long, Long, Long)*) =
+      rows.toSeq.toDF("query_id", "neighbor_id", "rank")
+    val truth = ranked((1L, 10L, 1L), (1L, 11L, 2L), (2L, 20L, 1L),
+      (2L, 21L, 2L), (3L, 30L, 1L))
+    // q1 full overlap, q2 half (order irrelevant), q3 none
+    val cand = ranked((1L, 11L, 1L), (1L, 10L, 2L), (2L, 21L, 1L),
+      (2L, 99L, 2L), (3L, 98L, 1L))
+    val out = ext.RankEval.recallAtK(truth, cand, 2)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 2L, 2L, 1000000L), (2L, 2L, 1L, 500000L),
+      (3L, 1L, 0L, 0L)))
+    // ranks beyond k are ignored on both sides
+    val deep = ext.RankEval.recallAtK(
+      ranked((1L, 10L, 1L), (1L, 11L, 3L)),
+      ranked((1L, 11L, 1L), (1L, 10L, 3L)), 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(deep === Seq((1L, 0L)))
+    intercept[IllegalArgumentException] {
+      ext.RankEval.recallAtK(truth, cand, 0)
+    }
+  }
+
+  test("recallAtK pins IVF probe recall against brute-force truth") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    val truth = ext.Similarity.bruteForceTopK(e, q, k = 5)
+    val model = ext.Ivf.train(e, "embedding", nCentroids = 8, iterations = 5)
+    val idx = ext.Ivf.index(e, model)
+    def recallAt(nProbe: Int): Double = {
+      val approx = ext.Ivf.topK(idx, q, model, k = 5, nProbe = nProbe)
+      val r = ext.RankEval.recallAtK(truth, approx, 5)
+        .agg(avg(col("recall_micros"))).head().getDouble(0)
+      r / 1e6
+    }
+    val r2 = recallAt(2)
+    val r8 = recallAt(8)
+    assert(r2 > 0.4, s"nProbe=2 recall collapsed: $r2")
+    assert(r8 >= r2, s"recall not monotone in nProbe: $r2 vs $r8")
+    assert(r8 > 0.95, s"all-cell probe should be near-exhaustive: $r8")
+  }
+
   // ---------- ConcatPacking ----------
 
   test("concat packing lays out straddling documents by hand") {
