@@ -1047,6 +1047,18 @@ object ExtQueries {
       graft.ext.RankEval.recallAtK(truth, cand, 10).orderBy("query_id")
     }),
 
+    // ---- corpus data card: per-source volumes, exact dup-text rate,
+    // and tokenizer fertility (chars per BPE token) — one projection +
+    // one grouped agg; ratios via the correctly-rounded IEEE division
+    // device, replayed column-for-column by the oracle.
+    "x68_corpus_card" -> ((s0: SparkSession, dir: String) => {
+      val s = pinned(s0)
+      val d = Tables(s, dir, "documents")
+      graft.ext.Profiling.corpusCard(d, col("source"), col("text"))
+        .withColumnRenamed("grp", "source")
+        .orderBy("source")
+    }),
+
     // ---- ranking-quality evaluation (nDCG@10 + MRR): retrieval lists
     // ranked by query-term frequency, graded relevance from a paired
     // term — the eval half of the retrieval family, gains quantized to
@@ -1779,6 +1791,37 @@ object ExtQueries {
         |    AS BIGINT) AS prob_micros
         |FROM m3
         |ORDER BY prob_micros DESC, doc_id LIMIT 25""".stripMargin,
+    "x68_corpus_card" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(len(string_split(trim(
+        |      regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')), ' '))
+        |      AS BIGINT) AS n_toks,
+        |    CAST(len(regexp_extract_all(text,
+        |      '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+'))
+        |      AS BIGINT) AS n_bpe,
+        |    CAST(strlen(text) AS BIGINT) AS n_chars,
+        |    md5(text) AS digest
+        |  FROM documents),
+        |g AS (
+        |  SELECT source,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |    CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |    CAST(count(DISTINCT digest) AS BIGINT) AS n_distinct_texts
+        |  FROM t GROUP BY source)
+        |SELECT source, n_docs, n_tokens, n_bpe_tokens, n_chars,
+        |  n_distinct_texts,
+        |  CAST(round(CAST(n_docs - n_distinct_texts AS DOUBLE) * 1000000.0
+        |    / CAST(n_docs AS DOUBLE), 0) AS BIGINT) AS dup_rate_micros,
+        |  CAST(round(CAST(n_tokens AS DOUBLE) * 1000000.0
+        |    / CAST(n_docs AS DOUBLE), 0) AS BIGINT)
+        |    AS avg_doc_tokens_micros,
+        |  CAST(round(CAST(n_chars AS DOUBLE) * 1000000.0
+        |    / CAST(n_bpe_tokens AS DOUBLE), 0) AS BIGINT)
+        |    AS fertility_micros
+        |FROM g ORDER BY source""".stripMargin,
     "x67_ann_recall" ->
       """WITH fq AS (
         |  SELECT vec_id AS query_id, list_transform(embedding,

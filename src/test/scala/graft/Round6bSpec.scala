@@ -585,6 +585,47 @@ class Round6bSpec extends SparkSpec {
     assert(one._1 > 0 && one._2 > 0 && one._1 + one._2 === d.count())
   }
 
+  // ---------- Profiling.corpusCard ----------
+
+  test("corpus card computes volumes, dup rate, and fertility by hand") {
+    val docs = Seq(
+      ("w", "ab cd"), ("w", "ab cd"), ("w", "ef gh ij"), // 1 dup of 3
+      ("x", "k 9")).toDF("source", "text")
+    val out = ext.Profiling.corpusCard(docs, col("source"), col("text"))
+      .orderBy("grp").collect()
+    val w = out(0)
+    assert(w.getString(0) === "w")
+    assert(w.getLong(1) === 3L) // docs
+    assert(w.getLong(2) === 7L) // ws tokens
+    // BPE tokens: "ab cd" → [ab, _cd] = 2; "ef gh ij" → 3
+    assert(w.getLong(3) === 7L)
+    assert(w.getLong(4) === 18L) // chars
+    assert(w.getLong(5) === 2L) // distinct texts
+    assert(w.getLong(6) === math.round(1e6 / 3.0)) // dup rate 1/3
+    assert(w.getLong(7) === math.round(1e6 * 7.0 / 3.0))
+    assert(w.getLong(8) === math.round(1e6 * 18.0 / 7.0))
+    val x = out(1)
+    // "k 9" → BPE [k, _9] = 2 tokens, no dups
+    assert((x.getLong(1), x.getLong(3), x.getLong(6)) === (1L, 2L, 0L))
+  }
+
+  test("corpus card is partition-invariant, total, and null-safe on " +
+    "empty groups") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    def at(n: Int) = ext.Profiling
+      .corpusCard(d.repartition(n), col("source"), col("text"))
+      .orderBy("grp").collect()
+      .map(r => (0 to 8).map(r.get)).toSeq
+    val one = at(1)
+    assert(one === at(7))
+    assert(one.map(_(1).asInstanceOf[Long]).sum === d.count())
+    // blank text: zero BPE tokens → fertility NULL, not a crash
+    val blank = Seq(("b", "")).toDF("source", "text")
+    val r = ext.Profiling.corpusCard(blank, col("source"), col("text"))
+      .head()
+    assert(r.getLong(3) === 0L && r.isNullAt(8))
+  }
+
   // ---------- RankEval.recallAtK ----------
 
   test("recallAtK counts top-k overlap per query by hand") {
