@@ -28,6 +28,19 @@ object Dedup {
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Representation-insensitive canonical text: Unicode-decompose
+    * (NFD, via the codegen [[graft.functions.UnicodeNormalize]]
+    * expression), strip combining marks, then case-fold and collapse
+    * whitespace — "café" precomposed, "cafe"+U+0301, "CAFÉ" and
+    * double-spaced variants all key identically. The canonical key for
+    * [[exact]] dedup over web text, where encoders mix representations
+    * freely.
+    */
+  def canonicalText(text: Column): Column =
+    normalized(regexp_replace(
+      graft.functions.NormalizeExpressions.unicodeNormalize(text, "NFD"),
+      "\\p{M}+", ""))
+
   /** Exact deduplication on a content key: keep the minimum id per key
     * (deterministic canonical choice), count duplicates. Single shuffle.
     */

@@ -1059,6 +1059,34 @@ object ExtQueries {
         .orderBy("source")
     }),
 
+    // ---- canonicalization-keyed exact dedup: planted case, doubled-
+    // whitespace, precomposed-accent and combining-mark variants all
+    // collapse onto their source doc under the NFD+strip-marks codegen
+    // canonical key. DuckDB's strip_accents reproduces the same
+    // canonical form, so the whole group structure is oracled.
+    "x69_canonical_dedup" -> ((s0: SparkSession, dir: String) => {
+      val s = pinned(s0)
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).filter(col("doc_id") < 50)
+      val seed = base.filter(col("doc_id") < 5)
+      def variant(offset: Long, t: org.apache.spark.sql.Column) =
+        seed.select((col("doc_id") + offset).as("doc_id"), t.as("text"))
+      val all = base
+        .unionByName(variant(200000L, upper(col("text"))))
+        .unionByName(variant(300000L,
+          regexp_replace(col("text"), " ", "  ")))
+        .unionByName(variant(400000L,
+          regexp_replace(col("text"), "e", "é")))
+        .unionByName(variant(500000L,
+          regexp_replace(col("text"), "e", "é")))
+      graft.ext.Dedup
+        .exact(all, md5(graft.ext.Dedup.canonicalText(col("text"))),
+          col("doc_id"))
+        .filter(col("copies") > 1)
+        .select(col("canonical_id"), col("copies"))
+        .orderBy("canonical_id")
+    }),
+
     // ---- ranking-quality evaluation (nDCG@10 + MRR): retrieval lists
     // ranked by query-term frequency, graded relevance from a paired
     // term — the eval half of the retrieval family, gains quantized to
@@ -1791,6 +1819,29 @@ object ExtQueries {
         |    AS BIGINT) AS prob_micros
         |FROM m3
         |ORDER BY prob_micros DESC, doc_id LIMIT 25""".stripMargin,
+    "x69_canonical_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 50),
+        |seed AS (SELECT doc_id, text FROM base WHERE doc_id < 5),
+        |v AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 200000, upper(text) FROM seed
+        |  UNION ALL
+        |  SELECT doc_id + 300000, replace(text, ' ', '  ') FROM seed
+        |  UNION ALL
+        |  SELECT doc_id + 400000, replace(text, 'e', chr(233)) FROM seed
+        |  UNION ALL
+        |  SELECT doc_id + 500000, replace(text, 'e', 'e' || chr(769))
+        |  FROM seed),
+        |c AS (
+        |  SELECT doc_id, md5(lower(trim(regexp_replace(
+        |    strip_accents(text), '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS k
+        |  FROM v)
+        |SELECT CAST(min(doc_id) AS BIGINT) AS canonical_id,
+        |  CAST(count(*) AS BIGINT) AS copies
+        |FROM c GROUP BY k HAVING count(*) > 1
+        |ORDER BY canonical_id""".stripMargin,
     "x68_corpus_card" ->
       """WITH t AS (
         |  SELECT source,

@@ -585,6 +585,49 @@ class Round6bSpec extends SparkSpec {
     assert(one._1 > 0 && one._2 > 0 && one._1 + one._2 === d.count())
   }
 
+  // ---------- UnicodeNormalize / canonical dedup ----------
+
+  test("unicode_normalize produces standard forms in codegen and " +
+    "interpreted modes") {
+    val precomposed = "café" // é as one code point
+    val combining = "café" // e + combining acute
+    val df = Seq((precomposed, combining)).toDF("a", "b")
+    val out = df.select(
+      graft.functions.NormalizeExpressions.unicodeNormalize(col("a"), "NFD"),
+      graft.functions.NormalizeExpressions.unicodeNormalize(col("b"), "NFC"))
+      .head()
+    assert(out.getString(0) === combining) // NFD decomposes
+    assert(out.getString(1) === precomposed) // NFC composes
+    // interpreted evaluation agrees with codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = graft.functions.UnicodeNormalize(Literal(precomposed), "NFD")
+    assert(e.eval(null).toString === combining)
+    intercept[IllegalArgumentException] {
+      graft.functions.UnicodeNormalize(Literal("x"), "NFX")
+    }
+  }
+
+  test("canonicalText collapses representation variants and nothing else") {
+    val rows = Seq(
+      (1L, "café au lait"),
+      (2L, "café   au\tlait"), // combining + messy whitespace
+      (3L, "CAFÉ AU LAIT"), // precomposed uppercase É
+      (4L, "cafe au lait"), // accent-stripped
+      (5L, "cacao au lait")) // genuinely different
+    val out = rows.toDF("id", "text")
+      .select(col("id"), ext.Dedup.canonicalText(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "cafe au lait")
+    assert(Set(1L, 2L, 3L, 4L).map(out).size === 1)
+    assert(out(5L) !== out(1L))
+    // the canonicalization stays inside whole-stage codegen (local
+    // relations constant-fold, so pin the plan over a parquet scan)
+    val plan = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(ext.Dedup.canonicalText(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.startsWith("*"), s"canonicalText fell out of codegen:\n$plan")
+  }
+
   // ---------- Profiling.corpusCard ----------
 
   test("corpus card computes volumes, dup rate, and fertility by hand") {
