@@ -244,6 +244,34 @@ object TextAnalysis {
         Ipv4Pattern, "<IP>"),
       PhonePattern, "<PHONE>")
 
+  /** PII span audit: one row per detected span, `(doc_id, kind, idx,
+    * span)` with `idx` the 1-based occurrence number of that kind
+    * within the document — the inventory a compliance review wants
+    * BEFORE [[redactPii]] rewrites the text (what was found, where,
+    * how often), and the differential check that redaction removed
+    * exactly what detection saw.
+    *
+    * Scale: map-side only — per-kind `regexp_extract_all` staged once
+    * per document, then two generator expressions (kind, occurrence);
+    * output is bounded by match count, documents with no PII emit
+    * nothing.
+    */
+  def piiSpans(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val kinds = Seq("email" -> EmailPattern, "phone" -> PhonePattern,
+      "ipv4" -> Ipv4Pattern)
+    val staged = docs.select(idCol.as("doc_id"),
+      array(kinds.map { case (k, p) =>
+        struct(lit(k).as("kind"),
+          regexp_extract_all(textCol, lit(p), lit(0)).as("spans"))
+      }: _*).as("_kinds"))
+    staged
+      .select(col("doc_id"), explode(col("_kinds")).as("_k"))
+      .select(col("doc_id"), col("_k.kind").as("kind"),
+        posexplode(col("_k.spans")).as(Seq("_i", "span")))
+      .select(col("doc_id"), col("kind"),
+        (col("_i") + 1).cast("long").as("idx"), col("span"))
+  }
+
   /** Sliding-window token chunking with overlap — the standard training
     * prep for splitting long documents into model-context-sized windows
     * (window `w`, stride `s` < `w` ⇒ consecutive chunks overlap by

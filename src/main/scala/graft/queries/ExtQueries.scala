@@ -1087,6 +1087,27 @@ object ExtQueries {
         .orderBy("canonical_id")
     }),
 
+    // ---- PII span audit: typed extraction inventory over a corpus
+    // with deterministically planted email/phone/IPv4 spans — the
+    // audit-before-redaction surface; patterns are the shared-dialect
+    // ones redactPii scrubs, so DuckDB replays extraction verbatim.
+    "x70_pii_spans" -> ((s0: SparkSession, dir: String) => {
+      val s = pinned(s0)
+      val d = Tables(s, dir, "documents")
+      val planted = d.filter(col("doc_id") < 10).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com"),
+          lit(" call 021-555-"),
+          lpad(col("doc_id").cast("string"), 4, "0"),
+          lit(" from 10.0.0."),
+          (col("doc_id") % 256).cast("string")).as("text"))
+      val aug = planted.unionByName(
+        d.filter(col("doc_id") >= 10).select("doc_id", "text"))
+      graft.ext.TextAnalysis.piiSpans(aug, col("doc_id"), col("text"))
+        .orderBy("doc_id", "kind", "idx")
+    }),
+
     // ---- ranking-quality evaluation (nDCG@10 + MRR): retrieval lists
     // ranked by query-term frequency, graded relevance from a paired
     // term — the eval half of the retrieval family, gains quantized to
@@ -1819,6 +1840,32 @@ object ExtQueries {
         |    AS BIGINT) AS prob_micros
         |FROM m3
         |ORDER BY prob_micros DESC, doc_id LIMIT 25""".stripMargin,
+    "x70_pii_spans" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text || ' contact user'
+        |    || CAST(doc_id AS VARCHAR) || '@example.com'
+        |    || ' call 021-555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+        |    || ' from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) AS t
+        |  FROM documents WHERE doc_id < 10
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 10),
+        |e AS (
+        |  SELECT doc_id, 'email' AS kind,
+        |    generate_subscripts(m, 1) AS idx, unnest(m) AS span
+        |  FROM (SELECT doc_id, regexp_extract_all(t,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}') AS m
+        |    FROM aug)
+        |  UNION ALL
+        |  SELECT doc_id, 'phone', generate_subscripts(m, 1), unnest(m)
+        |  FROM (SELECT doc_id, regexp_extract_all(t,
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}') AS m FROM aug)
+        |  UNION ALL
+        |  SELECT doc_id, 'ipv4', generate_subscripts(m, 1), unnest(m)
+        |  FROM (SELECT doc_id, regexp_extract_all(t,
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}') AS m
+        |    FROM aug))
+        |SELECT doc_id, kind, CAST(idx AS BIGINT) AS idx, span
+        |FROM e ORDER BY doc_id, kind, idx""".stripMargin,
     "x69_canonical_dedup" ->
       """WITH base AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id < 50),

@@ -585,6 +585,28 @@ class Round6bSpec extends SparkSpec {
     assert(one._1 > 0 && one._2 > 0 && one._1 + one._2 === d.count())
   }
 
+  // ---------- TextAnalysis.piiSpans ----------
+
+  test("piiSpans inventories typed occurrences in order, and redaction " +
+    "removes exactly what detection sees") {
+    val docs = Seq(
+      (1L, "mail a@b.io then c@d.org, ip 10.0.0.1, call 555-867-5309"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val out = ext.TextAnalysis.piiSpans(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id", "kind", "idx").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq === Seq(
+      (1L, "email", 1L, "a@b.io"),
+      (1L, "email", 2L, "c@d.org"),
+      (1L, "ipv4", 1L, "10.0.0.1"),
+      (1L, "phone", 1L, "555-867-5309")))
+    // differential: the scrubbed corpus has nothing left to find
+    val scrubbed = docs.select(col("doc_id"),
+      ext.TextAnalysis.redactPii(col("text")).as("text"))
+    assert(ext.TextAnalysis
+      .piiSpans(scrubbed, col("doc_id"), col("text")).count() === 0L)
+  }
+
   // ---------- UnicodeNormalize / canonical dedup ----------
 
   test("unicode_normalize produces standard forms in codegen and " +
