@@ -1108,6 +1108,19 @@ object ExtQueries {
         .orderBy("doc_id", "kind", "idx")
     }),
 
+    // ---- winnowing fingerprints (Schleimer et al. 2003): per-doc
+    // selected (pos, fp) under the portable md5-polynomial gram hash —
+    // the oracle recomputes every window's rightmost minimum
+    // set-theoretically (windows × grams join) and must agree with the
+    // fused selection kernel position-for-position.
+    "x71_winnow_fingerprints" -> ((s0: SparkSession, dir: String) => {
+      val s = pinned(s0)
+      val d = Tables(s, dir, "documents").filter(col("doc_id") < 40)
+      graft.ext.Winnowing.fingerprintTable(d, col("doc_id"), col("text"),
+        k = 5, w = 4, portable = true)
+        .orderBy("doc_id", "pos")
+    }),
+
     // ---- ranking-quality evaluation (nDCG@10 + MRR): retrieval lists
     // ranked by query-term frequency, graded relevance from a paired
     // term — the eval half of the retrieval family, gains quantized to
@@ -1840,6 +1853,36 @@ object ExtQueries {
         |    AS BIGINT) AS prob_micros
         |FROM m3
         |ORDER BY prob_micros DESC, doc_id LIMIT 25""".stripMargin,
+    "x71_winnow_fingerprints" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id < 40 AND strlen(text) >= 5),
+        |g AS (
+        |  SELECT doc_id, CAST(j - 1 AS BIGINT) AS pos,
+        |    CAST(ascii(substr(md5(substr(text, j, 5)), 1, 1)) * 29791
+        |     + ascii(substr(md5(substr(text, j, 5)), 2, 1)) * 961
+        |     + ascii(substr(md5(substr(text, j, 5)), 3, 1)) * 31
+        |     + ascii(substr(md5(substr(text, j, 5)), 4, 1)) AS BIGINT)
+        |      AS h
+        |  FROM d, unnest(generate_series(1, strlen(text) - 4)) t(j)),
+        |n AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM g GROUP BY doc_id),
+        |wins0 AS (
+        |  SELECT n.doc_id, CAST(wi.i AS BIGINT) AS wi
+        |  FROM n, unnest(generate_series(0, greatest(n.n - 4, 0))) wi(i)),
+        |wins AS (
+        |  SELECT w.doc_id, w.wi, min(g.h) AS mh
+        |  FROM wins0 w JOIN g ON g.doc_id = w.doc_id
+        |    AND g.pos >= w.wi AND g.pos < w.wi + 4
+        |  GROUP BY w.doc_id, w.wi),
+        |sel AS (
+        |  SELECT w.doc_id, w.wi, max(g.pos) AS pos, w.mh
+        |  FROM wins w JOIN g ON g.doc_id = w.doc_id AND g.h = w.mh
+        |    AND g.pos >= w.wi AND g.pos < w.wi + 4
+        |  GROUP BY w.doc_id, w.wi, w.mh)
+        |SELECT DISTINCT doc_id, pos, mh AS fp
+        |FROM sel ORDER BY doc_id, pos""".stripMargin,
     "x70_pii_spans" ->
       """WITH aug AS (
         |  SELECT doc_id, text || ' contact user'

@@ -585,6 +585,64 @@ class Round6bSpec extends SparkSpec {
     assert(one._1 > 0 && one._2 > 0 && one._1 + one._2 === d.count())
   }
 
+  // ---------- Winnowing ----------
+
+  test("winnow kernel selects rightmost window minima without repeats") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    def run(h: Seq[Long], w: Int): Seq[Long] = {
+      val e = graft.functions.WinnowPositions(
+        Literal.create(new GenericArrayData(h.toArray),
+          ArrayType(LongType, containsNull = false)), w)
+      e.eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+    }
+    // windows of 3: [5,3,3]→pos2, [3,3,7]→pos2 (repeat), [3,7,2]→pos4
+    assert(run(Seq(5L, 3L, 3L, 7L, 2L), 3) === Seq(2L, 4L))
+    // strictly decreasing: every window selects its right edge
+    assert(run(Seq(9L, 8L, 7L, 6L), 2) === Seq(1L, 2L, 3L))
+    // shorter than one window degrades to a single selection
+    assert(run(Seq(9L, 1L), 5) === Seq(1L))
+    assert(run(Seq.empty, 4) === Seq.empty)
+    intercept[IllegalArgumentException] {
+      graft.functions.WinnowPositions(Literal(1L), 0)
+    }
+  }
+
+  test("winnowing guarantees a shared fingerprint for shared passages " +
+    "and pairs them through one fp shuffle") {
+    val docs = Seq(
+      (1L, "aaaaaaaaaa the stolen passage here xxxxxxxxxx"),
+      (2L, "zzzz the stolen passage here qqqqqqqq"),
+      (3L, "completely unrelated material with nothing in common!!"))
+      .toDF("doc_id", "text")
+    // guarantee holds in BOTH hash modes (selection logic is shared)
+    for (portable <- Seq(true, false)) {
+      val fps = ext.Winnowing.fingerprintTable(docs, col("doc_id"),
+        col("text"), k = 5, w = 4, portable = portable)
+      val byDoc = fps.collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+      assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+      val pairs = ext.Winnowing.sharedPassages(fps, minShared = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs === Set((1L, 2L)))
+    }
+  }
+
+  test("winnow fingerprints are partition-invariant and kernel-codegen") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") < 60)
+    def at(n: Int) = ext.Winnowing
+      .fingerprintTable(d.repartition(n), col("doc_id"), col("text"))
+      .orderBy("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(at(1) === at(7))
+    val plan = ext.Winnowing
+      .fingerprintTable(d, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("winnow_positions"), s"kernel missing:\n$plan")
+  }
+
   // ---------- TextAnalysis.piiSpans ----------
 
   test("piiSpans inventories typed occurrences in order, and redaction " +
