@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
@@ -589,8 +589,90 @@ case class NearestCentroidCosQ(child: Expression, codebook: Array[Array[Float]])
     copy(child = newChild)
 }
 
+/** Affine projection onto a broadcast basis: `y_j = Σ_i (x_i − mean_i)
+  * · basis_j,i` — the PCA/whitening map ([[graft.ext.Pca]]). One fused
+  * m×d loop per row (basis rows pre-scaled by 1/√λ fold whitening into
+  * the same kernel); the basis travels as a reference object, never as
+  * plan literals, so m·d can grow without bloating the expression tree.
+  */
+case class AffineProject(child: Expression, mean: Array[Double],
+                         basis: Array[Array[Double]])
+    extends UnaryExpression with Serializable {
+
+  require(basis.nonEmpty, s"$prettyName requires a non-empty basis")
+
+  override def prettyName: String = "affine_project"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>, got ${other.sql}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Double](basis.length)
+    var j = 0
+    while (j < basis.length) {
+      val b = basis(j)
+      val m = math.min(n, math.min(b.length, mean.length))
+      var acc = 0.0d
+      var i = 0
+      while (i < m) {
+        acc += (a.getFloat(i).toDouble - mean(i)) * b(i)
+        i += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val meanRef = ctx.addReferenceObj("projMean", mean, "double[]")
+    val basisRef = ctx.addReferenceObj("projBasis", basis, "double[][]")
+    nullSafeCodeGen(ctx, ev, input => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val m = ctx.freshName("m")
+      val b = ctx.freshName("b")
+      val acc = ctx.freshName("acc")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $input.numElements();
+         |double[] $out = new double[${basis.length}];
+         |for (int $j = 0; $j < ${basis.length}; $j++) {
+         |  double[] $b = $basisRef[$j];
+         |  int $m = java.lang.Math.min($n,
+         |    java.lang.Math.min($b.length, $meanRef.length));
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    $acc += (((double) $input.getFloat($i)) - $meanRef[$i]) * $b[$i];
+         |  }
+         |  $out[$j] = $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level API + SQL registration. */
 object VectorFunctions {
+
+  def affine_project(vec: Column, mean: Array[Double],
+                     basis: Array[Array[Double]]): Column =
+    GraftColumnBridge.column(AffineProject(
+      GraftColumnBridge.expression(vec), mean, basis))
 
   def vector_dot(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProductFloat(

@@ -1121,6 +1121,29 @@ object ExtQueries {
         .orderBy("doc_id", "pos")
     }),
 
+    // ---- distributed PCA sufficient statistics: the upper-triangle
+    // covariance of the first 8 embedding dims, accumulated on the 2^20
+    // integer grid by the flat-buffer CovAgg (exact longs, partition-
+    // invariant) — the oracle recomputes every Σqq entry and the same
+    // IEEE assembly. Eigen/projection are pinned in Round6bSpec.
+    "x72_pca_covariance" -> ((s0: SparkSession, dir: String) => {
+      val s = pinned(s0)
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      val (n, sums, prods) = graft.ext.Pca.sufficientStats(
+        e, slice(col("embedding"), 1, 8), 8)
+      def micros(i: Int, j: Int): Long = {
+        val off = i * 8 - i * (i - 1) / 2
+        val c = (prods(off + (j - i)).toDouble / n
+          - (sums(i).toDouble / n) * (sums(j).toDouble / n)) /
+          1099511627776.0 * 1000000.0
+        BigDecimal(c).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+      (for (i <- 0 until 8; j <- i until 8)
+        yield (i.toLong, j.toLong, micros(i, j)))
+        .toDF("i", "j", "cov_micros").orderBy("i", "j")
+    }),
+
     // ---- ranking-quality evaluation (nDCG@10 + MRR): retrieval lists
     // ranked by query-term frequency, graded relevance from a paired
     // term — the eval half of the retrieval family, gains quantized to
@@ -1853,6 +1876,29 @@ object ExtQueries {
         |    AS BIGINT) AS prob_micros
         |FROM m3
         |ORDER BY prob_micros DESC, doc_id LIMIT 25""".stripMargin,
+    "x72_pca_covariance" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding[1:8],
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))
+        |    AS v
+        |  FROM embeddings),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+        |pairs AS (
+        |  SELECT i.i AS i, j.j AS j
+        |  FROM unnest(generate_series(1, 8)) i(i),
+        |       unnest(generate_series(1, 8)) j(j)
+        |  WHERE j.j >= i.i),
+        |s AS (
+        |  SELECT p.i, p.j,
+        |    CAST(sum(v[p.i] * v[p.j]) AS BIGINT) AS pij,
+        |    CAST(sum(v[p.i]) AS BIGINT) AS si,
+        |    CAST(sum(v[p.j]) AS BIGINT) AS sj
+        |  FROM q, pairs p GROUP BY p.i, p.j)
+        |SELECT CAST(s.i - 1 AS BIGINT) AS i, CAST(s.j - 1 AS BIGINT) AS j,
+        |  CAST(round((CAST(pij AS DOUBLE) / n.n
+        |    - (CAST(si AS DOUBLE) / n.n) * (CAST(sj AS DOUBLE) / n.n))
+        |    / 1099511627776.0 * 1000000.0, 0) AS BIGINT) AS cov_micros
+        |FROM s, n ORDER BY i, j""".stripMargin,
     "x71_winnow_fingerprints" ->
       """WITH d AS (
         |  SELECT doc_id, text FROM documents

@@ -585,6 +585,67 @@ class Round6bSpec extends SparkSpec {
     assert(one._1 > 0 && one._2 > 0 && one._1 + one._2 === d.count())
   }
 
+  // ---------- Pca ----------
+
+  test("jacobi eigendecomposition solves a known symmetric system") {
+    val (values, vectors) = ext.Pca.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(values(0) - 3.0) < 1e-12)
+    assert(math.abs(values(1) - 1.0) < 1e-12)
+    val r = 1.0 / math.sqrt(2.0)
+    // eigenvectors up to sign
+    assert(math.abs(math.abs(vectors(0)(0)) - r) < 1e-12)
+    assert(math.abs(vectors(0)(0) - vectors(0)(1)) < 1e-12)
+    assert(math.abs(vectors(1)(0) + vectors(1)(1)) < 1e-12)
+  }
+
+  test("pca fit recovers orthonormal axes whose projected variance " +
+    "matches the eigenvalues, and whitening normalizes them") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val model = ext.Pca.fit(e, col("embedding"), d = 64, m = 6)
+    assert(model.variances.sliding(2).forall(p => p(0) >= p(1) - 1e-15))
+    for (a <- 0 until 6; b <- a until 6) {
+      val dot = (0 until 64)
+        .map(i => model.components(a)(i) * model.components(b)(i)).sum
+      val expect = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-9, s"axes ${a}x${b} = $dot")
+    }
+    val proj = ext.Pca.project(e, col("vec_id"), col("embedding"), model)
+    val stats = proj.select(posexplode(col("projection")).as(Seq("j", "y")))
+      .groupBy("j")
+      .agg(avg(col("y")).as("mu"), avg(col("y") * col("y")).as("ey2"))
+      .orderBy("j").collect()
+    stats.zipWithIndex.foreach { case (r, j) =>
+      val variance = r.getDouble(2) - r.getDouble(1) * r.getDouble(1)
+      assert(math.abs(variance - model.variances(j))
+        <= 1e-3 * model.variances(j).max(1e-9),
+        s"component $j variance $variance vs ${model.variances(j)}")
+    }
+    val white = ext.Pca
+      .project(e, col("vec_id"), col("embedding"), model, whiten = true)
+      .select(posexplode(col("projection")).as(Seq("j", "y")))
+      .groupBy("j").agg(avg(col("y") * col("y")).as("ey2"))
+      .orderBy("j").collect()
+    white.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 5e-3,
+      s"whitened component ${r.getInt(0)} has E[y²] = ${r.getDouble(1)}"))
+    // the projection runs through the fused kernel
+    val plan = proj.queryExecution.executedPlan.toString
+    assert(plan.contains("affine_project"), s"kernel missing:\n$plan")
+  }
+
+  test("pca sufficient statistics are exact and partition-invariant") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    def at(n: Int) = {
+      val (cnt, sums, prods) = ext.Pca.sufficientStats(
+        e.repartition(n), slice(col("embedding"), 1, 8), 8)
+      (cnt, sums.toSeq, prods.toSeq)
+    }
+    assert(at(1) === at(7))
+    intercept[IllegalArgumentException] {
+      ext.Pca.sufficientStats(e.limit(0), slice(col("embedding"), 1, 8), 8)
+    }
+  }
+
   // ---------- Winnowing ----------
 
   test("winnow kernel selects rightmost window minima without repeats") {
