@@ -444,6 +444,45 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(3L).width == -1 && feats(3L).height == -1)
   }
 
+  test("real WAV decode recovers format, duration, RMS and peak of a " +
+    "generated sine tone") {
+    val spark0 = spark
+    import spark0.implicits._
+    def sineWav(rate: Int, seconds: Double, amp: Double): Array[Byte] = {
+      val n = (rate * seconds).toInt
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val s = (amp * math.sin(2.0 * math.Pi * 440.0 * i / rate) *
+          32767.0).toInt.toShort
+        pcm(i * 2) = (s & 0xFF).toByte
+        pcm(i * 2 + 1) = ((s >> 8) & 0xFF).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
+        true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, sineWav(8000, 0.5, 0.5), "audio/wav"),
+      (2L, "definitely not audio".getBytes("UTF-8"), "text/plain"))
+    val media = rows.toDF("media_id", "payload", "mime")
+    val feats = Multimodal.decodeAudio(media).collect()
+      .map(f => f.media_id -> f).toMap
+    val tone = feats(1L)
+    assert(tone.sample_rate == 8000 && tone.channels == 1)
+    assert(tone.n_frames == 4000L)
+    assert(math.abs(tone.duration_ms - 500.0) < 1e-6)
+    // sine RMS = amp/sqrt(2); 16-bit quantization keeps it within 1e-3
+    assert(math.abs(tone.rms - 0.5 / math.sqrt(2.0)) < 1e-3, s"rms=${tone.rms}")
+    assert(math.abs(tone.peak - 0.5) < 1e-3, s"peak=${tone.peak}")
+    // undecodable payload is DATA (sample_rate -1), never a thrown task
+    assert(feats(2L).sample_rate == -1)
+  }
+
   test("frame sampling emits ceil(bytes/stride) frames at the right offsets") {
     val spark0 = spark
     import spark0.implicits._
