@@ -89,43 +89,25 @@ object Pq {
     best
   }
 
-  private def centroidLit(c: Array[Float]): Column = array(c.map(lit(_)): _*)
-
-  /** |sub − c|² with the sub·sub term dropped (constant within a
-    * subspace, so it cannot change the argmin): c·c − 2·sub·c, via the
-    * native dot kernel.
-    */
-  private def relDist2(sub: Column, c: Array[Float]): Column = {
-    val cc = c.map(x => x.toDouble * x.toDouble).sum
-    lit(cc) - lit(2.0d) * VectorFunctions.vector_dot(sub, centroidLit(c))
-  }
-
-  private def subVec(vec: Column, model: Model, j: Int): Column =
-    slice(vec, j * model.subDim + 1, model.subDim)
-
-  /** Encode a vector to its m byte codes (0-based ints; argmin ties to
-    * the lowest code — the single assignment definition).
+  /** Encode a vector to its m byte codes (0-based ints; argmin of
+    * `c·c − 2·sub·c` — the |sub−c|² argmin with the constant sub·sub
+    * dropped — ties to the lowest code). One fused kernel with the
+    * codebook grid as a reference object: the literal-plan form (m×k
+    * centroid arrays + a dot sub-tree each) generated 12k lines of
+    * Java that janino refused to compile, silently dropping the whole
+    * stage to interpreted mode.
     */
   def encodeCol(vec: Column, model: Model): Column =
-    array((0 until model.m).map { j =>
-      val scores = array(model.codebooks(j).map(c =>
-        relDist2(subVec(vec, model, j), c)): _*)
-      (array_position(scores, array_min(scores)) - 1).cast("int")
-    }: _*)
+    graft.functions.PqFunctions.pq_encode(vec, model.codebooks)
 
   /** The query-side ADC table: m arrays of k exact sub-distances
     * (including the sub·sub term so the summed ADC is a true |q−ĉ|²).
-    * Stage as its own projection — computed once per query.
+    * Stage as its own projection — computed once per query. Same fused
+    * kernel treatment (and identical accumulation order) as
+    * [[encodeCol]].
     */
   def queryTables(qvec: Column, model: Model): Column =
-    array((0 until model.m).map { j =>
-      val sub = subVec(qvec, model, j)
-      array(model.codebooks(j).map { c =>
-        val cc = c.map(x => x.toDouble * x.toDouble).sum
-        VectorFunctions.vector_dot(sub, sub) -
-          lit(2.0d) * VectorFunctions.vector_dot(sub, centroidLit(c)) + lit(cc)
-      }: _*)
-    }: _*)
+    graft.functions.PqFunctions.pq_adc_tables(qvec, model.codebooks)
 
   /** ADC distance: sum over subspaces of the table entry the row's code
     * selects — m lookups + adds per corpus row, no vector access.

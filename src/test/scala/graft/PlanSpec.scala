@@ -124,6 +124,30 @@ class PlanSpec extends SparkSpec {
         s"$name lost codegen:\n$plan")
     }
   }
+
+  test("pq kernels stay inside whole-stage codegen and the generated " +
+    "stage actually compiles") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val model = graft.ext.Pq.train(e, "embedding", m = 8, k = 16)
+    for ((expr, name) <- Seq(
+        (graft.ext.Pq.encodeCol(col("embedding"), model), "pq_encode"),
+        (graft.ext.Pq.queryTables(col("embedding"), model),
+          "pq_adc_tables"))) {
+      val df = e.select(expr.as("c"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.linesIterator.exists(l =>
+        l.contains(name) && l.trim.startsWith("*(")),
+        s"$name lost codegen:\n$plan")
+      // the literal-plan form generated 12k lines janino refused to
+      // compile (silent interpreted fallback) — pin actual compilation
+      val stage = df.queryExecution.executedPlan.collectFirst {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+      }.get
+      val (_, code) = stage.doCodeGen()
+      org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+        .compile(code)
+    }
+  }
 }
 
 /** Partition-layout guards: a partitioned table read filtered on the
