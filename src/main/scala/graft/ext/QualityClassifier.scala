@@ -53,35 +53,41 @@ object QualityClassifier {
   /** One full-batch gradient step at learning rate `lr`:
     * `w ← w − lr/N · Σ_d tf_d,f · (σ(margin_d) − y_d)` with the error
     * term quantized to micros per doc before the feature sum. `labels`
-    * is `(doc_id, y)` with y ∈ {0, 1}.
+    * is `(doc_id, y)` with y ∈ {0, 1}; `n` is the label count (hoisted
+    * — it never changes across steps). The per-doc error table is
+    * cached for the step: its two consumers (bias gradient, feature
+    * gradients) read ONE computation of the margins join instead of
+    * re-deriving it per action, and the returned weights are already
+    * checkpointed (flat lineage; release with [[release]]).
     */
   def gradientStep(features: DataFrame, labels: DataFrame, model: Model,
-                   lr: Double): Model = {
-    val nRow = labels.agg(count(lit(1))).head()
-    val n = nRow.getLong(0)
+                   lr: Double, n: Long): Model = {
     require(n > 0L, "gradientStep: empty label set")
     val errs = margins(features, model)
       .join(labels, Seq("doc_id"))
       .select(col("doc_id"),
         (probMicros(col("margin_micros"))
           - col("y").cast("long") * lit(1000000L)).as("err_micros"))
-    val grads = features
-      .join(errs, Seq("doc_id"))
-      .groupBy("feat")
-      .agg(sum(col("tf") * col("err_micros")).as("g_micros"))
-    val scale = lit(lr / n.toDouble)
-    val newW = grads
-      .join(model.weights, Seq("feat"), "full")
-      .select(col("feat"),
-        (coalesce(col("w_micros"), lit(0L))
-          - round(coalesce(col("g_micros"), lit(0L)).cast("double") * scale, 0)
-            .cast("long")).as("w_micros"))
-    val biasG = errs.agg(sum(col("err_micros"))).head().getLong(0)
-    // same rounding semantics as the SQL round (HALF_UP away from zero;
-    // Scala math.round rounds negative halves toward +inf instead)
-    val biasDelta = BigDecimal(biasG.toDouble * (lr / n.toDouble))
-      .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
-    Model(newW, model.biasMicros - biasDelta)
+      .persist()
+    try {
+      val biasG = errs.agg(sum(col("err_micros"))).head().getLong(0)
+      val grads = features
+        .join(errs, Seq("doc_id"))
+        .groupBy("feat")
+        .agg(sum(col("tf") * col("err_micros")).as("g_micros"))
+      val scale = lit(lr / n.toDouble)
+      val newW = grads
+        .join(model.weights, Seq("feat"), "full")
+        .select(col("feat"),
+          (coalesce(col("w_micros"), lit(0L))
+            - round(coalesce(col("g_micros"), lit(0L)).cast("double") * scale,
+                0).cast("long")).as("w_micros"))
+      // same rounding semantics as the SQL round (HALF_UP away from
+      // zero; Scala math.round rounds negative halves toward +inf)
+      val biasDelta = BigDecimal(biasG.toDouble * (lr / n.toDouble))
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+      Model(newW.localCheckpoint(true), model.biasMicros - biasDelta)
+    } finally errs.unpersist()
   }
 
   /** Train `steps` full-batch steps from the zero model. Each step's
@@ -93,16 +99,23 @@ object QualityClassifier {
             labels: DataFrame, steps: Int, lr: Double,
             buckets: Int = 4096): Model = {
     require(steps >= 1, s"steps ($steps) must be >= 1")
+    // tokenization + hashing is the expensive scan: cache the compact
+    // (doc_id, feat, tf) table once for all steps' joins instead of
+    // re-deriving it from text 2× per step
     val features = Dsir.hashedFeatures(docs, idCol, textCol, buckets)
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val zero = Model(Seq.empty[(Int, Long)].toDF("feat", "w_micros"), 0L)
-    (1 to steps).foldLeft(zero) { (m, _) =>
-      val next = gradientStep(features, labels, m, lr)
-      val pinned = next.weights.localCheckpoint(true)
-      if (m ne zero) release(m)
-      Model(pinned, next.biasMicros)
-    }
+      .persist()
+    try {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val n = labels.agg(count(lit(1))).head().getLong(0)
+      require(n > 0L, "train: empty label set")
+      val zero = Model(Seq.empty[(Int, Long)].toDF("feat", "w_micros"), 0L)
+      (1 to steps).foldLeft(zero) { (m, _) =>
+        val next = gradientStep(features, labels, m, lr, n)
+        if (m ne zero) release(m)
+        next
+      }
+    } finally features.unpersist()
   }
 
   /** Release a trained model's checkpoint blocks. */
