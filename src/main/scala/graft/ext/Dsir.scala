@@ -60,12 +60,8 @@ object Dsir {
     * in integer micros. Both distribution tables broadcast; the corpus
     * is touched by exactly one featurize + one doc-keyed aggregation.
     */
-  def importanceWeights(source: DataFrame, target: DataFrame,
-                        idCol: Column, textCol: Column,
-                        buckets: Int = 4096): DataFrame = {
-    val srcFeats = hashedFeatures(source, idCol, textCol, buckets)
-    val srcCounts = featureCounts(srcFeats)
-    val tgtCounts = featureCounts(hashedFeatures(target, idCol, textCol, buckets))
+  private def assembleWeights(srcFeats: DataFrame, srcCounts: DataFrame,
+                              tgtCounts: DataFrame, buckets: Int): DataFrame = {
     val sTotRow = srcCounts.agg(sum(col("cnt"))).head()
     require(!sTotRow.isNullAt(0),
       "DSIR: source corpus has no features (empty or all-blank text)")
@@ -75,15 +71,53 @@ object Dsir {
     val sDenom = lit(sTotRow.getLong(0).toDouble + buckets.toDouble)
     val tDenom = lit(tTotRow.getLong(0).toDouble + buckets.toDouble)
     srcFeats
-      .join(broadcast(srcCounts.withColumnRenamed("cnt", "s_cnt")), Seq("feat"))
+      .join(broadcast(srcCounts.withColumnRenamed("cnt", "s_cnt")),
+        Seq("feat"))
       .join(broadcast(tgtCounts.withColumnRenamed("cnt", "t_cnt")),
         Seq("feat"), "left")
       .select(col("doc_id"),
         round(col("tf").cast("double") *
-          (log((coalesce(col("t_cnt"), lit(0L)) + lit(1L)).cast("double") / tDenom)
+          (log((coalesce(col("t_cnt"), lit(0L)) + lit(1L)).cast("double")
+            / tDenom)
             - log((col("s_cnt") + lit(1L)).cast("double") / sDenom))
           * lit(1000000.0), 0).cast("long").as("_wm"))
       .groupBy("doc_id").agg(sum(col("_wm")).as("weight_micros"))
+  }
+
+  /** The LAZY plan form — featurizes per consuming action (the totals
+    * pass, each broadcast build, and the weight scan each re-derive the
+    * feature tables from text). Use for plan inspection; production
+    * callers want [[importanceWeights]].
+    */
+  def importanceWeightsPlan(source: DataFrame, target: DataFrame,
+                            idCol: Column, textCol: Column,
+                            buckets: Int = 4096): DataFrame = {
+    val srcFeats = hashedFeatures(source, idCol, textCol, buckets)
+    assembleWeights(srcFeats, featureCounts(srcFeats),
+      featureCounts(hashedFeatures(target, idCol, textCol, buckets)), buckets)
+  }
+
+  def importanceWeights(source: DataFrame, target: DataFrame,
+                        idCol: Column, textCol: Column,
+                        buckets: Int = 4096): DataFrame = {
+    // featurizing (tokenize + hash) is the expensive scan: cache each
+    // corpus's compact feature table so the totals pass, the broadcast
+    // builds and the weight scan all read ONE featurization instead of
+    // re-deriving it per consumer. The result is localCheckpoint-ed so
+    // the caches can be dropped here — release the returned frame with
+    // `GraftColumnBridge.unpersistCheckpoint` (gates detach instead).
+    val srcFeats = hashedFeatures(source, idCol, textCol, buckets).persist()
+    val srcCounts = featureCounts(srcFeats).persist()
+    val tgtCounts =
+      featureCounts(hashedFeatures(target, idCol, textCol, buckets)).persist()
+    try {
+      assembleWeights(srcFeats, srcCounts, tgtCounts, buckets)
+        .localCheckpoint(true)
+    } finally {
+      srcFeats.unpersist()
+      srcCounts.unpersist()
+      tgtCounts.unpersist()
+    }
   }
 
   /** Deterministic top-n selection by (weight desc, id asc) — ties

@@ -965,7 +965,7 @@ object ExtQueries {
       val target = d.filter(col("lang") === "de")
       val w = graft.ext.Dsir.importanceWeights(d, target,
         col("doc_id"), col("text"))
-      graft.ext.Dsir.selectTopN(w, 25)
+      detachDeep(graft.ext.Dsir.selectTopN(w, 25))
     }),
 
     // ---- model-based quality classifier (the GPT-3-style LR filter):

@@ -352,16 +352,16 @@ class Round6bSpec extends SparkSpec {
     val target = Seq(
       (100L, "whereas the party agrees to the covenants"),
       (101L, "the first part hereby agrees")).toDF("doc_id", "text")
-    val w = ext.Dsir.importanceWeights(source, target, col("doc_id"),
+    val wDf = ext.Dsir.importanceWeights(source, target, col("doc_id"),
       col("text"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val w = wDf.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val legal = Seq(1L, 2L, 3L).map(w); val chat = Seq(4L, 5L, 6L).map(w)
     assert(legal.min > w(7L) && w(7L) > chat.max)
     // selection takes the legal family first
-    val top3 = ext.Dsir.selectTopN(
-      ext.Dsir.importanceWeights(source, target, col("doc_id"), col("text")),
-      3).collect().map(_.getLong(0)).toSet
+    val top3 = ext.Dsir.selectTopN(wDf, 3)
+      .collect().map(_.getLong(0)).toSet
     assert(top3 === Set(1L, 2L, 3L))
+    org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(wDf)
   }
 
   test("dsir weights are partition-invariant and total over non-blank docs") {
@@ -370,10 +370,12 @@ class Round6bSpec extends SparkSpec {
       .filter(col("doc_id") < 150)
     def wAt(n: Int) = {
       val c = d.repartition(n)
-      ext.Dsir.importanceWeights(c, c.filter(col("lang") === "de"),
-          col("doc_id"), col("text"))
-        .orderBy("doc_id").collect()
+      val wDf = ext.Dsir.importanceWeights(c, c.filter(col("lang") === "de"),
+        col("doc_id"), col("text"))
+      val out = wDf.orderBy("doc_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(wDf)
+      out
     }
     val out = wAt(1)
     assert(out.size === d.count())
@@ -383,8 +385,9 @@ class Round6bSpec extends SparkSpec {
   test("dsir scoring broadcasts both distribution tables") {
     val d = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text"), col("lang"))
-    val plan = ext.Dsir.importanceWeights(d, d.filter(col("lang") === "de"),
-      col("doc_id"), col("text"))
+    val plan = ext.Dsir
+      .importanceWeightsPlan(d, d.filter(col("lang") === "de"),
+        col("doc_id"), col("text"))
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"broadcast lost:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
