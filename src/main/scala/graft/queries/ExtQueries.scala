@@ -1144,6 +1144,30 @@ object ExtQueries {
         .toDF("i", "j", "cov_micros").orderBy("i", "j")
     }),
 
+    // ---- hard-negative mining: per single-term query, the BM25 top-20
+    // minus the labeled positives (tf >= 3 docs), renumbered in
+    // retrieval order (top-20 pool, 10 negatives per query) — the DPR-style negative set, scoring quantized
+    // to micros so both engines rank identically.
+    "x73_hard_negatives" -> ((s0: SparkSession, dir: String) => {
+      val s = pinned(s0)
+      val d = Tables(s, dir, "documents")
+      val terms = Seq("vector", "stream", "merge", "dup")
+      val st = graft.ext.Bm25
+        .scoredTerms(d, col("doc_id"), col("text"), terms)
+        .select(col("term").as("query"), col("doc_id"), col("tf"),
+          round(col("component") * lit(1000000.0), 0).cast("long").as("cm"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query").orderBy(col("cm").desc, col("doc_id"))
+      val ranked = st
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("query"), col("doc_id"), col("rank"))
+      val positives = st.filter(col("tf") >= 3L)
+        .select(col("query"), col("doc_id"))
+      graft.ext.Mining.hardNegatives(ranked, positives, k = 20, nNeg = 10)
+        .orderBy("query", "neg_rank")
+    }),
+
     // ---- ranking-quality evaluation (nDCG@10 + MRR): retrieval lists
     // ranked by query-term frequency, graded relevance from a paired
     // term — the eval half of the retrieval family, gains quantized to
@@ -1876,6 +1900,52 @@ object ExtQueries {
         |    AS BIGINT) AS prob_micros
         |FROM m3
         |ORDER BY prob_micros DESC, doc_id LIMIT 25""".stripMargin,
+    "x73_hard_negatives" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    avg(CAST(len(tk) AS DOUBLE)) AS avgdl
+        |  FROM toks),
+        |occ AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS term
+        |  FROM toks),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, min(dl) AS dl
+        |  FROM occ WHERE term IN ('vector', 'stream', 'merge', 'dup')
+        |  GROUP BY doc_id, term),
+        |dfv AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+        |        GROUP BY term),
+        |comp AS (
+        |  SELECT tf.term AS query, tf.doc_id, tf.tf,
+        |    CAST(round(
+        |      (ln(1.0 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5)) *
+        |       ((tf.tf * (1.2 + 1.0)) /
+        |        (tf.tf + 1.2 * (0.25 + (0.75 * tf.dl) / stats.avgdl))))
+        |      * 1000000.0, 0) AS BIGINT) AS cm
+        |  FROM tf JOIN dfv USING (term), stats),
+        |ranked AS (
+        |  SELECT query, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query
+        |      ORDER BY cm DESC, doc_id) AS BIGINT) AS rank
+        |  FROM comp),
+        |topk AS (SELECT * FROM ranked WHERE rank <= 20),
+        |pos AS (SELECT query, doc_id FROM comp WHERE tf >= 3),
+        |neg AS (
+        |  SELECT t.query, t.doc_id, t.rank
+        |  FROM topk t LEFT JOIN pos p
+        |    ON t.query = p.query AND t.doc_id = p.doc_id
+        |  WHERE p.doc_id IS NULL),
+        |renum AS (
+        |  SELECT query, doc_id, rank,
+        |    CAST(row_number() OVER (PARTITION BY query ORDER BY rank)
+        |      AS BIGINT) AS neg_rank
+        |  FROM neg)
+        |SELECT query, neg_rank, doc_id, rank
+        |FROM renum WHERE neg_rank <= 10
+        |ORDER BY query, neg_rank""".stripMargin,
     "x72_pca_covariance" ->
       """WITH q AS (
         |  SELECT list_transform(embedding[1:8],

@@ -588,6 +588,33 @@ class Round6bSpec extends SparkSpec {
     assert(one._1 > 0 && one._2 > 0 && one._1 + one._2 === d.count())
   }
 
+  // ---------- Mining.hardNegatives ----------
+
+  test("hard negatives drop positives, keep retrieval order, and cap " +
+    "per query") {
+    val ranked = Seq(
+      ("q1", 10L, 1L), ("q1", 11L, 2L), ("q1", 12L, 3L), ("q1", 13L, 4L),
+      ("q2", 20L, 1L), ("q2", 21L, 2L),
+      ("q3", 30L, 1L)).toDF("query", "doc_id", "rank")
+    val pos = Seq(("q1", 10L), ("q1", 12L), ("q3", 30L))
+      .toDF("query", "doc_id")
+    val out = ext.Mining.hardNegatives(ranked, pos, k = 4, nNeg = 10)
+      .orderBy("query", "neg_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // q1 keeps 11 and 13 renumbered 1,2; q2 untouched; q3 fully positive
+    assert(out.toSeq === Seq(
+      ("q1", 1L, 11L, 2L), ("q1", 2L, 13L, 4L),
+      ("q2", 1L, 20L, 1L), ("q2", 2L, 21L, 2L)))
+    // rank cutoff and nNeg cap both bind
+    val capped = ext.Mining.hardNegatives(ranked, pos, k = 2, nNeg = 1)
+      .orderBy("query", "neg_rank").collect()
+      .map(r => (r.getString(0), r.getLong(2))).toSeq
+    assert(capped === Seq(("q1", 11L), ("q2", 20L)))
+    intercept[IllegalArgumentException] {
+      ext.Mining.hardNegatives(ranked, pos, k = 0)
+    }
+  }
+
   // ---------- Pca ----------
 
   test("jacobi eigendecomposition solves a known symmetric system") {
