@@ -23,6 +23,34 @@ object Profiling {
       round(num.cast("double") * lit(1000000.0) / den.cast("double"), 0)
         .cast("long"))
 
+  /** Cross-source leakage matrix: for every pair of sources, how many
+    * DISTINCT texts they share verbatim — the governance view that
+    * catches one feed republishing another (train/eval leakage through
+    * a mirror) before mixing weights are chosen. `(source_a, source_b,
+    * shared_texts)` with `source_a < source_b`.
+    *
+    * Scale shape: dedup to (digest, source) pairs, one digest-keyed
+    * agg, pair-expand ONLY digests seen in ≥ 2 sources (bounded by the
+    * source count, not the corpus), one keyed count — no doc×doc or
+    * source×source scan.
+    */
+  def sourceOverlap(docs: DataFrame, sourceCol: Column,
+                    textCol: Column): DataFrame = {
+    val byDigest = docs
+      .select(md5(textCol).as("_h"), sourceCol.as("_src"))
+      .distinct()
+      .groupBy("_h").agg(sort_array(collect_set(col("_src"))).as("_srcs"))
+      .filter(size(col("_srcs")) >= 2)
+    byDigest
+      .select(col("_h"), explode(
+        flatten(transform(col("_srcs"), (a, i) =>
+          transform(slice(col("_srcs"), i + lit(2),
+            greatest(size(col("_srcs")) - i - 1, lit(0))),
+            b => struct(a.as("a"), b.as("b")))))).as("_p"))
+      .groupBy(col("_p.a").as("source_a"), col("_p.b").as("source_b"))
+      .agg(count(lit(1)).as("shared_texts"))
+  }
+
   /** One row per group: `(grp, n_docs, n_tokens, n_bpe_tokens, n_chars,
     * n_distinct_texts, dup_rate_micros, avg_doc_tokens_micros,
     * fertility_micros)` — fertility = chars per BPE token.

@@ -1168,6 +1168,21 @@ object ExtQueries {
         .orderBy("query", "neg_rank")
     }),
 
+    // ---- cross-source leakage matrix: planted mirror feeds (every
+    // doc < 40 republished under source || '_mirror') must surface as
+    // exactly their per-source counts; digests + pair expansion
+    // replayed in DuckDB.
+    "x74_source_overlap" -> ((s0: SparkSession, dir: String) => {
+      val s = pinned(s0)
+      val d = Tables(s, dir, "documents")
+      val aug = d.select(col("source"), col("text"))
+        .unionByName(d.filter(col("doc_id") < 40)
+          .select(concat(col("source"), lit("_mirror")).as("source"),
+            col("text")))
+      graft.ext.Profiling.sourceOverlap(aug, col("source"), col("text"))
+        .orderBy("source_a", "source_b")
+    }),
+
     // ---- ranking-quality evaluation (nDCG@10 + MRR): retrieval lists
     // ranked by query-term frequency, graded relevance from a paired
     // term — the eval half of the retrieval family, gains quantized to
@@ -1900,6 +1915,25 @@ object ExtQueries {
         |    AS BIGINT) AS prob_micros
         |FROM m3
         |ORDER BY prob_micros DESC, doc_id LIMIT 25""".stripMargin,
+    "x74_source_overlap" ->
+      """WITH aug AS (
+        |  SELECT source, text FROM documents
+        |  UNION ALL
+        |  SELECT source || '_mirror', text FROM documents
+        |  WHERE doc_id < 40),
+        |p AS (SELECT DISTINCT md5(text) AS h, source FROM aug),
+        |g AS (
+        |  SELECT h, list_sort(list(source)) AS srcs
+        |  FROM p GROUP BY h HAVING len(list(source)) >= 2),
+        |pr AS (
+        |  SELECT g.h, g.srcs[i.i] AS source_a, g.srcs[j.j] AS source_b
+        |  FROM g,
+        |    unnest(generate_series(1, len(g.srcs))) i(i),
+        |    unnest(generate_series(1, len(g.srcs))) j(j)
+        |  WHERE j.j > i.i)
+        |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS shared_texts
+        |FROM pr GROUP BY source_a, source_b
+        |ORDER BY source_a, source_b""".stripMargin,
     "x73_hard_negatives" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -588,6 +588,26 @@ class Round6bSpec extends SparkSpec {
     assert(one._1 > 0 && one._2 > 0 && one._1 + one._2 === d.count())
   }
 
+  // ---------- Profiling.sourceOverlap ----------
+
+  test("source overlap counts distinct shared texts per source pair") {
+    val docs = Seq(
+      ("a", "one"), ("a", "two"), ("a", "three"),
+      ("b", "one"), ("b", "two"),
+      ("c", "two"), ("c", "solo"),
+      // intra-source duplicate must not inflate anything
+      ("a", "one")).toDF("source", "text")
+    val out = ext.Profiling.sourceOverlap(docs, col("source"), col("text"))
+      .orderBy("source_a", "source_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // "one": a,b; "two": a,b,c → pairs ab(2), ac(1), bc(1)
+    assert(out === Seq(("a", "b", 2L), ("a", "c", 1L), ("b", "c", 1L)))
+    // disjoint sources → empty matrix
+    val disjoint = Seq(("a", "x"), ("b", "y")).toDF("source", "text")
+    assert(ext.Profiling
+      .sourceOverlap(disjoint, col("source"), col("text")).isEmpty)
+  }
+
   // ---------- Mining.hardNegatives ----------
 
   test("hard negatives drop positives, keep retrieval order, and cap " +
