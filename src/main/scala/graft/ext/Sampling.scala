@@ -197,4 +197,50 @@ object Sampling {
       .filter(col("_graft_rank") <= n)
       .drop("_graft_rank")
   }
+
+  /** Content-hash priority from `md5(key "#" salt)`: the 8-hex-char
+    * polynomial twin of [[hashBucket]] — ~10⁹-scale value space, so
+    * top-n ties are data, not device. All-integer and computable in any
+    * engine with md5 + ascii.
+    */
+  def hashPriority(key: Column, salt: Column): Column = {
+    val hex = md5(concat(key.cast("string"), lit("#"), salt.cast("string")))
+    (1 to 8).map(i => ascii(substring(hex, i, 1)) *
+      lit(math.pow(31, 8 - i).toLong)).reduce(_ + _)
+  }
+
+  /** Deterministic weighted sampling WITHOUT replacement — the
+    * order-sampling device of Efraimidis & Spirakis (2006), integer
+    * edition: each row draws priority
+    *
+    *   max over r = 1..w of hashUniform(key, r)
+    *
+    * and the top n by priority are the sample. The max of w iid
+    * uniforms has CDF x^w — exactly the order distribution of the ES
+    * key u^(1/w) — so inclusion probabilities are those of w-weighted
+    * sampling without replacement, computed with NO ln and NO floats:
+    * membership replays bit-exactly in any engine with md5 (the
+    * [[hashBucket]] portability contract, extended to weights).
+    *
+    * Weights are integers; rows with NULL or non-positive weight have
+    * zero inclusion probability and drop. Per-row cost is O(w), so
+    * weights cap at `maxReplicas` (a 10⁶-scale weight wants a coarser
+    * weight unit, not more replicas).
+    *
+    * Scale: priorities are map-side projections; top-n plans as
+    * TakeOrderedAndProject (per-partition heads merged on the driver,
+    * never a global sort).
+    */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, n: Int,
+                     maxReplicas: Int = 64,
+                     as: String = "priority"): DataFrame = {
+    require(n >= 0, s"sample size must be non-negative, got $n")
+    require(maxReplicas >= 1, s"maxReplicas must be positive, got $maxReplicas")
+    val w = least(weight.cast("int"), lit(maxReplicas))
+    df.filter(weight.cast("int") >= 1)
+      .withColumn(as, array_max(transform(sequence(lit(1), w),
+        r => hashPriority(key, r))))
+      .orderBy(col(as).desc, key)
+      .limit(n)
+  }
 }

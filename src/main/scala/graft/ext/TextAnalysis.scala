@@ -272,6 +272,42 @@ object TextAnalysis {
         (col("_i") + 1).cast("long").as("idx"), col("span"))
   }
 
+  /** Per-document character-level Shannon entropy (micros) — the
+    * compression-proxy quality signal: boilerplate and repeated filler
+    * sit LOW (few characters dominate), encoded noise and binary
+    * spillage sit HIGH (near-uniform byte use); both tails are cut in
+    * web-corpus curation (the entropy twin of the repetition and
+    * symbol-ratio rules).
+    *
+    * H = ln n − (Σ_c k_c·ln k_c) / n over character counts k_c. Each
+    * component k·ln k quantizes to micros BEFORE the per-doc sum
+    * (integer addition is order-free → the sum is engine-exact under
+    * any partitioning), and the final `/n` is one correctly-rounded
+    * IEEE division — the x49/x68 portability device. Documents with
+    * empty text have no defined entropy and drop.
+    *
+    * Scale: the postings shape — one (doc, char)-keyed agg with
+    * map-side partials (state bounded by alphabet size per doc), one
+    * doc-keyed agg. No windows, no driver state.
+    */
+  def charEntropy(docs: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    docs
+      .filter(length(textCol) > 0)
+      .select(idCol.as("doc_id"),
+        // Java split keeps a trailing "" under limit −1 — drop empties
+        // so character counts agree with any sane splitter
+        explode(filter(split(textCol, ""), c => c =!= "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("k"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n"),
+        sum(round(col("k").cast("double") * log(col("k").cast("double"))
+          * lit(1000000.0), 0).cast("long")).as("_s_micros"))
+      .select(col("doc_id"), col("n"),
+        (round(log(col("n").cast("double")) * lit(1000000.0), 0).cast("long")
+          - round(col("_s_micros").cast("double") / col("n").cast("double"), 0)
+            .cast("long")).as("entropy_micros"))
+
   /** Sliding-window token chunking with overlap — the standard training
     * prep for splitting long documents into model-context-sized windows
     * (window `w`, stride `s` < `w` ⇒ consecutive chunks overlap by

@@ -295,6 +295,77 @@ object Analytics {
         .orderBy($"o_orderpriority")
     }),
 
+    // ---- true Damerau–Levenshtein (native codegen kernel) next to
+    // plain Levenshtein over the same bounded name pairs: adjacent-swap
+    // typos price at 1, and `transposition_gain` isolates exactly where
+    // the full metric wins. All-int arithmetic — nothing to quantize;
+    // DuckDB's damerau_levenshtein implements the same unrestricted
+    // metric, so the gate replays integer-exactly. Deliberately
+    // pairwise over ≤40 ids (the a02 shape) — the scale path is a
+    // blocking join first, kernel second.
+    "a22_damerau_pairs" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val p = Tables(s, dir, "part").filter($"p_partkey" <= 40)
+        .select($"p_partkey", $"p_name")
+      val a = p.alias("a")
+      val b = p.alias("b")
+      a.join(b, col("a.p_partkey") < col("b.p_partkey"))
+        .select(col("a.p_partkey").as("id_a"), col("b.p_partkey").as("id_b"),
+          graft.functions.EditDistanceExpressions
+            .damerauLevenshtein(col("a.p_name"), col("b.p_name"))
+            .cast("long").as("dl"),
+          levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("lev"))
+        .withColumn("transposition_gain", (col("lev") - col("dl")).cast("long"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- ordered funnel over the events stream: users completing
+    // signup → click → purchase, each step's clock starting at the
+    // previous step's first completion. Per-step state is ONE row per
+    // qualifying user (min-ts agg), so each stage is a keyed agg + a
+    // user-keyed join — events scan per step, never a per-user
+    // collect; at 100 TB the step tables are user-dimension-sized and
+    // the joins shuffle on the same user key every stage.
+    "a23_funnel" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val e = Tables.events(s, dir)
+      val s1 = e.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"ts").as("t1"))
+      val s2 = e.filter($"event_type" === "click").join(s1, "user_id")
+        .filter($"ts" >= $"t1")
+        .groupBy($"user_id").agg(min($"ts").as("t2"))
+      val s3 = e.filter($"event_type" === "purchase").join(s2, "user_id")
+        .filter($"ts" >= $"t2")
+        .groupBy($"user_id").agg(min($"ts").as("t3"))
+      s1.agg(count(lit(1)).as("users")).withColumn("step", lit("1_signup"))
+        .unionByName(s2.agg(count(lit(1)).as("users"))
+          .withColumn("step", lit("2_click")))
+        .unionByName(s3.agg(count(lit(1)).as("users"))
+          .withColumn("step", lit("3_purchase")))
+        .select($"step", $"users")
+        .orderBy("step")
+    }),
+
+    // ---- weekly retention cohorts: cohort = ISO week of a user's
+    // first event, activity bucketed by whole weeks since. Two keyed
+    // aggs and one user-keyed join; week arithmetic stays integral
+    // (trunc-to-Monday on both sides, day-diff divisible by 7), so
+    // counts replay engine-exactly.
+    "a24_retention" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val e = Tables.events(s, dir)
+      val first = e.groupBy($"user_id").agg(min($"ts").as("t0"))
+      e.join(first, "user_id")
+        .select($"user_id",
+          date_trunc("week", $"t0").cast("date").as("cohort_week"),
+          (datediff(date_trunc("week", $"ts").cast("date"),
+            date_trunc("week", $"t0").cast("date")) / 7).cast("long")
+            .as("week_offset"))
+        .groupBy($"cohort_week", $"week_offset")
+        .agg(countDistinct($"user_id").as("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // ---- frame-navigation window functions (first/last/nth over an
     // explicit unbounded ROWS frame — last_value/nth_value are only
     // deterministic with the full frame + a total order).
@@ -542,6 +613,47 @@ object Analytics {
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "a22_damerau_pairs" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  CAST(damerau_levenshtein(a.p_name, b.p_name) AS BIGINT) AS dl,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev,
+        |  CAST(levenshtein(a.p_name, b.p_name)
+        |    - damerau_levenshtein(a.p_name, b.p_name) AS BIGINT)
+        |    AS transposition_gain
+        |FROM part a, part b
+        |WHERE a.p_partkey <= 40 AND b.p_partkey <= 40
+        |  AND a.p_partkey < b.p_partkey
+        |ORDER BY id_a, id_b""".stripMargin,
+    "a23_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= s1.t1
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+        |  GROUP BY e.user_id)
+        |SELECT '1_signup' AS step, CAST(count(*) AS BIGINT) AS users FROM s1
+        |UNION ALL
+        |SELECT '2_click', CAST(count(*) AS BIGINT) FROM s2
+        |UNION ALL
+        |SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM s3
+        |ORDER BY step""".stripMargin,
+    "a24_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id)
+        |SELECT CAST(date_trunc('week', f.t0) AS DATE) AS cohort_week,
+        |  CAST(date_diff('day', CAST(date_trunc('week', f.t0) AS DATE),
+        |      CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS BIGINT)
+        |    AS week_offset,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+        |FROM events e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "a21_winsorize" ->
       """WITH p AS (
         |  SELECT o_orderpriority,
