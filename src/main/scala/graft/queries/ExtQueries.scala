@@ -1183,6 +1183,30 @@ object ExtQueries {
         .orderBy("source_a", "source_b")
     }),
 
+    // ---- deterministic weighted sampling (Efraimidis–Spirakis order
+    // sampling, integer edition): longer documents weight 1–4 and the
+    // top-30 replica-max priorities are the sample — membership and
+    // priorities replay bit-exactly in DuckDB (md5 polynomial, no
+    // floats anywhere).
+    "x75_weighted_sample" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      graft.ext.Sampling.weightedSample(
+          d.select(col("doc_id"), col("n_chars")),
+          col("doc_id"),
+          least(lit(1) + floor(col("n_chars") / lit(400)).cast("int"), lit(4)),
+          n = 30)
+        .orderBy(col("priority").desc, col("doc_id"))
+    }),
+
+    // ---- character-entropy quality signal: per-doc Shannon entropy in
+    // micros over the (doc, char) postings shuffle, components
+    // quantized before the sum so both engines see identical longs.
+    "x76_char_entropy" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      graft.ext.TextAnalysis.charEntropy(d, col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     // ---- ranking-quality evaluation (nDCG@10 + MRR): retrieval lists
     // ranked by query-term frequency, graded relevance from a paired
     // term — the eval half of the retrieval family, gains quantized to
@@ -1915,6 +1939,50 @@ object ExtQueries {
         |    AS BIGINT) AS prob_micros
         |FROM m3
         |ORDER BY prob_micros DESC, doc_id LIMIT 25""".stripMargin,
+    "x75_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, n_chars,
+        |    least(CAST(1 + floor(n_chars / 400.0) AS INT), 4) AS w
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, n_chars,
+        |    list_max(list_transform(generate_series(1, w), r ->
+        |      CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR) || '#'
+        |          || CAST(r AS VARCHAR)), 1, 1)) AS BIGINT) * 27512614111
+        |      + CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR) || '#'
+        |          || CAST(r AS VARCHAR)), 2, 1)) AS BIGINT) * 887503681
+        |      + CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR) || '#'
+        |          || CAST(r AS VARCHAR)), 3, 1)) AS BIGINT) * 28629151
+        |      + CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR) || '#'
+        |          || CAST(r AS VARCHAR)), 4, 1)) AS BIGINT) * 923521
+        |      + CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR) || '#'
+        |          || CAST(r AS VARCHAR)), 5, 1)) AS BIGINT) * 29791
+        |      + CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR) || '#'
+        |          || CAST(r AS VARCHAR)), 6, 1)) AS BIGINT) * 961
+        |      + CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR) || '#'
+        |          || CAST(r AS VARCHAR)), 7, 1)) AS BIGINT) * 31
+        |      + CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR) || '#'
+        |          || CAST(r AS VARCHAR)), 8, 1)) AS BIGINT))) AS priority
+        |  FROM w)
+        |SELECT doc_id, n_chars, CAST(priority AS BIGINT) AS priority
+        |FROM p ORDER BY priority DESC, doc_id LIMIT 30""".stripMargin,
+    "x76_char_entropy" ->
+      """WITH cs AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents WHERE strlen(text) > 0),
+        |k AS (
+        |  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS k
+        |  FROM cs GROUP BY doc_id, ch),
+        |d AS (
+        |  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(k * ln(k) * 1000000.0, 0) AS BIGINT))
+        |      AS BIGINT) AS s_micros
+        |  FROM k GROUP BY doc_id)
+        |SELECT doc_id, n,
+        |  CAST(CAST(round(ln(n) * 1000000.0, 0) AS BIGINT)
+        |    - CAST(round(CAST(s_micros AS DOUBLE) / CAST(n AS DOUBLE), 0)
+        |        AS BIGINT) AS BIGINT) AS entropy_micros
+        |FROM d ORDER BY doc_id""".stripMargin,
     "x74_source_overlap" ->
       """WITH aug AS (
         |  SELECT source, text FROM documents

@@ -122,6 +122,73 @@ class Round6cSpec extends SparkSpec {
     assert(out("1_signup") > 0L)
   }
 
+  // ---------- Sampling.weightedSample ----------
+
+  test("weightedSample: exact-n subset, zero-weight exclusion, " +
+    "weight monotonicity, partition invariance") {
+    val docs = (1L to 400L).map(i => (i, if (i <= 200) 1 else 8))
+      .toDF("id", "w")
+    val out = graft.ext.Sampling
+      .weightedSample(docs, col("id"), col("w"), n = 50)
+    val rows = out.collect()
+    assert(rows.length === 50)
+    val ids = rows.map(_.getLong(0)).toSet
+    assert(ids.subsetOf((1L to 400L).toSet))
+    assert(ids.size === 50) // without replacement
+    // inclusion is weighted: the 8× rows must dominate the sample
+    // (deterministic given the fixed hash — pinned loosely, the exact
+    // counts are the engine-replay contract of the x75 gate)
+    val heavy = rows.count(_.getInt(1) === 8)
+    assert(heavy > 30, s"8x-weighted rows underrepresented: $heavy/50")
+    // zero/negative/null weights never selected
+    val withZero = docs.withColumn("w",
+      when(col("id") <= 390, lit(0)).otherwise(col("w")))
+    val zeroOut = graft.ext.Sampling
+      .weightedSample(withZero, col("id"), col("w"), n = 50).collect()
+    assert(zeroOut.length === 10) // only 10 rows carry positive weight
+    assert(zeroOut.forall(_.getLong(0) > 390))
+    // priority is monotone in weight: more replicas = superset max
+    val p1 = graft.ext.Sampling
+      .weightedSample(docs.withColumn("w", lit(3)), col("id"), col("w"), 400)
+      .select(col("id"), col("priority")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val p2 = graft.ext.Sampling
+      .weightedSample(docs.withColumn("w", lit(4)), col("id"), col("w"), 400)
+      .select(col("id"), col("priority")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p1.keySet.forall(k => p2(k) >= p1(k)))
+    // membership is content-determined: any partitioning, same sample
+    val repart = graft.ext.Sampling
+      .weightedSample(docs.repartition(17), col("id"), col("w"), n = 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(repart === ids)
+  }
+
+  // ---------- TextAnalysis.charEntropy ----------
+
+  test("charEntropy: hand-computed values, empty-doc drop, ordering") {
+    val docs = Seq((1L, "aaaa"), (2L, "aabb"), (3L, "abcd"), (4L, ""))
+      .toDF("id", "text")
+    val out = graft.ext.TextAnalysis
+      .charEntropy(docs, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(!out.contains(4L)) // entropy of nothing is undefined
+    assert(out(1L) === ((4L, 0L))) // one symbol: H = 0
+    assert(out(2L) === ((4L, 693147L))) // two symbols evenly: ln 2
+    assert(out(3L) === ((4L, 1386294L))) // four symbols evenly: ln 4
+    // partition invariance: micros quantize before the order-free sum
+    val big = (1L to 50L)
+      .map(i => (i, ("ab" * (i.toInt % 7 + 1)) + "xyz" * (i.toInt % 3)))
+      .toDF("id", "text")
+    val once = graft.ext.TextAnalysis.charEntropy(big, col("id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val again = graft.ext.TextAnalysis
+      .charEntropy(big.repartition(13), col("id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(once.toSeq === again.toSeq)
+  }
+
   test("retention cohorts tile every (user, week) exactly once") {
     val m = SparkEntry.queries("a24_retention")(spark, sf0001)
     val total = m.agg(sum("active_users")).head().getLong(0)
