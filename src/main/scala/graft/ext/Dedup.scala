@@ -533,6 +533,21 @@ object Dedup {
     inter / (size(ga) + size(gb) - size(array_intersect(ga, gb))).cast("double")
   }
 
+  /** Asymmetric n-gram CONTAINMENT |grams(A) ∩ grams(B)| / |grams(A)| —
+    * the subset-duplication detector Jaccard misses: a short document
+    * wholly embedded in a much longer one (a quoted article, a lifted
+    * paragraph) scores ≈1 here while its Jaccard stays near
+    * |A|/|B| ≈ 0. The Lee et al. (2022) near-dup family uses both:
+    * Jaccard for mutual duplicates, containment for engulfment. Exact
+    * rational arithmetic in doubles — both engines compute the same
+    * count ratio bit-identically.
+    */
+  def ngramContainment(textA: Column, textB: Column, n: Int): Column = {
+    val ga = array_distinct(TextAnalysis.wordNgrams(textA, n))
+    val gb = array_distinct(TextAnalysis.wordNgrams(textB, n))
+    size(array_intersect(ga, gb)).cast("double") / size(ga).cast("double")
+  }
+
   // ---------- embedding cosine near-dup ----------
 
   /** Near-duplicate pairs by embedding cosine ≥ `minCos`: random-

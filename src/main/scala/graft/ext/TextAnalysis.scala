@@ -272,6 +272,38 @@ object TextAnalysis {
         (col("_i") + 1).cast("long").as("idx"), col("span"))
   }
 
+  /** Vocabulary coverage / out-of-vocabulary rate: build the top-
+    * `vocabSize` corpus vocabulary (by frequency, ties by term — fully
+    * deterministic) and score each document's OOV token fraction in
+    * micros. The tokenizer-independent coverage diagnostic: a source
+    * whose documents sit far out-of-vocabulary relative to the corpus
+    * bulk is foreign-language, encoding-damaged, or boilerplate-coded,
+    * and OOV rate is the standard pre-tokenizer health check before
+    * committing a vocab budget.
+    *
+    * Scale: one (term)-keyed count agg for the vocabulary (top-K plans
+    * as TakeOrderedAndProject — per-partition heads, no global sort),
+    * which then BROADCASTS (≤ vocabSize rows) onto the exploded token
+    * stream — the corpus shuffles once on doc_id for the per-doc agg,
+    * never on the join.
+    */
+  def vocabCoverage(docs: DataFrame, idCol: Column, textCol: Column,
+                    vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val toks = docs.select(idCol.as("doc_id"),
+      explode(filter(tokens(textCol), t => t =!= "")).as("term"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("_c"))
+      .orderBy(col("_c").desc, col("term")).limit(vocabSize)
+      .select(col("term"), lit(1).as("_in_vocab"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in_vocab").isNull, 1L).otherwise(0L)).as("_oov"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("_oov").cast("double") * lit(1000000.0)
+          / col("n_tokens").cast("double"), 0).cast("long").as("oov_micros"))
+  }
+
   /** Per-document character-level Shannon entropy (micros) — the
     * compression-proxy quality signal: boilerplate and repeated filler
     * sit LOW (few characters dominate), encoded noise and binary

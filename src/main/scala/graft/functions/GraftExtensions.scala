@@ -35,7 +35,21 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => CosineSimilarityFloat(exprs.head, exprs(1))),
     (FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(hashes) - 64-bit SimHash from an array of token hashes"),
-      (exprs: Seq[Expression]) => SimHash64FromHashes(exprs.head)))
+      (exprs: Seq[Expression]) => SimHash64FromHashes(exprs.head)),
+    (FunctionIdentifier("damerau_levenshtein"),
+      info("damerau_levenshtein",
+        "damerau_levenshtein(a, b) - full (unrestricted) Damerau-Levenshtein distance"),
+      (exprs: Seq[Expression]) => DamerauLevenshtein(exprs.head, exprs(1))),
+    (FunctionIdentifier("unicode_normalize"),
+      info("unicode_normalize",
+        "unicode_normalize(s, form) - Unicode normalization; form is a literal NFC/NFD/NFKC/NFKD"),
+      (exprs: Seq[Expression]) => UnicodeNormalize(exprs.head,
+        exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(s, _)
+            if s != null => s.toString
+          case other => throw new IllegalArgumentException(
+            s"unicode_normalize form must be a string literal, got $other")
+        })))
 
   /** Register every engine function AND the optimizer rules on an
     * already-running session (the extension path for sessions built

@@ -366,6 +366,32 @@ object Analytics {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // ---- robust (median/MAD) outlier detection per group: the
+    // quality-gate twin of a21's winsorize — median and MAD resist the
+    // very outliers they flag (mean/stddev z-scores don't). Threshold
+    // 3σ-equivalent via the 1.4826 normal-consistency constant (one
+    // literal 4.4478 = 3·1.4826 so both engines multiply identically).
+    // Two percentile aggs broadcast back onto the fact side — the
+    // bounds never shuffle the data.
+    "a25_robust_outliers" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val e = Tables.events(s, dir).select($"event_type", $"value")
+        .filter($"value".isNotNull)
+      val med = e.groupBy($"event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val withMed = e.join(broadcast(med), "event_type")
+      val mad = withMed.groupBy($"event_type")
+        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+      withMed.join(broadcast(mad), "event_type")
+        .select($"event_type", $"med", $"mad",
+          (abs($"value" - $"med") > lit(4.4478) * $"mad").cast("long")
+            .as("is_out"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"is_out").as("n_outliers"),
+          min($"med").as("med"), min($"mad").as("mad"))
+        .orderBy("event_type")
+    }),
+
     // ---- frame-navigation window functions (first/last/nth over an
     // explicit unbounded ROWS frame — last_value/nth_value are only
     // deterministic with the full frame + a total order).
@@ -613,6 +639,23 @@ object Analytics {
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "a25_robust_outliers" ->
+      """WITH m AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+        |d AS (
+        |  SELECT e.event_type, e.value, m.med
+        |  FROM events e JOIN m USING (event_type)
+        |  WHERE e.value IS NOT NULL),
+        |md AS (
+        |  SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+        |  FROM d GROUP BY event_type)
+        |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN abs(d.value - d.med) > 4.4478 * md.mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  min(d.med) AS med, min(md.mad) AS mad
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     "a22_damerau_pairs" ->
       """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
         |  CAST(damerau_levenshtein(a.p_name, b.p_name) AS BIGINT) AS dl,

@@ -1183,6 +1183,36 @@ object ExtQueries {
         .orderBy("source_a", "source_b")
     }),
 
+    // ---- asymmetric n-gram containment next to Jaccard over the same
+    // bounded pairs: engulfed documents (subset duplication) score ≈1
+    // on containment while Jaccard stays low — both directions emitted.
+    // Deliberately pairwise over <20 ids (the x06 shape); at scale the
+    // pairs come from the bucketed candidate generators.
+    "x77_containment" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents").filter(col("doc_id") < 20)
+        .select(col("doc_id"), col("text"))
+      val a = d.alias("a")
+      val b = d.alias("b")
+      a.join(b, col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          graft.ext.Dedup.ngramContainment(col("a.text"), col("b.text"), 2)
+            .as("containment"),
+          graft.ext.Dedup.ngramJaccard(col("a.text"), col("b.text"), 2)
+            .as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- vocabulary coverage / OOV rate against the corpus top-512
+    // vocabulary (deterministic freq-then-term order): the pre-
+    // tokenizer health check — vocab broadcasts, the corpus shuffles
+    // once on doc_id.
+    "x78_vocab_coverage" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      graft.ext.TextAnalysis
+        .vocabCoverage(d, col("doc_id"), col("text"), 512)
+        .orderBy("doc_id")
+    }),
+
     // ---- deterministic weighted sampling (Efraimidis–Spirakis order
     // sampling, integer edition): longer documents weight 1–4 and the
     // top-30 replica-max priorities are the sample — membership and
@@ -1939,6 +1969,42 @@ object ExtQueries {
         |    AS BIGINT) AS prob_micros
         |FROM m3
         |ORDER BY prob_micros DESC, doc_id LIMIT 25""".stripMargin,
+    "x77_containment" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(len(string_split(text,' ')) - 1),
+        |    i -> concat(string_split(text,' ')[i+1], ' ',
+        |      string_split(text,' ')[i+2])
+        |  )) AS grams
+        |  FROM documents WHERE doc_id < 20)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |    CAST(len(a.grams) AS DOUBLE) AS containment,
+        |  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |    CAST(len(a.grams) + len(b.grams)
+        |      - len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS jaccard
+        |FROM g a, g b WHERE a.doc_id <> b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+    "x78_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+        |      AS term
+        |  FROM documents),
+        |v AS (
+        |  SELECT term FROM (
+        |    SELECT term, count(*) AS c FROM toks GROUP BY term
+        |    ORDER BY c DESC, term LIMIT 512)),
+        |j AS (
+        |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS oov
+        |  FROM toks t LEFT JOIN v ON t.term = v.term
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, n_tokens,
+        |  CAST(round(CAST(oov AS DOUBLE) * 1000000.0
+        |    / CAST(n_tokens AS DOUBLE), 0) AS BIGINT) AS oov_micros
+        |FROM j ORDER BY doc_id""".stripMargin,
     "x75_weighted_sample" ->
       """WITH w AS (
         |  SELECT doc_id, n_chars,

@@ -14,7 +14,8 @@ class ExtensionsSpec extends SparkSpec {
   test("extension apply() injects without error") {
     new GraftExtensions().apply(new SparkSessionExtensions)
     assert(GraftExtensions.functions.map(_._1.funcName) ==
-      Seq("vector_dot", "vector_cosine", "simhash64"))
+      Seq("vector_dot", "vector_cosine", "simhash64",
+        "damerau_levenshtein", "unicode_normalize"))
   }
 
   test("registered functions resolve and evaluate in SQL") {

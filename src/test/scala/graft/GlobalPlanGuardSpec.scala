@@ -7,8 +7,8 @@ package graft
   *
   * Whitelisted by design (bounded or broadcast brute-force scans where
   * the non-equi join IS the algorithm):
-  *   - a02/a22/x06: exact pairwise metrics over an explicitly bounded
-  *     set;
+  *   - a02/a22/x06/x77: exact pairwise metrics over an explicitly
+  *     bounded set;
   *   - x11/x31/x35/x67: brute-force ANN — the query side broadcasts
   *     and every corpus row is scored map-side (that full scan is the
   *     contract; x35 scans the int8-compressed index; x67 runs TWO
@@ -21,7 +21,8 @@ class GlobalPlanGuardSpec extends SparkSpec {
 
   private val deliberatePairwise =
     Set("a02_edit_distance", "a22_damerau_pairs", "x06_ngram_jaccard",
-      "x11_ann_bruteforce", "x31_ann_pq", "x35_ann_int8", "x67_ann_recall")
+      "x11_ann_bruteforce", "x31_ann_pq", "x35_ann_int8", "x67_ann_recall",
+      "x77_containment")
 
   test("no gate plans an accidental cartesian or nested-loop join") {
     val names = SparkEntry.queries.keys.toSeq.sorted

@@ -122,6 +122,72 @@ class Round6cSpec extends SparkSpec {
     assert(out("1_signup") > 0L)
   }
 
+  // ---------- Dedup.ngramContainment ----------
+
+  test("containment catches engulfment that Jaccard misses") {
+    val df = Seq(("a b c", "a b c d e f")).toDF("s", "l")
+    val r = df.select(
+      graft.ext.Dedup.ngramContainment(col("s"), col("l"), 2).as("c_sl"),
+      graft.ext.Dedup.ngramContainment(col("l"), col("s"), 2).as("c_ls"),
+      graft.ext.Dedup.ngramJaccard(col("s"), col("l"), 2).as("j")).head()
+    // grams(s) = {a b, b c} fully inside grams(l) (5 grams)
+    assert(r.getDouble(0) === 1.0) // short ⊆ long
+    assert(r.getDouble(1) === 0.4) // 2 of 5
+    assert(r.getDouble(2) === 0.4) // jaccard can't see the engulfment
+  }
+
+  // ---------- TextAnalysis.vocabCoverage ----------
+
+  test("vocabCoverage: deterministic top-K vocab and exact OOV micros") {
+    val docs = Seq((1L, "x x y"), (2L, "x z")).toDF("id", "text")
+    val out = graft.ext.TextAnalysis
+      .vocabCoverage(docs, col("id"), col("text"), 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // freqs: x=3, y=1, z=1 → vocab {x, y} (freq desc, term asc tiebreak)
+    assert(out(1L) === ((3L, 0L)))
+    assert(out(2L) === ((2L, 500000L))) // z is OOV: 1 of 2 tokens
+    // vocab broadcast is pinned: the corpus must not shuffle on the term
+    val plan = graft.ext.TextAnalysis
+      .vocabCoverage(spark.read.parquet(s"$sf0001/documents.parquet"),
+        col("doc_id"), col("text"), 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab join must broadcast:\n$plan")
+  }
+
+  // ---------- a25 robust outliers ----------
+
+  test("robust outliers: median/MAD flag the planted extreme only") {
+    val vals = (0 to 9).map(_.toDouble) :+ 1000.0
+    val df = vals.map(("g", _)).toDF("event_type", "value")
+    val med = df.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val mad = df.join(med, "event_type").groupBy(col("event_type"))
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+    val flagged = df.join(med, "event_type").join(mad, "event_type")
+      .filter(abs(col("value") - col("med")) > lit(4.4478) * col("mad"))
+      .collect()
+    // med = 5, |devs| = 5,4,3,2,1,0,...,995 → MAD = 3, cut = 13.34
+    assert(flagged.length === 1)
+    assert(flagged.head.getAs[Double]("value") === 1000.0)
+  }
+
+  // ---------- SQL registration of the new kernels ----------
+
+  test("damerau_levenshtein and unicode_normalize are SQL-callable") {
+    graft.functions.GraftExtensions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT damerau_levenshtein('CA', 'ABC') AS d, " +
+        "unicode_normalize('café', 'NFC') AS n").head()
+    assert(r.getInt(0) === 2)
+    assert(r.getString(1) === "café")
+    val err = intercept[Exception] {
+      spark.sql("SELECT unicode_normalize('x', upper('nfc'))").head()
+    }
+    assert(err.getMessage.toLowerCase.contains("literal"))
+  }
+
   // ---------- Sampling.weightedSample ----------
 
   test("weightedSample: exact-n subset, zero-weight exclusion, " +
