@@ -1183,6 +1183,51 @@ object ExtQueries {
         .orderBy("source_a", "source_b")
     }),
 
+    // ---- LSH calibration curve (the S-curve, measured): prefix
+    // variants at 5 overlap levels plant pairs across the Jaccard
+    // range, the portable MinHash banding generates candidates, and
+    // the gate reports per-level catch counts next to the true 3-gram
+    // Jaccard mass — the "measure, don't guess" artifact for the
+    // banding parameters (16 hashes × 4 bands ⇒ catch ≈ 1−(1−j⁴)⁴).
+    // DuckDB replays signatures, bands, pairs, AND the Jaccard sums.
+    "x79_lsh_calibration" -> ((s0: SparkSession, dir: String) => {
+      val s = pinned(s0)
+      val fs = Seq(2, 4, 6, 8, 10)
+      val d = Tables(s, dir, "documents")
+        .filter(col("doc_id") < 25)
+        .select(col("doc_id"), col("text"),
+          graft.ext.TextAnalysis.tokens(col("text")).as("_t"))
+        .filter(size(col("_t")) >= 20)
+      val variants = fs.map { f =>
+        d.select((col("doc_id") + lit(f * 100000L)).as("doc_id"),
+          array_join(slice(col("_t"), lit(1),
+            floor(size(col("_t")) * lit(f) / lit(10.0)).cast("int")), " ")
+            .as("text"))
+      }.reduce(_ unionByName _)
+      val corpus = d.select(col("doc_id"), col("text")).unionByName(variants)
+      val cands = graft.ext.Dedup.minhashCandidatesPortable(
+        corpus, col("doc_id"), col("text"))
+      val truth = fs.map { f =>
+        d.select(col("doc_id").as("id_a"),
+          (col("doc_id") + lit(f * 100000L)).as("id_b"), lit(f).as("f"))
+      }.reduce(_ unionByName _)
+      truth
+        .join(d.select(col("doc_id").as("id_a"), col("text").as("_ta")),
+          "id_a")
+        .join(variants.select(col("doc_id").as("id_b"),
+          col("text").as("_tb")), "id_b")
+        .join(cands.select(col("id_a"), col("id_b"), lit(1L).as("_hit")),
+          Seq("id_a", "id_b"), "left")
+        .select(col("f").cast("long").as("f"),
+          round(graft.ext.Dedup.ngramJaccard(col("_ta"), col("_tb"), 3)
+            * lit(1000000.0), 0).cast("long").as("_jm"),
+          coalesce(col("_hit"), lit(0L)).as("_hit"))
+        .groupBy("f")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("_hit")).as("caught"),
+          sum(col("_jm")).as("sum_jaccard_micros"))
+        .orderBy("f")
+    }),
+
     // ---- asymmetric n-gram containment next to Jaccard over the same
     // bounded pairs: engulfed documents (subset duplication) score ≈1
     // on containment while Jaccard stays low — both directions emitted.
@@ -1969,6 +2014,79 @@ object ExtQueries {
         |    AS BIGINT) AS prob_micros
         |FROM m3
         |ORDER BY prob_micros DESC, doc_id LIMIT 25""".stripMargin,
+    "x79_lsh_calibration" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS w
+        |  FROM documents
+        |  WHERE doc_id < 25 AND len(string_split(text, ' ')) >= 20),
+        |variants AS (
+        |  SELECT doc_id + f * 100000 AS doc_id,
+        |    array_to_string(w[1:CAST(floor(len(w) * f / 10.0) AS INT)], ' ')
+        |      AS text
+        |  FROM base, unnest([2, 4, 6, 8, 10]) t(f)),
+        |corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL SELECT doc_id, text FROM variants),
+        |toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        |grams AS (
+        |  SELECT doc_id, list_transform(range(len(w) - 2),
+        |    i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3])) AS g FROM toks),
+        |xs AS (
+        |  SELECT doc_id, list_transform(g,
+        |    t -> CAST(('0x' || substr(md5(t), 1, 12)) AS BIGINT) % 2147483647) AS x
+        |  FROM grams),
+        |sig AS (
+        |  SELECT doc_id, [
+        |    list_min(list_transform(x, v -> (999983 * v + 12345) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999979 * v + 67891) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999961 * v + 234567) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999959 * v + 345679) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999953 * v + 456789) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999931 * v + 567891) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999917 * v + 678901) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999907 * v + 789013) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999883 * v + 890123) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999863 * v + 901237) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999841 * v + 123457) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999809 * v + 234563) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999773 * v + 345677) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999749 * v + 456791) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999727 * v + 567899) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999721 * v + 678911) % 2147483647))
+        |  ] AS s FROM xs),
+        |bands AS (
+        |  SELECT doc_id AS id, CAST(b AS INTEGER) AS band,
+        |    ((((((s[b*4+1] * 1000003 + s[b*4+2]) % 2147483648)
+        |        * 1000003 + s[b*4+3]) % 2147483648)
+        |        * 1000003 + s[b*4+4]) % 2147483648) AS band_hash
+        |  FROM sig, range(4) t(b)),
+        |pairs AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id),
+        |g3 AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(len(w) - 2),
+        |    i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3]))) AS g
+        |  FROM toks),
+        |truth AS (
+        |  SELECT b.doc_id AS id_a, b.doc_id + f * 100000 AS id_b, f
+        |  FROM base b, unnest([2, 4, 6, 8, 10]) t(f)),
+        |eval AS (
+        |  SELECT t.f,
+        |    CAST(round(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+        |      / CAST(len(ga.g) + len(gb.g)
+        |          - len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+        |      * 1000000.0, 0) AS BIGINT) AS jm,
+        |    CASE WHEN p.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM truth t
+        |  JOIN g3 ga ON t.id_a = ga.doc_id
+        |  JOIN g3 gb ON t.id_b = gb.doc_id
+        |  LEFT JOIN pairs p ON t.id_a = p.id_a AND t.id_b = p.id_b)
+        |SELECT CAST(f AS BIGINT) AS f, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(hit) AS BIGINT) AS caught,
+        |  CAST(sum(jm) AS BIGINT) AS sum_jaccard_micros
+        |FROM eval GROUP BY f ORDER BY f""".stripMargin,
     "x77_containment" ->
       """WITH g AS (
         |  SELECT doc_id, list_distinct(list_transform(

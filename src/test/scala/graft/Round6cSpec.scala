@@ -188,6 +188,26 @@ class Round6cSpec extends SparkSpec {
     assert(err.getMessage.toLowerCase.contains("literal"))
   }
 
+  // ---------- x79 LSH calibration ----------
+
+  test("LSH calibration curve: jaccard and catch rate rise with overlap, " +
+    "full copies always caught") {
+    val rows = SparkEntry.queries("x79_lsh_calibration")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === Seq(2L, 4L, 6L, 8L, 10L))
+    // average Jaccard strictly rises with the overlap fraction
+    val avgJ = rows.map(r => r._4.toDouble / r._2)
+    assert(avgJ.zip(avgJ.tail).forall { case (a, b) => a < b })
+    // catch rate is monotone non-decreasing along the curve
+    val rate = rows.map(r => r._3.toDouble / r._2)
+    assert(rate.zip(rate.tail).forall { case (a, b) => a <= b })
+    // identical copies (f=10, jaccard 1) are ALWAYS candidates
+    assert(rows.last._3 === rows.last._2)
+    // the curve is a real S: the low end misses, the high end catches
+    assert(rate.head < 0.5 && rate.last === 1.0)
+  }
+
   // ---------- Sampling.weightedSample ----------
 
   test("weightedSample: exact-n subset, zero-weight exclusion, " +
