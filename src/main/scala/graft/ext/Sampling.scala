@@ -198,6 +198,34 @@ object Sampling {
       .drop("_graft_rank")
   }
 
+  /** Per-group QUANTILE NORMALIZATION of a score: rank-based
+    * calibration that makes scores comparable ACROSS heterogeneous
+    * groups before one global threshold is applied. Raw quality scores
+    * are not comparable between sources (a mid-tier web page outscores
+    * a top-tier forum post on absolute features); normalizing each
+    * group to its own [0, 1] quantile scale means "keep the top 30%"
+    * cuts every source at the same RELATIVE bar — the fair-mixing
+    * counterpart of [[temperatureMixture]].
+    *
+    * qr = (rank − 1)/(n − 1) in micros (ties broken by `key` so the
+    * rank is total and engine-stable); a single-row group is trivially
+    * its own top (qr = 1). One PARTITIONED window — scales with group
+    * cardinality, never a global sort.
+    */
+  def quantileNormalize(df: DataFrame, grp: Column, score: Column,
+                        key: Column, as: String = "qr_micros"): DataFrame = {
+    val w = Window.partitionBy(grp).orderBy(score, key)
+    val cw = Window.partitionBy(grp)
+    df.withColumn("_graft_rn", row_number().over(w).cast("long"))
+      .withColumn("_graft_n", count(lit(1)).over(cw))
+      .withColumn(as,
+        when(col("_graft_n") === 1L, lit(1000000L))
+          .otherwise(round((col("_graft_rn") - 1).cast("double")
+            * lit(1000000.0) / (col("_graft_n") - 1).cast("double"), 0)
+            .cast("long")))
+      .drop("_graft_rn", "_graft_n")
+  }
+
   /** Content-hash priority from `md5(key "#" salt)`: the 8-hex-char
     * polynomial twin of [[hashBucket]] — ~10⁹-scale value space, so
     * top-n ties are data, not device. All-integer and computable in any

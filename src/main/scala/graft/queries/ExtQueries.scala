@@ -1183,6 +1183,20 @@ object ExtQueries {
         .orderBy("source_a", "source_b")
     }),
 
+    // ---- cross-source score calibration: per-source quantile ranks
+    // over a quality proxy, then ONE global relative cut (top 30% of
+    // every source) — the fair-mixing normalization that absolute
+    // thresholds get wrong on heterogeneous corpora.
+    "x80_quantile_calibration" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      graft.ext.Sampling.quantileNormalize(
+          d.select(col("doc_id"), col("source"), col("n_chars")),
+          col("source"), col("n_chars"), col("doc_id"))
+        .filter(col("qr_micros") >= 700000L)
+        .select(col("doc_id"), col("source"), col("qr_micros"))
+        .orderBy("source", "doc_id")
+    }),
+
     // ---- LSH calibration curve (the S-curve, measured): prefix
     // variants at 5 overlap levels plant pairs across the Jaccard
     // range, the portable MinHash banding generates candidates, and
@@ -2014,6 +2028,22 @@ object ExtQueries {
         |    AS BIGINT) AS prob_micros
         |FROM m3
         |ORDER BY prob_micros DESC, doc_id LIMIT 25""".stripMargin,
+    "x80_quantile_calibration" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, source,
+        |    CAST(CASE WHEN n = 1 THEN 1000000
+        |      ELSE round((rn - 1) * 1000000.0 / (n - 1), 0) END AS BIGINT)
+        |      AS qr_micros
+        |  FROM r)
+        |SELECT doc_id, source, qr_micros
+        |FROM q WHERE qr_micros >= 700000
+        |ORDER BY source, doc_id""".stripMargin,
     "x79_lsh_calibration" ->
       """WITH base AS (
         |  SELECT doc_id, text, string_split(text, ' ') AS w

@@ -188,6 +188,32 @@ class Round6cSpec extends SparkSpec {
     assert(err.getMessage.toLowerCase.contains("literal"))
   }
 
+  // ---------- Sampling.quantileNormalize ----------
+
+  test("quantileNormalize: per-group [0,1] scale, singleton tops, " +
+    "relative cut is group-fair") {
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L), ("a", 4L, 40L),
+      ("a", 5L, 50L),
+      ("b", 6L, 1L), ("b", 7L, 2L), // b's scores all below a's
+      ("c", 8L, 999L)) // singleton group
+      .toDF("grp", "id", "score")
+    val out = graft.ext.Sampling
+      .quantileNormalize(df, col("grp"), col("score"), col("id"))
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(out(1L) === 0L && out(5L) === 1000000L) // group a endpoints
+    assert(out(3L) === 500000L) // midpoint
+    assert(out(6L) === 0L && out(7L) === 1000000L) // group b rescaled
+    assert(out(8L) === 1000000L) // singleton = its own top
+    // a global 50% cut now keeps the top of EVERY group — including b,
+    // whose raw scores an absolute threshold would wipe out entirely
+    val kept = graft.ext.Sampling
+      .quantileNormalize(df, col("grp"), col("score"), col("id"))
+      .filter(col("qr_micros") >= 500000L)
+      .collect().map(_.getString(0)).toSet
+    assert(kept === Set("a", "b", "c"))
+  }
+
   // ---------- x79 LSH calibration ----------
 
   test("LSH calibration curve: jaccard and catch rate rise with overlap, " +
