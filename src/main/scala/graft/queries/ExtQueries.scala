@@ -1296,6 +1296,44 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- PageRank over the supplier co-occurrence graph (suppliers
+    // linked when they serve the same order): 5 fixed iterations, one
+    // edge-key shuffle each, rank state localCheckpoint-ed per pass.
+    // Ranks live as INTEGER MICROS and per-edge contributions truncate
+    // BEFORE the sum, so the fixpoint math is order-independent and
+    // DuckDB replays it bit-exactly with unrolled CTEs.
+    "x81_pagerank" -> ((s: SparkSession, dir: String) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val edges = li.as("a")
+        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") =!= col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+        .distinct()
+      graft.ext.Graph.pageRank(edges, col("src"), col("dst"), iters = 5)
+        .select(col("id").as("supp_id"), col("rank").as("rank_micros"))
+        .orderBy("supp_id")
+    }),
+
+    // ---- exact per-vertex triangle counts on the ≥2-co-orders
+    // supplier graph via compact-forward: edges oriented low→high by
+    // (degree, id) before the wedge join, so hub vertices cannot
+    // explode the intermediate (O(m^{3/2}) not O(Σd²)). Oracle:
+    // brute-force a<b<c three-way self-join.
+    "x82_triangles" -> ((s: SparkSession, dir: String) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val sym = li.as("a")
+        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") =!= col("b.l_suppkey"))
+        .groupBy(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("src"), col("dst"))
+      graft.ext.Graph.triangleCount(sym, col("src"), col("dst"))
+        .orderBy("id")
+    }),
+
     // ---- ranking-quality evaluation (nDCG@10 + MRR): retrieval lists
     // ranked by query-term frequency, graded relevance from a paired
     // term — the eval half of the retrieval family, gains quantized to
@@ -2044,6 +2082,74 @@ object ExtQueries {
         |SELECT doc_id, source, qr_micros
         |FROM q WHERE qr_micros >= 700000
         |ORDER BY source, doc_id""".stripMargin,
+    "x81_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |r0 AS (SELECT id, 1000000 // n AS rank FROM nodes CROSS JOIN nn),
+        |i1 AS (
+        |  SELECT nodes.id,
+        |    (15 * 1000000) // (100 * nn.n) +
+        |      (85 * coalesce(f.inflow, 0)) // 100 AS rank
+        |  FROM nodes CROSS JOIN nn LEFT JOIN (
+        |    SELECT e.dst AS id, sum(r.rank // od.outdeg) AS inflow
+        |    FROM e JOIN r0 r ON e.src = r.id JOIN od ON e.src = od.src
+        |    GROUP BY e.dst) f ON nodes.id = f.id),
+        |i2 AS (
+        |  SELECT nodes.id,
+        |    (15 * 1000000) // (100 * nn.n) +
+        |      (85 * coalesce(f.inflow, 0)) // 100 AS rank
+        |  FROM nodes CROSS JOIN nn LEFT JOIN (
+        |    SELECT e.dst AS id, sum(r.rank // od.outdeg) AS inflow
+        |    FROM e JOIN i1 r ON e.src = r.id JOIN od ON e.src = od.src
+        |    GROUP BY e.dst) f ON nodes.id = f.id),
+        |i3 AS (
+        |  SELECT nodes.id,
+        |    (15 * 1000000) // (100 * nn.n) +
+        |      (85 * coalesce(f.inflow, 0)) // 100 AS rank
+        |  FROM nodes CROSS JOIN nn LEFT JOIN (
+        |    SELECT e.dst AS id, sum(r.rank // od.outdeg) AS inflow
+        |    FROM e JOIN i2 r ON e.src = r.id JOIN od ON e.src = od.src
+        |    GROUP BY e.dst) f ON nodes.id = f.id),
+        |i4 AS (
+        |  SELECT nodes.id,
+        |    (15 * 1000000) // (100 * nn.n) +
+        |      (85 * coalesce(f.inflow, 0)) // 100 AS rank
+        |  FROM nodes CROSS JOIN nn LEFT JOIN (
+        |    SELECT e.dst AS id, sum(r.rank // od.outdeg) AS inflow
+        |    FROM e JOIN i3 r ON e.src = r.id JOIN od ON e.src = od.src
+        |    GROUP BY e.dst) f ON nodes.id = f.id),
+        |i5 AS (
+        |  SELECT nodes.id,
+        |    (15 * 1000000) // (100 * nn.n) +
+        |      (85 * coalesce(f.inflow, 0)) // 100 AS rank
+        |  FROM nodes CROSS JOIN nn LEFT JOIN (
+        |    SELECT e.dst AS id, sum(r.rank // od.outdeg) AS inflow
+        |    FROM e JOIN i4 r ON e.src = r.id JOIN od ON e.src = od.src
+        |    GROUP BY e.dst) f ON nodes.id = f.id)
+        |SELECT id AS supp_id, CAST(rank AS BIGINT) AS rank_micros
+        |FROM i5 ORDER BY supp_id""".stripMargin,
+    "x82_triangles" ->
+      """WITH e AS (
+        |  SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tri AS (
+        |  SELECT x.src AS a, x.dst AS b, y.dst AS c
+        |  FROM e x
+        |  JOIN e y ON y.src = x.dst AND x.src < x.dst AND x.dst < y.dst
+        |  JOIN e z ON z.src = x.src AND z.dst = y.dst),
+        |corners AS (
+        |  SELECT a AS id FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |SELECT id, count(*) AS triangles
+        |FROM corners GROUP BY id ORDER BY id""".stripMargin,
     "x79_lsh_calibration" ->
       """WITH base AS (
         |  SELECT doc_id, text, string_split(text, ' ') AS w
