@@ -1334,6 +1334,17 @@ object ExtQueries {
         .orderBy("id")
     }),
 
+    // ---- EXACT set-similarity join (Jaccard ≥ 0.90) via rare-first
+    // prefix filtering (AllPairs/PPJoin): the recall-1.0 complement to
+    // the MinHash path — candidates only from prefix-token collisions
+    // plus the length filter, verified with integer cross-
+    // multiplication. Oracle brute-forces every pair.
+    "x83_setsim_join" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      graft.ext.SetSim.jaccardJoin(d, col("doc_id"), col("text"), tauPct = 90)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- ranking-quality evaluation (nDCG@10 + MRR): retrieval lists
     // ranked by query-term frequency, graded relevance from a paired
     // term — the eval half of the retrieval family, gains quantized to
@@ -2082,6 +2093,24 @@ object ExtQueries {
         |SELECT doc_id, source, qr_micros
         |FROM q WHERE qr_micros >= 700000
         |ORDER BY source, doc_id""".stripMargin,
+    "x83_setsim_join" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |ix AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT id_a, id_b, inter, sa.n + sb.n - inter AS uni
+        |  FROM ix
+        |  JOIN sz sa ON ix.id_a = sa.doc_id
+        |  JOIN sz sb ON ix.id_b = sb.doc_id)
+        |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+        |  CAST(uni AS BIGINT) AS uni
+        |FROM j WHERE inter * 100 >= 90 * uni
+        |ORDER BY id_a, id_b""".stripMargin,
     "x81_pagerank" ->
       """WITH e AS (
         |  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
