@@ -12,7 +12,14 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.sessionBuilder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // one clear diagnostic on testdata drift, up front — but keep going:
+    // unaffected gates should still verify
+    try Tables.assertContract(spark, sfDir)
+    catch { case e: IllegalStateException =>
+      System.err.println(s"[verify] TESTDATA CONTRACT: ${e.getMessage}")
+    }
     new java.io.File(outDir).mkdirs()
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -20,6 +27,8 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = s"${e.getClass.getSimpleName}: " +
+          Option(e.getMessage).getOrElse("").take(500)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -37,6 +46,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // self-contained artifact: gates that THREW (vs merely mismatching)
+    // are listed here, so a missing result directory is never silent
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -70,6 +70,15 @@ object BpeLearn {
   /** Learn the first `merges` merge rules. Returns `(rank, pair, n)` —
     * the rule learned at each round and its frequency at selection time.
     * Stops early if the corpus runs out of adjacent pairs.
+    *
+    * Driver-loop bound: each round collects exactly ONE (pair, count)
+    * row and launches one distributed fold, so the driver cost is
+    * O(merges) tiny collects and the wall-clock is merges × (one
+    * aggregate + one map) — fine to a few thousand merges. A 50k-merge
+    * production vocab should use [[learnMergesBatched]], which folds
+    * whole non-interacting batches per round and cuts the round count
+    * by ~the batch factor at identical output (the cutoff guard keeps
+    * batched selection exact).
     */
   def learnMerges(docs: DataFrame, textCol: Column,
                   merges: Int): Seq[(Long, String, Long)] = {

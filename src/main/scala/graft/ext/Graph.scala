@@ -57,6 +57,11 @@ object Graph {
     * (integer division), then
     * `rank' = (100 - d)·10^6 div (100·N) + d·Σcontrib div 100` —
     * all integer ops, so any evaluation order gives the same bits.
+    *
+    * Ownership: the returned frame IS a `localCheckpoint` (reusable
+    * without recompute); once consumed, release its blocks via
+    * `GraftColumnBridge.unpersistCheckpoint` — the loop's internal
+    * checkpoints are released before return.
     */
   def pageRank(edges: DataFrame, src: Column, dst: Column,
                iters: Int = 5, dampingPct: Int = 85): DataFrame = {
@@ -93,6 +98,11 @@ object Graph {
       org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(ranks)
       ranks = materialized
     }
+    // loop-only inputs: the returned ranks are a materialized checkpoint
+    // with truncated lineage, so these blocks can go now
+    org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(e)
+    org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(nodes)
+    org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(outDeg)
     ranks
   }
 
@@ -105,6 +115,12 @@ object Graph {
     * join wedges `a→b, b→c` against oriented edges `a→c`. Each
     * triangle {a,b,c} is found exactly once in oriented form, then
     * credited to all three corners.
+    *
+    * Ownership: the returned plan embeds a `localCheckpoint` of the
+    * oriented edge list (scanned three times by the wedge join); once
+    * the result is consumed, release it via
+    * `GraftColumnBridge.unpersistEmbeddedCheckpoints` — re-executing
+    * the plan afterwards is not possible.
     */
   def triangleCount(symEdges: DataFrame, src: Column, dst: Column): DataFrame = {
     val e = symEdges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))

@@ -14,10 +14,39 @@ import org.apache.spark.sql.types._
   */
 object StreamQueries {
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** The file-stream source needs a declared schema; derive it from the
+    * stored file's own footer so the gates track the testdata contract
+    * (epoch-nanos long vs TIMESTAMP(MICROS)) instead of pinning one schema
+    * that silently mis-reads the other encoding.
+    */
+  private def eventsSchema(s: SparkSession, dir: String): StructType =
+    s.read.parquet(s"$dir/events.parquet").schema
+
+  /** Sentinel frames are built with `ts` as epoch-nanos long; rewrite `ts`
+    * to the stored file's physical type so every staged file in a stream
+    * directory parses under the one declared schema.
+    */
+  private def alignTs(df: DataFrame, target: DataType): DataFrame = target match {
+    case LongType         => df
+    case TimestampNTZType =>
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+    case TimestampType    =>
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case other => throw new IllegalStateException(
+      s"events.ts has unsupported physical type $other (testdata contract drift?)")
+  }
+
+  /** A timed-out stream leaves a PARTIAL sink that looks like an answer;
+    * make it an error instead (awaitTermination returns false on timeout).
+    */
+  private def awaitOrFail(q: org.apache.spark.sql.streaming.StreamingQuery,
+      timeoutMs: Long): Unit =
+    if (!q.awaitTermination(timeoutMs)) {
+      try q.stop()
+      finally throw new IllegalStateException(
+        s"streaming query '${q.name}' still running after $timeoutMs ms; " +
+          "partial sink discarded")
+    }
 
   /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered.
     *
@@ -45,9 +74,9 @@ object StreamQueries {
         staged.resolve("events.parquet"))
       withShufflePartitions(s, 4) {
         val stream = s.readStream
-          .schema(eventsSchema)
+          .schema(eventsSchema(s, dir))
           .parquet(staged.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .transform(graft.Tables.normalizeTs(_))
         // decimal-cast inside the streaming agg: partial aggregation order
         // must not affect the emitted double
         val agg = stream
@@ -64,7 +93,7 @@ object StreamQueries {
           .outputMode("complete")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination(120000)
+        awaitOrFail(q, 120000)
       }
       s.table("s01_stream_hourly_sink")
         .orderBy("event_type", "hour_start")
@@ -92,9 +121,10 @@ object StreamQueries {
       dest0.toFile.setLastModified(1000000000L)
       def sentinel(n: Int, epochSec: Long): Unit = {
         val tmp = java.nio.file.Files.createTempDirectory(s"graft-s02-tmp$n")
-        // same raw shape as the stored file: ts as epoch-NANOS long
-        Seq((-n.toLong, epochSec * 1000000000L, -1L, "tick", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        // built as epoch-nanos long, then aligned to the stored ts type
+        alignTs(Seq((-n.toLong, epochSec * 1000000000L, -1L, "tick", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+          eventsSchema(s, dir)("ts").dataType)
           .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val part = new java.io.File(tmp.toString).listFiles()
           .find(_.getName.endsWith(".parquet")).get
@@ -106,10 +136,10 @@ object StreamQueries {
       sentinel(1, 2051222400L) // 2035-01-01
       sentinel(2, 2051308800L) // 2035-01-02
       withShufflePartitions(s, 4) {
-        val stream = s.readStream.schema(eventsSchema)
+        val stream = s.readStream.schema(eventsSchema(s, dir))
           .option("maxFilesPerTrigger", 1)
           .parquet(staged.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .transform(graft.Tables.normalizeTs(_))
           .select("event_id", "ts", "user_id", "event_type", "value")
         val sessions = EventStream.sessionize(stream.as[EventStream.Event],
           gapMillis = gapMs, watermarkDelay = "0 seconds")
@@ -119,7 +149,7 @@ object StreamQueries {
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination(180000)
+        awaitOrFail(q, 180000)
       }
       s.table("s02_stream_sessions_sink")
         .filter(col("user_id") >= 0)
@@ -145,9 +175,9 @@ object StreamQueries {
         staged.resolve("events.parquet"))
       withShufflePartitions(s, 4) {
         val stream = s.readStream
-          .schema(eventsSchema)
+          .schema(eventsSchema(s, dir))
           .parquet(staged.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .transform(graft.Tables.normalizeTs(_))
         val agg = stream
           .withWatermark("ts", "2 hours")
           .groupBy(window(col("ts"), "2 hours", "30 minutes").as("win"),
@@ -161,7 +191,7 @@ object StreamQueries {
           .outputMode("complete")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination(120000)
+        awaitOrFail(q, 120000)
       }
       s.table("s07_stream_sliding_sink").orderBy("event_type", "win_start")
     }),
@@ -173,9 +203,9 @@ object StreamQueries {
         staged.resolve("events.parquet"))
       withShufflePartitions(s, 4) {
         val stream = s.readStream
-          .schema(eventsSchema)
+          .schema(eventsSchema(s, dir))
           .parquet(staged.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .transform(graft.Tables.normalizeTs(_))
         val q = EventStream.dedupStream(stream)
           .select("user_id", "event_type")
           .writeStream
@@ -184,7 +214,7 @@ object StreamQueries {
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination(120000)
+        awaitOrFail(q, 120000)
       }
       s.table("s03_stream_dedup_sink")
         .orderBy("user_id", "event_type")
@@ -204,7 +234,7 @@ object StreamQueries {
         ("purchase", "revenue"), ("signup", "growth"),
         ("error", "health")).toDF("event_type", "category")
       withShufflePartitions(s, 4) {
-        val stream = s.readStream.schema(eventsSchema)
+        val stream = s.readStream.schema(eventsSchema(s, dir))
           .parquet(staged.toString)
         val q = stream.join(broadcast(dim), Seq("event_type"))
           .groupBy($"category")
@@ -218,7 +248,7 @@ object StreamQueries {
           .outputMode("complete")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination(120000)
+        awaitOrFail(q, 120000)
       }
       s.table("s06_stream_static_join_sink").orderBy("category")
     }),
@@ -235,9 +265,9 @@ object StreamQueries {
         java.nio.file.Paths.get(s"$dir/events.parquet"),
         staged.resolve("events.parquet"))
       withShufflePartitions(s, 4) {
-        def side(et: String) = s.readStream.schema(eventsSchema)
+        def side(et: String) = s.readStream.schema(eventsSchema(s, dir))
           .parquet(staged.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .transform(graft.Tables.normalizeTs(_))
           .filter(col("event_type") === et)
         val p = side("purchase")
           .select(col("event_id").as("purchase_id"), col("user_id"),
@@ -257,7 +287,7 @@ object StreamQueries {
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination(120000)
+        awaitOrFail(q, 120000)
       }
       s.table("s04_stream_join_sink").orderBy("purchase_id", "click_id")
     }),
@@ -285,7 +315,7 @@ object StreamQueries {
       val wh = new SparkWarehouse(s,
         java.nio.file.Files.createTempDirectory("graft-s05-wh").toString)
       withShufflePartitions(s, 4) {
-        val stream = s.readStream.schema(eventsSchema)
+        val stream = s.readStream.schema(eventsSchema(s, dir))
           .option("maxFilesPerTrigger", 1)
           .parquet(staged.toString)
         // foreachBatch is at-least-once: a batch can be re-delivered after
@@ -344,7 +374,7 @@ object StreamQueries {
           .option("checkpointLocation", staged.resolve("_ckpt").toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination(120000)
+        awaitOrFail(q, 120000)
       }
       wh.get("user_counts").fold(
         e => throw new RuntimeException(e.message), identity)
@@ -376,10 +406,10 @@ object StreamQueries {
       stage(0, pmod(col("event_id"), lit(2)) === 0)
       stage(1, pmod(col("event_id"), lit(2)) === 1)
       withShufflePartitions(s, 4) {
-        val stream = s.readStream.schema(eventsSchema)
+        val stream = s.readStream.schema(eventsSchema(s, dir))
           .option("maxFilesPerTrigger", 1)
           .parquet(staged.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .transform(graft.Tables.normalizeTs(_))
           .select("event_id", "ts", "user_id", "event_type", "value")
         val totals = EventStream.runningTotals(stream.as[EventStream.Event])
         val q = totals.writeStream
@@ -388,7 +418,7 @@ object StreamQueries {
           .outputMode("update")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination(120000)
+        awaitOrFail(q, 120000)
       }
       s.table("s08_stream_running_totals_sink")
         .groupBy("user_id")
@@ -420,9 +450,11 @@ object StreamQueries {
         // BOTH sides' ticks in one file: the stream-stream watermark is
         // the MIN across sides, so each sentinel batch must advance the
         // purchase AND click watermarks together
-        Seq((-(2 * n).toLong, epochSec * 1000000000L, -1L, "purchase", 0.0, "{}"),
+        alignTs(Seq(
+            (-(2 * n).toLong, epochSec * 1000000000L, -1L, "purchase", 0.0, "{}"),
             (-(2 * n + 1).toLong, epochSec * 1000000000L, -1L, "click", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+          eventsSchema(s, dir)("ts").dataType)
           .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val part = new java.io.File(tmp.toString).listFiles()
           .find(_.getName.endsWith(".parquet")).get
@@ -436,10 +468,10 @@ object StreamQueries {
       sentinel(1, 2051222400L) // 2035-01-01
       sentinel(2, 2051481600L) // 2035-01-04
       withShufflePartitions(s, 4) {
-        def side(et: String) = s.readStream.schema(eventsSchema)
+        def side(et: String) = s.readStream.schema(eventsSchema(s, dir))
           .option("maxFilesPerTrigger", 1)
           .parquet(staged.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .transform(graft.Tables.normalizeTs(_))
           .filter(col("event_type") === et)
         val p = side("purchase")
           .select(col("event_id").as("purchase_id"), col("user_id"),
@@ -460,7 +492,7 @@ object StreamQueries {
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination(180000)
+        awaitOrFail(q, 180000)
       }
       s.table("s09_stream_left_join_sink")
         .filter(col("user_id") >= 0) // drop the sentinel rows
@@ -483,8 +515,9 @@ object StreamQueries {
       dest0.toFile.setLastModified(1000000000L)
       def sentinel(n: Int, epochSec: Long): Unit = {
         val tmp = java.nio.file.Files.createTempDirectory(s"graft-s10-tmp$n")
-        Seq((-n.toLong, epochSec * 1000000000L, -1L, "tick", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        alignTs(Seq((-n.toLong, epochSec * 1000000000L, -1L, "tick", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+          eventsSchema(s, dir)("ts").dataType)
           .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val part = new java.io.File(tmp.toString).listFiles()
           .find(_.getName.endsWith(".parquet")).get
@@ -495,10 +528,10 @@ object StreamQueries {
       sentinel(1, 2051222400L) // 2035-01-01
       sentinel(2, 2051308800L) // 2035-01-02
       withShufflePartitions(s, 4) {
-        val stream = s.readStream.schema(eventsSchema)
+        val stream = s.readStream.schema(eventsSchema(s, dir))
           .option("maxFilesPerTrigger", 1)
           .parquet(staged.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .transform(graft.Tables.normalizeTs(_))
         val agg = stream
           .withWatermark("ts", "0 seconds")
           .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
@@ -510,7 +543,7 @@ object StreamQueries {
         val q = EventStream.toParquetSink(agg, outDir.toString,
             staged.resolve("_ckpt").toString)
           .start()
-        q.awaitTermination(120000)
+        awaitOrFail(q, 120000)
       }
       s.read.parquet(outDir.toString)
         .filter(col("event_type") =!= "tick") // sentinel epilogue windows
@@ -533,8 +566,9 @@ object StreamQueries {
       dest0.toFile.setLastModified(1000000000L)
       def sentinel(n: Int, epochSec: Long): Unit = {
         val tmp = java.nio.file.Files.createTempDirectory(s"graft-s11-tmp$n")
-        Seq((-n.toLong, epochSec * 1000000000L, -1L, "tick", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        alignTs(Seq((-n.toLong, epochSec * 1000000000L, -1L, "tick", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+          eventsSchema(s, dir)("ts").dataType)
           .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val part = new java.io.File(tmp.toString).listFiles()
           .find(_.getName.endsWith(".parquet")).get
@@ -545,10 +579,10 @@ object StreamQueries {
       sentinel(1, 2051222400L) // 2035-01-01
       sentinel(2, 2051308800L) // 2035-01-02
       withShufflePartitions(s, 4) {
-        val stream = s.readStream.schema(eventsSchema)
+        val stream = s.readStream.schema(eventsSchema(s, dir))
           .option("maxFilesPerTrigger", 1)
           .parquet(staged.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .transform(graft.Tables.normalizeTs(_))
         val agg = stream
           .withWatermark("ts", "0 seconds")
           .groupBy(col("user_id"),
@@ -560,7 +594,7 @@ object StreamQueries {
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination(180000)
+        awaitOrFail(q, 180000)
       }
       s.table("s11_stream_session_window_sink")
         .filter(col("user_id") >= 0)
@@ -568,6 +602,46 @@ object StreamQueries {
         .agg(count(lit(1)).as("n_sessions"),
           max(col("n_events")).as("longest_session"))
         .orderBy("user_id")
+    }),
+
+    // ---- LEFT SEMI stream-stream join: purchases that HAD a click in
+    // the preceding 30 minutes, emitted once regardless of how many
+    // clicks matched (s04's inner join emits one row per matching
+    // click; the semi form is the streaming EXISTS). State bounds and
+    // watermark discipline are identical to the inner join's.
+    "s13_stream_semi_join" -> ((s: SparkSession, dir: String) => {
+      val staged = java.nio.file.Files.createTempDirectory("graft-s13")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      withShufflePartitions(s, 4) {
+        def side(et: String) = s.readStream.schema(eventsSchema(s, dir))
+          .parquet(staged.toString)
+          .transform(graft.Tables.normalizeTs(_))
+          .filter(col("event_type") === et)
+        val p = side("purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts").as("p_ts"))
+          .withWatermark("p_ts", "30 days")
+        val c = side("click")
+          .select(col("event_id").as("click_id"),
+            col("user_id").as("c_user"), col("ts").as("c_ts"))
+          .withWatermark("c_ts", "30 days")
+        val joined = p.join(c, col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c_ts") <= col("p_ts"), "left_semi")
+        val q = joined
+          .select(col("purchase_id"), col("user_id"),
+            unix_micros(col("p_ts")).as("p_us"))
+          .writeStream
+          .format("memory")
+          .queryName("s13_stream_semi_join_sink")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        awaitOrFail(q, 120000)
+      }
+      s.table("s13_stream_semi_join_sink").orderBy("purchase_id")
     }),
 
     // ---- streaming corpus ingestion with incremental dedup: each
@@ -636,7 +710,7 @@ object StreamQueries {
           .option("checkpointLocation", staged.resolve("_ckpt").toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination(120000)
+        awaitOrFail(q, 120000)
       }
       wh.get("admitted").fold(
         e => throw new RuntimeException(e.message), identity)
@@ -741,6 +815,14 @@ object StreamQueries {
         |FROM events
         |WHERE event_type IN ('click','view','purchase','signup','error')
         |GROUP BY category ORDER BY category""".stripMargin,
+    "s13_stream_semi_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, epoch_us(p.ts) AS p_us
+        |FROM events p
+        |WHERE p.event_type = 'purchase' AND EXISTS (
+        |  SELECT 1 FROM events c
+        |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |    AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts)
+        |ORDER BY purchase_id""".stripMargin,
     "s04_stream_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
         |FROM (SELECT event_id, user_id, ts FROM events

@@ -107,10 +107,8 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf0001/events.parquet"),
       staged.resolve("events.parquet"))
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    // footer-derived, so the test tracks the testdata contract for ts
+    val rawSchema = spark.read.parquet(s"$sf0001/events.parquet").schema
     val stream = spark.readStream.schema(rawSchema).parquet(staged.toString)
       .select("event_id", "user_id", "event_type")
     val out = java.nio.file.Files.createTempDirectory("graft-sink-out").toString
