@@ -807,4 +807,27 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text"), lit("")).as("text"))
   }
+
+  /** Cluster-representative selection: one surviving member per
+    * duplicate component — the member with the LARGEST `score`, ties to
+    * the SMALLEST id (both total orders, so the survivor is unique and
+    * engine-independent). This is the "keep the best copy" step a
+    * curation pipeline runs after near-dup clustering: components from
+    * [[connectedComponents]], score from a quality model (pass an
+    * integer-quantized score — e.g. micros — so cross-engine
+    * comparisons are exact, per the repo-wide no-float-thresholds
+    * discipline).
+    *
+    * One hash aggregation on the component key (map-side combined), no
+    * join, no window: `(component, rep_id, rep_score, n_members)`.
+    */
+  def representatives(labeled: DataFrame, id: Column, component: Column,
+                      score: Column): DataFrame =
+    labeled.select(component.as("component"), id.cast("long").as("_id"),
+        score.cast("long").as("_s"))
+      .groupBy("component")
+      .agg(max(struct(col("_s"), (-col("_id")).as("_neg"))).as("_m"),
+        count(lit(1)).as("n_members"))
+      .select(col("component"), (-col("_m._neg")).as("rep_id"),
+        col("_m._s").as("rep_score"), col("n_members"))
 }

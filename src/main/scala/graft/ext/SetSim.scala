@@ -27,7 +27,9 @@ import org.apache.spark.sql.functions._
   * prefix positions (per-doc groups, bounded by doc length), one
   * token-keyed candidate self-join (the prefix filter keeps this far
   * below the full |tok|² blowup on realistic Zipfian vocabularies), a
-  * distinct, and one id-keyed verify join. The length filter
+  * distinct, and a verify phase that counts shared tokens per candidate
+  * pair ((id, tok) rows, map-side combined) instead of joining full
+  * token arrays onto every pair. The length filter
   * (100·|A| ≥ τ%·|B|) prunes candidates before the distinct. All
   * comparisons are integer cross-multiplications — no float thresholds
   * — so a DuckDB brute-force oracle matches bit-exactly.
@@ -71,18 +73,79 @@ object SetSim {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
-    // Verify: exact intersection over the full sets, integer threshold.
-    cands
-      .join(toks.select(col("id").as("id_a"), col("toks").as("_ta"),
-        col("n").as("_na")), "id_a")
-      .join(toks.select(col("id").as("id_b"), col("toks").as("_tb"),
-        col("n").as("_nb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("_ta"), col("_tb"))).cast("long").as("inter"),
-        col("_na"), col("_nb"))
-      .select(col("id_a"), col("id_b"), col("inter"),
+    verifyPairs(cands, toks, tauPct)
+  }
+
+  /** Exact-Jaccard verification of candidate `(id_a, id_b)` pairs via
+    * exploded-token co-count — candidate pairs expand to (pair, token)
+    * ROWS joined on (id_b, tok), never shipping whole token ARRAYS per
+    * candidate. At 100 TB the array variant duplicates every document's
+    * token set across the shuffle once per candidate pair; the
+    * co-count's shuffle rows are narrow (two longs + one token) and
+    * map-side combined by the aggregate. Emits
+    * `(id_a, id_b, inter, uni)` for pairs with J ≥ `tauPct`/100.
+    */
+  private def verifyPairs(cands: DataFrame, toks: DataFrame,
+                          tauPct: Int): DataFrame = {
+    val exploded = toks.select(col("id"), explode(col("toks")).as("tok"))
+    val ea = exploded.select(col("id").as("id_a"), col("tok"))
+    val eb = exploded.select(col("id").as("id_b"), col("tok"))
+    val inter = cands
+      .join(ea, "id_a")
+      .join(eb, Seq("id_b", "tok"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val sizes = toks.select(col("id"), col("n"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("_na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("_nb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("inter").cast("long").as("inter"),
         (col("_na") + col("_nb") - col("inter")).cast("long").as("uni"))
       .filter(col("inter") * 100L >= lit(tauPct.toLong) * col("uni"))
+  }
+
+  /** Sorted-neighborhood near-dup join (Hernández & Stolfo 1995): order
+    * the corpus by a canonical blocking key (the doc's sorted-token
+    * string), take every pair within `window` positions of each other as
+    * a candidate, verify exact Jaccard ≥ `tauPct`/100. The classic
+    * complement to hash blocking: catches near-dups whose canonical
+    * forms SORT together (shared low tokens) with a linear candidate
+    * budget — n·window pairs regardless of how skewed token frequencies
+    * are, where prefix filtering can blow up on a hot rare token.
+    *
+    * Scale shape: the global position comes from
+    * [[graft.ingest.Ingest.withPosition]] (range partition + exact
+    * per-partition offsets — no single-partition global window), and the
+    * neighborhood self-join is an equi-join on `pos div window` buckets
+    * (each position joins its own and the next bucket), so candidate
+    * generation is shuffle-bounded by n·2 rows, pairs by n·window.
+    * Output: `(id_a, id_b, inter, uni)` with id_a < id_b.
+    */
+  def sortedNeighborhoodJoin(docs: DataFrame, id: Column, text: Column,
+                             window: Int, tauPct: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    require(tauPct > 0 && tauPct <= 100, "tauPct in (0,100]")
+    val toks = tokenSets(docs, id, text)
+    val keyed = toks.withColumn("_key",
+      array_join(sort_array(col("toks")), " "))
+    val positioned = graft.ingest.Ingest.withPosition(
+        keyed.select(col("id"), col("_key")),
+        Seq(col("_key"), col("id")), as = "pos")
+      .select(col("id"), col("pos"), (col("pos") / window).cast("long").as("b"))
+    // the later row of a pair also lands in the PREVIOUS bucket, so a
+    // pair with j − i ≤ window meets whether j shares i's bucket or sits
+    // in the next one
+    val left = positioned.select(col("id").as("id_a"), col("pos").as("_pa"),
+      col("b"))
+    val right = positioned.select(col("id").as("id_b"), col("pos").as("_pb"),
+        explode(array(col("b"), col("b") - 1)).as("b"))
+    val cands = left.join(right,
+        left("b") === right("b") &&
+          col("_pb") > col("_pa") && col("_pb") <= col("_pa") + window)
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+    verifyPairs(cands, toks, tauPct)
   }
 
   /** Candidate-pair count before verification — exposed so tests can

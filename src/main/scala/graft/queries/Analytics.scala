@@ -392,6 +392,32 @@ object Analytics {
         .orderBy("event_type")
     }),
 
+    // ---- first-touch attribution: each purchase credited to the
+    // EARLIEST click in its 30-minute lookback. The join is an equi-join
+    // on user_id (high-cardinality key — shuffles cleanly at scale) with
+    // the time bound as a residual filter; the per-purchase argmin is
+    // one struct-min aggregate, no window. min(struct(ts, id)) is a
+    // total order, so the credited click is engine-independent.
+    "a26_attribution" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"user_id", $"ts".as("p_ts"))
+      val c = ev.filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id".as("c_user"),
+          $"ts".as("c_ts"))
+      p.join(c, $"user_id" === $"c_user" &&
+          $"c_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES") &&
+          $"c_ts" <= $"p_ts")
+        .groupBy($"purchase_id", $"user_id")
+        .agg(min(struct($"c_ts", $"click_id")).as("_f"),
+          count(lit(1)).as("n_clicks"))
+        .select($"purchase_id", $"user_id",
+          unix_micros($"_f.c_ts").as("first_click_us"),
+          $"_f.click_id".as("first_click_id"), $"n_clicks")
+        .orderBy("purchase_id")
+    }),
+
     // ---- frame-navigation window functions (first/last/nth over an
     // explicit unbounded ROWS frame — last_value/nth_value are only
     // deterministic with the full frame + a total order).
@@ -656,6 +682,20 @@ object Analytics {
         |  min(d.med) AS med, min(md.mad) AS mad
         |FROM d JOIN md USING (event_type)
         |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+    "a26_attribution" ->
+      """WITH m AS (
+        |  SELECT p.event_id AS purchase_id, p.user_id,
+        |    c.event_id AS click_id, epoch_us(c.ts) AS cus,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY c.ts, c.event_id) AS rn,
+        |    count(*) OVER (PARTITION BY p.event_id) AS nc
+        |  FROM events p JOIN events c
+        |    ON p.event_type = 'purchase' AND c.event_type = 'click'
+        |   AND p.user_id = c.user_id
+        |   AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts)
+        |SELECT purchase_id, user_id, cus AS first_click_us,
+        |  click_id AS first_click_id, CAST(nc AS BIGINT) AS n_clicks
+        |FROM m WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
     "a22_damerau_pairs" ->
       """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
         |  CAST(damerau_levenshtein(a.p_name, b.p_name) AS BIGINT) AS dl,

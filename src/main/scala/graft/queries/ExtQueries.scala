@@ -1310,12 +1310,13 @@ object ExtQueries {
           col("a.l_suppkey") =!= col("b.l_suppkey"))
         .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
         .distinct()
-      graft.ext.Graph.pageRank(edges, col("src"), col("dst"), iters = 5)
-        .select(col("id").as("supp_id"), col("rank").as("rank_micros"))
-        .orderBy("supp_id")
+      detachDeep(
+        graft.ext.Graph.pageRank(edges, col("src"), col("dst"), iters = 5)
+          .select(col("id").as("supp_id"), col("rank").as("rank_micros"))
+          .orderBy("supp_id"))
     }),
 
-    // ---- exact per-vertex triangle counts on the ≥2-co-orders
+    // ---- exact per-vertex triangle counts on the ≥3-co-orders
     // supplier graph via compact-forward: edges oriented low→high by
     // (degree, id) before the wedge join, so hub vertices cannot
     // explode the intermediate (O(m^{3/2}) not O(Σd²)). Oracle:
@@ -1328,10 +1329,11 @@ object ExtQueries {
           col("a.l_suppkey") =!= col("b.l_suppkey"))
         .groupBy(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
         .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
+        .filter(col("w") >= 3)
         .select(col("src"), col("dst"))
-      graft.ext.Graph.triangleCount(sym, col("src"), col("dst"))
-        .orderBy("id")
+      detachDeep(
+        graft.ext.Graph.triangleCount(sym, col("src"), col("dst"))
+          .orderBy("id"))
     }),
 
     // ---- EXACT set-similarity join (Jaccard ≥ 0.90) via rare-first
@@ -1340,9 +1342,66 @@ object ExtQueries {
     // plus the length filter, verified with integer cross-
     // multiplication. Oracle brute-forces every pair.
     "x83_setsim_join" -> ((s: SparkSession, dir: String) => {
-      val d = Tables(s, dir, "documents")
+      // gate sizing: a third of the corpus exercises the same kernel at
+      // ~1/9 the pair space; the kernel itself is scale-invariant
+      val d = Tables(s, dir, "documents").filter(col("doc_id") % 3 === 0)
       graft.ext.SetSim.jaccardJoin(d, col("doc_id"), col("text"), tauPct = 90)
         .orderBy("id_a", "id_b")
+    }),
+
+    // ---- cluster-representative selection: after near-dup clustering,
+    // keep ONE member per component — highest integer-quantized quality,
+    // ties to the lowest id. Planted components: doc_id<25 plus four
+    // token-prefix variants at k·100000 (k=7..9 keep k/10 of the tokens,
+    // k=10 an exact copy); quality is length-driven, so the full-length
+    // base usually wins and the k=10 exact copy forces the id tiebreak.
+    "x84_component_representatives" -> ((s: SparkSession, dir: String) => {
+      val ks = Seq(7, 8, 9, 10)
+      val d = Tables(s, dir, "documents")
+        .filter(col("doc_id") < 25)
+        .select(col("doc_id"), col("text"),
+          graft.ext.TextAnalysis.tokens(col("text")).as("_t"))
+        .filter(size(col("_t")) >= 20)
+      val variants = ks.map { k =>
+        d.select((col("doc_id") + lit(k * 100000L)).as("doc_id"),
+          array_join(slice(col("_t"), lit(1),
+            floor(size(col("_t")) * lit(k) / lit(10.0)).cast("int")), " ")
+            .as("text"))
+      }.reduce(_ unionByName _)
+      val corpus = d.select(col("doc_id"), col("text")).unionByName(variants)
+        .withColumn("component", pmod(col("doc_id"), lit(100000L)))
+      graft.ext.Dedup.representatives(corpus, col("doc_id"),
+          col("component"),
+          round(graft.ext.TextAnalysis.qualityScore(col("text"),
+            Seq("a", "the")) * lit(1000000.0), 0).cast("long"))
+        .orderBy("component")
+    }),
+
+    // ---- sorted-neighborhood near-dup join: canonical sorted-token
+    // key, global position WITHOUT a single-partition window
+    // (Ingest.withPosition), bucketed |i−j| ≤ w self-join, exact
+    // Jaccard verify. Exact copies of doc_id<10 planted at +100000 get
+    // IDENTICAL keys, hence adjacent positions, hence guaranteed
+    // candidacy — so the oracle can assert the full verified pair set.
+    "x85_sorted_neighborhood" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") < 400)
+      val corpus = d.unionByName(
+        d.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      graft.ext.SetSim.sortedNeighborhoodJoin(corpus, col("doc_id"),
+          col("text"), window = 10, tauPct = 80)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- corpus-order n-gram novelty: distinct 3-grams per doc and how
+    // many first appear there (min-id credit) — the marginal-value
+    // signal behind data-mixing growth curves. Integer counts; the
+    // oracle replays first-seen attribution directly.
+    "x86_ngram_novelty" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents").filter(col("doc_id") < 500)
+      graft.ext.Novelty.ngramNovelty(d, col("doc_id"), col("text"), n = 3)
+        .orderBy("id")
     }),
 
     // ---- ranking-quality evaluation (nDCG@10 + MRR): retrieval lists
@@ -2096,7 +2155,7 @@ object ExtQueries {
     "x83_setsim_join" ->
       """WITH tok AS (
         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-        |  FROM documents),
+        |  FROM documents WHERE doc_id % 3 = 0),
         |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
         |ix AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
@@ -2111,6 +2170,97 @@ object ExtQueries {
         |  CAST(uni AS BIGINT) AS uni
         |FROM j WHERE inter * 100 >= 90 * uni
         |ORDER BY id_a, id_b""".stripMargin,
+    "x84_component_representatives" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS w
+        |  FROM documents
+        |  WHERE doc_id < 25 AND len(string_split(text, ' ')) >= 20),
+        |variants AS (
+        |  SELECT doc_id + k * 100000 AS doc_id,
+        |    array_to_string(w[1:CAST(floor(len(w) * k / 10.0) AS INT)], ' ')
+        |      AS text
+        |  FROM base, unnest([7, 8, 9, 10]) t(k)),
+        |corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL SELECT doc_id, text FROM variants),
+        |t AS (
+        |  SELECT doc_id, doc_id % 100000 AS component,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntok,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('a', 'the'))) AS DOUBLE) AS nstop,
+        |    CAST(length(text) AS DOUBLE) AS nchar
+        |  FROM corpus),
+        |q AS (
+        |  SELECT doc_id, component,
+        |    CAST(round((least(nchar / 500.0, 1.0) * 0.5
+        |      + least(((nchar - (ntok - 1)) / ntok) / 8.0, 1.0) * 0.3
+        |      + (1.0 - nstop / ntok) * 0.2) * 1000000.0, 0) AS BIGINT) AS s
+        |  FROM t),
+        |sel AS (
+        |  SELECT component, doc_id, s,
+        |    row_number() OVER (PARTITION BY component
+        |      ORDER BY s DESC, doc_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY component) AS nm
+        |  FROM q)
+        |SELECT component, doc_id AS rep_id, s AS rep_score,
+        |  CAST(nm AS BIGINT) AS n_members
+        |FROM sel WHERE rn = 1 ORDER BY component""".stripMargin,
+    "x85_sorted_neighborhood" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 400
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 10),
+        |keyed AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+        |      ' ') AS key
+        |  FROM corpus),
+        |pos AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY key, doc_id) AS p
+        |  FROM keyed),
+        |cands AS (
+        |  SELECT least(a.doc_id, b.doc_id) AS id_a,
+        |    greatest(a.doc_id, b.doc_id) AS id_b
+        |  FROM pos a JOIN pos b ON b.p > a.p AND b.p <= a.p + 10),
+        |tok AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM corpus),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |ix AS (
+        |  SELECT c.id_a, c.id_b, count(*) AS inter
+        |  FROM cands c
+        |  JOIN tok ta ON ta.doc_id = c.id_a
+        |  JOIN tok tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT id_a, id_b, inter, sa.n + sb.n - inter AS uni
+        |  FROM ix
+        |  JOIN sz sa ON ix.id_a = sa.doc_id
+        |  JOIN sz sb ON ix.id_b = sb.doc_id)
+        |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+        |  CAST(uni AS BIGINT) AS uni
+        |FROM j WHERE inter * 100 >= 80 * uni
+        |ORDER BY id_a, id_b""".stripMargin,
+    "x86_ngram_novelty" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE doc_id < 500),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(len(w) - 2),
+        |    i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3])))) AS gram
+        |  FROM d WHERE len(w) >= 3),
+        |fs AS (SELECT gram, min(doc_id) AS fid FROM g GROUP BY gram),
+        |novel AS (
+        |  SELECT fid AS doc_id, count(*) AS novel_grams FROM fs GROUP BY fid),
+        |ng AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id)
+        |SELECT d.doc_id AS id,
+        |  CAST(coalesce(ng.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(novel.novel_grams, 0) AS BIGINT) AS novel_grams
+        |FROM d
+        |LEFT JOIN ng ON d.doc_id = ng.doc_id
+        |LEFT JOIN novel ON d.doc_id = novel.doc_id
+        |ORDER BY id""".stripMargin,
     "x81_pagerank" ->
       """WITH e AS (
         |  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
@@ -2167,7 +2317,7 @@ object ExtQueries {
         |  SELECT a.l_suppkey AS src, b.l_suppkey AS dst
         |  FROM lineitem a JOIN lineitem b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
-        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
         |tri AS (
         |  SELECT x.src AS a, x.dst AS b, y.dst AS c
         |  FROM e x
