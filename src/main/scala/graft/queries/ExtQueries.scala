@@ -1322,8 +1322,13 @@ object ExtQueries {
     // explode the intermediate (O(m^{3/2}) not O(Σd²)). Oracle:
     // brute-force a<b<c three-way self-join.
     "x82_triangles" -> ((s: SparkSession, dir: String) => {
+      // gate sizing: a fixed 1-in-4 supplier subset keeps the derived
+      // graph's density flat across scale factors (the >=3 co-order
+      // threshold alone densifies as orders grow); the kernel is pinned
+      // at full strength by GraphSpec
       val li = Tables(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"))
+        .filter(pmod(col("l_suppkey"), lit(4)) === 0)
       val sym = li.as("a")
         .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_suppkey") =!= col("b.l_suppkey"))
@@ -2317,6 +2322,7 @@ object ExtQueries {
         |  SELECT a.l_suppkey AS src, b.l_suppkey AS dst
         |  FROM lineitem a JOIN lineitem b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+        |  WHERE a.l_suppkey % 4 = 0 AND b.l_suppkey % 4 = 0
         |  GROUP BY 1, 2 HAVING count(*) >= 3),
         |tri AS (
         |  SELECT x.src AS a, x.dst AS b, y.dst AS c

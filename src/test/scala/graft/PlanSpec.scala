@@ -264,6 +264,48 @@ class PartitionPruningSpec extends SparkSpec {
       s"model counts lost map-side partial aggregation:\n$plan")
   }
 
+  test("sorted neighborhood: keyed bucket join, no cartesian, no global window") {
+    val d = Tables(spark, sf0001, "documents")
+    val plan = graft.ext.SetSim
+      .sortedNeighborhoodJoin(d, col("doc_id"), col("text"),
+        window = 10, tauPct = 80)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"neighborhood join degraded to pairwise:\n$plan")
+    // the global position must come from the offset composition, not a
+    // single-partition window
+    assert(!plan.contains("Window ["), s"unexpected window operator:\n$plan")
+  }
+
+  test("representatives: one hash aggregate with map-side partials, no join") {
+    val d = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), pmod(col("doc_id"), lit(7)).as("component"),
+        col("n_chars"))
+    val plan = graft.ext.Dedup
+      .representatives(d, col("doc_id"), col("component"), col("n_chars"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max") || plan.contains("partial_"),
+      s"representative selection lost map-side partials:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join in representatives:\n$plan")
+    assert(!plan.contains("Window ["), s"unexpected window operator:\n$plan")
+  }
+
+  test("ngram novelty: doc-keyed joins only, gram table never joins the corpus") {
+    val d = Tables(spark, sf0001, "documents")
+    val plan = graft.ext.Novelty
+      .ngramNovelty(d, col("doc_id"), col("text"), n = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"novelty degraded to pairwise:\n$plan")
+    // both joins key on the doc id — a join keyed on the gram column
+    // would re-shuffle the full gram table a second time
+    assert(!plan.contains("SortMergeJoin [gram") &&
+      !plan.contains("ShuffledHashJoin [gram"),
+      s"gram-keyed join back against the corpus:\n$plan")
+  }
+
   test("ivf-pq probe over a persisted index prunes centroid partitions") {
     val e = Tables(spark, sf0001, "embeddings")
     val model = graft.ext.IvfPq.train(e, "embedding", nCentroids = 8,
