@@ -808,6 +808,34 @@ object Dedup {
         coalesce(col("text"), lit("")).as("text"))
   }
 
+  /** LSH candidate pairs BETWEEN two corpora — never within one side:
+    * the benchmark-leakage shape ("which training documents are
+    * near-dups of an eval set?"), where the self-join variants would
+    * waste the whole candidate budget on train-internal duplicates.
+    * Both sides run the engine-portable banding
+    * ([[minhashBandsPortable]]) and candidates are one equi-join on
+    * `(band, band_hash)` restricted across sides; gramless documents
+    * (null band hash) are excluded on both sides. Output
+    * `(id_a from left, id_b from right)`, distinct.
+    *
+    * Scale note: the right side (an eval/benchmark set) is typically
+    * tiny next to the corpus — Catalyst broadcasts its banded rows, so
+    * the corpus side never shuffles.
+    */
+  def minhashCandidatesBetweenPortable(left: DataFrame, right: DataFrame,
+      leftId: Column, leftText: Column, rightId: Column, rightText: Column,
+      wordGrams: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val lb = minhashBandsPortable(left, leftId, leftText, wordGrams,
+        numHashes, bands)
+      .filter(col("band_hash").isNotNull)
+      .select(col("id").as("id_a"), col("band"), col("band_hash"))
+    val rb = minhashBandsPortable(right, rightId, rightText, wordGrams,
+        numHashes, bands)
+      .filter(col("band_hash").isNotNull)
+      .select(col("id").as("id_b"), col("band"), col("band_hash"))
+    lb.join(rb, Seq("band", "band_hash")).select("id_a", "id_b").distinct()
+  }
+
   /** Cluster-representative selection: one surviving member per
     * duplicate component — the member with the LARGEST `score`, ties to
     * the SMALLEST id (both total orders, so the survivor is unique and

@@ -1399,6 +1399,34 @@ object ExtQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- cross-corpus near-dup leakage: training docs that are
+    // signature-level near-dups of an eval set, via the portable
+    // MinHash banding joined ACROSS sides only (no train-internal
+    // pairs). Ten train docs are planted verbatim in the eval set at
+    // +700000; the estimated-Jaccard verify keeps pairs with >= 8/16
+    // matching signature positions, micros-quantized. The oracle
+    // replays signatures, bucketing, and the verify bit for bit.
+    "x87_crosscorpus_leakage" -> ((s0: SparkSession, dir: String) => {
+      val s = pinned(s0)
+      val d = Tables(s, dir, "documents").select("doc_id", "text")
+      val train = d.filter(col("doc_id") >= 50)
+      val evalSet = d.filter(col("doc_id") < 25)
+        .unionByName(d.filter(col("doc_id") >= 50 && col("doc_id") < 60)
+          .select((col("doc_id") + 700000L).as("doc_id"), col("text")))
+      val cands = Dedup.minhashCandidatesBetweenPortable(train, evalSet,
+        col("doc_id"), col("text"), col("doc_id"), col("text"))
+      val sigT = Dedup.minhashSignaturePortable(train, col("doc_id"), col("text"))
+      val sigE = Dedup.minhashSignaturePortable(evalSet, col("doc_id"), col("text"))
+      cands
+        .join(sigT.select(col("id").as("id_a"), col("sig").as("_sa")), "id_a")
+        .join(sigE.select(col("id").as("id_b"), col("sig").as("_sb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          round(Dedup.signatureSimilarity(col("_sa"), col("_sb"))
+            * lit(1000000.0), 0).cast("long").as("sim_micros"))
+        .filter(col("sim_micros") >= 500000L)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- corpus-order n-gram novelty: distinct 3-grams per doc and how
     // many first appear there (min-id credit) — the marginal-value
     // signal behind data-mixing growth curves. Integer counts; the
@@ -2245,6 +2273,63 @@ object ExtQueries {
         |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
         |  CAST(uni AS BIGINT) AS uni
         |FROM j WHERE inter * 100 >= 80 * uni
+        |ORDER BY id_a, id_b""".stripMargin,
+    "x87_crosscorpus_leakage" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 50
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 25
+        |  UNION ALL
+        |  SELECT doc_id + 700000, text FROM documents
+        |  WHERE doc_id >= 50 AND doc_id < 60),
+        |toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        |grams AS (
+        |  SELECT doc_id, list_transform(range(len(w) - 2),
+        |    i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3])) AS g FROM toks),
+        |xs AS (
+        |  SELECT doc_id, list_transform(g,
+        |    t -> CAST(('0x' || substr(md5(t), 1, 12)) AS BIGINT) % 2147483647) AS x
+        |  FROM grams),
+        |sig AS (
+        |  SELECT doc_id, [
+        |    list_min(list_transform(x, v -> (999983 * v + 12345) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999979 * v + 67891) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999961 * v + 234567) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999959 * v + 345679) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999953 * v + 456789) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999931 * v + 567891) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999917 * v + 678901) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999907 * v + 789013) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999883 * v + 890123) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999863 * v + 901237) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999841 * v + 123457) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999809 * v + 234563) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999773 * v + 345677) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999749 * v + 456791) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999727 * v + 567899) % 2147483647)),
+        |    list_min(list_transform(x, v -> (999721 * v + 678911) % 2147483647))
+        |  ] AS s FROM xs),
+        |bands AS (
+        |  SELECT doc_id AS id, CAST(b AS INTEGER) AS band,
+        |    ((((((s[b*4+1] * 1000003 + s[b*4+2]) % 2147483648)
+        |        * 1000003 + s[b*4+3]) % 2147483648)
+        |        * 1000003 + s[b*4+4]) % 2147483648) AS band_hash
+        |  FROM sig, range(4) t(b)),
+        |cands AS (
+        |  SELECT DISTINCT t.id AS id_a, e.id AS id_b
+        |  FROM bands t JOIN bands e
+        |    ON t.band = e.band AND t.band_hash = e.band_hash
+        |   AND t.id >= 50 AND t.id < 700000
+        |   AND (e.id < 25 OR e.id >= 700000))
+        |SELECT c.id_a, c.id_b,
+        |  CAST(round(CAST(len(list_filter(range(16),
+        |      i -> sa.s[i+1] = sb.s[i+1])) AS DOUBLE) / 16.0 * 1000000.0, 0)
+        |    AS BIGINT) AS sim_micros
+        |FROM cands c
+        |JOIN sig sa ON c.id_a = sa.doc_id
+        |JOIN sig sb ON c.id_b = sb.doc_id
+        |WHERE len(list_filter(range(16), i -> sa.s[i+1] = sb.s[i+1])) * 2 >= 16
         |ORDER BY id_a, id_b""".stripMargin,
     "x86_ngram_novelty" ->
       """WITH d AS (

@@ -444,6 +444,23 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- sources: schema-evolution scan — two writer generations of the
+    // same table (the newer one adds s_acctbal) read back under ONE
+    // merged schema, old-generation rows null in the added column.
+    "op_merge_schema" -> ((s: SparkSession, dir: String) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-merge-gate").toString
+      val supp = Tables(s, dir, "supplier")
+      supp.filter(pmod(col("s_suppkey"), lit(2)) === 0)
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .write.parquet(s"$out/t/gen=1")
+      supp.filter(pmod(col("s_suppkey"), lit(2)) === 1)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .write.parquet(s"$out/t/gen=2")
+      graft.sources.Sources.parquetMerged(s, s"$out/t")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .orderBy("s_suppkey")
+    }),
+
     // ---- sources: ORC sink + scan (the non-parquet columnar leg).
     "op_orc_roundtrip" -> ((s: SparkSession, dir: String) => {
       val out = java.nio.file.Files.createTempDirectory("graft-orc-gate").toString
@@ -665,6 +682,10 @@ object OpsQueries {
         |FROM documents WHERE doc_id < 5 ORDER BY doc_id""".stripMargin,
     "op_orc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "op_merge_schema" ->
+      """SELECT s_suppkey, s_name, s_nationkey,
+        |  CASE WHEN s_suppkey % 2 = 1 THEN s_acctbal END AS s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "op_xml_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey

@@ -644,6 +644,67 @@ object StreamQueries {
       s.table("s13_stream_semi_join_sink").orderBy("purchase_id")
     }),
 
+    // ---- WATERMARK LATE-DATA DROP: every other s-gate sets a watermark
+    // generous enough to keep all data; this one proves the engine
+    // actually DROPS late rows. Batch 0 = the real events; batch 1 = a
+    // far-future tick that advances the watermark past every real
+    // window; batch 2 = planted 2024-era COPIES of real events (ids
+    // offset by 10^9) that are now hopelessly late, plus a final tick
+    // so the post-drop eviction batch runs. Append-mode hourly counts
+    // must equal the batch aggregate WITHOUT the planted copies — if
+    // the late rows leaked into their (closed) windows, counts double
+    // and the oracle hash fails.
+    "s14_stream_late_data" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val staged = java.nio.file.Files.createTempDirectory("graft-s14")
+      val dest0 = staged.resolve("0.parquet")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"), dest0)
+      dest0.toFile.setLastModified(1000000000L)
+      val tsType = eventsSchema(s, dir)("ts").dataType
+      def stageDf(n: Int, df: DataFrame): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft-s14-tmp$n")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = staged.resolve(s"$n.parquet")
+        java.nio.file.Files.copy(part.toPath, dest)
+        dest.toFile.setLastModified(1000000000L + n * 1000000L)
+      }
+      def tick(id: Long, epochSec: Long) = alignTs(
+        Seq((id, epochSec * 1000000000L, -1L, "tick", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+        tsType)
+      stageDf(1, tick(-1L, 2051222400L)) // 2035-01-01: closes every window
+      // late copies: the first 200 real events again, new ids, same ts
+      stageDf(2, s.read.parquet(s"$dir/events.parquet")
+        .filter(col("event_id") < 200)
+        .withColumn("event_id", col("event_id") + 1000000000L)
+        .unionByName(tick(-2L, 2051308800L))) // + tick: eviction batch
+      withShufflePartitions(s, 4) {
+        val stream = s.readStream.schema(eventsSchema(s, dir))
+          .option("maxFilesPerTrigger", 1)
+          .parquet(staged.toString)
+          .transform(graft.Tables.normalizeTs(_))
+        val agg = stream
+          .withWatermark("ts", "0 seconds")
+          .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("win.start").as("hour_start"), col("event_type"),
+            col("n"))
+        val q = agg.writeStream
+          .format("memory")
+          .queryName("s14_stream_late_data_sink")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        awaitOrFail(q, 120000)
+      }
+      s.table("s14_stream_late_data_sink")
+        .filter(col("event_type") =!= "tick")
+        .orderBy("event_type", "hour_start")
+    }),
+
     // ---- streaming corpus ingestion with incremental dedup: each
     // micro-batch admits only documents whose md5 fingerprint is in
     // neither the static corpus nor the sink built by EARLIER batches
@@ -815,6 +876,14 @@ object StreamQueries {
         |FROM events
         |WHERE event_type IN ('click','view','purchase','signup','error')
         |GROUP BY category ORDER BY category""".stripMargin,
+    // the planted late copies must NOT appear: the oracle aggregates the
+    // stored events only
+    "s14_stream_late_data" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+        |  event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events
+        |GROUP BY hour_start, event_type
+        |ORDER BY event_type, hour_start""".stripMargin,
     "s13_stream_semi_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id, epoch_us(p.ts) AS p_us
         |FROM events p

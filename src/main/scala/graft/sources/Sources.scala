@@ -19,6 +19,16 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Schema-evolution scan: union the schemas of EVERY file footer under
+    * `path` (columns a writer generation lacked read as null) instead of
+    * trusting one random footer — the read-side half of additive schema
+    * evolution, pairing with the warehouse's `applyChanges`. Costs one
+    * footer read per file at planning; leave it off (plain [[parquet]])
+    * for homogeneous directories.
+    */
+  def parquetMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** CSV with header; schema either supplied (skips the inference scan,
     * the `full_schema=True` analog) or inferred by Spark's CSV reader.
     */

@@ -83,6 +83,30 @@ class Round7Spec extends SparkSpec {
     assert(reps.agg(sum("n_members")).head().getLong(0) == 200L)
   }
 
+  // --- minhashCandidatesBetweenPortable --------------------------------
+
+  test("cross-corpus candidates pair across sides only") {
+    val mk = (id: Long, seed: Int) => {
+      val rnd = new scala.util.Random(seed)
+      id -> Seq.fill(30)(s"w${rnd.nextInt(40)}").mkString(" ")
+    }
+    // left: docs 0-9; right: copies of 3 and 4 (guaranteed cross hits)
+    // plus two unrelated docs. Left also contains its OWN duplicate
+    // (0 and 1 share a seed) which must NOT appear — within-side pairs
+    // are excluded by construction.
+    val left = (Seq(mk(0L, 7), mk(1L, 7)) ++
+      (2L to 9L).map(i => mk(i, i.toInt))).toDF("id", "text")
+    val right = Seq(mk(100L, 3).copy(_1 = 100L), mk(101L, 4).copy(_1 = 101L),
+      mk(102L, 55), mk(103L, 56)).toDF("id", "text")
+    val got = graft.ext.Dedup.minhashCandidatesBetweenPortable(
+        left, right, col("id"), col("text"), col("id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((3L, 100L)) && got.contains((4L, 101L)),
+      s"planted cross duplicates missed: $got")
+    assert(got.forall { case (a, b) => a < 100L && b >= 100L },
+      s"within-side pair leaked: $got")
+  }
+
   // --- ngramNovelty ----------------------------------------------------
 
   test("novelty credits each gram once, to the earliest doc") {
