@@ -444,6 +444,25 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- dynamic partition overwrite: rewriting ONE partition's data
+    // replaces only that partition — static overwrite mode would drop
+    // every other partition and the read-back would lose 4/5 of the
+    // table, which the oracle (full table, click values doubled) would
+    // catch immediately.
+    "op_partition_overwrite" -> ((s: SparkSession, dir: String) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-dpo-gate").toString
+      val ev = Tables(s, dir, "events").select("event_id", "event_type", "value")
+      ev.write.partitionBy("event_type").parquet(s"$out/t")
+      ev.filter(col("event_type") === "click")
+        .withColumn("value", col("value") * 2)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type").parquet(s"$out/t")
+      graft.sources.Sources.parquet(s, s"$out/t")
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+    }),
+
     // ---- sources: schema-evolution scan — two writer generations of the
     // same table (the newer one adds s_acctbal) read back under ONE
     // merged schema, old-generation rows null in the added column.
@@ -687,6 +706,11 @@ object OpsQueries {
       """SELECT s_suppkey, s_name, s_nationkey,
         |  CASE WHEN s_suppkey % 2 = 1 THEN s_acctbal END AS s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "op_partition_overwrite" ->
+      """SELECT event_id, event_type,
+        |  CASE WHEN event_type = 'click' THEN value * 2 ELSE value END
+        |    AS value
+        |FROM events ORDER BY event_id""".stripMargin,
     "op_xml_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
