@@ -308,6 +308,25 @@ object OpsQueries {
       Seq(n).toDF("n")
     }),
 
+    // ---- op #40/#44: ADDITIVE SCHEMA EVOLUTION through load — the
+    // second generation appends c_acctbal; the merged table must show
+    // every row, first-generation rows null in the appended column
+    // (a single-footer read would silently drop it — get() merges).
+    "op_schema_evolution" -> ((s: SparkSession, dir: String) => {
+      val wh = tmpWarehouse(s)
+      val cust = Tables(s, dir, "customer")
+      wh.load("cust_evo", cust.filter(pmod(col("c_custkey"), lit(2)) === 0)
+        .select("c_custkey", "c_name", "c_mktsegment")).fold(
+        e => throw new RuntimeException(e.message), _ => ())
+      wh.load("cust_evo", cust.filter(pmod(col("c_custkey"), lit(2)) === 1)
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")).fold(
+        e => throw new RuntimeException(e.message), _ => ())
+      wh.get("cust_evo").fold(
+        e => throw new RuntimeException(e.message), identity)
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
+
     // ---- op #44 + #46: full load pipeline then the declared fetch
     // surface (projection + multi-column sort + limit).
     "op_load_fetch" -> ((s: SparkSession, dir: String) => {
@@ -711,6 +730,10 @@ object OpsQueries {
         |  CASE WHEN event_type = 'click' THEN value * 2 ELSE value END
         |    AS value
         |FROM events ORDER BY event_id""".stripMargin,
+    "op_schema_evolution" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+        |  CASE WHEN c_custkey % 2 = 1 THEN c_acctbal END AS c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "op_xml_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,

@@ -438,6 +438,68 @@ object StreamQueries {
     // staged as separate files force the state flush; sentinels carry
     // user_id −1 (outside the testdata keyspace) and are filtered from
     // the output.
+    // ---- FULL OUTER stream-stream join: completes the join family
+    // (s04 inner, s09 left, s13 semi) — unmatched rows on BOTH sides
+    // emit once their side's watermark proves no partner can arrive.
+    // Same two-sided sentinel epilogue as s09; the row count is
+    // matches + purchase-only + click-only, which the batch FULL JOIN
+    // replays exactly.
+    "s15_stream_full_outer" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val staged = java.nio.file.Files.createTempDirectory("graft-s15")
+      val dest0 = staged.resolve("0.parquet")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"), dest0)
+      dest0.toFile.setLastModified(1000000000L)
+      def sentinel(n: Int, epochSec: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft-s15-tmp$n")
+        alignTs(Seq(
+            (-(2 * n).toLong, epochSec * 1000000000L, -1L, "purchase", 0.0, "{}"),
+            (-(2 * n + 1).toLong, epochSec * 1000000000L, -1L, "click", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+          eventsSchema(s, dir)("ts").dataType)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = staged.resolve(s"$n.parquet")
+        java.nio.file.Files.copy(part.toPath, dest)
+        dest.toFile.setLastModified(1000000000L + n * 1000000L)
+      }
+      sentinel(1, 2051222400L) // 2035-01-01
+      sentinel(2, 2051481600L) // 2035-01-04
+      withShufflePartitions(s, 4) {
+        def side(et: String) = s.readStream.schema(eventsSchema(s, dir))
+          .option("maxFilesPerTrigger", 1)
+          .parquet(staged.toString)
+          .transform(graft.Tables.normalizeTs(_))
+          .filter(col("event_type") === et)
+        val p = side("purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts").as("p_ts"))
+          .withWatermark("p_ts", "0 seconds")
+        val c = side("click")
+          .select(col("event_id").as("click_id"),
+            col("user_id").as("c_user"), col("ts").as("c_ts"))
+          .withWatermark("c_ts", "0 seconds")
+        val joined = p.join(c, col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c_ts") <= col("p_ts"), "full_outer")
+        val q = joined
+          .select(col("purchase_id"), col("click_id"),
+            coalesce(col("user_id"), col("c_user")).as("uid"))
+          .writeStream
+          .format("memory")
+          .queryName("s15_stream_full_outer_sink")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        awaitOrFail(q, 180000)
+      }
+      s.table("s15_stream_full_outer_sink")
+        .filter(col("uid") >= 0) // drop the sentinel rows
+        .orderBy("purchase_id", "click_id", "uid")
+    }),
+
     "s09_stream_left_join" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val staged = java.nio.file.Files.createTempDirectory("graft-s09")
@@ -910,6 +972,16 @@ object StreamQueries {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |    AS total_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "s15_stream_full_outer" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |  coalesce(p.user_id, c.user_id) AS uid
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |FULL JOIN (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+        |ORDER BY purchase_id, click_id, uid""".stripMargin,
     "s09_stream_left_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
         |FROM (SELECT event_id, user_id, ts FROM events

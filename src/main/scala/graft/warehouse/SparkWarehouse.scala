@@ -70,7 +70,14 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String) {
           f.getPath.getName.endsWith(".parquet") ||
             (f.isDirectory && !f.getPath.getName.startsWith("_"))
         }
-        if (hasData) Right(spark.read.parquet(tablePath(name).toString))
+        // mergeSchema: after additive schema evolution (load appends new
+        // fields) the table holds file GENERATIONS with different
+        // footers; a single-footer read could silently drop the appended
+        // columns. Merging unions the footers (older rows read null in
+        // newer columns) at the cost of one parallel footer pass at
+        // planning.
+        if (hasData) Right(spark.read.option("mergeSchema", "true")
+          .parquet(tablePath(name).toString))
         else {
           // schemaless or not-yet-loaded table: empty frame on the
           // recorded schema

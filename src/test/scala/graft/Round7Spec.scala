@@ -83,6 +83,25 @@ class Round7Spec extends SparkSpec {
     assert(reps.agg(sum("n_members")).head().getLong(0) == 200L)
   }
 
+  // --- warehouse schema evolution --------------------------------------
+
+  test("get() sees columns appended by a later load generation") {
+    val wh = new graft.warehouse.SparkWarehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-evo-spec").toString)
+    val gen1 = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val gen2 = Seq((3L, "c", 9.5)).toDF("id", "name", "score")
+    wh.load("t", gen1).fold(e => fail(e.message), _ => ())
+    wh.load("t", gen2).fold(e => fail(e.message), _ => ())
+    val out = wh.get("t").fold(e => fail(e.message), identity)
+    // the appended column must be visible even though gen-1 files lack
+    // it (single-footer reads can pick a gen-1 file and drop it)
+    assert(out.columns.contains("score"))
+    val rows = out.select("id", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(rows == Map(1L -> None, 2L -> None, 3L -> Some(9.5)))
+  }
+
   // --- minhashCandidatesBetweenPortable --------------------------------
 
   test("cross-corpus candidates pair across sides only") {
