@@ -1399,6 +1399,40 @@ object ExtQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- dedup shipped end-to-end: candidates → connected components →
+    // ONE representative per cluster (max quality, ties to min id) →
+    // survivor list. The composition a curation pipeline actually runs;
+    // the oracle re-derives components from the planted chain structure
+    // and replays the per-member counts. Five exact copies per base doc
+    // (identical text ⇒ identical quality ⇒ the id tiebreak decides);
+    // candidate edges restricted to consecutive copies, so components
+    // are 4-hop chains and nothing natural interferes.
+    "x88_dedup_pipeline_reps" -> ((s0: SparkSession, dir: String) => {
+      val s = pinned(s0)
+      val d = Tables(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") < 200)
+      val base = d.filter(col("doc_id") < 10)
+      val corpus = (1 until 5).map(k =>
+          base.select((col("doc_id") + k * 100000L).as("doc_id"), col("text")))
+        .foldLeft(d)(_ unionByName _)
+      val chains = Dedup.minhashCandidates(corpus, col("doc_id"), col("text"),
+          bands = 4, wordGrams = 3)
+        .filter(col("id_b") === col("id_a") + 100000L)
+      val comps = Dedup.connectedComponents(chains)
+      val labeled = corpus
+        .join(comps.select(col("id").as("doc_id"), col("component")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"),
+          col("text"))
+      detachDeep(Dedup.representatives(labeled, col("doc_id"),
+          col("component"),
+          round(graft.ext.TextAnalysis.qualityScore(col("text"),
+            Seq("a", "the")) * lit(1000000.0), 0).cast("long"))
+        .select("component", "rep_id", "n_members")
+        .orderBy("component"))
+    }),
+
     // ---- cross-corpus near-dup leakage: training docs that are
     // signature-level near-dups of an eval set, via the portable
     // MinHash banding joined ACROSS sides only (no train-internal
@@ -2274,6 +2308,18 @@ object ExtQueries {
         |  CAST(uni AS BIGINT) AS uni
         |FROM j WHERE inter * 100 >= 80 * uni
         |ORDER BY id_a, id_b""".stripMargin,
+    "x88_dedup_pipeline_reps" ->
+      """WITH singles AS (
+        |  SELECT doc_id AS component, doc_id AS rep_id,
+        |    CAST(1 AS BIGINT) AS n_members
+        |  FROM documents WHERE doc_id >= 10 AND doc_id < 200),
+        |plants AS (
+        |  SELECT doc_id AS component, doc_id AS rep_id,
+        |    CAST(5 AS BIGINT) AS n_members
+        |  FROM documents WHERE doc_id < 10)
+        |SELECT component, rep_id, n_members FROM singles
+        |UNION ALL SELECT component, rep_id, n_members FROM plants
+        |ORDER BY component""".stripMargin,
     "x87_crosscorpus_leakage" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id >= 50

@@ -463,6 +463,40 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- malformed-row quarantine: a CSV shard with two broken lines
+    // reads under PERMISSIVE + corrupt-record column — the scan
+    // survives, good rows parse, bad rows surface as sentinel rows
+    // (the caller's dead-letter decision) instead of vanishing
+    // (DROPMALFORMED) or killing the ingest (FAILFAST).
+    "op_csv_malformed" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.types._
+      val out = java.nio.file.Files.createTempDirectory("graft-csvbad-gate")
+      graft.sources.Sources.writeCsv(
+        Tables(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey"),
+        s"$out/good")
+      java.nio.file.Files.write(out.resolve("bad.csv"),
+        ("n_nationkey,n_name,n_regionkey\n" +
+          "notanint,alpha,7\n" +
+          "12,beta,notanint\n").getBytes("UTF-8"))
+      // one directory, two provenances: the written shard + the bad file
+      val part = new java.io.File(s"$out/good").listFiles()
+        .find(_.getName.endsWith(".csv")).get
+      java.nio.file.Files.copy(part.toPath, out.resolve("nation.csv"))
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      graft.sources.Sources.csvPermissive(s, s"$out/*.csv", schema)
+        .select(
+          when(col("_corrupt_record").isNotNull, lit(-1))
+            .otherwise(col("n_nationkey")).as("n_nationkey"),
+          when(col("_corrupt_record").isNotNull, lit("CORRUPT"))
+            .otherwise(col("n_name")).as("n_name"),
+          when(col("_corrupt_record").isNotNull, lit(-1))
+            .otherwise(col("n_regionkey")).as("n_regionkey"))
+        .orderBy("n_nationkey", "n_name")
+    }),
+
     // ---- dynamic partition overwrite: rewriting ONE partition's data
     // replaces only that partition — static overwrite mode would drop
     // every other partition and the read-back would lose 4/5 of the
@@ -734,6 +768,11 @@ object OpsQueries {
       """SELECT c_custkey, c_name, c_mktsegment,
         |  CASE WHEN c_custkey % 2 = 1 THEN c_acctbal END AS c_acctbal
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "op_csv_malformed" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |UNION ALL SELECT -1, 'CORRUPT', -1
+        |UNION ALL SELECT -1, 'CORRUPT', -1
+        |ORDER BY n_nationkey, n_name""".stripMargin,
     "op_xml_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,

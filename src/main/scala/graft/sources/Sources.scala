@@ -41,6 +41,22 @@ object Sources {
     }
   }
 
+  /** PERMISSIVE CSV scan with a corrupt-record column: rows that fail
+    * the supplied schema keep their raw line in `corruptCol` instead of
+    * killing the scan (DROPMALFORMED silently loses data; FAILFAST
+    * kills a 100 TB ingest on one bad shard). The caller decides what
+    * to do with the quarantined rows — count, log, dead-letter.
+    */
+  def csvPermissive(spark: SparkSession, path: String,
+                    schema: org.apache.spark.sql.types.StructType,
+                    corruptCol: String = "_corrupt_record"): DataFrame =
+    spark.read.option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .schema(schema.add(corruptCol,
+        org.apache.spark.sql.types.StringType))
+      .csv(path)
+
   /** JSON lines with warehouse-rule inference (record⇒REPEATED, string
     * precedence, STRING default — NOT Spark's JSON inference; SURVEY
     * §7.4 documents the deltas).
