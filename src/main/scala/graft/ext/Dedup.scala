@@ -820,7 +820,12 @@ object Dedup {
     *
     * Scale note: the right side (an eval/benchmark set) is typically
     * tiny next to the corpus — Catalyst broadcasts its banded rows, so
-    * the corpus side never shuffles.
+    * the corpus side never shuffles. Unlike the within-side APIs, no
+    * `maxBucket` device is needed here: those cap the per-bucket
+    * `collect_list` ARRAY a bucket-grouping materializes, while this
+    * join streams (band, band_hash)-matched rows pair by pair — a hot
+    * bucket costs output rows (inherent to its candidate count), never
+    * an unbounded per-row allocation.
     */
   def minhashCandidatesBetweenPortable(left: DataFrame, right: DataFrame,
       leftId: Column, leftText: Column, rightId: Column, rightText: Column,

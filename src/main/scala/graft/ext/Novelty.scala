@@ -38,13 +38,11 @@ object Novelty {
     require(n >= 1, "n must be >= 1")
     val toks = docs.select(id.cast("long").as("id"),
       split(text, " ").as("_t"))
+    // NB: raw single-space split (not TextAnalysis.tokens) — the gram
+    // definition must match the DuckDB oracle's string_split exactly
     val grams = toks
-      .select(col("id"), explode(
-        when(size(col("_t")) >= n,
-          array_distinct(transform(
-            sequence(lit(0), size(col("_t")) - lit(n)),
-            i => array_join(slice(col("_t"), i + 1, lit(n)), " "))))
-          .otherwise(array().cast("array<string>"))).as("gram"))
+      .select(col("id"), explode(array_distinct(
+        TextAnalysis.wordNgramsOver(col("_t"), n))).as("gram"))
     val keyed =
       if (hashGrams) grams.select(col("id"), xxhash64(col("gram")).as("gram"))
       else grams

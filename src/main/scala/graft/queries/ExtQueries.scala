@@ -2239,9 +2239,11 @@ object ExtQueries {
         |ORDER BY id_a, id_b""".stripMargin,
     "x84_component_representatives" ->
       """WITH base AS (
-        |  SELECT doc_id, text, string_split(text, ' ') AS w
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS w
         |  FROM documents
-        |  WHERE doc_id < 25 AND len(string_split(text, ' ')) >= 20),
+        |  WHERE doc_id < 25
+        |    AND len(list_filter(string_split(text, ' '), t -> t <> '')) >= 20),
         |variants AS (
         |  SELECT doc_id + k * 100000 AS doc_id,
         |    array_to_string(w[1:CAST(floor(len(w) * k / 10.0) AS INT)], ' ')
@@ -2252,7 +2254,8 @@ object ExtQueries {
         |  UNION ALL SELECT doc_id, text FROM variants),
         |t AS (
         |  SELECT doc_id, doc_id % 100000 AS component,
-        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntok,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x <> '')) AS DOUBLE) AS ntok,
         |    CAST(len(list_filter(string_split(text, ' '),
         |      x -> x IN ('a', 'the'))) AS DOUBLE) AS nstop,
         |    CAST(length(text) AS DOUBLE) AS nchar

@@ -19,8 +19,11 @@ object StreamQueries {
     * (epoch-nanos long vs TIMESTAMP(MICROS)) instead of pinning one schema
     * that silently mis-reads the other encoding.
     */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
   private def eventsSchema(s: SparkSession, dir: String): StructType =
-    s.read.parquet(s"$dir/events.parquet").schema
+    schemaCache.computeIfAbsent(dir,
+      d => s.read.parquet(s"$d/events.parquet").schema)
 
   /** Sentinel frames are built with `ts` as epoch-nanos long; rewrite `ts`
     * to the stored file's physical type so every staged file in a stream

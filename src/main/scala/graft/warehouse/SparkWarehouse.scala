@@ -76,8 +76,8 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String) {
         // columns. Merging unions the footers (older rows read null in
         // newer columns) at the cost of one parallel footer pass at
         // planning.
-        if (hasData) Right(spark.read.option("mergeSchema", "true")
-          .parquet(tablePath(name).toString))
+        if (hasData) Right(graft.sources.Sources.parquetMerged(spark,
+          tablePath(name).toString))
         else {
           // schemaless or not-yet-loaded table: empty frame on the
           // recorded schema

@@ -115,7 +115,7 @@ class Round7Spec extends SparkSpec {
     // are excluded by construction.
     val left = (Seq(mk(0L, 7), mk(1L, 7)) ++
       (2L to 9L).map(i => mk(i, i.toInt))).toDF("id", "text")
-    val right = Seq(mk(100L, 3).copy(_1 = 100L), mk(101L, 4).copy(_1 = 101L),
+    val right = Seq(mk(100L, 3), mk(101L, 4),
       mk(102L, 55), mk(103L, 56)).toDF("id", "text")
     val got = graft.ext.Dedup.minhashCandidatesBetweenPortable(
         left, right, col("id"), col("text"), col("id"), col("text"))
