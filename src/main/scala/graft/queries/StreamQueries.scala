@@ -42,7 +42,8 @@ object StreamQueries {
   /** A timed-out stream leaves a PARTIAL sink that looks like an answer;
     * make it an error instead (awaitTermination returns false on timeout).
     */
-  private def awaitOrFail(q: org.apache.spark.sql.streaming.StreamingQuery,
+  private[graft] def awaitOrFail(
+      q: org.apache.spark.sql.streaming.StreamingQuery,
       timeoutMs: Long): Unit =
     if (!q.awaitTermination(timeoutMs)) {
       try q.stop()

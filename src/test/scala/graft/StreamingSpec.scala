@@ -15,6 +15,23 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("a hung stream raises instead of yielding a partial sink") {
+    // the gate contract: awaitTermination timing out must be an ERROR —
+    // a rate source never terminates, so a short await must throw and
+    // stop the query rather than hand back whatever the sink holds
+    val q = spark.readStream.format("rate")
+      .option("rowsPerSecond", "1").load()
+      .writeStream.format("memory")
+      .queryName("hung_stream_sink")
+      .outputMode("append")
+      .start()
+    val e = intercept[IllegalStateException] {
+      graft.queries.StreamQueries.awaitOrFail(q, 1500)
+    }
+    assert(e.getMessage.contains("still running"))
+    assert(!q.isActive) // awaitOrFail stopped it before throwing
+  }
+
   test("sessionize: gap closes a session, totals are exact") {
     val spark0 = spark
     import spark0.implicits._
