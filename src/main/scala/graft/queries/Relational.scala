@@ -193,6 +193,61 @@ object Relational {
                ORDER BY o.o_orderkey, price DESC, t.l_linenumber""")
     }),
 
+    // ---- q28: NULL-SAFE equality join (`<=>`): null keys MATCH each
+    // other instead of vanishing — the semantics a dedup/diff pipeline
+    // needs over nullable business keys. Planted nulls via a negative-
+    // balance bucket.
+    "q28_nullsafe_join" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val keyed = Tables(s, dir, "customer")
+        .filter($"c_custkey" <= 60)
+        .select($"c_custkey",
+          when($"c_acctbal" < 0, lit(null)).otherwise($"c_nationkey").as("k"))
+      val a = keyed.select($"c_custkey".as("id_a"), $"k".as("ka"))
+      val b = keyed.select($"c_custkey".as("id_b"), $"k".as("kb"))
+      a.join(b, $"ka" <=> $"kb" && $"id_a" < $"id_b")
+        .select($"id_a", $"id_b",
+          coalesce($"ka", lit(-1)).cast("long").as("k"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- q29: multiset set operations (INTERSECT ALL / EXCEPT ALL —
+    // duplicate-preserving, the bag semantics q08's DISTINCT forms
+    // erase). Emitted as per-key multiplicities so the result is
+    // order-free.
+    "q29_setops_all" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val x = Tables(s, dir, "lineitem")
+        .filter($"l_orderkey" % 7 === 0).select($"l_suppkey")
+      val y = Tables(s, dir, "lineitem")
+        .filter($"l_orderkey" % 3 === 0).select($"l_suppkey")
+      def counted(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.groupBy($"l_suppkey")
+          .agg(count(lit(1)).as("n"))
+          .select(lit(tag).as("op"), $"l_suppkey", $"n")
+      counted(x.intersectAll(y), "intersect_all")
+        .unionByName(counted(x.exceptAll(y), "except_all"))
+        .orderBy("op", "l_suppkey")
+    }),
+
+    // ---- q30: RECURSIVE CTE (Spark 4's WITH RECURSIVE) — the monthly
+    // date spine, a warehouse idiom relational engines express
+    // recursively: generate every month across the order history, left
+    // join the per-month order counts so empty months surface as zeros.
+    "q30_recursive_cte" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_rec")
+      s.sql("""WITH RECURSIVE m(mon) AS (
+                 SELECT DATE '1995-01-01'
+                 UNION ALL
+                 SELECT CAST(mon + INTERVAL '1' MONTH AS DATE) FROM m
+                 WHERE mon < DATE '2001-12-01')
+               SELECT m.mon, count(o.o_orderkey) AS n_orders
+               FROM m LEFT JOIN orders_rec o
+                 ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = m.mon
+               GROUP BY m.mon
+               ORDER BY m.mon""")
+    }),
+
     // ---- q19: CASE / NULLIF / COALESCE null-handling semantics.
     "q19_case_nulls" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -473,6 +528,38 @@ object Relational {
         |FROM customer WHERE c_custkey <= 300
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    "q28_nullsafe_join" ->
+      """WITH keyed AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_acctbal < 0 THEN NULL ELSE c_nationkey END AS k
+        |  FROM customer WHERE c_custkey <= 60)
+        |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(coalesce(a.k, -1) AS BIGINT) AS k
+        |FROM keyed a JOIN keyed b
+        |  ON a.k IS NOT DISTINCT FROM b.k AND a.c_custkey < b.c_custkey
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q29_setops_all" ->
+      """WITH x AS (SELECT l_suppkey FROM lineitem WHERE l_orderkey % 7 = 0),
+        |y AS (SELECT l_suppkey FROM lineitem WHERE l_orderkey % 3 = 0),
+        |ia AS (SELECT l_suppkey FROM x INTERSECT ALL SELECT l_suppkey FROM y),
+        |ea AS (SELECT l_suppkey FROM x EXCEPT ALL SELECT l_suppkey FROM y)
+        |SELECT 'intersect_all' AS op, l_suppkey,
+        |  CAST(count(*) AS BIGINT) AS n FROM ia GROUP BY l_suppkey
+        |UNION ALL
+        |SELECT 'except_all' AS op, l_suppkey,
+        |  CAST(count(*) AS BIGINT) AS n FROM ea GROUP BY l_suppkey
+        |ORDER BY op, l_suppkey""".stripMargin,
+    "q30_recursive_cte" ->
+      """WITH RECURSIVE m(mon) AS (
+        |  SELECT DATE '1995-01-01'
+        |  UNION ALL
+        |  SELECT CAST(mon + INTERVAL 1 MONTH AS DATE) FROM m
+        |  WHERE mon < DATE '2001-12-01')
+        |SELECT m.mon, count(o.o_orderkey) AS n_orders
+        |FROM m LEFT JOIN orders o
+        |  ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = m.mon
+        |GROUP BY m.mon
+        |ORDER BY m.mon""".stripMargin,
     "q27_lateral_topn" ->
       """SELECT o.o_orderkey, t.l_linenumber, CAST(t.p AS DOUBLE) AS price
         |FROM orders o, LATERAL (
