@@ -264,6 +264,21 @@ class PartitionPruningSpec extends SparkSpec {
       s"model counts lost map-side partial aggregation:\n$plan")
   }
 
+  test("setsim verify co-counts tokens: no array-shipping verify join") {
+    val d = Tables(spark, sf0001, "documents")
+    val plan = graft.ext.SetSim
+      .jaccardJoin(d, col("doc_id"), col("text"), tauPct = 90)
+      .queryExecution.executedPlan.toString
+    // the old verify joined full token ARRAYS onto every candidate pair
+    // (array_intersect over duplicated arrays); the co-count form joins
+    // narrow (id, tok) rows and must never reintroduce the array kernel
+    assert(!plan.contains("array_intersect"),
+      s"array-shipping verify join reintroduced:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"setsim degraded to pairwise:\n$plan")
+  }
+
   test("sorted neighborhood: keyed bucket join, no cartesian, no global window") {
     val d = Tables(spark, sf0001, "documents")
     val plan = graft.ext.SetSim
