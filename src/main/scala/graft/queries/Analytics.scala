@@ -418,6 +418,22 @@ object Analytics {
         .orderBy("purchase_id")
     }),
 
+    // ---- event-transition matrix (clickstream Markov counts): per-user
+    // lag under a total (ts, event_id) order, then one aggregation over
+    // (prev, next) pairs. The window partitions by user — bounded
+    // per-user state, never a global sort.
+    "a27_event_transitions" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("prev", lag($"event_type", 1).over(w))
+        .filter($"prev".isNotNull)
+        .groupBy($"prev", $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("prev", "event_type")
+    }),
+
     // ---- frame-navigation window functions (first/last/nth over an
     // explicit unbounded ROWS frame — last_value/nth_value are only
     // deterministic with the full frame + a total order).
@@ -682,6 +698,16 @@ object Analytics {
         |  min(d.med) AS med, min(md.mad) AS mad
         |FROM d JOIN md USING (event_type)
         |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+    "a27_event_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT prev, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM seq WHERE prev IS NOT NULL
+        |GROUP BY prev, event_type
+        |ORDER BY prev, event_type""".stripMargin,
     "a26_attribution" ->
       """WITH m AS (
         |  SELECT p.event_id AS purchase_id, p.user_id,
