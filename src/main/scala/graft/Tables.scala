@@ -34,7 +34,15 @@ object Tables {
     df.schema(col).dataType match {
       // integral `div`, not `/`: epoch nanos exceed double's 53-bit mantissa
       case LongType         => df.withColumn(col, timestamp_micros(expr(s"`$col` div 1000")))
-      case TimestampNTZType => df.withColumn(col, df(col).cast(TimestampType))
+      case TimestampNTZType =>
+        // the NTZ→TZ cast is a pure relabel ONLY under a UTC session; any
+        // other zone would silently shift every timestamp, so fail loudly
+        // like the other contract checks
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC,
+          s"normalizeTs: TimestampNTZ relabel to TimestampType requires a UTC " +
+            s"session timezone, but spark.sql.session.timeZone=$tz")
+        df.withColumn(col, df(col).cast(TimestampType))
       case TimestampType    => df
       case other => throw new IllegalStateException(
         s"column `$col` has unsupported physical type $other; expected epoch-nanos " +

@@ -40,12 +40,14 @@ object Novelty {
       split(text, " ").as("_t"))
     // NB: raw single-space split (not TextAnalysis.tokens) — the gram
     // definition must match the DuckDB oracle's string_split exactly
-    val grams = toks
-      .select(col("id"), explode(array_distinct(
-        TextAnalysis.wordNgramsOver(col("_t"), n))).as("gram"))
-    val keyed =
-      if (hashGrams) grams.select(col("id"), xxhash64(col("gram")).as("gram"))
-      else grams
+    // hash BEFORE the doc-local dedup so `n_grams` and `novel_grams` count
+    // in the same (hashed) gram domain — a within-doc collision then merges
+    // the pair in BOTH columns instead of leaving n_grams in raw-gram units
+    val gramArr = TextAnalysis.wordNgramsOver(col("_t"), n)
+    val keyedArr =
+      if (hashGrams) transform(gramArr, g => xxhash64(g)) else gramArr
+    val keyed = toks
+      .select(col("id"), explode(array_distinct(keyedArr)).as("gram"))
     val firstSeen = keyed.groupBy("gram").agg(min(col("id")).as("_first"))
     val novel = firstSeen.groupBy(col("_first").as("id"))
       .agg(count(lit(1)).as("novel_grams"))

@@ -130,7 +130,9 @@ object SetSim {
     val positioned = graft.ingest.Ingest.withPosition(
         keyed.select(col("id"), col("_key")),
         Seq(col("_key"), col("id")), as = "pos")
-      .select(col("id"), col("pos"), (col("pos") / window).cast("long").as("b"))
+      // integral `div`, not `/`: matches the repo's all-integer discipline
+      // (pos is non-negative, so div == floor-division here)
+      .select(col("id"), col("pos"), expr(s"pos div $window").as("b"))
     // the later row of a pair also lands in the PREVIOUS bucket, so a
     // pair with j − i ≤ window meets whether j shares i's bucket or sits
     // in the next one

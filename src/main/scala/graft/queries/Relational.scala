@@ -235,17 +235,22 @@ object Relational {
     // recursively: generate every month across the order history, left
     // join the per-month order counts so empty months surface as zeros.
     "q30_recursive_cte" -> ((s: SparkSession, dir: String) => {
-      Tables(s, dir, "orders").createOrReplaceTempView("orders_rec")
-      s.sql("""WITH RECURSIVE m(mon) AS (
+      // scoped view name + drop-after-analysis: spark.sql analyzes eagerly,
+      // so the returned plan no longer needs the view once sql() returns —
+      // dropping it here leaves zero catalog residue for later gates
+      val view = "graft_q30_orders_rec"
+      Tables(s, dir, "orders").createOrReplaceTempView(view)
+      try s.sql(s"""WITH RECURSIVE m(mon) AS (
                  SELECT DATE '1995-01-01'
                  UNION ALL
                  SELECT CAST(mon + INTERVAL '1' MONTH AS DATE) FROM m
                  WHERE mon < DATE '2001-12-01')
                SELECT m.mon, count(o.o_orderkey) AS n_orders
-               FROM m LEFT JOIN orders_rec o
+               FROM m LEFT JOIN $view o
                  ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = m.mon
                GROUP BY m.mon
                ORDER BY m.mon""")
+      finally s.catalog.dropTempView(view)
     }),
 
     // ---- q19: CASE / NULLIF / COALESCE null-handling semantics.

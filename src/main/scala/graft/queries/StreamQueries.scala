@@ -17,13 +17,14 @@ object StreamQueries {
   /** The file-stream source needs a declared schema; derive it from the
     * stored file's own footer so the gates track the testdata contract
     * (epoch-nanos long vs TIMESTAMP(MICROS)) instead of pinning one schema
-    * that silently mis-reads the other encoding.
+    * that silently mis-reads the other encoding. Deliberately NOT cached:
+    * a JVM-lifetime memo would keep a stale schema if the testdata were
+    * regenerated in-place mid-session — re-creating the silent-drift
+    * failure this footer read exists to surface — and one footer read per
+    * gate is negligible next to the streaming query itself.
     */
-  private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
   private def eventsSchema(s: SparkSession, dir: String): StructType =
-    schemaCache.computeIfAbsent(dir,
-      d => s.read.parquet(s"$d/events.parquet").schema)
+    s.read.parquet(s"$dir/events.parquet").schema
 
   /** Sentinel frames are built with `ts` as epoch-nanos long; rewrite `ts`
     * to the stored file's physical type so every staged file in a stream
