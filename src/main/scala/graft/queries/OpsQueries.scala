@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.ingest.{Chunker, Ingest}
 import graft.schema.{Describe, Sanitize, SchemaCodec, SchemaInference, Widen}
-import graft.warehouse.{QuerySort, SparkWarehouse}
+import graft.warehouse.{JdbcWarehouse, QuerySort, SparkWarehouse, Warehouse}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -368,6 +368,27 @@ object OpsQueries {
       }
     }),
 
+    // ---- the ABC's swap-the-subclass premise, proven: the SAME
+    // lifecycle as op_lifecycle_load (load → get → count → drop), driven
+    // through the vendor-neutral `Warehouse` trait against the JDBC
+    // (embedded Derby) backend instead of the parquet one.
+    "op_lifecycle_jdbc" -> ((s: SparkSession, dir: String) => {
+      val dbDir = java.nio.file.Files.createTempDirectory("graft-jdbc-wh").toString
+      val wh: Warehouse = new JdbcWarehouse(s, s"jdbc:derby:$dbDir/wh;create=true")
+      val cust = Tables(s, dir, "customer")
+      wh.load("customer_copy", cust) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      val n = wh.get("customer_copy") match {
+        case Right(df) => df.count()
+        case Left(e) => throw new RuntimeException(e.message)
+      }
+      wh.drop("customer_copy")
+      import s.implicits._
+      Seq(n).toDF("n")
+    }),
+
     // ---- sources: the JDBC sink + scan pair (BASELINE "JDBC/Parquet
     // sinks") made oracle-visible — rows written through the batched
     // JDBC insert into embedded Derby must read back bit-identical.
@@ -672,6 +693,8 @@ object OpsQueries {
         |  || '└─ r_name                       STRING    NULLABLE ' || chr(10)
         |  AS tree""".stripMargin,
     "op_lifecycle_load" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n FROM customer",
+    "op_lifecycle_jdbc" ->
       "SELECT CAST(count(*) AS BIGINT) AS n FROM customer",
     "op_compact" ->
       """SELECT o_orderkey, o_custkey FROM orders

@@ -38,7 +38,8 @@ final case class TableMeta(schema: Seq[FieldRepr], expiresAtMillis: Option[Long]
   * registered as a temp view so `query(sql)` covers the full Catalyst SQL
   * surface.
   */
-final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String) {
+final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String)
+    extends Warehouse {
 
   private val hadoopConf = spark.sparkContext.hadoopConfiguration
   private def tablePath(name: String) = new Path(warehouseDir, name)
@@ -53,9 +54,6 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String) {
       val root = new Path(warehouseDir)
       spark.version.nonEmpty && (fs.exists(root) || fs.mkdirs(root))
     } catch { case _: Exception => false }
-
-  /** `select_bigquery_table`: local handle, no storage contact. */
-  def select(name: String): TableRef = TableRef(name)
 
   /** `get_bigquery_table` (bigquery/__init__.py:121-150): resolve a table
     * or TableNotFound (the falsy-object flow → Left).
@@ -165,12 +163,6 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String) {
       }
     } catch { case e: Exception => Left(TableGenericError(e.getMessage, Some(e))) }
 
-  /** `.rebuild` (bigquery/__init__.py:613-652): drop + recreate, schema
-    * defaulting to the pre-drop schema.
-    */
-  def rebuild(name: String, schema: Seq[FieldRepr] = Nil): Either[WarehouseError, TableRef] =
-    create(name, schema, replace = true)
-
   /** `set_schema_bigquery_table` (bigquery/__init__.py:286-324). */
   def setSchema(name: String, schema: Seq[FieldRepr]): Either[WarehouseError, Unit] =
     meta(name).map(m => writeMeta(name, m.copy(schema = schema)))
@@ -273,38 +265,6 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String) {
     } catch {
       case e: IllegalArgumentException => Left(RowsInvalid(e.getMessage))
       case e: Exception => Left(TableGenericError(e.getMessage, Some(e)))
-    }
-
-  /** Load raw JSON-line records (the reference's `List[Dict]` shape). */
-  def loadJson(name: String, lines: Seq[String], schema: Seq[FieldRepr] = Nil,
-               fullSchema: Boolean = false): Either[WarehouseError, Long] = {
-    import spark.implicits._
-    val df = Ingest.prepareJson(spark, spark.createDataset(lines))
-    load(name, df, schema, fullSchema)
-  }
-
-  /** `query_bigquery` — the declared-but-stubbed SQL surface
-    * (bigquery/__init__.py:463-472), real here: full Catalyst SQL.
-    */
-  def query(sql: String): DataFrame = spark.sql(sql)
-
-  /** `fetch_bigquery_table` (bigquery/__init__.py:474-499): projection +
-    * multi-column sort (ASC/DESC) + limit (default 10, the reference's
-    * declared default).
-    */
-  def fetch(name: String, fields: Seq[String] = Seq("*"),
-            sort: Seq[(String, QuerySort)] = Nil,
-            count: Int = 10): Either[WarehouseError, DataFrame] =
-    get(name).map { df =>
-      val projected =
-        if (fields == Seq("*")) df else df.select(fields.map(col): _*)
-      val sorted =
-        if (sort.isEmpty) projected
-        else projected.orderBy(sort.map {
-          case (c, QuerySort.Asc) => col(c).asc
-          case (c, QuerySort.Desc) => col(c).desc
-        }: _*)
-      sorted.limit(count)
     }
 
   /** `.update` — append or overwrite rows (the reference leaves this a
@@ -509,9 +469,6 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String) {
         }
     }
 
-  /** delete == drop (classes.py `delete`/`drop` alias). */
-  def delete(name: String): Either[WarehouseError, Unit] = drop(name)
-
   /** Rename a table: one atomic filesystem rename (the meta sidecar
     * lives inside the table directory, so it moves with it) + view
     * re-registration. O(1) regardless of table size — a metadata
@@ -602,13 +559,4 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String) {
   /** Register the table as a temp view so `query(sql)` sees it. */
   def registerView(name: String): Unit =
     get(name).foreach(_.createOrReplaceTempView(name))
-
-  /** Pretty schema tree (`describe`, bigquery/schema.py:301-434). */
-  def describe(name: String): Either[WarehouseError, String] =
-    meta(name).map { m =>
-      val fields =
-        if (m.schema.nonEmpty) m.schema
-        else get(name).map(df => SchemaCodec.fromStructType(df.schema)).getOrElse(Nil)
-      graft.schema.Describe(name, fields)
-    }
 }
