@@ -71,17 +71,26 @@ object BpeLearn {
     * the rule learned at each round and its frequency at selection time.
     * Stops early if the corpus runs out of adjacent pairs.
     *
-    * Driver-loop bound: each round collects exactly ONE (pair, count)
-    * row and launches one distributed fold, so the driver cost is
-    * O(merges) tiny collects and the wall-clock is merges × (one
-    * aggregate + one map) — fine to a few thousand merges. A 50k-merge
-    * production vocab should use [[learnMergesBatched]], which folds
-    * whole non-interacting batches per round and cuts the round count
-    * by ~the batch factor at identical output (the cutoff guard keeps
-    * batched selection exact).
+    * DEFAULT = the batched learner: at a 50k-merge production vocabulary
+    * the one-driver-round-trip-per-merge sequential loop is 50k Spark
+    * jobs, so the scale path has to be the default. Output-equivalence
+    * to the sequential form is differential-pinned (Round5ExtSpec), and
+    * the sequential loop survives as [[learnMergesSequential]] — the
+    * executable spec oracle.
     */
-  def learnMerges(docs: DataFrame, textCol: Column,
-                  merges: Int): Seq[(Long, String, Long)] = {
+  def learnMerges(docs: DataFrame, textCol: Column, merges: Int,
+                  batch: Int = 8): Seq[(Long, String, Long)] =
+    learnMergesBatched(docs, textCol, merges, batch)
+
+  /** The textbook one-merge-per-round loop: each round collects exactly
+    * ONE (pair, count) row and launches one distributed fold. Driver
+    * cost is O(merges) tiny collects — fine to a few thousand merges,
+    * and the simplest-possible oracle the batched learner is
+    * differential-tested against; production learning goes through
+    * [[learnMerges]] (batched).
+    */
+  def learnMergesSequential(docs: DataFrame, textCol: Column,
+                            merges: Int): Seq[(Long, String, Long)] = {
     // each round's vocabulary is localCheckpoint'ed so round r folds
     // ONLY merge r over round r-1's MATERIALIZED state with a truncated
     // logical plan — a lazy cache keeps the data but the plan still
@@ -152,13 +161,27 @@ object BpeLearn {
     * [[Round5ExtSpec]] differential-tests batched ≡ sequential.
     */
   def learnMergesBatched(docs: DataFrame, textCol: Column, merges: Int,
-                         batch: Int = 8): Seq[(Long, String, Long)] = {
+                         batch: Int = 8): Seq[(Long, String, Long)] =
+    learnMergesBatchedStats(docs, textCol, merges, batch).merges
+
+  /** [[learnMergesBatched]] plus its driver-round-trip count — `rounds`
+    * is the number of collect-and-fold cycles actually paid, the metric
+    * that distinguishes the batched learner from one-job-per-merge
+    * (spec-pinned: a 500-merge vocabulary learns in far fewer than 500
+    * rounds).
+    */
+  final case class BatchedLearn(merges: Seq[(Long, String, Long)], rounds: Int)
+
+  def learnMergesBatchedStats(docs: DataFrame, textCol: Column, merges: Int,
+                              batch: Int = 8): BatchedLearn = {
     require(batch >= 1, "batch must be >= 1")
+    var rounds = 0
     var tokenized = initialTokens(docs, textCol).localCheckpoint()
     val out = Seq.newBuilder[(Long, String, Long)]
     var rank = 1
     var exhausted = false
     while (rank <= merges && !exhausted) {
+      rounds += 1
       val k = math.max(batch * 4, 16)
       val rows = pairCounts(tokenized)
         .orderBy(col("n").desc, col("pair")).limit(k).collect()
@@ -217,7 +240,7 @@ object BpeLearn {
       }
     }
     org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(tokenized)
-    out.result()
+    BatchedLearn(out.result(), rounds)
   }
 
   /** [[learnMergesBatched]] as a DataFrame `(rank, pair, n)`. */

@@ -120,7 +120,7 @@ class BpeLearnSpec extends SparkSpec {
     // pairs: (ab ab)×2, (a a)×1 → merge "ab ab". Round 3: [abab] [abab]
     // [a a] → pairs: (a a)×1 → merge "a a".
     val docs = Seq("abab abab aa").toDF("text")
-    val got = BpeLearn.learnMerges(docs, col("text"), merges = 3)
+    val got = BpeLearn.learnMergesSequential(docs, col("text"), merges = 3)
     assert(got == Seq((1L, "a b", 4L), (2L, "ab ab", 2L), (3L, "a a", 1L)))
   }
 
@@ -148,7 +148,7 @@ class BpeLearnSpec extends SparkSpec {
     val sps = spark; import sps.implicits._
     val docs = Seq("x y").toDF("text")
     // single-char words have no intra-word pairs at all
-    val got = BpeLearn.learnMerges(docs, col("text"), merges = 5)
+    val got = BpeLearn.learnMergesSequential(docs, col("text"), merges = 5)
     assert(got.isEmpty)
   }
 
@@ -157,7 +157,7 @@ class BpeLearnSpec extends SparkSpec {
     val docs = Seq("abab abab aa", "the cat sat on the mat",
       "banana bandana", "deduplicate the data then train").toDF("text")
     for (m <- Seq(1, 3, 8, 20)) {
-      val seqM = BpeLearn.learnMerges(docs, col("text"), merges = m)
+      val seqM = BpeLearn.learnMergesSequential(docs, col("text"), merges = m)
       for (b <- Seq(2, 4, 8)) {
         val batM = BpeLearn.learnMergesBatched(docs, col("text"), merges = m, batch = b)
         assert(batM == seqM, s"divergence at merges=$m batch=$b")
@@ -167,7 +167,7 @@ class BpeLearnSpec extends SparkSpec {
 
   test("chunked apply is output-identical to the single-projection apply") {
     val docs = Tables(spark, sf0001, "documents").limit(120)
-    val merges = BpeLearn.learnMerges(docs, col("text"), merges = 6)
+    val merges = BpeLearn.learnMergesSequential(docs, col("text"), merges = 6)
       .map { case (_, pair, _) =>
         val Array(a, b) = pair.split(" ", 2); (a, b)
       }
@@ -184,7 +184,7 @@ class BpeLearnSpec extends SparkSpec {
 
   test("batched learner matches sequential on real sf0.001 documents") {
     val docs = Tables(spark, sf0001, "documents").limit(200)
-    val seqM = BpeLearn.learnMerges(docs, col("text"), merges = 12)
+    val seqM = BpeLearn.learnMergesSequential(docs, col("text"), merges = 12)
     val batM = BpeLearn.learnMergesBatched(docs, col("text"), merges = 12, batch = 6)
     assert(batM == seqM)
   }
