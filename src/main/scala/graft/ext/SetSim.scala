@@ -50,22 +50,30 @@ object SetSim {
                   tauPct: Int): DataFrame = {
     require(tauPct > 0 && tauPct <= 100, "tauPct in (0,100]")
     val toks = tokenSets(docs, id, text)
+    verifyPairs(candidatesFromPrefix(prefixTable(toks, tauPct), tauPct),
+      toks, tauPct)
+  }
 
+  /** Rare-first prefix rows `(id, n, tok)`: position by (df, tok) within
+    * each doc; prefix length n − ⌈τ·n⌉ + 1 (integer ceil:
+    * (τ%·n + 99) div 100).
+    */
+  private def prefixTable(toks: DataFrame, tauPct: Int): DataFrame = {
     val exploded = toks
       .select(col("id"), col("n"), explode(col("toks")).as("tok"))
     val freq = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
-
-    // Rare-first prefix: position by (df, tok) within each doc; prefix
-    // length n − ⌈τ·n⌉ + 1 (integer ceil: (τ%·n + 99) div 100).
     val w = Window.partitionBy("id").orderBy(col("df"), col("tok"))
-    val prefix = exploded.join(freq, "tok")
+    exploded.join(freq, "tok")
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <= col("n") - expr(s"($tauPct * n + 99) div 100") + 1)
       .select(col("id"), col("n"), col("tok"))
+  }
 
-    // Candidate pairs: prefixes sharing a token + the length filter
-    // (J ≥ τ ⇒ τ·|B| ≤ |A| when |A| ≤ |B|).
-    val cands = prefix.as("a")
+  /** Candidate pairs: prefixes sharing a token + the length filter
+    * (J ≥ τ ⇒ τ·|B| ≤ |A| when |A| ≤ |B|).
+    */
+  private def candidatesFromPrefix(prefix: DataFrame, tauPct: Int): DataFrame =
+    prefix.as("a")
       .join(prefix.as("b"), col("a.tok") === col("b.tok") &&
         col("a.id") < col("b.id") &&
         lit(100L) * col("a.n") >= lit(tauPct.toLong) * col("b.n") &&
@@ -73,7 +81,45 @@ object SetSim {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
-    verifyPairs(cands, toks, tauPct)
+  /** [[jaccardJoinCapped]]'s result: the surviving pairs plus a LOUD
+    * record of every prefix bucket the cap dropped — `(tok,
+    * prefix_docs)`, one row per hot token. Empty `dropped` ⇒ the result
+    * equals the exact [[jaccardJoin]].
+    */
+  final case class CappedSimJoin(pairs: DataFrame, dropped: DataFrame)
+
+  /** [[jaccardJoin]] with a per-token candidate budget — the
+    * adversarial-corpus guard. The prefix self-join generates
+    * C(bucket, 2) candidates for a token shared by `bucket` prefixes;
+    * one token in 10k prefixes is 50M candidate pairs before the
+    * distinct. Capping drops any prefix bucket wider than `maxPerTok`
+    * BEFORE pairing (the `maxPerFp` device from
+    * [[Winnowing.sharedPassages]]), bounding the join at
+    * Σ C(min(bucket, cap), 2) — and, unlike a silent cutoff, returns
+    * the dropped buckets so the caller can alert, re-shard, or fall
+    * back to [[sortedNeighborhoodJoin]] (whose candidate budget is
+    * linear regardless of skew) for the affected docs.
+    *
+    * NOT exact when `dropped` is non-empty: a pair whose ONLY shared
+    * prefix token was dropped is missed. That is the documented trade —
+    * the exact join is still [[jaccardJoin]]; this is what you point at
+    * a corpus you don't control.
+    */
+  def jaccardJoinCapped(docs: DataFrame, id: Column, text: Column,
+                        tauPct: Int, maxPerTok: Int): CappedSimJoin = {
+    require(tauPct > 0 && tauPct <= 100, "tauPct in (0,100]")
+    require(maxPerTok >= 1, "maxPerTok must be >= 1")
+    val toks = tokenSets(docs, id, text)
+    // at 100 TB persist `prefix` before the two passes below; at gate
+    // scale the double computation is cheaper than the cache round-trip
+    val prefix = prefixTable(toks, tauPct)
+    val dropped = prefix.groupBy("tok")
+      .agg(count(lit(1)).as("prefix_docs"))
+      .filter(col("prefix_docs") > maxPerTok)
+    val kept = prefix.join(dropped.select("tok"), Seq("tok"), "left_anti")
+    CappedSimJoin(
+      verifyPairs(candidatesFromPrefix(kept, tauPct), toks, tauPct),
+      dropped)
   }
 
   /** Exact-Jaccard verification of candidate `(id_a, id_b)` pairs via

@@ -1,10 +1,12 @@
 package graft
 
-import graft.ext.BpeLearn
+import graft.ext.{BpeLearn, SetSim}
 import org.apache.spark.sql.functions._
 
 /** Round-8 pins: the batched BPE learner is the default AND actually
-  * cuts driver round-trips at a real vocabulary size.
+  * cuts driver round-trips at a real vocabulary size; the prefix-filter
+  * similarity join survives an adversarial hot token under its
+  * candidate cap.
   */
 class Round8Spec extends SparkSpec {
 
@@ -48,5 +50,38 @@ class Round8Spec extends SparkSpec {
     // one round-trip per BATCH, not per merge: 500 merges in ~16 rounds
     assert(stats.rounds <= 20,
       s"rounds=${stats.rounds}: batching win lost (expected ~16)")
+  }
+
+  test("capped prefix join bounds a 10k-doc hot token and reports the drop") {
+    val sps = spark; import sps.implicits._
+    // 10 000 two-token docs all sharing `hot`: at tau=50 the prefix is
+    // the WHOLE doc, so the uncapped self-join would generate ~50M
+    // candidate pairs from the hot bucket alone (none of which verify —
+    // J = 1/3). Plus two genuine near-dup docs on cold tokens, which
+    // the cap must not disturb.
+    val adversarial = (0 until 10000).map(i => (i.toLong, s"hot u$i"))
+    val planted = Seq((20001L, "p q r s"), (20002L, "p q r s"))
+    val docs = (adversarial ++ planted).toDF("id", "text")
+    val out = SetSim.jaccardJoinCapped(docs, col("id"), col("text"),
+      tauPct = 50, maxPerTok = 64)
+    // loud accounting: exactly the hot bucket reported, at its true width
+    val dropped = out.dropped.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(dropped.toSeq == Seq(("hot", 10000L)))
+    // the planted cold-token pair survives; nothing from the hot bucket
+    val pairs = out.pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((20001L, 20002L)))
+  }
+
+  test("capped join with no hot bucket equals the exact join") {
+    val sps = spark; import sps.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w"),
+      (4L, "x y z w"), (5L, "q r"), (6L, "r s")).toDF("id", "text")
+    val exact = SetSim.jaccardJoin(docs, col("id"), col("text"), tauPct = 60)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val capped = SetSim.jaccardJoinCapped(docs, col("id"), col("text"),
+      tauPct = 60, maxPerTok = 64)
+    assert(capped.dropped.isEmpty)
+    assert(capped.pairs.orderBy("id_a", "id_b").collect().toSeq == exact)
   }
 }
