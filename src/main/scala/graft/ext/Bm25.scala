@@ -103,4 +103,81 @@ object Bm25 {
       .agg(count(lit(1)).as("n_terms"), sum(col("component")).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+
+  // ---------- build-once model (the Ivf.Model analog) ----------
+
+  /** The corpus statistics BM25 actually needs at query time, built in
+    * ONE corpus pass and reusable across every query: full postings
+    * `(doc_id, term, tf, dl)`, per-term document frequencies
+    * `(term, df)`, and the scalars (n, avgdl). At 100 TB the corpus
+    * pass is the expensive part — you pay it once per corpus (or per
+    * ingestion increment), not once per query, exactly like
+    * [[Ivf.Model]]'s centroid/index split.
+    */
+  final case class Model(n: Long, avgdl: Double,
+                         df: DataFrame, postings: DataFrame)
+
+  /** One corpus pass (plus one scalar aggregate) → [[Model]]. The df
+    * table derives from the postings aggregate, not a second corpus
+    * scan.
+    */
+  def buildModel(docs: DataFrame, idCol: Column, textCol: Column): Model = {
+    val post = postings(docs, idCol, textCol)
+    val df = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val (n, avgdl) = corpusStats(docs, textCol)
+    Model(n, avgdl, df, post)
+  }
+
+  /** Persist a model: postings range-clustered on `term` (row-group
+    * min/max skipping serves the per-query `term isin (...)` filter),
+    * df and the scalars as small side tables.
+    */
+  def writeModel(model: Model, path: String): Unit = {
+    model.postings
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$path/postings")
+    model.df.write.mode("overwrite").parquet(s"$path/df")
+    val s = model.df.sparkSession
+    import s.implicits._
+    Seq((model.n, model.avgdl)).toDF("n", "avgdl")
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  def readModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val stats = spark.read.parquet(s"$path/stats").head()
+    Model(stats.getLong(0), stats.getDouble(1),
+      spark.read.parquet(s"$path/df"),
+      spark.read.parquet(s"$path/postings"))
+  }
+
+  /** [[scoredTerms]] against a prebuilt [[Model]] — identical arithmetic
+    * and identical output (df/tf/dl/n/avgdl are the same quantities),
+    * but the per-query plan touches ONLY the model tables: a
+    * term-filtered postings scan (pushed to the parquet reader on a
+    * written model) plus a broadcast of the handful of query-term df
+    * rows. No corpus scan anywhere in the query plan — spec-pinned.
+    */
+  def scoredTermsModel(model: Model, queryTerms: Seq[String],
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "BM25 query needs at least one term")
+    val post = model.postings.filter(col("term").isin(queryTerms: _*))
+    val df = model.df.filter(col("term").isin(queryTerms: _*))
+    val idf = log(lit(1.0) +
+      (lit(model.n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(model.avgdl)))
+    post.join(broadcast(df), Seq("term"))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("dl"),
+        (idf * tfNorm).as("component"))
+  }
+
+  /** [[topK]] against a prebuilt [[Model]]. */
+  def topKModel(model: Model, queryTerms: Seq[String], k: Int = 10,
+                k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    scoredTermsModel(model, queryTerms, k1, b)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("component")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
 }

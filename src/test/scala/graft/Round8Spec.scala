@@ -73,6 +73,32 @@ class Round8Spec extends SparkSpec {
     assert(pairs.toSeq == Seq((20001L, 20002L)))
   }
 
+  test("BM25 model: per-query plan scans only the model, output matches direct") {
+    import graft.ext.Bm25
+    val docs = Tables(spark, sf0001, "documents").limit(300)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-spec").toString
+    Bm25.writeModel(Bm25.buildModel(docs, col("doc_id"), col("text")), dir)
+    val model = Bm25.readModel(spark, dir)
+    val q = Seq("vector", "stream", "merge")
+    // per-(doc, term) components are row-deterministic doubles over the
+    // same inputs -> exact equality against the direct path
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("doc_id", "term")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    val direct = rows(Bm25.scoredTerms(docs, col("doc_id"), col("text"), q)
+      .select("doc_id", "term", "tf", "df", "dl", "component"))
+    val viaModel = rows(Bm25.scoredTermsModel(model, q)
+      .select("doc_id", "term", "tf", "df", "dl", "component"))
+    assert(viaModel == direct)
+    // the pin: the per-query plan reads the MODEL, never the corpus, and
+    // the term filter reaches the postings parquet scan
+    val plan = Bm25.scoredTermsModel(model, q).queryExecution.executedPlan.toString
+    assert(!plan.contains("documents"), "per-query plan scans the corpus")
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+      s"term filter not pushed to the postings scan:\n$plan")
+  }
+
   test("capped join with no hot bucket equals the exact join") {
     val sps = spark; import sps.implicits._
     val docs = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w"),
