@@ -31,7 +31,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // the driver artifact keeps only a truncated stdout TAIL, losing most
+    // per-gate timings; also write the full map to a file so every
+    // round-over-round comparison is reproducible from disk
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()
   }
 }

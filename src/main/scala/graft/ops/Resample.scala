@@ -44,11 +44,23 @@ object Resample {
     * aggregates onto the dense grid; `zeroFill` columns become 0 on
     * missing ticks (counts/sums), `carryForward` columns take the last
     * observed value (levels/gauges).
+    *
+    * `observed` is consumed TWICE (the span aggregate and the join), and
+    * its two derived exchanges differ ((key) vs (key, tick)) so Catalyst
+    * cannot ReuseExchange them — naively both branches re-run the whole
+    * upstream plan, a double scan of the source at 100 TB. Both branches
+    * therefore consume ONE shared RDD materialization of `observed`: the
+    * two consumers sit in the same job DAG, so its stages (including the
+    * aggregation shuffle) execute once and the second consumer reads the
+    * shuffle files — the no-persist sharing device this repo uses for
+    * global positions (PlanSpec pins the single source scan).
     */
   def gapFill(observed: DataFrame, keyCol: String, tickCol: String,
               zeroFill: Seq[String], carryForward: Seq[String]): DataFrame = {
-    val joined = denseGrid(observed, keyCol, tickCol)
-      .join(observed, Seq(keyCol, tickCol), "left")
+    val shared = observed.sparkSession.createDataFrame(
+      observed.rdd, observed.schema)
+    val joined = denseGrid(shared, keyCol, tickCol)
+      .join(shared, Seq(keyCol, tickCol), "left")
     val zeroed = zeroFill.foldLeft(joined)((d, c) =>
       d.withColumn(c, coalesce(col(c), lit(0L))))
     forwardFill(zeroed, keyCol, tickCol, carryForward)

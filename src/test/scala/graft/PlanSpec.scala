@@ -336,4 +336,21 @@ class PartitionPruningSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [centroid"),
       s"static centroid pruning lost:\n$plan")
   }
+
+  test("a17: the observed hourly aggregate materializes once, not per branch") {
+    // gapFill consumes `observed` twice (span aggregate + join); its two
+    // derived exchanges differ ((key) vs (key, tick)) so ReuseExchange
+    // can never dedupe them. The operator therefore routes both branches
+    // through ONE shared RDD materialization: the consuming plan must
+    // show that shared scan on both branches and NO direct events scan
+    // (a second FileScan here = the double corpus scan is back).
+    val plan = SparkEntry.queries("a17_gap_fill")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("events.parquet"),
+      s"a17 re-scans events around the shared aggregate:\n$plan")
+    val sharedScans = "Scan ExistingRDD".r.findAllIn(plan).length
+    assert(sharedScans == 2,
+      s"expected both branches on the shared materialization (2 scans), " +
+        s"got $sharedScans:\n$plan")
+  }
 }
