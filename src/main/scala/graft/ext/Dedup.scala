@@ -158,6 +158,15 @@ object Dedup {
     * fall back to a keyed self-join on just those buckets (AQE's
     * skew-join case), so no single row ever materializes an unbounded
     * pair array. No caching anywhere: nothing computes twice.
+    *
+    * The default cap (256) is MEASURED, not guessed: the r8 adversarial
+    * sweep (`adversarial_sweep_r8.json`, `lsh_skew_fallback` points)
+    * times both paths on identical pair counts — the in-row array wins
+    * at width ≤ 64, the keyed join wins from ~128 up (2.9 s vs 5.0 s at
+    * width 512 on 1.05 M pairs), because the array path builds C(c, 2)
+    * structs inside ONE task while the join parallelizes. At cluster
+    * scale the serial-task straggler argument lowers the crossover
+    * further, so the default sits at the top of the array-wins band.
     */
   private[ext] def candidatesFromBuckets(banded: DataFrame,
                                          bucketCols: Seq[String], idCol: String,
@@ -261,7 +270,7 @@ object Dedup {
   def minhashCandidatesPortable(df: DataFrame, idCol: Column, textCol: Column,
                                 wordGrams: Int = 3, numHashes: Int = 16,
                                 bands: Int = 4,
-                                maxBucket: Int = 1024): DataFrame =
+                                maxBucket: Int = 256): DataFrame =
     candidatesFromBuckets(
       minhashBandsPortable(df, idCol, textCol, wordGrams, numHashes, bands)
         .filter(col("band_hash").isNotNull),
@@ -305,7 +314,7 @@ object Dedup {
   def nearDupComponentsPortable(df: DataFrame, idCol: Column, textCol: Column,
                                 threshold: Double = 0.5, wordGrams: Int = 3,
                                 numHashes: Int = 16, bands: Int = 4,
-                                maxBucket: Int = 1024): DataFrame = {
+                                maxBucket: Int = 256): DataFrame = {
     val sigs = minhashSignaturePortable(df, idCol, textCol, wordGrams, numHashes)
       .localCheckpoint()
     val banded = portableBandsOverSigs(sigs, numHashes, bands)
@@ -321,7 +330,7 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, idCol: Column, textCol: Column,
                         numHashes: Int = 32, bands: Int = 8, shingleK: Int = 5,
-                        wordGrams: Int = 0, maxBucket: Int = 1024): DataFrame =
+                        wordGrams: Int = 0, maxBucket: Int = 256): DataFrame =
     candidatesFromBuckets(
       minhashBands(df, idCol, textCol, numHashes, bands, shingleK, wordGrams),
       Seq("band", "band_hash"), "id", maxBucket)
@@ -458,7 +467,7 @@ object Dedup {
   def nearDupComponents(df: DataFrame, idCol: Column, textCol: Column,
                         threshold: Double = 0.5, numHashes: Int = 32,
                         bands: Int = 8, shingleK: Int = 5, wordGrams: Int = 0,
-                        maxBucket: Int = 1024): DataFrame = {
+                        maxBucket: Int = 256): DataFrame = {
     val sigs = xxhashShingleRows(df, idCol, textCol, shingleK, wordGrams)
       .filter(size(col("_sh")) > 0)
       .select(col("id"), signatureOverHashes(col("_sh"), numHashes).as("sig"))
@@ -496,7 +505,7 @@ object Dedup {
     * signature into the bucket for the exact Hamming verify ≤ `maxDist`).
     */
   def simhashCandidates(df: DataFrame, idCol: Column, textCol: Column,
-                        maxDist: Int = 3, maxBucket: Int = 1024): DataFrame = {
+                        maxDist: Int = 3, maxBucket: Int = 256): DataFrame = {
     val sigs = df.select(idCol.as("id"), simhash64(textCol).as("sig"))
     val banded = sigs.select(col("id"), col("sig"), posexplode(
         array((0 until 4).map { b =>
@@ -676,7 +685,7 @@ object Dedup {
                           idCol: Column, textCol: Column,
                           threshold: Double = 0.5, wordGrams: Int = 3,
                           numHashes: Int = 16, bands: Int = 4,
-                          maxBucket: Int = 1024,
+                          maxBucket: Int = 256,
                           ccMaxIterations: Int = 200): DataFrame = {
     val csigs = minhashSignaturePortable(corpus, idCol, textCol, wordGrams,
       numHashes).localCheckpoint()
