@@ -110,9 +110,20 @@ object Pq {
     graft.functions.PqFunctions.pq_adc_tables(qvec, model.codebooks)
 
   /** ADC distance: sum over subspaces of the table entry the row's code
-    * selects — m lookups + adds per corpus row, no vector access.
+    * selects — m lookups + adds per corpus row, no vector access. The
+    * codegen kernel ([[graft.functions.PqExpressions]] `PqAdcDistance`):
+    * this runs once per PROBED ROW, and the interpreted
+    * `aggregate(zip_with(...))` chain it replaces dominated IVF-PQ query
+    * cost at scale (r8 ANN sweep — 14.0 s vs 1.3 s plain-IVF on equal
+    * probed volume). [[adcDistanceComposable]] is the executable oracle.
     */
   def adcDistance(tables: Column, codes: Column): Column =
+    graft.functions.PqFunctions.pq_adc_distance(tables, codes)
+
+  /** The composable-HOF twin of [[adcDistance]] — same left-fold order,
+    * bit-identical scores; kept as the differential-spec oracle.
+    */
+  private[graft] def adcDistanceComposable(tables: Column, codes: Column): Column =
     aggregate(zip_with(tables, codes, (t, c) => element_at(t, c + 1)),
       lit(0.0d), (acc, x) => acc + x)
 

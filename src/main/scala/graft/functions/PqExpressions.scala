@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
@@ -245,6 +245,76 @@ case class PqAdcTables(child: Expression,
     copy(child = newChild)
 }
 
+/** Row-side ADC distance: Σⱼ tables[j][codes[j]] — the PER-PROBED-ROW
+  * hot loop of every IVF-PQ query. The composable form
+  * (`aggregate(zip_with(tables, codes, element_at))`) is an interpreted
+  * higher-order chain costing ~µs/row; at a few million probed rows per
+  * query batch that interpretation dominated the whole query (measured
+  * in the r8 ANN sweep: 14.0 s vs 1.3 s for plain IVF on the same
+  * probed volume). This kernel is the codegen twin: m array lookups and
+  * a sequential double accumulation in the SAME order as `aggregate`'s
+  * left fold, so scores are bit-identical.
+  *
+  * A tables/codes arity mismatch is impossible by construction (both
+  * derive from one model's m) and FAILS LOUDLY rather than
+  * null-propagating.
+  */
+case class PqAdcDistance(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def prettyName: String = "pq_adc_distance"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ArrayType(DoubleType, _), _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<array<double>>, array<int>), " +
+          s"got (${l.sql}, ${r.sql})")
+    }
+
+  override def nullSafeEval(t: Any, c: Any): Any = {
+    val tables = t.asInstanceOf[ArrayData]
+    val codes = c.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    if (tables.numElements() != m)
+      throw new IllegalStateException(
+        s"$prettyName: ${tables.numElements()} tables for $m codes")
+    var acc = 0.0d
+    var j = 0
+    while (j < m) {
+      acc += tables.getArray(j).getDouble(codes.getInt(j))
+      j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (tables, codes) => {
+      val m = ctx.freshName("m")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $m = $codes.numElements();
+         |if ($tables.numElements() != $m) {
+         |  throw new IllegalStateException("pq_adc_distance: "
+         |    + $tables.numElements() + " tables for " + $m + " codes");
+         |}
+         |double $acc = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  $acc += $tables.getArray($j).getDouble($codes.getInt($j));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object PqFunctions {
 
   def pq_encode(vec: Column, codebooks: Array[Array[Array[Float]]]): Column =
@@ -255,4 +325,8 @@ object PqFunctions {
                     codebooks: Array[Array[Array[Float]]]): Column =
     GraftColumnBridge.column(PqAdcTables(
       GraftColumnBridge.expression(vec), codebooks))
+
+  def pq_adc_distance(tables: Column, codes: Column): Column =
+    GraftColumnBridge.column(PqAdcDistance(
+      GraftColumnBridge.expression(tables), GraftColumnBridge.expression(codes)))
 }

@@ -205,4 +205,34 @@ class VectorExpressionsSpec extends SparkSpec {
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
   }
+
+  test("native ADC distance agrees bitwise with the composable HOF fold " +
+    "and survives both evaluation paths") {
+    import graft.ext.{IvfPq, Pq}
+    val e = Tables(spark, sf0001, "embeddings").limit(200)
+    val model = IvfPq.train(e, "embedding", nCentroids = 4, m = 8)
+    val encoded = Pq.encode(e, model.pq)
+      .withColumn("_tables",
+        Pq.queryTables(col("nvec"), model.pq))
+    def run(): Seq[(Long, Long)] = encoded
+      .select(col("neighbor_id"),
+        Pq.adcDistance(col("_tables"), col("codes")).as("native"),
+        Pq.adcDistanceComposable(col("_tables"), col("codes")).as("composed"))
+      .collect().toSeq.map { r =>
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(2)),
+          s"native ${r.getDouble(1)} != composed ${r.getDouble(2)}")
+        (r.getLong(0), java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      }
+    val withCodegen = run()
+    assert(withCodegen.nonEmpty)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      assert(withCodegen == run())
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
 }
