@@ -156,13 +156,23 @@ object Pq {
       .orderBy(col("_adc").asc, col("neighbor_id"))
     val wCos = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    encoded.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("_adc", adcDistance(col("_tables"), col("codes")))
-      .withColumn("_p", spark_partition_id())
+    // skinny prune + fetch-by-id rescore (the IvfPq.rank device): the
+    // per-corpus-row window shuffles carry (ids, _adc) — never the
+    // vectors — and only the bounded survivor set rejoins for vectors.
+    val candidates = encoded.select("neighbor_id", "codes")
+      .join(broadcast(q.select("query_id", "_tables")),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        adcDistance(col("_tables"), col("codes")).as("_adc"),
+        spark_partition_id().as("_p"))
       .withColumn("_lrank", row_number().over(wLocal))
       .filter(col("_lrank") <= nCandidates)
       .withColumn("_crank", row_number().over(wAdc))
       .filter(col("_crank") <= nCandidates)
+      .select("query_id", "neighbor_id")
+    broadcast(candidates)
+      .join(encoded.select("neighbor_id", "nvec"), Seq("neighbor_id"))
+      .join(broadcast(q.select("query_id", "qvec")), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         Similarity.cosineQuantized(col("qvec"), col("nvec")).as("cos"))
       .withColumn("rank", row_number().over(wCos).cast("long"))
