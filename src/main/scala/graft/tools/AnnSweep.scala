@@ -75,6 +75,11 @@ object AnnSweep {
       record(s"""{"method":"brute_force","scale":"x$kScale","rows":$rows,""" +
         s""""out":$nBrute,"sec":$tBrute}""")
 
+      val (tLsh, nLsh) =
+        timed(() => Similarity.lshTopK(corpus, queries, k = 10).count())
+      record(s"""{"method":"lsh","scale":"x$kScale","rows":$rows,""" +
+        s""""out":$nLsh,"sec":$tLsh}""")
+
       val (tIvfBuild, ivfModel) = timed(() => {
         val m = Ivf.train(corpus, "embedding", nCentroids = 16)
         Ivf.writeIndex(Ivf.index(corpus, m), s"$work/ivf_x$kScale")
