@@ -478,8 +478,20 @@ object Dedup {
       threshold)
   }
 
-  /** Estimated Jaccard from signature agreement, for candidate scoring. */
+  /** Estimated Jaccard from signature agreement, for candidate scoring.
+    * Runs once PER CANDIDATE PAIR in every near-dup verify, so it is the
+    * fused codegen kernel (graft.functions.SigAgreement — one primitive
+    * loop, bit-identical to the composable fold, pinned in
+    * Round8PropSpec); [[signatureSimilarityComposable]] is the
+    * executable oracle.
+    */
   def signatureSimilarity(sigA: Column, sigB: Column): Column =
+    graft.functions.SketchFunctions.sig_agreement(sigA, sigB)
+
+  /** The composable-HOF twin of [[signatureSimilarity]] — kept as the
+    * differential-spec oracle.
+    */
+  private[graft] def signatureSimilarityComposable(sigA: Column, sigB: Column): Column =
     size(filter(zip_with(sigA, sigB, (x, y) => (x === y).cast("int")),
       v => v === 1)).cast("double") / size(sigA).cast("double")
 

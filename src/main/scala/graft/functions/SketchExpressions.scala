@@ -317,7 +317,80 @@ case class MaskedKeep(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Signature-agreement ratio: |{j : sigA[j] = sigB[j]}| / |sigA| — the
+  * estimated Jaccard every near-dup verify computes PER CANDIDATE PAIR.
+  * The composable `size(filter(zip_with(...)))` chain allocates two
+  * arrays per pair through interpreted lambda dispatch; at millions of
+  * candidates that is the ADC lesson again (see `PqAdcDistance`), so
+  * the count is one primitive loop. Arithmetic mirrors the composable
+  * form exactly: integer count, cast to double, divided by |sigA| as a
+  * double — bit-identical. A length mismatch is impossible by
+  * construction (both signatures carry one model's numHashes) and fails
+  * loudly rather than null-propagating.
+  */
+case class SigAgreement(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with Serializable {
+
+  override def prettyName: String = "sig_agreement"
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<long>, array<long>), " +
+            s"got (${l.sql}, ${r.sql})")
+    }
+
+  override def nullSafeEval(aV: Any, bV: Any): Any = {
+    val a = aV.asInstanceOf[ArrayData]
+    val b = bV.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalStateException(
+        s"$prettyName: signature lengths ${n} vs ${b.numElements()}")
+    var same = 0
+    var j = 0
+    while (j < n) {
+      if (a.getLong(j) == b.getLong(j)) same += 1
+      j += 1
+    }
+    same.toDouble / n.toDouble
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val same = ctx.freshName("same")
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalStateException("sig_agreement: signature lengths "
+         |    + $n + " vs " + $b.numElements());
+         |}
+         |int $same = 0;
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if ($a.getLong($j) == $b.getLong($j)) $same++;
+         |}
+         |${ev.value} = (double) $same / (double) $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object SketchFunctions {
+
+  def sig_agreement(sigA: Column, sigB: Column): Column =
+    GraftColumnBridge.column(SigAgreement(
+      GraftColumnBridge.expression(sigA), GraftColumnBridge.expression(sigB)))
 
   def minhash_from_hashes(hashes: Column, numHashes: Int,
                           as: Seq[Long], bs: Seq[Long]): Column =

@@ -50,6 +50,41 @@ class Round8PropSpec extends SparkSpec {
     }
   }
 
+  test("native signature agreement is bitwise-equal to the composable " +
+    "fold under both evaluation paths") {
+    val rnd = new scala.util.Random(20260816L)
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = (0 until 500).map { i =>
+      val n = 16
+      val a = Array.fill(n)(rnd.nextLong(8)) // small range -> real agreement
+      val b = if (i % 5 == 0) a.clone() else Array.fill(n)(rnd.nextLong(8))
+      (a.toSeq, b.toSeq)
+    }
+    val df = rows.toDF("sa", "sb")
+    def run(): Seq[Long] = df.select(
+        Dedup.signatureSimilarity(col("sa"), col("sb")).as("native"),
+        Dedup.signatureSimilarityComposable(col("sa"), col("sb")).as("composed"))
+      .collect().toSeq.map { r =>
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)),
+          s"native ${r.getDouble(0)} != composed ${r.getDouble(1)}")
+        java.lang.Double.doubleToLongBits(r.getDouble(0))
+      }
+    val withCodegen = run()
+    assert(withCodegen.exists(bits =>
+      java.lang.Double.longBitsToDouble(bits) > 0.0 &&
+        java.lang.Double.longBitsToDouble(bits) < 1.0),
+      "degenerate fixture: no partial agreements")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(withCodegen == run())
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("capped prefix join with a non-binding cap equals the exact join " +
     "at random thresholds; a binding cap only ever removes pairs") {
     val rnd = new scala.util.Random(20260815L)
