@@ -215,10 +215,22 @@ object TextAnalysis {
   }
 
   /** Fraction of all tokens taken by the single most frequent token —
-    * the companion repetition signal. O(distinct·n) per row over the
-    * staged token attribute; fine for document-sized arrays.
+    * the companion repetition signal. The count is the one-pass fused
+    * kernel (graft.functions.TopTokenCount): the composable form was
+    * O(distinct·n) interpreted dispatches plus a filtered-array
+    * allocation per distinct token per document — the worst per-row
+    * asymptotics in the text-kernel family. Bit-identical (integer
+    * count, same double division), pinned in Round8PropSpec;
+    * [[topTokenRatioOverComposable]] is the executable oracle.
     */
   def topTokenRatioOver(toks: Column): Column =
+    graft.functions.SketchFunctions.top_token_count(toks)
+      .cast("double") / size(toks).cast("double")
+
+  /** The composable-HOF twin of [[topTokenRatioOver]] — kept as the
+    * differential-spec oracle.
+    */
+  private[graft] def topTokenRatioOverComposable(toks: Column): Column =
     aggregate(array_distinct(toks), lit(0),
       (acc, t) => greatest(acc, size(filter(toks, x => x === t))))
       .cast("double") / size(toks).cast("double")

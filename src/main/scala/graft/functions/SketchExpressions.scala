@@ -386,7 +386,85 @@ case class SigAgreement(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Multiplicity of the most frequent element of an `array<string>` —
+  * the numerator of the top-token repetition signal. The composable
+  * form (`aggregate(array_distinct(toks), greatest(acc,
+  * size(filter(toks, _ === t))))`) is O(distinct · n) interpreted
+  * element dispatches PLUS one filtered-array allocation per distinct
+  * token, per document; this kernel is the one-pass hash count. Null
+  * elements contribute nothing (the composable `filter(x === null)`
+  * matches no rows); an all-null or empty array scores 0 — identical.
+  */
+case class TopTokenCount(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def prettyName: String = "top_token_count"
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${other.sql}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val m = new java.util.HashMap[AnyRef, Integer]()
+    var best = 0
+    var j = 0
+    while (j < n) {
+      if (!a.isNullAt(j)) {
+        val t = a.getUTF8String(j)
+        val c = m.get(t)
+        val nc = if (c == null) 1 else c + 1
+        m.put(t, nc)
+        if (nc > best) best = nc
+      }
+      j += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input => {
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val m = ctx.freshName("m")
+      val t = ctx.freshName("t")
+      val c = ctx.freshName("c")
+      val nc = ctx.freshName("nc")
+      val best = ctx.freshName("best")
+      s"""
+         |int $n = $input.numElements();
+         |java.util.HashMap<Object, Integer> $m =
+         |  new java.util.HashMap<Object, Integer>();
+         |int $best = 0;
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if (!$input.isNullAt($j)) {
+         |    Object $t = $input.getUTF8String($j);
+         |    Integer $c = $m.get($t);
+         |    int $nc = ($c == null) ? 1 : $c.intValue() + 1;
+         |    $m.put($t, Integer.valueOf($nc));
+         |    if ($nc > $best) $best = $nc;
+         |  }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SketchFunctions {
+
+  def top_token_count(toks: Column): Column =
+    GraftColumnBridge.column(TopTokenCount(GraftColumnBridge.expression(toks)))
 
   def sig_agreement(sigA: Column, sigB: Column): Column =
     GraftColumnBridge.column(SigAgreement(

@@ -85,6 +85,40 @@ class Round8PropSpec extends SparkSpec {
     }
   }
 
+  test("fused top-token count is bitwise-equal to the composable " +
+    "O(distinct*n) fold, nulls and empties included") {
+    import graft.ext.TextAnalysis
+    val rnd = new scala.util.Random(20260817L)
+    val spark0 = spark
+    import spark0.implicits._
+    // no empty arrays: under ANSI both forms throw DIVIDE_BY_ZERO on
+    // size=0 (identically) — an empty token array is not a legal input
+    val rows: Seq[Seq[Option[String]]] = (0 until 300).map { i =>
+      if (i == 0) Seq(None, None) // all-null: both forms score 0/2
+      else Seq.fill(1 + rnd.nextInt(40))(
+        if (rnd.nextInt(10) == 0) None
+        else Some(vocab(rnd.nextInt(vocab.size))))
+    }
+    val df = rows.toDF("toks")
+    def run(): Seq[Long] = df.select(
+        TextAnalysis.topTokenRatioOver(col("toks")).as("native"),
+        TextAnalysis.topTokenRatioOverComposable(col("toks")).as("composed"))
+      .collect().toSeq.map { r =>
+        val a = r.getDouble(0); val b = r.getDouble(1)
+        assert(java.lang.Double.doubleToLongBits(a) ==
+          java.lang.Double.doubleToLongBits(b), s"native $a != composed $b")
+        java.lang.Double.doubleToLongBits(a)
+      }
+    val withCodegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(withCodegen == run())
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("capped prefix join with a non-binding cap equals the exact join " +
     "at random thresholds; a binding cap only ever removes pairs") {
     val rnd = new scala.util.Random(20260815L)
