@@ -441,13 +441,13 @@ case class TopTokenCount(child: Expression)
       val best = ctx.freshName("best")
       s"""
          |int $n = $input.numElements();
-         |java.util.HashMap<Object, Integer> $m =
-         |  new java.util.HashMap<Object, Integer>();
+         |java.util.HashMap $m = new java.util.HashMap();
          |int $best = 0;
          |for (int $j = 0; $j < $n; $j++) {
          |  if (!$input.isNullAt($j)) {
          |    Object $t = $input.getUTF8String($j);
-         |    Integer $c = $m.get($t);
+         |    // raw map + explicit cast: janino compiles generics-free
+         |    Integer $c = (Integer) $m.get($t);
          |    int $nc = ($c == null) ? 1 : $c.intValue() + 1;
          |    $m.put($t, Integer.valueOf($nc));
          |    if ($nc > $best) $best = $nc;
