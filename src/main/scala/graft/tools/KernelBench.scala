@@ -39,6 +39,20 @@ object KernelBench {
     println(s"""[kb] {"kernel":"top_token_ratio","rows":100000,""" +
       s""""native_sec":$tNat,"composable_sec":$tCom}""")
 
+    // ---- remaining interpreted per-token folds, measured to decide
+    // whether fusing is worth it (attribute-only lambdas, linear)
+    val stagedText = spark.read.parquet("target/kb_docs")
+    def sumLong(c: org.apache.spark.sql.Column): Long =
+      stagedText.select(sum(c).cast("long").as("s")).collect()(0).getLong(0)
+    sumLong(TextAnalysis.bagFingerprint(col("text"))) // warmup
+    val (tBag, _) = timed(() => sumLong(TextAnalysis.bagFingerprint(col("text"))))
+    val (tRoll, _) =
+      timed(() => sumLong(TextAnalysis.rollingFingerprint(col("text"))))
+    println(s"""[kb] {"kernel":"bag_fingerprint","rows":100000,""" +
+      s""""native_sec":-1,"composable_sec":$tBag}""")
+    println(s"""[kb] {"kernel":"rolling_fingerprint","rows":100000,""" +
+      s""""native_sec":-1,"composable_sec":$tRoll}""")
+
     // ---- signature agreement over 2M synthetic candidate pairs
     val sigs = spark.range(2000000).select(col("id"),
       transform(sequence(lit(0L), lit(15L)),
