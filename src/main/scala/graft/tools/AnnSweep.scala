@@ -66,19 +66,26 @@ object AnnSweep {
       queries, Ivf.train(spark.read.parquet(s"$work/emb_x1"), "embedding", 16),
       k = 10).count()
 
+    // pair set for recall-vs-brute (tiny: |queries|·k rows)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
     scales.foreach { kScale =>
       val corpus = spark.read.parquet(s"$work/emb_x$kScale")
       val rows = 2000L * kScale
 
-      val (tBrute, nBrute) =
-        timed(() => Similarity.bruteForceTopK(corpus, queries, k = 10).count())
+      val (tBrute, bruteSet) =
+        timed(() => pairs(Similarity.bruteForceTopK(corpus, queries, k = 10)))
       record(s"""{"method":"brute_force","scale":"x$kScale","rows":$rows,""" +
-        s""""out":$nBrute,"sec":$tBrute}""")
+        s""""out":${bruteSet.size},"sec":$tBrute,"recall":1.0}""")
+      def recall(s: Set[(Long, Long)]): Double =
+        s.intersect(bruteSet).size.toDouble / bruteSet.size
 
-      val (tLsh, nLsh) =
-        timed(() => Similarity.lshTopK(corpus, queries, k = 10).count())
+      val (tLsh, lshSet) =
+        timed(() => pairs(Similarity.lshTopK(corpus, queries, k = 10)))
       record(s"""{"method":"lsh","scale":"x$kScale","rows":$rows,""" +
-        s""""out":$nLsh,"sec":$tLsh}""")
+        s""""out":${lshSet.size},"sec":$tLsh,"recall":${recall(lshSet)}}""")
 
       val (tIvfBuild, ivfModel) = timed(() => {
         val m = Ivf.train(corpus, "embedding", nCentroids = 16)
@@ -88,10 +95,10 @@ object AnnSweep {
       record(s"""{"method":"ivf_build","scale":"x$kScale","rows":$rows,""" +
         s""""out":0,"sec":$tIvfBuild}""")
       val ivfIndex = Ivf.readIndex(spark, s"$work/ivf_x$kScale")
-      val (tIvf, nIvf) = timed(() =>
-        Ivf.topKPruned(ivfIndex, queries, ivfModel, k = 10, nProbe = 2).count())
+      val (tIvf, ivfSet) = timed(() => pairs(
+        Ivf.topKPruned(ivfIndex, queries, ivfModel, k = 10, nProbe = 2)))
       record(s"""{"method":"ivf_pruned","scale":"x$kScale","rows":$rows,""" +
-        s""""out":$nIvf,"sec":$tIvf}""")
+        s""""out":${ivfSet.size},"sec":$tIvf,"recall":${recall(ivfSet)}}""")
 
       val (tPqBuild, pqModel) = timed(() => {
         val m = IvfPq.train(corpus, "embedding", nCentroids = 16, m = 8)
@@ -102,10 +109,22 @@ object AnnSweep {
       record(s"""{"method":"ivfpq_build","scale":"x$kScale","rows":$rows,""" +
         s""""out":0,"sec":$tPqBuild}""")
       val pqIndex = spark.read.parquet(s"$work/ivfpq_x$kScale")
-      val (tPq, nPq) = timed(() =>
-        IvfPq.topKPruned(pqIndex, queries, pqModel, k = 10, nProbe = 2).count())
+      val (tPq, pqSet) = timed(() => pairs(
+        IvfPq.topKPruned(pqIndex, queries, pqModel, k = 10, nProbe = 2)))
       record(s"""{"method":"ivfpq_pruned","scale":"x$kScale","rows":$rows,""" +
-        s""""out":$nPq,"sec":$tPq}""")
+        s""""out":${pqSet.size},"sec":$tPq,"recall":${recall(pqSet)}}""")
+      // the ADC prune can only retain nCandidates rows per query; when a
+      // duplicate cluster wider than that collapses to ADC near-ties the
+      // true top-k dies BEFORE rescore — probe the remedy (wider prune)
+      // at the widest point to pin the explanation
+      if (kScale == scales.last) {
+        val (tPqW, pqWSet) = timed(() => pairs(
+          IvfPq.topKPruned(pqIndex, queries, pqModel, k = 10, nProbe = 2,
+            nCandidates = 1024)))
+        record(s"""{"method":"ivfpq_pruned_c1024","scale":"x$kScale",""" +
+          s""""rows":$rows,"out":${pqWSet.size},"sec":$tPqW,""" +
+          s""""recall":${recall(pqWSet)}}""")
+      }
     }
 
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
