@@ -39,7 +39,14 @@ class CodegenNoFallbackSpec extends SparkSpec {
     val mean = Array(0.0d, 0.0d, 0.0d, 0.0d)
     val basis = Array(Array(1.0d, 0.0d, 0.0d, 0.0d), Array(0.0d, 1.0d, 0.0d, 0.0d))
 
-    val df = Seq(
+    // MUST come from a file scan: a projection over a local Seq relation
+    // is folded by ConvertToLocalRelation at optimization time and
+    // evaluated INTERPRETED on the driver — no codegen would ever run
+    // and this spec would be vacuous (verified: the round-8 broken
+    // TopTokenCount passed the local-relation form of this test).
+    val staged = java.nio.file.Files
+      .createTempDirectory("graft-codegen-spec").toString
+    Seq(
       (Seq(1.0f, 2.0f, 3.0f, 4.0f), Seq(4.0f, 3.0f, 2.0f, 1.0f),
         Seq(11L, 22L, 33L), Seq(11L, 99L, 33L), Seq(0, 1),
         Seq("a", "b", "a", "c"), "Héllo  wörld a b a"),
@@ -47,6 +54,8 @@ class CodegenNoFallbackSpec extends SparkSpec {
         Seq(7L, 8L, 9L), Seq(7L, 8L, 9L), Seq(1, 0),
         Seq("x", "x", "x"), "plain text x y x")
     ).toDF("va", "vb", "ha", "hb", "codes", "toks", "text")
+      .write.mode("overwrite").parquet(staged)
+    val df = spark.read.parquet(staged)
 
     val kernels: Seq[(String, Column)] = Seq(
       "vector_dot" -> VectorFunctions.vector_dot(col("va"), col("vb")),
