@@ -61,7 +61,14 @@ class Round8PropSpec extends SparkSpec {
       val b = if (i % 5 == 0) a.clone() else Array.fill(n)(rnd.nextLong(8))
       (a.toSeq, b.toSeq)
     }
-    val df = rows.toDF("sa", "sb")
+    // through parquet: a local Seq relation is folded by
+    // ConvertToLocalRelation and evaluated interpreted driver-side, so
+    // the codegen leg of this differential would be vacuous (the
+    // CodegenNoFallbackSpec lesson)
+    val staged = java.nio.file.Files
+      .createTempDirectory("graft-r8-sig").toString
+    rows.toDF("sa", "sb").write.mode("overwrite").parquet(staged)
+    val df = spark.read.parquet(staged)
     def run(): Seq[Long] = df.select(
         Dedup.signatureSimilarity(col("sa"), col("sb")).as("native"),
         Dedup.signatureSimilarityComposable(col("sa"), col("sb")).as("composed"))
@@ -99,7 +106,11 @@ class Round8PropSpec extends SparkSpec {
         if (rnd.nextInt(10) == 0) None
         else Some(vocab(rnd.nextInt(vocab.size))))
     }
-    val df = rows.toDF("toks")
+    // through parquet — same ConvertToLocalRelation vacuity guard as above
+    val staged = java.nio.file.Files
+      .createTempDirectory("graft-r8-tok").toString
+    rows.toDF("toks").write.mode("overwrite").parquet(staged)
+    val df = spark.read.parquet(staged)
     def run(): Seq[Long] = df.select(
         TextAnalysis.topTokenRatioOver(col("toks")).as("native"),
         TextAnalysis.topTokenRatioOverComposable(col("toks")).as("composed"))
