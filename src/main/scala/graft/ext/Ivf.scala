@@ -175,4 +175,44 @@ object Ivf {
     val probeSet = q.select("centroid").distinct().collect().map(_.getInt(0))
     rankCandidates(q, indexed.filter(col("centroid").isin(probeSet.toSeq: _*)), k)
   }
+
+  /** Recall@k of the IVF probe against the brute-force ground truth, for
+    * every probe width 1..maxProbe — the IVF analog of the LSH
+    * calibration curve (x79), and the tool the r8 ANN sweep's recall
+    * findings call for: on a near-uniform corpus a fixed small nProbe
+    * under-recalls badly (measured 0.36 at nProbe=2/16 on the real
+    * corpus), and the right width is a property of the corpus, so
+    * MEASURE it on a bounded query sample before fixing the production
+    * setting.
+    *
+    * `queries` is a bounded probe/eval sample (it broadcasts — same
+    * contract as [[topK]]). The ground truth is ONE brute-force pass
+    * over the index; each probe width then costs only its own pruned
+    * probe. Recall is computed distributed (semi-join + count — the
+    * truth/approx pair sets never collect). Output: `(n_probe, hits,
+    * truth_pairs, recall)` ascending by `n_probe`; recall is
+    * non-decreasing in `n_probe` by construction (wider probes scan a
+    * superset of cells).
+    */
+  def calibrateNProbe(indexed: DataFrame, queries: DataFrame, model: Model,
+                      k: Int, maxProbe: Int): DataFrame = {
+    require(maxProbe >= 1 && maxProbe <= model.numCentroids,
+      s"maxProbe in [1, ${model.numCentroids}]")
+    val spark = indexed.sparkSession
+    val truth = Similarity
+      .bruteForceTopK(indexed.select(col("neighbor_id").as("vec_id"),
+          col("nvec").as("embedding")), queries, k)
+      .select("query_id", "neighbor_id").localCheckpoint()
+    val truthPairs = truth.count()
+    import spark.implicits._
+    val rows = (1 to maxProbe).map { p =>
+      val hits = topKPruned(indexed, queries, model, k, nProbe = p)
+        .select("query_id", "neighbor_id")
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .count()
+      (p, hits, truthPairs, hits.toDouble / truthPairs.toDouble)
+    }
+    org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(truth)
+    rows.toDF("n_probe", "hits", "truth_pairs", "recall")
+  }
 }

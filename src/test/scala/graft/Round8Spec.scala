@@ -110,4 +110,25 @@ class Round8Spec extends SparkSpec {
     assert(capped.dropped.isEmpty)
     assert(capped.pairs.orderBy("id_a", "id_b").collect().toSeq == exact)
   }
+
+  test("IVF probe calibration: recall is monotone in nProbe and exact at " +
+    "full probe width") {
+    import graft.ext.Ivf
+    val e = Tables(spark, sf0001, "embeddings").limit(400)
+    val model = Ivf.train(e, "embedding", nCentroids = 8)
+    val indexed = Ivf.index(e, model)
+    val queries = e.filter(col("vec_id") < 12)
+    val curve = Ivf.calibrateNProbe(indexed, queries, model, k = 5,
+      maxProbe = 8).orderBy("n_probe").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(curve.map(_._1).toSeq == (1 to 8))
+    // wider probes scan a superset of cells: hits never decrease
+    curve.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2, s"recall fell ${a} -> ${b}")
+    }
+    // probing every cell IS the brute-force candidate set: exact recall
+    assert(curve.last._4 == 1.0, s"full-width recall ${curve.last._4} != 1.0")
+    // truth size constant across the curve
+    assert(curve.map(_._3).distinct.length == 1)
+  }
 }
