@@ -1357,10 +1357,20 @@ object ExtQueries {
     // multiplication. Oracle brute-forces every pair.
     "x83_setsim_join" -> ((s: SparkSession, dir: String) => {
       // gate sizing: a third of the corpus exercises the same kernel at
-      // ~1/9 the pair space; the kernel itself is scale-invariant
+      // ~1/9 the pair space; the kernel itself is scale-invariant.
+      // The gate runs the GUARDED production entry point
+      // (jaccardJoinCapped) with a cap no real bucket can reach — the
+      // result is the exact join (capped ≡ exact when nothing drops,
+      // Round8Spec/Round8PropSpec) and a non-empty drop report is a
+      // LOUD gate error, never a silently smaller answer.
       val d = Tables(s, dir, "documents").filter(col("doc_id") % 3 === 0)
-      graft.ext.SetSim.jaccardJoin(d, col("doc_id"), col("text"), tauPct = 90)
-        .orderBy("id_a", "id_b")
+      val out = graft.ext.SetSim.jaccardJoinCapped(d, col("doc_id"),
+        col("text"), tauPct = 90, maxPerTok = 1000000)
+      val dropped = out.dropped.count()
+      if (dropped != 0)
+        throw new IllegalStateException(
+          s"x83: $dropped prefix buckets over the non-binding cap")
+      out.pairs.orderBy("id_a", "id_b")
     }),
 
     // ---- cluster-representative selection: after near-dup clustering,
