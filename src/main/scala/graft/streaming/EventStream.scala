@@ -104,8 +104,18 @@ object EventStream {
             cur.foreach { s =>
               state.update(s)
               // timeout is in MILLIS; round up so it lands strictly
-              // after the exact micros gap
-              state.setTimeoutTimestamp((s.last + gapUs) / 1000L + 1L)
+              // after the exact micros gap. CLAMPED to the current
+              // watermark: when a later micro-batch delivers rows for a
+              // session whose last+gap is already behind the advanced
+              // watermark (out-of-order replay, allowed-late data),
+              // Spark rejects a timeout earlier than the watermark with
+              // an error — the session must instead time out at the
+              // next opportunity. Found by the r8 StreamSweep's
+              // multi-batch identical-timestamp replay; the gates'
+              // chronological staging never reaches this.
+              val timeoutMs = (s.last + gapUs) / 1000L + 1L
+              state.setTimeoutTimestamp(
+                math.max(timeoutMs, state.getCurrentWatermarkMs() + 1L))
             }
             closed.reverseIterator
           }

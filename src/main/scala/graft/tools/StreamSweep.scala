@@ -70,7 +70,8 @@ object StreamSweep {
     }
     val schema = spark.read.parquet(s"$work/ev_x1").schema
 
-    def drain(k: Int, tag: String)(pipe: DataFrame => DataFrame): Unit =
+    def drain(k: Int, tag: String, mode: String = "update")
+             (pipe: DataFrame => DataFrame): Unit =
       withShufflePartitions(spark, 4) {
         val src = spark.readStream
           .schema(schema)
@@ -83,7 +84,7 @@ object StreamSweep {
             .option("checkpointLocation",
               java.nio.file.Files
                 .createTempDirectory(s"graft-ss-$tag-$k").toString)
-            .outputMode("update")
+            .outputMode(mode)
             .trigger(Trigger.AvailableNow())
             .start()
           if (!q.awaitTermination(600000)) {
@@ -117,6 +118,16 @@ object StreamSweep {
       }
       drain(k, "stream_dedup") { s =>
         s.withWatermark("ts", "2 hours").dropDuplicates("event_id")
+      }
+      // the CUSTOM-STATE path: the hand-rolled flatMapGroupsWithState
+      // sessionizer (s02's kernel) — per-user state, event-time
+      // timeouts, micros-exact gap arithmetic
+      drain(k, "fmgws_sessionize", mode = "append") { s =>
+        import spark.implicits._
+        graft.streaming.EventStream.sessionize(
+          s.select("event_id", "ts", "user_id", "event_type", "value")
+            .as[graft.streaming.EventStream.Event],
+          gapMillis = 30 * 60 * 1000L).toDF()
       }
     }
 
