@@ -127,6 +127,19 @@ object AnnSweep {
       }
     }
 
+    // ---- the calibration curve on the REAL corpus: what probe width
+    // does THIS corpus need? (the ×1 recall findings' actionable answer)
+    {
+      val corpus = spark.read.parquet(s"$work/emb_x1")
+      val model = Ivf.train(corpus, "embedding", nCentroids = 16)
+      val indexed = Ivf.index(corpus, model)
+      Ivf.calibrateNProbe(indexed, queries, model, k = 10, maxProbe = 16)
+        .orderBy("n_probe").collect().foreach { r =>
+          record(s"""{"method":"ivf_calibration","scale":"x1","rows":2000,""" +
+            s""""n_probe":${r.getInt(0)},"recall":${r.getDouble(3)}}""")
+        }
+    }
+
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (results.mkString("[\n", ",\n", "\n]") + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
