@@ -1,0 +1,91 @@
+package graft.tools
+
+import graft.Tables
+import graft.warehouse.SparkWarehouse
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Warehouse-mutation sweep: upsert / predicate DML / compaction
+  * time-vs-rows — the last operator family without a measured curve
+  * (batch kernels, adversarial density, load path, streaming, and ANN
+  * are covered by the sibling sweeps).
+  *
+  * Each mutation on a parquet warehouse is scan + join/filter +
+  * atomic rewrite, so the claim under test is linearity in table size
+  * with the change-set size held at a realistic fraction (10% updated,
+  * 1% inserted). Output: one JSON line per (op, n) to
+  * SPARK_GRAFT_MUT_OUT (default mutation_sweep.json).
+  */
+object MutationSweep {
+
+  private def timed[A](thunk: () => A): Double = {
+    val t0 = System.nanoTime()
+    thunk()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def base(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(col("id"),
+      concat(lit("name_"), col("id")).as("name"),
+      pmod(col("id"), lit(7L)).cast("int").as("segment"),
+      (pmod(col("id") * 37L, lit(100000L)) / lit(100L)).as("balance"))
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outPath =
+      sys.env.getOrElse("SPARK_GRAFT_MUT_OUT", "mutation_sweep.json")
+    val spark = Tables.sessionBuilder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val results = scala.collection.mutable.ArrayBuffer.empty[String]
+    def record(line: String): Unit = { println(s"[mut] $line"); results += line }
+    def unwrap[A](e: Either[graft.warehouse.WarehouseError, A]): A =
+      e.fold(err => throw new RuntimeException(err.message), identity)
+
+    val ns = Seq(10000L, 100000L, 1000000L)
+    // warmup at the smallest size (committer init, JIT), discarded
+    locally {
+      val wh = new SparkWarehouse(spark,
+        java.nio.file.Files.createTempDirectory("graft-mut-warm").toString)
+      unwrap(wh.load("t", base(spark, ns.head)))
+      unwrap(wh.upsert("t", base(spark, 100).limit(10), Seq("id")))
+    }
+
+    ns.foreach { n =>
+      val wh = new SparkWarehouse(spark,
+        java.nio.file.Files.createTempDirectory(s"graft-mut-$n").toString)
+      val tLoad = timed(() => unwrap(wh.load("t", base(spark, n))))
+      record(s"""{"op":"load","rows":$n,"sec":$tLoad}""")
+
+      // 10% changed rows + 1% fresh keys
+      val changes = base(spark, n).filter(pmod(col("id"), lit(10L)) === 0)
+        .withColumn("balance", col("balance") + 1.0)
+        .unionByName(base(spark, n + n / 100).filter(col("id") >= n))
+      val tUps = timed(() => unwrap(wh.upsert("t", changes, Seq("id"))))
+      record(s"""{"op":"upsert_10pct","rows":$n,"sec":$tUps}""")
+
+      val tUpd = timed(() => unwrap(wh.updateWhere("t",
+        Map("balance" -> (col("balance") * 2.0)), col("segment") === 3)))
+      record(s"""{"op":"update_where","rows":$n,"sec":$tUpd}""")
+
+      val tDel = timed(() => unwrap(wh.deleteWhere("t",
+        col("segment") === 5)))
+      record(s"""{"op":"delete_where","rows":$n,"sec":$tDel}""")
+
+      val tCmp = timed(() => unwrap(wh.compact("t", targetFiles = 4,
+        sortCols = Seq("id"))))
+      record(s"""{"op":"compact_sorted","rows":$n,"sec":$tCmp}""")
+
+      // final content sanity: base + 1% fresh, minus the deleted segment
+      val rows = unwrap(wh.get("t")).count()
+      val expected = spark.range(n + n / 100)
+        .filter(pmod(col("id"), lit(7L)) =!= 5L).count()
+      require(rows == expected, s"content drift at n=$n: $rows != $expected")
+    }
+
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (results.mkString("[\n", ",\n", "\n]") + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"[mut] wrote ${results.size} points to $outPath")
+    spark.stop()
+  }
+}
