@@ -129,6 +129,27 @@ object StreamSweep {
             .as[graft.streaming.EventStream.Event],
           gapMillis = 30 * 60 * 1000L).toDF()
       }
+      // the state-BACKEND knob: the dedup pipeline holds one state row
+      // per distinct key inside the watermark horizon (all of them
+      // here), which is exactly where the in-heap HDFS-backed store
+      // stops scaling and RocksDB (off-heap, spill-to-disk) takes over
+      // on a real cluster — measure both at every point
+      val prevProvider =
+        spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        drain(k, "stream_dedup_rocksdb") { s =>
+          s.withWatermark("ts", "2 hours").dropDuplicates("event_id")
+        }
+      } finally {
+        prevProvider match {
+          case Some(p) =>
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None =>
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
     }
 
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
