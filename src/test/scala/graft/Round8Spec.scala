@@ -131,4 +131,55 @@ class Round8Spec extends SparkSpec {
     // truth size constant across the curve
     assert(curve.map(_._3).distinct.length == 1)
   }
+
+  test("sessionizer survives a late batch behind the advanced watermark " +
+    "(timeout clamp regression pin)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val sps = spark; import sps.implicits._
+    // batch 1 spans days of event time, so after it the watermark sits
+    // far past every session's last+gap; batch 2 replays the SAME event
+    // times for other users - pre-clamp, setTimeoutTimestamp(last+gap)
+    // threw "Timeout timestamp cannot be earlier than the current
+    // watermark" (found by the r8 StreamSweep multi-batch replay)
+    val ev = Tables(spark, sf0001, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val staged = java.nio.file.Files.createTempDirectory("graft-r8-late")
+    ev.coalesce(1).write.mode("overwrite")
+      .parquet(staged.resolve("b1").toString)
+    ev.select((col("event_id") + 9000000L).as("event_id"), col("ts"),
+        (col("user_id") + 9000000L).as("user_id"), col("event_type"),
+        col("value"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(staged.resolve("b2").toString)
+    val dir = java.nio.file.Files.createTempDirectory("graft-r8-late-src")
+    def mv(sub: String, name: String): Unit = {
+      val part = java.nio.file.Files.list(staged.resolve(sub)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part, dir.resolve(name))
+    }
+    mv("b1", "0001.parquet")
+    mv("b2", "0002.parquet")
+    val schema = spark.read.parquet(dir.toString).schema
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+        .transform(Tables.normalizeTs(_))
+      val out = graft.streaming.EventStream.sessionize(
+        src.as[graft.streaming.EventStream.Event],
+        gapMillis = 30 * 60 * 1000L, watermarkDelay = "10 minutes")
+      val q = out.writeStream.format("memory")
+        .queryName("r8_late_sessions_sink").outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      // pre-clamp this threw FlatMapGroupsWithStateUserFuncException
+      assert(q.awaitTermination(120000), "late-batch sessionizer hung")
+      // sessions from BOTH batches' users closed and flushed
+      val users = spark.table("r8_late_sessions_sink")
+        .select("user_id").distinct().collect().map(_.getLong(0))
+      assert(users.exists(_ < 9000000L) && users.exists(_ >= 9000000L),
+        s"sessions missing from one batch: ${users.length} users")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }
