@@ -41,7 +41,7 @@ object MutationSweep {
     def unwrap[A](e: Either[graft.warehouse.WarehouseError, A]): A =
       e.fold(err => throw new RuntimeException(err.message), identity)
 
-    val ns = Seq(10000L, 100000L, 1000000L)
+    val ns = Seq(10000L, 100000L, 1000000L, 10000000L)
     // warmup at the smallest size (committer init, JIT), discarded
     locally {
       val wh = new SparkWarehouse(spark,
