@@ -119,4 +119,76 @@ object IvfPq {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
   }
+
+  /** The TWO-TABLE persisted layout [[Pq.encode]]'s scaladoc promises:
+    * `codes/` holds `(neighbor_id, codes, centroid)` partitioned by
+    * centroid — m bytes of payload per row, the table the ADC prune
+    * scans — and `vectors/` holds `(neighbor_id, nvec)` — touched ONLY
+    * by the rescore's bounded fetch-by-id. The single-table index ships
+    * every probed row's raw vector through the scan just to rescore
+    * ≤ nCandidates of them; at 100 TB that is the difference between
+    * scanning m bytes/row and 4·D bytes/row over the probed cells.
+    */
+  def writeIndexCompact(corpus: DataFrame, model: Model, path: String,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): Unit = {
+    val indexed = index(corpus, model, idCol, vecCol)
+    indexed.select("neighbor_id", "codes", "centroid")
+      .write.mode("overwrite").partitionBy("centroid").parquet(s"$path/codes")
+    indexed.select("neighbor_id", "nvec")
+      .write.mode("overwrite").parquet(s"$path/vectors")
+  }
+
+  /** [[topKPruned]] over the compact two-table layout: the ADC prune
+    * scans ONLY the codes table (statically partition-pruned to the
+    * probed cells), and the rescore pushes the bounded candidate-id set
+    * as a scan filter on the vectors table (ids collected driver-side —
+    * ≤ nCandidates·|queries| longs, the batch broadcasts anyway), so
+    * neither stage ever reads a raw vector it doesn't rescore.
+    */
+  def topKPrunedCompact(spark: org.apache.spark.sql.SparkSession,
+                        path: String, queries: DataFrame, model: Model,
+                        k: Int, nProbe: Int = 2, nCandidates: Int = 64,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val probed = Ivf.probes(queries, model.ivf, nProbe, idCol, vecCol)
+    val probeSet = probed.select("centroid").distinct().collect()
+      .map(_.getInt(0))
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("centroid").isin(probeSet.toSeq: _*))
+    val q = probed.withColumn("_tables", Pq.queryTables(col("qvec"), model.pq))
+    val wLocal = Window.partitionBy(col("query_id"), col("_p"))
+      .orderBy(col("_adc").asc, col("neighbor_id"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("_adc").asc, col("neighbor_id"))
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val candidates = broadcast(q.select("query_id", "centroid", "_tables"))
+      .join(codes, Seq("centroid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Pq.adcDistance(col("_tables"), col("codes")).as("_adc"),
+        spark_partition_id().as("_p"))
+      .withColumn("_lrank", row_number().over(wLocal))
+      .filter(col("_lrank") <= nCandidates)
+      .withColumn("_crank", row_number().over(wAdc))
+      .filter(col("_crank") <= nCandidates)
+      .select("query_id", "neighbor_id").localCheckpoint()
+    val candIds = candidates.select("neighbor_id").distinct()
+      .collect().map(_.getLong(0))
+    val fetched = spark.read.parquet(s"$path/vectors")
+      .filter(col("neighbor_id").isin(candIds.toSeq: _*))
+    val out = broadcast(candidates)
+      .join(fetched, Seq("neighbor_id"))
+      .join(broadcast(probed.select("query_id", "qvec")
+        .dropDuplicates("query_id")), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosineQuantized(col("qvec"), col("nvec")).as("cos"))
+      .withColumn("rank", row_number().over(wCos).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+    val detached = out.localCheckpoint()
+    org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(candidates)
+    detached
+  }
 }

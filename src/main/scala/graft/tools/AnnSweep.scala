@@ -113,6 +113,19 @@ object AnnSweep {
         IvfPq.topKPruned(pqIndex, queries, pqModel, k = 10, nProbe = 2)))
       record(s"""{"method":"ivfpq_pruned","scale":"x$kScale","rows":$rows,""" +
         s""""out":${pqSet.size},"sec":$tPq,"recall":${recall(pqSet)}}""")
+      // the compact two-table layout: codes-only prune scan + id-filtered
+      // vector fetch — the scan-bytes answer to the rescore gap
+      IvfPq.writeIndexCompact(corpus, pqModel, s"$work/ivfpqc_x$kScale")
+      val (tPqC, pqCSet) = timed(() => {
+        val r = IvfPq.topKPrunedCompact(spark, s"$work/ivfpqc_x$kScale",
+          queries, pqModel, k = 10, nProbe = 2)
+        val s = pairs(r)
+        org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(r)
+        s
+      })
+      record(s"""{"method":"ivfpq_compact","scale":"x$kScale","rows":$rows,""" +
+        s""""out":${pqCSet.size},"sec":$tPqC,"recall":${recall(pqCSet)}}""")
+
       // the ADC prune can only retain nCandidates rows per query; when a
       // duplicate cluster wider than that collapses to ADC near-ties the
       // true top-k dies BEFORE rescore — probe the remedy (wider prune)

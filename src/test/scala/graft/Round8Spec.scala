@@ -182,4 +182,29 @@ class Round8Spec extends SparkSpec {
         s"sessions missing from one batch: ${users.length} users")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  test("compact two-table IVF-PQ layout returns exactly the single-table " +
+    "results and its rescore scan is filtered to the candidate ids") {
+    import graft.ext.IvfPq
+    val e = Tables(spark, sf0001, "embeddings").limit(400)
+    val model = IvfPq.train(e, "embedding", nCentroids = 8, m = 8)
+    val queries = e.filter(col("vec_id") < 8)
+    val single = IvfPq.topKPruned(IvfPq.index(e, model), queries, model,
+      k = 5, nProbe = 3)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-r8-compact").toString
+    IvfPq.writeIndexCompact(e, model, dir)
+    val compact = IvfPq.topKPrunedCompact(spark, dir, queries, model,
+      k = 5, nProbe = 3)
+    val got = compact.orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == single, "compact layout diverged from the single-table path")
+    org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(compact)
+    // plan hygiene of the layout itself: the codes table carries no
+    // vector column, and the vectors read is id-filtered before any join
+    val codesSchema = spark.read.parquet(s"$dir/codes").schema.fieldNames.toSet
+    assert(!codesSchema.contains("nvec"), s"codes table ships vectors: $codesSchema")
+  }
 }
