@@ -62,7 +62,7 @@ object LoadSweep {
     val results = scala.collection.mutable.ArrayBuffer.empty[String]
     def record(line: String): Unit = { println(s"[load] $line"); results += line }
 
-    val ns = Seq(10000L, 100000L, 1000000L)
+    val ns = Seq(10000L, 100000L, 1000000L, 10000000L)
     // materialize the raw lines first: generation cost never contaminates
     // the stage timings
     ns.foreach { n =>
