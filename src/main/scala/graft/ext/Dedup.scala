@@ -367,13 +367,23 @@ object Dedup {
     * early-exits on the first decreased label. Superseded checkpoints
     * are unpersisted as the loop advances; the RETURNED labels stay
     * checkpointed for reuse — call [[releaseComponents]] once the
-    * result is consumed. Deliberately NOT pointer-jumped: the jump is a
-    * self-join of the evolving label table whose unresolved plan
-    * doubles per round — with checkpointed linear rounds the plan stays
-    * flat and near-dup graphs converge in diameter rounds anyway.
+    * result is consumed.
+    *
+    * `shortcut = false` (default) runs linear rounds — NOT
+    * pointer-jumped: the jump is a self-join of the evolving label
+    * table whose unresolved plan doubles per round if left lazy, and
+    * near-dup graphs converge in (single-digit) diameter rounds anyway.
+    * `shortcut = true` enables pointer jumping for HIGH-DIAMETER graphs
+    * (citation chains, linked boilerplate): each round adds a
+    * label-of-label shortcut after the propagation, made safe by
+    * materializing every round via `localCheckpoint` before the
+    * self-join — O(log diameter) rounds at twice the per-round cost
+    * (r8 measurement: 4M-vertex length-64 chains, 63 s → single-digit
+    * seconds). Identical output (differential-pinned).
     */
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 200,
-                          checkpointEvery: Int = 5): DataFrame = {
+                          checkpointEvery: Int = 5,
+                          shortcut: Boolean = false): DataFrame = {
     require(maxIterations >= 1, "maxIterations must be >= 1")
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val nodes = pairs.select(col("id_a").as("id"))
@@ -405,16 +415,42 @@ object Dedup {
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxIterations) {
-      val segment = math.min(checkpointEvery, maxIterations - rounds)
-      var next = labels
-      for (_ <- 1 to segment) {
-        next = edges.alias("e")
-          .join(next.alias("l"), col("e.dst") === col("l.id"))
+      val materialized = if (!shortcut) {
+        val segment = math.min(checkpointEvery, maxIterations - rounds)
+        var next = labels
+        for (_ <- 1 to segment) {
+          next = edges.alias("e")
+            .join(next.alias("l"), col("e.dst") === col("l.id"))
+            .groupBy(col("e.src").as("id"))
+            .agg(min(col("l.component")).as("component"))
+        }
+        rounds += segment
+        next.localCheckpoint()
+      } else {
+        // POINTER JUMPING round: one neighbor propagation, then one
+        // label-of-label shortcut — component chains halve per round, so
+        // convergence takes O(log diameter) rounds instead of diameter.
+        // The shortcut references the propagated table TWICE, the exact
+        // plan-doubling hazard the linear path avoids by construction
+        // (round-3 note): safe here because each round materializes via
+        // localCheckpoint before the self-join and releases the
+        // intermediate immediately after. Every component label is
+        // itself a node id (labels are minima over node ids), so the
+        // shortcut lookup is total and the label order stays
+        // anti-monotone — the same convergence probes apply.
+        val prop = edges.alias("e")
+          .join(labels.alias("l"), col("e.dst") === col("l.id"))
           .groupBy(col("e.src").as("id"))
           .agg(min(col("l.component")).as("component"))
+          .localCheckpoint()
+        val shortcutted = prop.alias("a")
+          .join(prop.alias("b"), col("a.component") === col("b.id"))
+          .select(col("a.id").as("id"), col("b.component").as("component"))
+        rounds += 1
+        val m = shortcutted.localCheckpoint()
+        org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(prop)
+        m
       }
-      rounds += segment
-      val materialized = next.localCheckpoint()
       // anti-monotone labels: either the exact decimal sum strictly
       // decreased, or (fallback) some node's label is strictly smaller
       if (sumProbe) {

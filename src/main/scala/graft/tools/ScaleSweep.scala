@@ -129,11 +129,12 @@ object ScaleSweep {
     def setsim(d: DataFrame): DataFrame =
       graft.ext.SetSim.jaccardJoin(d.filter(col("doc_id") % 3 === 0),
         col("doc_id"), col("text"), tauPct = 90)
-    def chains(n: Long): DataFrame = {
+    def chains(n: Long, shortcut: Boolean = false): DataFrame = {
       val ids = spark.range(n)
       graft.ext.Dedup.connectedComponents(
         ids.filter(pmod(col("id"), lit(64L)) =!= 63L)
-          .select(col("id").as("id_a"), (col("id") + 1L).as("id_b")))
+          .select(col("id").as("id_a"), (col("id") + 1L).as("id_b")),
+        shortcut = shortcut)
     }
 
     val results = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -163,6 +164,10 @@ object ScaleSweep {
     val chainNs = Seq(100000L, 500000L, 1000000L, 2000000L, 4000000L)
     sweep("components_x21", chainNs.map(_.toString),
       t => t.toLong, t => chains(t.toLong))
+    // the r8 pointer-jumping twin: O(log diameter) rounds at 2 joins +
+    // 2 checkpoints per round — the high-diameter escape hatch
+    sweep("components_pj", chainNs.map(_.toString),
+      t => t.toLong, t => chains(t.toLong, shortcut = true))
 
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (results.mkString("[\n", ",\n", "\n]") + "\n")

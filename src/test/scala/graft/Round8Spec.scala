@@ -207,4 +207,32 @@ class Round8Spec extends SparkSpec {
     val codesSchema = spark.read.parquet(s"$dir/codes").schema.fieldNames.toSet
     assert(!codesSchema.contains("nvec"), s"codes table ships vectors: $codesSchema")
   }
+
+  test("pointer-jumped components equal linear components on chains, " +
+    "cliques, and random near-dup graphs") {
+    import graft.ext.Dedup
+    val sps = spark; import sps.implicits._
+    val rnd = new scala.util.Random(20260818L)
+    def comps(df: org.apache.spark.sql.DataFrame, sc: Boolean) = {
+      // the linear leg walks the 200-chain one hop per round and needs
+      // diameter + one probe segment of budget; the PJ leg needs ~log
+      val out = Dedup.connectedComponents(df, maxIterations = 260,
+        shortcut = sc)
+      val rows = out.orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      Dedup.releaseComponents(out)
+      rows
+    }
+    // a 200-deep chain (the high-diameter case pointer jumping exists
+    // for), two cliques, and random sparse edges
+    val chain = (0L until 200L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val clique = for (a <- 300L to 310L; b <- (a + 1) to 310L) yield (a, b)
+    val sparse = Seq.fill(150)((400L + rnd.nextInt(60), 400L + rnd.nextInt(60)))
+      .filter(p => p._1 != p._2)
+    for (edges <- Seq(chain, clique, sparse, chain ++ clique ++ sparse)) {
+      val df = edges.toDF("id_a", "id_b")
+      assert(comps(df, sc = true) == comps(df, sc = false),
+        s"pointer-jumped labels diverged on ${edges.size} edges")
+    }
+  }
 }
