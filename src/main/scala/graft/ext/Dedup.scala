@@ -373,19 +373,26 @@ object Dedup {
     * pointer-jumped: the jump is a self-join of the evolving label
     * table whose unresolved plan doubles per round if left lazy, and
     * near-dup graphs converge in (single-digit) diameter rounds anyway.
-    * `shortcut = true` enables pointer jumping for HIGH-DIAMETER graphs
-    * (citation chains, linked boilerplate): each round adds a
-    * label-of-label shortcut after the propagation, made safe by
-    * materializing every round via `localCheckpoint` before the
-    * self-join — O(log diameter) rounds at twice the per-round cost
-    * (r8 measurement: 4M-vertex length-64 chains, 63 s → single-digit
-    * seconds). Identical output (differential-pinned).
+    * `shortcut = true` enables pointer jumping from round one for
+    * KNOWN-high-diameter graphs (citation chains, linked boilerplate):
+    * each round adds a label-of-label shortcut after the propagation,
+    * made safe by materializing every round via `localCheckpoint`
+    * before the self-join — O(log diameter) rounds at twice the
+    * per-round cost (r8 measurement: 4M-vertex length-64 chains,
+    * 62.6 → 19.3 s). Identical output (differential-pinned).
+    * Either way, a linear walk still moving after `shortcutAfter`
+    * rounds AUTO-ESCALATES to pointer jumping — the default
+    * configuration converges on any graph whose diameter is within
+    * ~2^(remaining budget), instead of failing past `maxIterations`
+    * hops, and the caller never needs to know the diameter up front.
     */
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 200,
                           checkpointEvery: Int = 5,
-                          shortcut: Boolean = false): DataFrame = {
+                          shortcut: Boolean = false,
+                          shortcutAfter: Int = 25): DataFrame = {
     require(maxIterations >= 1, "maxIterations must be >= 1")
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    require(shortcutAfter >= 1, "shortcutAfter must be >= 1")
     val nodes = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id"))).distinct()
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -414,8 +421,17 @@ object Dedup {
     var prevSum = if (sumProbe) labelSum(labels) else null
     var converged = false
     var rounds = 0
+    // AUTO-ESCALATION: a caller who doesn't know the graph's diameter
+    // shouldn't have to. Linear rounds are cheaper while components are
+    // shallow (the near-dup case, single-digit rounds); if the walk is
+    // still moving after `shortcutAfter` rounds the diameter is deep and
+    // the remaining rounds switch to pointer jumping — the budget throw
+    // below then only triggers on graphs deeper than ~2^(budget
+    // remaining), instead of budget hops.
+    var jumping = shortcut
     while (!converged && rounds < maxIterations) {
-      val materialized = if (!shortcut) {
+      if (!jumping && rounds >= shortcutAfter) jumping = true
+      val materialized = if (!jumping) {
         val segment = math.min(checkpointEvery, maxIterations - rounds)
         var next = labels
         for (_ <- 1 to segment) {

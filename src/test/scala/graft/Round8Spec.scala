@@ -234,5 +234,12 @@ class Round8Spec extends SparkSpec {
       assert(comps(df, sc = true) == comps(df, sc = false),
         s"pointer-jumped labels diverged on ${edges.size} edges")
     }
+    // auto-escalation: DEFAULT parameters handle the 200-deep chain —
+    // the linear walk would need ~205 of the 200-round budget, but after
+    // shortcutAfter (25) rounds the loop switches to pointer jumping
+    val auto = Dedup.connectedComponents(chain.toDF("id_a", "id_b"))
+    val labels = auto.orderBy("id").collect().map(_.getLong(1)).toSet
+    Dedup.releaseComponents(auto)
+    assert(labels == Set(0L), s"auto-escalated chain not one component: $labels")
   }
 }
