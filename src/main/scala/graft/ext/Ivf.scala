@@ -204,6 +204,12 @@ object Ivf {
           col("nvec").as("embedding")), queries, k)
       .select("query_id", "neighbor_id").localCheckpoint()
     val truthPairs = truth.count()
+    // an empty truth set (no queries, or every query filtered out of the
+    // brute-force top-k) would make every recall below 0/0 = NaN — fail
+    // loudly instead, mirroring the maxProbe require above
+    require(truthPairs > 0,
+      "no ground-truth pairs — check that `queries` is non-empty and " +
+        "present in the index")
     import spark.implicits._
     val rows = (1 to maxProbe).map { p =>
       val hits = topKPruned(indexed, queries, model, k, nProbe = p)

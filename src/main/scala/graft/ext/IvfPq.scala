@@ -132,19 +132,36 @@ object IvfPq {
   def writeIndexCompact(corpus: DataFrame, model: Model, path: String,
                         idCol: String = "vec_id",
                         vecCol: String = "embedding"): Unit = {
-    val indexed = index(corpus, model, idCol, vecCol)
-    indexed.select("neighbor_id", "codes", "centroid")
-      .write.mode("overwrite").partitionBy("centroid").parquet(s"$path/codes")
-    indexed.select("neighbor_id", "nvec")
-      .write.mode("overwrite").parquet(s"$path/vectors")
+    // checkpoint before the two projections: `index` is lazy, so writing
+    // codes/ and vectors/ from the raw plan would run the full
+    // encode + centroid-assign pass over the corpus TWICE — at 100 TB
+    // that doubles the build, the one cost this layout exists to pay
+    // exactly once
+    val indexed = index(corpus, model, idCol, vecCol).localCheckpoint()
+    try {
+      indexed.select("neighbor_id", "codes", "centroid")
+        .write.mode("overwrite").partitionBy("centroid").parquet(s"$path/codes")
+      indexed.select("neighbor_id", "nvec")
+        .write.mode("overwrite").parquet(s"$path/vectors")
+    } finally
+      org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(indexed)
   }
 
   /** [[topKPruned]] over the compact two-table layout: the ADC prune
     * scans ONLY the codes table (statically partition-pruned to the
     * probed cells), and the rescore pushes the bounded candidate-id set
     * as a scan filter on the vectors table (ids collected driver-side —
-    * ≤ nCandidates·|queries| longs, the batch broadcasts anyway), so
-    * neither stage ever reads a raw vector it doesn't rescore.
+    * ≤ nCandidates·|queries| values, the batch broadcasts anyway), so
+    * neither stage ever reads a raw vector it doesn't rescore. Ids are
+    * collected as untyped values, so any id type the index was written
+    * with (long, int, string) round-trips into the pushed filter.
+    *
+    * CALLER OBLIGATION: the returned DataFrame is backed by a
+    * `localCheckpoint` (the candidate prune must materialize before its
+    * ids can be pushed into the vectors scan); when finished with the
+    * result, release its block-manager storage with
+    * `GraftColumnBridge.unpersistCheckpoint(result)` — the same contract
+    * as [[graft.ext.Dedup.releaseComponents]].
     */
   def topKPrunedCompact(spark: org.apache.spark.sql.SparkSession,
                         path: String, queries: DataFrame, model: Model,
@@ -174,8 +191,11 @@ object IvfPq {
       .withColumn("_crank", row_number().over(wAdc))
       .filter(col("_crank") <= nCandidates)
       .select("query_id", "neighbor_id").localCheckpoint()
+    // untyped collect: the vectors table's id column keeps whatever type
+    // the corpus id had (long, int, string) — getLong would CCE on any
+    // non-long id even though the API is generic in idCol
     val candIds = candidates.select("neighbor_id").distinct()
-      .collect().map(_.getLong(0))
+      .collect().map(_.get(0))
     val fetched = spark.read.parquet(s"$path/vectors")
       .filter(col("neighbor_id").isin(candIds.toSeq: _*))
     val out = broadcast(candidates)

@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * pillars are covered by [[ScaleSweep]] / [[AdversarialSweep]] /
   * [[LoadSweep]] / [[StreamSweep]]).
   *
-  * Corpora: embeddings ×k (k = 1/5/25 → 2k/10k/50k vectors, d = 64),
+  * Corpora: embeddings ×k (k = 1/25/125/625 → 2k/50k/250k/1.25M
+  * vectors, d = 64),
   * each copy id-offset and jittered per-dimension by a copy-specific
   * epsilon — realistic density, no exact duplicates. Per scale point,
   * the IVF / IVF-PQ models train on the bounded seeded sample and the
