@@ -42,17 +42,31 @@ object SetSim {
         array_distinct(split(text, " ")).as("toks"))
       .select(col("id"), col("toks"), size(col("toks")).as("n"))
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** All pairs `(id_a < id_b)` with Jaccard(tokens(a), tokens(b)) ≥
     * `tauPct`/100, with the exact intersection and union sizes.
     * Output: `(id_a, id_b, inter, uni)`.
+    *
+    * SAFE BY DEFAULT on adversarial corpora: prefix buckets wider than
+    * `escalateAt` auto-escalate to the sorted-neighborhood path (see
+    * [[jaccardJoinAuto]] — same device as
+    * [[Dedup.connectedComponents]]'s `shortcutAfter`: callers need not
+    * know their corpus's skew). The result is EXACT whenever no bucket
+    * trips the threshold (the measured real-corpus max is 1262 prefix
+    * docs at sf0.1, well under the 4096 default — x83's hash is
+    * byte-identical to the unguarded join); when escalation fires, the
+    * affected docs' pairs come from the linear-budget neighborhood scan
+    * instead of the quadratic bucket pairing, and the event is logged
+    * loudly. Callers needing the escalation accounting as data use
+    * [[jaccardJoinAuto]]; callers needing recall 1.0 regardless of cost
+    * pass `escalateAt = Int.MaxValue`.
     */
   def jaccardJoin(docs: DataFrame, id: Column, text: Column,
-                  tauPct: Int): DataFrame = {
-    require(tauPct > 0 && tauPct <= 100, "tauPct in (0,100]")
-    val toks = tokenSets(docs, id, text)
-    verifyPairs(candidatesFromPrefix(prefixTable(toks, tauPct), tauPct),
-      toks, tauPct)
-  }
+                  tauPct: Int, escalateAt: Int = 4096,
+                  neighborhoodWindow: Int = 16): DataFrame =
+    jaccardJoinAuto(docs, id, text, tauPct, escalateAt,
+      neighborhoodWindow).pairs
 
   /** Rare-first prefix rows `(id, n, tok)`: position by (df, tok) within
     * each doc; prefix length n − ⌈τ·n⌉ + 1 (integer ceil:
@@ -122,6 +136,89 @@ object SetSim {
       dropped)
   }
 
+  /** [[jaccardJoin]]'s result with the escalation accounting:
+    * `escalated` holds `(tok, prefix_docs)` for every prefix bucket
+    * wider than the threshold, whose docs were routed through the
+    * neighborhood path. Empty `escalated` ⇒ `pairs` is the exact join.
+    */
+  final case class AutoSimJoin(pairs: DataFrame, escalated: DataFrame)
+
+  /** The auto-escalating exact join behind [[jaccardJoin]].
+    *
+    * The hazard: the prefix self-join generates C(bucket, 2) candidates
+    * per token — one token shared by 100k prefixes is 5G candidate
+    * pairs, a plan that is "correct" and never finishes. The capped
+    * variant ([[jaccardJoinCapped]]) bounds it but silently loses the
+    * hot docs' pairs (it only reports them); this path instead REROUTES:
+    * prefix rows of buckets wider than `escalateAt` are dropped from the
+    * quadratic pairing, and every doc that lost a prefix row is sent
+    * through [[sortedNeighborhoodJoin]]'s candidate generator (budget
+    * n·window — linear regardless of skew) against the other hot docs.
+    * A pair is lost only if its SOLE shared prefix token was hot AND the
+    * two docs' canonical forms sort more than `neighborhoodWindow`
+    * apart; docs sharing a hot rare token are near-identical by
+    * construction, which is exactly when they sort adjacent.
+    *
+    * Detection is two-tier so the common case stays cheap: first a
+    * df-bound probe (one explode + groupBy — no window) since a prefix
+    * bucket can never exceed the token's document frequency; only if
+    * some df exceeds the threshold are true prefix-bucket widths
+    * computed. On corpora with max df ≤ `escalateAt` (every real corpus
+    * in the test bed) the probe is the only extra work and the result is
+    * the EXACT join, byte-identical to the unguarded form.
+    *
+    * Candidate budget with escalation: Σ C(min(bucket, escalateAt), 2)
+    * + n_hot·window, versus the unguarded Σ C(bucket, 2).
+    */
+  def jaccardJoinAuto(docs: DataFrame, id: Column, text: Column,
+                      tauPct: Int, escalateAt: Int = 4096,
+                      neighborhoodWindow: Int = 16): AutoSimJoin = {
+    require(tauPct > 0 && tauPct <= 100, "tauPct in (0,100]")
+    require(escalateAt >= 1, "escalateAt must be >= 1")
+    require(neighborhoodWindow >= 1, "neighborhoodWindow must be >= 1")
+    val spark = docs.sparkSession
+    val toks = tokenSets(docs, id, text)
+    val emptyAccounting = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("tok",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("prefix_docs",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    // tier 1: df bound (no window). df(tok) ≥ prefix bucket width, so
+    // max df ≤ cap proves no bucket can trip — the exact path with one
+    // cheap aggregate of extra work.
+    val dfWide = toks.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") > escalateAt)
+    if (escalateAt == Int.MaxValue || dfWide.isEmpty)
+      return AutoSimJoin(
+        verifyPairs(candidatesFromPrefix(prefixTable(toks, tauPct), tauPct),
+          toks, tauPct), emptyAccounting)
+    // tier 2: true bucket widths (pays the window — only on corpora the
+    // df bound already flagged as suspicious)
+    val prefix = prefixTable(toks, tauPct)
+    val wide = prefix.groupBy("tok").agg(count(lit(1)).as("prefix_docs"))
+      .filter(col("prefix_docs") > escalateAt)
+    if (wide.isEmpty)
+      return AutoSimJoin(
+        verifyPairs(candidatesFromPrefix(prefix, tauPct), toks, tauPct),
+        emptyAccounting)
+    val hot = wide.select("tok")
+    val kept = prefix.join(hot, Seq("tok"), "left_anti")
+    val hotDocToks = toks.join(
+      prefix.join(hot, Seq("tok"), "left_semi").select("id").distinct(),
+      Seq("id"), "left_semi")
+    log.warn(s"jaccardJoin: prefix bucket(s) wider than escalateAt=" +
+      s"$escalateAt — escalating their docs to the sorted-neighborhood " +
+      s"path (window=$neighborhoodWindow). Result is no longer " +
+      "guaranteed exact; see AutoSimJoin.escalated for the buckets.")
+    val cands = candidatesFromPrefix(kept, tauPct)
+      .unionByName(neighborhoodCandidates(hotDocToks, neighborhoodWindow))
+      .distinct()
+    AutoSimJoin(verifyPairs(cands, toks, tauPct), wide)
+  }
+
   /** Exact-Jaccard verification of candidate `(id_a, id_b)` pairs via
     * exploded-token co-count — candidate pairs expand to (pair, token)
     * ROWS joined on (id_b, tok), never shipping whole token ARRAYS per
@@ -171,6 +268,14 @@ object SetSim {
     require(window >= 1, "window must be >= 1")
     require(tauPct > 0 && tauPct <= 100, "tauPct in (0,100]")
     val toks = tokenSets(docs, id, text)
+    verifyPairs(neighborhoodCandidates(toks, window), toks, tauPct)
+  }
+
+  /** Sorted-neighborhood candidate generation over a token-set table —
+    * shared by [[sortedNeighborhoodJoin]] and [[jaccardJoinAuto]]'s
+    * escalation path.
+    */
+  private def neighborhoodCandidates(toks: DataFrame, window: Int): DataFrame = {
     val keyed = toks.withColumn("_key",
       array_join(sort_array(col("toks")), " "))
     val positioned = graft.ingest.Ingest.withPosition(
@@ -186,14 +291,13 @@ object SetSim {
       col("b"))
     val right = positioned.select(col("id").as("id_b"), col("pos").as("_pb"),
         explode(array(col("b"), col("b") - 1)).as("b"))
-    val cands = left.join(right,
+    left.join(right,
         left("b") === right("b") &&
           col("_pb") > col("_pa") && col("_pb") <= col("_pa") + window)
       .select(
         least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"))
       .distinct()
-    verifyPairs(cands, toks, tauPct)
   }
 
   /** Candidate-pair count before verification — exposed so tests can

@@ -1373,6 +1373,24 @@ object ExtQueries {
       out.pairs.orderBy("id_a", "id_b")
     }),
 
+    // ---- the DEFAULT similarity-join entry point, oracle-gated: the
+    // auto-escalation guard (jaccardJoinAuto behind plain jaccardJoin)
+    // must stay byte-identical to the exact join on a real corpus —
+    // the measured sf0.1 max prefix bucket is 1262, well under the 4096
+    // default, so a non-empty escalation report here is a LOUD gate
+    // error, never a silently different answer. A 1/5 corpus slice
+    // keeps the pair space distinct from x83's 1/3 slice.
+    "x89_setsim_auto" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+      val out = graft.ext.SetSim.jaccardJoinAuto(d, col("doc_id"),
+        col("text"), tauPct = 90)
+      val escalated = out.escalated.count()
+      if (escalated != 0)
+        throw new IllegalStateException(
+          s"x89: $escalated prefix buckets unexpectedly escalated")
+      out.pairs.orderBy("id_a", "id_b")
+    }),
+
     // ---- cluster-representative selection: after near-dup clustering,
     // keep ONE member per component — highest integer-quantized quality,
     // ties to the lowest id. Planted components: doc_id<25 plus four
@@ -2242,6 +2260,24 @@ object ExtQueries {
       """WITH tok AS (
         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
         |  FROM documents WHERE doc_id % 3 = 0),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |ix AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT id_a, id_b, inter, sa.n + sb.n - inter AS uni
+        |  FROM ix
+        |  JOIN sz sa ON ix.id_a = sa.doc_id
+        |  JOIN sz sb ON ix.id_b = sb.doc_id)
+        |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+        |  CAST(uni AS BIGINT) AS uni
+        |FROM j WHERE inter * 100 >= 90 * uni
+        |ORDER BY id_a, id_b""".stripMargin,
+    "x89_setsim_auto" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id % 5 = 0),
         |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
         |ix AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter

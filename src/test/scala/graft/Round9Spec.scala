@@ -1,0 +1,91 @@
+package graft
+
+import graft.ext.SetSim
+import org.apache.spark.sql.functions._
+
+/** Round-9 pins: the DEFAULT `jaccardJoin` entry point survives an
+  * adversarial hot token — wide prefix buckets auto-escalate to the
+  * linear-budget sorted-neighborhood path with loud accounting — while
+  * staying byte-identical to the exact join on every corpus whose
+  * buckets stay under the threshold (the measured real-corpus regime).
+  */
+class Round9Spec extends SparkSpec {
+
+  test("default jaccardJoin auto-escalates 10k-doc hot tokens and completes") {
+    val sps = spark; import sps.implicits._
+    // Two hot-token families of 5 000 two-token docs each: at tau=50 a
+    // two-token doc's prefix is the WHOLE doc, so the UNGUARDED
+    // self-join would generate ~25M candidate pairs out of the two hot
+    // buckets. Planted signal the guard must keep: a cold-token
+    // near-dup pair (found by the kept prefix pairing) and two
+    // identical docs whose EVERY token is hot — their pair can only
+    // come from the escalation path (identical canonical keys sort
+    // adjacent in the neighborhood scan). No invented pairs are
+    // possible: every cross-family or family-internal pair has
+    // J = 1/3 < tau and verification runs on every candidate.
+    val fam1 = (0 until 5000).map(i => (i.toLong, s"hot1 u$i"))
+    val fam2 = (0 until 5000).map(i => (10000L + i, s"hot2 w$i"))
+    val planted = Seq((20001L, "p q r s"), (20002L, "p q r s"),
+      (30001L, "hot1 hot2"), (30002L, "hot1 hot2"))
+    val docs = (fam1 ++ fam2 ++ planted).toDF("id", "text")
+    val out = SetSim.jaccardJoinAuto(docs, col("id"), col("text"),
+      tauPct = 50, escalateAt = 64)
+    // loud accounting: exactly the two hot buckets, at their true
+    // prefix widths (5 000 family docs + the 2 all-hot docs each)
+    val escalated = out.escalated.collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(escalated.toSeq == Seq(("hot1", 5002L), ("hot2", 5002L)))
+    val pairs = out.pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((20001L, 20002L), (30001L, 30002L)))
+  }
+
+  test("the plain jaccardJoin wrapper takes the same escalation (default API safe)") {
+    val sps = spark; import sps.implicits._
+    val adversarial = (0 until 8000).map(i => (i.toLong, s"hot u$i"))
+    val planted = Seq((20001L, "p q r s"), (20002L, "p q r s"))
+    val docs = (adversarial ++ planted).toDF("id", "text")
+    // 8000-wide bucket > 4096 default threshold: completes within the
+    // escalated candidate budget and still returns the planted pair
+    val pairs = SetSim.jaccardJoin(docs, col("id"), col("text"), tauPct = 50)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((20001L, 20002L)))
+  }
+
+  test("non-tripping threshold keeps the exact join byte-identical") {
+    val sps = spark; import sps.implicits._
+    val rnd = new scala.util.Random(9)
+    val universe = (0 until 40).map(i => s"w$i")
+    val corpus = (0L until 80L).map { id =>
+      val toks = universe.filter(t =>
+        rnd.nextDouble() < 3.0 / (universe.indexOf(t) + 3))
+      id -> (if (toks.isEmpty) "w0" else rnd.shuffle(toks).mkString(" "))
+    }
+    val docs = corpus.toDF("id", "text")
+    for (tau <- Seq(50, 90)) {
+      val guarded = SetSim.jaccardJoinAuto(docs, col("id"), col("text"), tau)
+      val exact = SetSim.jaccardJoin(docs, col("id"), col("text"), tau,
+        escalateAt = Int.MaxValue)
+      assert(guarded.escalated.isEmpty)
+      assert(guarded.pairs.orderBy("id_a", "id_b").collect().toSeq ==
+        exact.orderBy("id_a", "id_b").collect().toSeq)
+    }
+  }
+
+  test("a high-df token that never reaches prefixes stays on the exact path") {
+    val sps = spark; import sps.implicits._
+    // `c` appears in all 200 docs (df = 200 > escalateAt = 64) but at
+    // tau=90 each two-token doc's prefix holds only its UNIQUE rare
+    // token — the tier-1 df bound trips, the tier-2 true-width check
+    // clears it, and the result must be the untouched exact join.
+    val docs = ((0 until 200).map(i => (i.toLong, s"c r$i")) ++
+      Seq((500L, "x y z w v"), (501L, "x y z w v"))).toDF("id", "text")
+    val out = SetSim.jaccardJoinAuto(docs, col("id"), col("text"),
+      tauPct = 90, escalateAt = 64)
+    assert(out.escalated.isEmpty)
+    val pairs = out.pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((500L, 501L)))
+  }
+}
