@@ -38,7 +38,7 @@ object ScaleSweep {
     * copy tag (bijective per copy — see scaladoc). Copy 0 is the real
     * corpus unchanged.
     */
-  private def docsCopy(d: DataFrame, k: Int): DataFrame =
+  private[tools] def docsCopy(d: DataFrame, k: Int): DataFrame =
     if (k == 0) d.select(col("doc_id"), col("text"))
     else d.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
       array_join(transform(split(col("text"), " "),

@@ -264,16 +264,25 @@ class PartitionPruningSpec extends SparkSpec {
       s"model counts lost map-side partial aggregation:\n$plan")
   }
 
-  test("setsim verify co-counts tokens: no array-shipping verify join") {
+  test("setsim verify intersects INTERNED LONG arrays, not strings") {
     val d = Tables(spark, sf0001, "documents")
     val plan = graft.ext.SetSim
       .jaccardJoin(d, col("doc_id"), col("text"), tauPct = 90)
       .queryExecution.executedPlan.toString
-    // the old verify joined full token ARRAYS onto every candidate pair
-    // (array_intersect over duplicated arrays); the co-count form joins
-    // narrow (id, tok) rows and must never reintroduce the array kernel
-    assert(!plan.contains("array_intersect"),
-      s"array-shipping verify join reintroduced:\n$plan")
+    // r9 measured pin (setsim_sweep_r9.json + SetSimProfile): the
+    // exploded-token co-count verify paid per-row costs on a 26×-larger
+    // row count (the r8 weak-mark cliff: 45 s median at 100k docs), and
+    // the string-array intersect paid per-candidate STRING hashing
+    // (4.6 s at 5k docs). The shipped verify interns the vocabulary to
+    // dense longs and intersects long arrays (3.0 s / 13.3 s at the
+    // same points, per-candidate cost falling across a 200× span). Pin
+    // both halves: the intersect kernel is present, and it consumes the
+    // interned id column (the collected _tid list), never raw token
+    // strings.
+    assert(plan.contains("array_intersect"),
+      s"interned-array verify replaced:\n$plan")
+    assert(plan.contains("collect_list(_tid"),
+      s"token interning disappeared from the verify:\n$plan")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"setsim degraded to pairwise:\n$plan")
