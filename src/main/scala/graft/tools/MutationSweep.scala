@@ -80,6 +80,30 @@ object MutationSweep {
       val expected = spark.range(n + n / 100)
         .filter(pmod(col("id"), lit(7L)) =!= 5L).count()
       require(rows == expected, s"content drift at n=$n: $rows != $expected")
+
+      // partition-pruned MERGE (r9): the same one-day change-set (10% of
+      // one of 32 day-partitions) against (a) a day-partitioned table
+      // whose upsert keys include the partition column — only the
+      // touched directory is rewritten — and (b) a flat copy, where the
+      // merge must rewrite the whole table. The claim under test: the
+      // pruned cost tracks the TOUCHED partition's size (~n/32), so the
+      // (b)/(a) ratio grows toward 32 with table size.
+      val basep = base(spark, n).withColumn("day", pmod(col("id"), lit(32L)))
+      val oneDay = basep
+        .filter(col("day") === 7 && pmod(col("id"), lit(10L)) === 0)
+        .withColumn("balance", col("balance") + 1.0)
+      val whp = new SparkWarehouse(spark,
+        java.nio.file.Files.createTempDirectory(s"graft-mutp-$n").toString)
+      unwrap(whp.createPartitioned("tp", basep, Seq("day")))
+      val tP1 = timed(() => unwrap(whp.upsert("tp", oneDay, Seq("id", "day"))))
+      record(s"""{"op":"upsert_part_1day","rows":$n,"sec":$tP1}""")
+      val pRows = unwrap(whp.get("tp")).count()
+      require(pRows == n, s"pruned upsert drift at n=$n: $pRows != $n")
+      val whf = new SparkWarehouse(spark,
+        java.nio.file.Files.createTempDirectory(s"graft-mutf-$n").toString)
+      unwrap(whf.load("tf", basep))
+      val tF1 = timed(() => unwrap(whf.upsert("tf", oneDay, Seq("id", "day"))))
+      record(s"""{"op":"upsert_flat_1day","rows":$n,"sec":$tF1}""")
     }
 
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

@@ -9,6 +9,7 @@ import org.apache.spark.sql.types.StructType
 
 import java.nio.charset.StandardCharsets
 import java.time.Instant
+import scala.jdk.CollectionConverters._
 
 /** Sort direction for `fetch` — the reference's `QuerySort` enum
   * (`src/load_datawarehouse/classes.py:6-8`).
@@ -24,11 +25,17 @@ object QuerySort {
   */
 final case class TableRef(name: String)
 
-/** Table metadata sidecar (schema api_repr + expiry), stored as
-  * `_graft_meta.json` inside the table directory — underscore-prefixed so
-  * Spark's parquet reader ignores it.
+/** Table metadata sidecar (schema api_repr + expiry + partition
+  * layout), stored as `_graft_meta.json` inside the table directory —
+  * underscore-prefixed so Spark's parquet reader ignores it.
+  * `partitionCols` is non-empty for tables created by
+  * [[SparkWarehouse.createPartitioned]]; recording it here is what lets
+  * every later rewrite (upsert/compact/DML) PRESERVE the directory
+  * layout, and lets upsert prune its rewrite to touched partitions.
+  * Sidecars written before this field existed parse as `Nil`.
   */
-final case class TableMeta(schema: Seq[FieldRepr], expiresAtMillis: Option[Long])
+final case class TableMeta(schema: Seq[FieldRepr], expiresAtMillis: Option[Long],
+                           partitionCols: Seq[String] = Nil)
 
 /** The vendor-neutral warehouse over Spark — the reference's
   * `DataWarehouse` ABC (`src/load_datawarehouse/classes.py:18-64`) with
@@ -108,12 +115,20 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String)
       if (node.has("expiresAtMillis") && !node.get("expiresAtMillis").isNull)
         Some(node.get("expiresAtMillis").asLong())
       else None
-    TableMeta(schema, expires)
+    val pcols =
+      if (node.has("partitionCols"))
+        node.get("partitionCols").elements().asScala.map(_.asText()).toSeq
+      else Nil
+    TableMeta(schema, expires, pcols)
   }
 
   private def writeMeta(name: String, m: TableMeta): Unit = {
     val expires = m.expiresAtMillis.map(_.toString).getOrElse("null")
-    val json = s"""{"schema": ${SchemaCodec.toJson(m.schema)}, "expiresAtMillis": $expires}"""
+    val pcols = m.partitionCols
+      .map(c => "\"" + c.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ", ", "]")
+    val json = s"""{"schema": ${SchemaCodec.toJson(m.schema)}, """ +
+      s""""expiresAtMillis": $expires, "partitionCols": $pcols}"""
     val out = fs.create(metaPath(name), true)
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
@@ -313,18 +328,99 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String)
               col(f.name).cast(f.dataType).as(f.name)
             else lit(null).cast(f.dataType).as(f.name)
           }: _*)
-          val survivors = existing.join(
-            aligned.select(keys.map(col): _*).distinct(), keys, "left_anti")
-          val merged = survivors.unionByName(aligned)
-          // swap: the merged data is fully materialized to a temp path
-          // before the old directory moves aside (backup-rename — the
-          // live table survives any failed step)
-          materializeSwap(name, merged)
-          Right(())
+          // partition-pruned MERGE: when the table is partitioned and
+          // every partition column is part of the upsert key, a key can
+          // only ever live in the partition its key values name — so
+          // rows in partitions the incoming batch doesn't touch cannot
+          // match, and only touched partition directories need
+          // rewriting. At 100 TB this is the difference between a
+          // merge that costs O(batch ∪ touched partitions) and one
+          // that rewrites the whole table. When a partition column is
+          // NOT in the key (a matched key could move partitions, or an
+          // old version could hide in an untouched partition) the
+          // whole-table path below stays the only correct plan.
+          val pcols = meta(name).toOption.map(_.partitionCols).getOrElse(Nil)
+          if (pcols.nonEmpty && pcols.forall(keys.contains)) {
+            upsertPruned(name, existing, aligned, keys, pcols)
+            Right(())
+          } else {
+            val survivors = existing.join(
+              aligned.select(keys.map(col): _*).distinct(), keys, "left_anti")
+            val merged = survivors.unionByName(aligned)
+            // swap: the merged data is fully materialized to a temp path
+            // before the old directory moves aside (backup-rename — the
+            // live table survives any failed step)
+            materializeSwap(name, merged)
+            Right(())
+          }
         } catch {
           case e: Exception => Left(TableGenericError(e.getMessage, Some(e)))
         }
     }
+
+  /** The pruned merge: materialize (touched-partition survivors ∪
+    * incoming) to a sibling directory partitioned the same way, then
+    * swap ONLY the touched leaf partition directories into the live
+    * table (backup-rename per directory — any failure restores every
+    * partition already moved). Untouched partitions are never read,
+    * rewritten, or moved. The touched directory set is derived from
+    * what Spark actually WROTE to the temp path (not recomputed from
+    * values), so partition-value escaping can never disagree with the
+    * storage layout.
+    */
+  private def upsertPruned(name: String, existing: DataFrame,
+                           aligned: DataFrame, keys: Seq[String],
+                           pcols: Seq[String]): Unit = {
+    val touched = aligned.select(pcols.map(col): _*).distinct()
+    val survivors = existing
+      .join(broadcast(touched), pcols, "left_semi")
+      .join(aligned.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    val replacement = survivors.unionByName(aligned)
+    val tmp = new Path(warehouseDir, s"$name.__upsert_tmp")
+    val bakRoot = new Path(warehouseDir, s"$name.__upsert_bak")
+    checkedDelete(tmp)
+    checkedDelete(bakRoot)
+    replacement.write.mode(SaveMode.Overwrite).partitionBy(pcols: _*)
+      .parquet(tmp.toString)
+    // leaf partition dirs actually written (relative paths like
+    // "c1=v1/c2=v2"), skipping _SUCCESS and other sidecar files
+    def leaves(base: Path, depth: Int, rel: Seq[String]): Seq[String] =
+      if (depth == 0) Seq(rel.mkString("/"))
+      else fs.listStatus(base).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .flatMap(st => leaves(st.getPath, depth - 1, rel :+ st.getPath.getName))
+    val touchedDirs = leaves(tmp, pcols.length, Nil)
+    val swapped = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+    try {
+      touchedDirs.foreach { rel =>
+        val live = new Path(tablePath(name), rel)
+        val hadLive = fs.exists(live)
+        if (hadLive) {
+          val bak = new Path(bakRoot, rel)
+          fs.mkdirs(bak.getParent)
+          checkedRename(live, bak)
+        }
+        fs.mkdirs(live.getParent)
+        checkedRename(new Path(tmp, rel), live)
+        swapped += ((rel, hadLive))
+      }
+    } catch {
+      case e: Exception =>
+        // restore every partition already swapped, newest first
+        swapped.reverse.foreach { case (rel, hadLive) =>
+          val live = new Path(tablePath(name), rel)
+          fs.delete(live, true)
+          if (hadLive) fs.rename(new Path(bakRoot, rel), live)
+        }
+        checkedDelete(tmp)
+        checkedDelete(bakRoot)
+        throw new java.io.IOException(
+          s"pruned upsert of '$name' failed; touched partitions restored", e)
+    }
+    checkedDelete(tmp)
+    checkedDelete(bakRoot)
+    registerView(name)
+  }
 
   /** Small-file compaction — the OPTIMIZE step of table maintenance:
     * rewrite the table's data into `targetFiles` files (content
@@ -401,8 +497,16 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String)
     val tmp = new Path(warehouseDir, s"$name.__rewrite_tmp")
     val bak = new Path(warehouseDir, s"$name.__rewrite_bak")
     checkedDelete(tmp)
-    data.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val priorMeta = meta(name).toOption
+    // a partitioned table keeps its directory layout through every
+    // rewrite — compaction/DML must never silently flatten the one
+    // property 100 TB scans prune on
+    val pcols = priorMeta.map(_.partitionCols).getOrElse(Nil)
+      .filter(data.columns.contains)
+    if (pcols.nonEmpty)
+      data.write.mode(SaveMode.Overwrite).partitionBy(pcols: _*)
+        .parquet(tmp.toString)
+    else data.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     checkedDelete(bak)
     checkedRename(tablePath(name), bak)
     try checkedRename(tmp, tablePath(name))
@@ -551,7 +655,10 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String)
         .partitionBy(partitionCols: _*)
         .mode(SaveMode.Overwrite)
         .parquet(tablePath(name).toString)
-      writeMeta(name, TableMeta(SchemaCodec.fromStructType(prepared.schema), None))
+      // record the layout in the sidecar: later rewrites preserve it and
+      // upsert can prune to touched partitions
+      writeMeta(name, TableMeta(SchemaCodec.fromStructType(prepared.schema),
+        None, partitionCols))
       registerView(name)
       Right(TableRef(name))
     } catch { case e: Exception => Left(TableGenericError(e.getMessage, Some(e))) }
