@@ -389,6 +389,93 @@ object OpsQueries {
       Seq(n).toDF("n")
     }),
 
+    // ---- the swap-the-subclass premise for WRITES: the exact op_upsert
+    // lifecycle (load → keyed MERGE of changed+fresh rows → read back),
+    // driven through the vendor-neutral trait against the JDBC (Derby)
+    // backend. Same oracle as op_upsert — the merged table state must be
+    // backend-invariant.
+    "op_upsert_jdbc" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val dbDir = java.nio.file.Files.createTempDirectory("graft-jdbc-ups").toString
+      val wh: Warehouse = new JdbcWarehouse(s, s"jdbc:derby:$dbDir/wh;create=true")
+      val base = Tables(s, dir, "customer")
+        .select("c_custkey", "c_name").filter(col("c_custkey") <= 100)
+      wh.load("cust_ups", base) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      val changed = Tables(s, dir, "customer").filter(col("c_custkey") <= 10)
+        .select(col("c_custkey"), lit("UPDATED").as("c_name"))
+      val fresh = (1 to 5).map(k => (10000L + k, "NEW")).toDF("c_custkey", "c_name")
+      wh.upsert("cust_ups", changed.unionByName(fresh), Seq("c_custkey")) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.get("cust_ups") match {
+        case Right(df) => df.orderBy("c_custkey")
+        case Left(e) => throw new RuntimeException(e.message)
+      }
+    }),
+
+    // ---- and for row-level DML: updateWhere + deleteWhere through the
+    // trait on the JDBC backend (rewrite-and-stage-swap underneath —
+    // the backend difference the trait hides).
+    "op_dml_jdbc" -> ((s: SparkSession, dir: String) => {
+      val dbDir = java.nio.file.Files.createTempDirectory("graft-jdbc-dml").toString
+      val wh: Warehouse = new JdbcWarehouse(s, s"jdbc:derby:$dbDir/wh;create=true")
+      val base = Tables(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment")
+      wh.load("cust_dml", base) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.updateWhere("cust_dml", Map("c_mktsegment" -> lit("FLAGGED")),
+        pmod(col("c_custkey"), lit(7)) === 0) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.deleteWhere("cust_dml", pmod(col("c_custkey"), lit(3)) === 0) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.get("cust_dml") match {
+        case Right(df) => df.orderBy("c_custkey")
+        case Left(e) => throw new RuntimeException(e.message)
+      }
+    }),
+
+    // ---- partition-pruned MERGE: on a partitioned table whose
+    // partition columns are part of the upsert key, only the touched
+    // partition directories are rewritten (upsertPruned — survivors
+    // semi-joined to the touched set, per-directory backup-rename swap).
+    // The gate plants changes + fresh rows in ONE partition ('click');
+    // every other partition must survive byte-identical, and the final
+    // state is fully oracle-expressible.
+    "op_upsert_partitioned" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val wh = tmpWarehouse(s)
+      val ev = Tables.events(s, dir).select("event_id", "event_type", "value")
+      wh.createPartitioned("ev_part", ev, Seq("event_type")) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      val changed = ev
+        .filter(col("event_type") === "click" && pmod(col("event_id"), lit(5)) === 0)
+        .withColumn("value", col("value") * 2)
+      val fresh = (1 to 3).map(k => (9000000L + k, "click", 1.5))
+        .toDF("event_id", "event_type", "value")
+      wh.upsert("ev_part", changed.unionByName(fresh),
+        Seq("event_id", "event_type")) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.get("ev_part") match {
+        case Right(df) => df.select("event_id", "event_type", "value")
+          .orderBy("event_id")
+        case Left(e) => throw new RuntimeException(e.message)
+      }
+    }),
+
     // ---- sources: the JDBC sink + scan pair (BASELINE "JDBC/Parquet
     // sinks") made oracle-visible — rows written through the batched
     // JDBC insert into embedded Derby must read back bit-identical.
@@ -754,6 +841,31 @@ object OpsQueries {
         |  SELECT CAST(10000 + k AS BIGINT) AS c_custkey, 'NEW' AS c_name
         |  FROM range(1, 6) t(k)
         |) ORDER BY c_custkey""".stripMargin,
+    "op_upsert_partitioned" ->
+      """SELECT * FROM (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_type = 'click' AND event_id % 5 = 0
+        |         THEN value * 2 ELSE value END AS value
+        |  FROM events
+        |  UNION ALL
+        |  SELECT CAST(9000000 + k AS BIGINT), 'click', 1.5
+        |  FROM range(1, 4) t(k)
+        |) ORDER BY event_id""".stripMargin,
+    "op_upsert_jdbc" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey <= 10 THEN 'UPDATED' ELSE c_name END AS c_name
+        |  FROM customer WHERE c_custkey <= 100
+        |  UNION ALL
+        |  SELECT CAST(10000 + k AS BIGINT) AS c_custkey, 'NEW' AS c_name
+        |  FROM range(1, 6) t(k)
+        |) ORDER BY c_custkey""".stripMargin,
+    "op_dml_jdbc" ->
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 7 = 0 THEN 'FLAGGED'
+        |       ELSE c_mktsegment END AS c_mktsegment
+        |FROM customer WHERE NOT (c_custkey % 3 = 0)
+        |ORDER BY c_custkey""".stripMargin,
     "op_jdbc_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,

@@ -343,6 +343,53 @@ final class JdbcWarehouse(val spark: SparkSession, val url: String)
         }
     }
 
+  /** Rewrite-and-swap shared by the row-level DML verbs: materialize the
+    * transformed rows to a staging table BEFORE the live one is touched
+    * (a JDBC Overwrite of `name` would drop the table Spark is still
+    * lazily reading from — the same self-overwrite hazard [[upsert]]
+    * avoids), then DROP + RENAME. On a warehouse-grade JDBC endpoint
+    * these verbs would push down as real UPDATE/DELETE statements; the
+    * rewrite keeps semantics identical across backends, which is what
+    * the swap-the-subclass contract promises.
+    */
+  private def rewriteSwap(name: String,
+                          f: DataFrame => DataFrame): Either[WarehouseError, Unit] =
+    get(name) match {
+      case Left(e) => Left(e)
+      case Right(existing) =>
+        try {
+          val rewritten = f(existing)
+          val staging = s"${name}_graft_stage"
+          graft.sources.Sources.writeJdbc(rewritten, url, staging, SaveMode.Overwrite)
+          withConn { c =>
+            ddl(c, s"DROP TABLE $name")
+            ddl(c, s"RENAME TABLE $staging TO $name")
+          }
+          registerView(name)
+          Right(())
+        } catch {
+          case e: Exception => Left(TableGenericError(e.getMessage, Some(e)))
+        }
+    }
+
+  def updateWhere(name: String, set: Map[String, org.apache.spark.sql.Column],
+                  predicate: org.apache.spark.sql.Column): Either[WarehouseError, Unit] =
+    rewriteSwap(name, { existing =>
+      val missing = set.keys.filterNot(existing.columns.contains)
+      require(missing.isEmpty, s"unknown update columns: $missing")
+      existing.select(existing.columns.toIndexedSeq.map { c =>
+        set.get(c) match {
+          case Some(v) => org.apache.spark.sql.functions
+            .when(predicate, v).otherwise(col(c)).as(c)
+          case None    => col(c)
+        }
+      }: _*)
+    })
+
+  def deleteWhere(name: String,
+                  predicate: org.apache.spark.sql.Column): Either[WarehouseError, Unit] =
+    rewriteSwap(name, _.filter(predicate.isNull || !predicate))
+
   def rename(from: String, to: String): Either[WarehouseError, Unit] =
     try {
       withConn { c =>

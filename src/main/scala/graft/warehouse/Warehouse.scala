@@ -66,6 +66,20 @@ trait Warehouse {
   /** Key-based MERGE: matching rows replace, fresh rows append. */
   def upsert(name: String, data: DataFrame, keys: Seq[String]): Either[WarehouseError, Unit]
 
+  /** Row-level DML UPDATE ... SET ... WHERE: each `set` column replaced
+    * by its expression on rows satisfying the predicate; non-matching
+    * and null-predicate rows pass through unchanged.
+    */
+  def updateWhere(name: String, set: Map[String, org.apache.spark.sql.Column],
+                  predicate: org.apache.spark.sql.Column): Either[WarehouseError, Unit]
+
+  /** Row-level DML DELETE ... WHERE: keep only rows where the predicate
+    * is NOT satisfied (null-predicate rows are kept — SQL DELETE
+    * semantics, only TRUE deletes).
+    */
+  def deleteWhere(name: String,
+                  predicate: org.apache.spark.sql.Column): Either[WarehouseError, Unit]
+
   /** Metadata-level table rename. */
   def rename(from: String, to: String): Either[WarehouseError, Unit]
 
