@@ -69,6 +69,64 @@ object StreamQueries {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Shared body of s02 / s16: a REAL run of the stateful sessionizer
+    * (flatMapGroupsWithState + event-time timeout), staged as three
+    * chronologically-ordered files (events + two far-future sentinel
+    * ticks) so maxFilesPerTrigger=1 advances the watermark between
+    * micro-batches and the timeouts fire. The sink name doubles as the
+    * memory-table name, so the two gates never clobber each other.
+    */
+  private def sessionsGateBody(s: SparkSession, dir: String,
+                               sinkName: String): DataFrame = {
+    import s.implicits._
+    val gapMs = 30L * 60 * 1000
+    val staged = java.nio.file.Files.createTempDirectory("graft-s02")
+    // batch 0 = the raw events file, copied as-is (no Spark rewrite);
+    // sentinels use fixed far-future timestamps (testdata is bounded
+    // to 2024), so no max(ts) pre-pass either
+    val dest0 = staged.resolve("0.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"), dest0)
+    dest0.toFile.setLastModified(1000000000L)
+    def sentinel(n: Int, epochSec: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-s02-tmp$n")
+      // built as epoch-nanos long, then aligned to the stored ts type
+      alignTs(Seq((-n.toLong, epochSec * 1000000000L, -1L, "tick", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+        eventsSchema(s, dir)("ts").dataType)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = staged.resolve(s"$n.parquet")
+      java.nio.file.Files.copy(part.toPath, dest)
+      // file order = modification time (oldest first)
+      dest.toFile.setLastModified(1000000000L + n * 1000000L)
+    }
+    sentinel(1, 2051222400L) // 2035-01-01
+    sentinel(2, 2051308800L) // 2035-01-02
+    withShufflePartitions(s, 4) {
+      val stream = s.readStream.schema(eventsSchema(s, dir))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged.toString)
+        .transform(graft.Tables.normalizeTs(_))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val sessions = EventStream.sessionize(stream.as[EventStream.Event],
+        gapMillis = gapMs, watermarkDelay = "0 seconds")
+      val q = sessions.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      awaitOrFail(q, 180000)
+    }
+    s.table(sinkName)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_stream_hourly" -> ((s: SparkSession, dir: String) => {
       // the file-stream source needs a directory: stage the events file
@@ -113,61 +171,26 @@ object StreamQueries {
     // between batches and the event-time timeouts fire, closing every
     // real user's final session (a stream never "ends"; the sentinels
     // model the epilogue ticks a production pipeline gets for free).
-    "s02_stream_sessions" -> ((s: SparkSession, dir: String) => {
-      import s.implicits._
-      val gapMs = 30L * 60 * 1000
-      val staged = java.nio.file.Files.createTempDirectory("graft-s02")
-      // batch 0 = the raw events file, copied as-is (no Spark rewrite);
-      // sentinels use fixed far-future timestamps (testdata is bounded
-      // to 2024), so no max(ts) pre-pass either
-      val dest0 = staged.resolve("0.parquet")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"), dest0)
-      dest0.toFile.setLastModified(1000000000L)
-      def sentinel(n: Int, epochSec: Long): Unit = {
-        val tmp = java.nio.file.Files.createTempDirectory(s"graft-s02-tmp$n")
-        // built as epoch-nanos long, then aligned to the stored ts type
-        alignTs(Seq((-n.toLong, epochSec * 1000000000L, -1L, "tick", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
-          eventsSchema(s, dir)("ts").dataType)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = new java.io.File(tmp.toString).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dest = staged.resolve(s"$n.parquet")
-        java.nio.file.Files.copy(part.toPath, dest)
-        // file order = modification time (oldest first)
-        dest.toFile.setLastModified(1000000000L + n * 1000000L)
+    "s02_stream_sessions" -> ((s: SparkSession, dir: String) =>
+      sessionsGateBody(s, dir, "s02_stream_sessions_sink")),
+
+    // ---- the SAME custom-state sessionizer run on the RocksDB state
+    // store backend — the one-conf escape hatch for state beyond heap
+    // (StreamSweep measured it; this gate keeps it from rotting).
+    // Result must be hash-identical to s02: the state BACKEND must
+    // never change the answer.
+    "s16_stream_sessions_rocksdb" -> ((s: SparkSession, dir: String) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prior = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try sessionsGateBody(s, dir, "s16_stream_sessions_rocksdb_sink")
+      finally prior match {
+        case Some(p) => s.conf.set(key, p)
+        case None    => s.conf.unset(key)
       }
-      sentinel(1, 2051222400L) // 2035-01-01
-      sentinel(2, 2051308800L) // 2035-01-02
-      withShufflePartitions(s, 4) {
-        val stream = s.readStream.schema(eventsSchema(s, dir))
-          .option("maxFilesPerTrigger", 1)
-          .parquet(staged.toString)
-          .transform(graft.Tables.normalizeTs(_))
-          .select("event_id", "ts", "user_id", "event_type", "value")
-        val sessions = EventStream.sessionize(stream.as[EventStream.Event],
-          gapMillis = gapMs, watermarkDelay = "0 seconds")
-        val q = sessions.writeStream
-          .format("memory")
-          .queryName("s02_stream_sessions_sink")
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        awaitOrFail(q, 180000)
-      }
-      s.table("s02_stream_sessions_sink")
-        .filter(col("user_id") >= 0)
-        .select(col("user_id"), col("session_start"), col("session_end"),
-          col("n_events"))
-        .orderBy("user_id", "session_start")
     }),
 
-    // Streaming exact dedup (dropDuplicatesWithinWatermark — bounded
-    // state): the set of distinct keys a single-pass stream emits must
-    // equal the batch DISTINCT. Only the keys are compared (which
-    // arrival gets kept per key is scheduling-dependent; the key set is
-    // not).
     // ---- sliding (hopping) windows: every event lands in FOUR
     // overlapping 2-hour windows on a 30-minute hop — the overlapping-
     // window shape tumbling s01 cannot express (state per (window,key)
@@ -201,6 +224,11 @@ object StreamQueries {
       s.table("s07_stream_sliding_sink").orderBy("event_type", "win_start")
     }),
 
+    // Streaming exact dedup (dropDuplicatesWithinWatermark — bounded
+    // state): the set of distinct keys a single-pass stream emits must
+    // equal the batch DISTINCT. Only the keys are compared (which
+    // arrival gets kept per key is scheduling-dependent; the key set is
+    // not).
     "s03_stream_dedup" -> ((s: SparkSession, dir: String) => {
       val staged = java.nio.file.Files.createTempDirectory("graft-s03")
       java.nio.file.Files.copy(
@@ -903,6 +931,27 @@ object StreamQueries {
         |GROUP BY hour_start, event_type
         |ORDER BY event_type, hour_start""".stripMargin,
     "s02_stream_sessions" ->
+      """WITH w AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER win IS NULL THEN 1
+        |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER win) > 1800000000
+        |           THEN 1
+        |         ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM w
+        |)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    // s16 = s02 on the RocksDB state backend: same oracle by contract
+    // (the state BACKEND must never change the answer)
+    "s16_stream_sessions_rocksdb" ->
       """WITH w AS (
         |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER win IS NULL THEN 1
