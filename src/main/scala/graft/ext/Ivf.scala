@@ -221,4 +221,122 @@ object Ivf {
     org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(truth)
     rows.toDF("n_probe", "hits", "truth_pairs", "recall")
   }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** The calibration record a [[buildCalibrated]] index carries:
+    * `recommendedNProbe` is the SMALLEST probe width whose measured
+    * recall@k on the calibration sample reaches `targetRecall` (or
+    * `maxProbe` with `targetReached = false` when none does);
+    * `pruningEffective` is false when reaching the target needs more
+    * than half the cells — the cluster-free regime the r8 ANN sweep
+    * diagnosed, where an IVF index hardly beats a brute scan and the
+    * right fix is upstream (dedup before indexing, or more/better
+    * centroids), not a wider probe.
+    */
+  final case class IndexCalibration(recommendedNProbe: Int, estRecall: Double,
+                                    targetRecall: Double, targetReached: Boolean,
+                                    pruningEffective: Boolean,
+                                    curve: Seq[(Int, Double)])
+
+  final case class CalibratedIndex(model: Model, indexed: DataFrame,
+                                   calibration: IndexCalibration)
+
+  /** Train + index + CALIBRATE in one build — the r8 verdict's wiring
+    * item: a fixed default nProbe silently under-recalls on corpora
+    * whose embeddings don't cluster (measured 0.36 recall at
+    * nProbe=2/16 on the real corpus), so the default build now MEASURES
+    * the recall curve on a bounded seeded query sample (one brute-force
+    * truth pass + one pruned probe per width, all over a checkpointed
+    * index snapshot that is released before returning) and records the
+    * width that meets `targetRecall`. Callers probe with
+    * `calibration.recommendedNProbe`; persist it beside the index with
+    * [[writeCalibration]]. Cost: the calibration adds
+    * O(sample · corpus) work to a build that is already one full pass —
+    * paid once, at build time, exactly where a silent-recall bug would
+    * otherwise be born.
+    */
+  def buildCalibrated(corpus: DataFrame, nCentroids: Int, k: Int = 10,
+                      targetRecall: Double = 0.9, nQueries: Int = 32,
+                      maxProbe: Int = 0, idCol: String = "vec_id",
+                      vecCol: String = "embedding", sampleSize: Int = 4096,
+                      iterations: Int = 8, seed: Long = 42L): CalibratedIndex = {
+    require(targetRecall > 0 && targetRecall <= 1, "targetRecall in (0,1]")
+    val model = train(corpus, vecCol, nCentroids, sampleSize, iterations, seed)
+    val probeCap =
+      if (maxProbe >= 1) math.min(maxProbe, model.numCentroids)
+      else model.numCentroids
+    val indexed = index(corpus, model, idCol, vecCol)
+    val snap = indexed.localCheckpoint()
+    try {
+      // calibration sample: seeded top-n under a random key, renamed to
+      // the probe path's expected columns
+      val queries = corpus
+        .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+        .orderBy(rand(seed + 1).asc).limit(nQueries)
+      val curve = calibrateNProbe(snap, queries, model, k, probeCap)
+        .select("n_probe", "recall").collect()
+        .map(r => (r.getInt(0), r.getDouble(1))).toSeq
+      val reached = curve.find(_._2 >= targetRecall)
+      val (rec, est) = reached.getOrElse(curve.last)
+      if (reached.isEmpty)
+        log.warn(s"buildCalibrated: recall $est at maxProbe=$probeCap " +
+          s"never reaches target $targetRecall — the index cannot serve " +
+          "this corpus at that recall; re-cluster or raise nCentroids.")
+      val effective = rec * 2 <= model.numCentroids
+      if (!effective)
+        log.warn(s"buildCalibrated: target recall needs nProbe=$rec of " +
+          s"${model.numCentroids} cells — pruning is ineffective " +
+          "(cluster-free embeddings regime: recall ≈ scanned fraction). " +
+          "Dedup before indexing or revisit the embedding space.")
+      CalibratedIndex(model, indexed,
+        IndexCalibration(rec, est, targetRecall, reached.nonEmpty,
+          effective, curve))
+    } finally
+      org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(snap)
+  }
+
+  /** Persist the calibration beside a written index
+    * (`<path>/_graft_ivf_meta.json` — underscore-prefixed so the
+    * parquet reader ignores it), so probe-side code can read the
+    * recommended width instead of guessing.
+    */
+  def writeCalibration(spark: org.apache.spark.sql.SparkSession, path: String,
+                       cal: IndexCalibration): Unit = {
+    val curve = cal.curve
+      .map { case (p, r) => s"[$p, $r]" }.mkString("[", ", ", "]")
+    val json = s"""{"recommendedNProbe": ${cal.recommendedNProbe}, """ +
+      s""""estRecall": ${cal.estRecall}, """ +
+      s""""targetRecall": ${cal.targetRecall}, """ +
+      s""""targetReached": ${cal.targetReached}, """ +
+      s""""pruningEffective": ${cal.pruningEffective}, """ +
+      s""""curve": $curve}"""
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_ivf_meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def readCalibration(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Option[IndexCalibration] = {
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_ivf_meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val bytes = try org.apache.commons.io.IOUtils.toByteArray(in)
+        finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      val curve = (0 until node.get("curve").size()).map { i =>
+        val e = node.get("curve").get(i)
+        (e.get(0).asInt(), e.get(1).asDouble())
+      }
+      Some(IndexCalibration(node.get("recommendedNProbe").asInt(),
+        node.get("estRecall").asDouble(), node.get("targetRecall").asDouble(),
+        node.get("targetReached").asBoolean(),
+        node.get("pruningEffective").asBoolean(), curve))
+    }
+  }
 }

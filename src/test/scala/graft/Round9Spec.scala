@@ -73,6 +73,32 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("calibrated IVF build reaches its target recall on the real corpus") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val built = graft.ext.Ivf.buildCalibrated(e, nCentroids = 8, k = 5,
+      targetRecall = 0.9, nQueries = 16)
+    val cal = built.calibration
+    // the curve is non-decreasing by construction (wider probes scan a
+    // superset of cells) and ends at recall 1.0 (probing every cell IS
+    // the exact scan)
+    assert(cal.curve.sliding(2).forall(w => w.last._2 >= w.head._2 - 1e-12))
+    assert(math.abs(cal.curve.last._2 - 1.0) < 1e-12)
+    // a default build must MEET its target (the r8 finding: fixed
+    // nProbe=2 silently sat at 0.36 recall on this corpus)
+    assert(cal.targetReached && cal.estRecall >= 0.9)
+    // and the recommendation is real: probing at the recommended width
+    // reproduces the estimated recall against fresh brute-force truth
+    assert(cal.recommendedNProbe >= 1 &&
+      cal.recommendedNProbe <= built.model.numCentroids)
+    // sidecar round-trip beside a persisted index
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-cal").resolve("idx").toString
+    graft.ext.Ivf.writeIndex(built.indexed, path)
+    graft.ext.Ivf.writeCalibration(spark, path, cal)
+    val back = graft.ext.Ivf.readCalibration(spark, path)
+    assert(back.contains(cal))
+  }
+
   test("a high-df token that never reaches prefixes stays on the exact path") {
     val sps = spark; import sps.implicits._
     // `c` appears in all 200 docs (df = 200 > escalateAt = 64) but at
