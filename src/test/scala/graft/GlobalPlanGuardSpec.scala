@@ -62,4 +62,38 @@ class GlobalPlanGuardSpec extends SparkSpec {
         s"$n candidate generation plans a non-equi join")
     }
   }
+
+  test("a18 fuzzy join pins its bounded blocking-key candidate generation") {
+    // a18's scale safety is the `blk` equi-join BEFORE the levenshtein
+    // filter: candidates are per-blocking-key, never all-pairs. The
+    // global sweep above already rejects a cartesian, but a refactor
+    // could silently degrade to a wider equi key (or none on the probe
+    // side); pin that the executed plan (1) hash-joins, (2) keys on
+    // blk, and (3) evaluates levenshtein AFTER the join (as a filter),
+    // so the metric never becomes the join condition of a loop join.
+    val plan = SparkEntry.queries("a18_fuzzy_join")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      "a18 lost its equi join")
+    assert("(?i)hashjoin.*\\[blk".r.findFirstIn(plan.replace("\n", " ")).isDefined
+      || "(?i)join.*blk".r.findFirstIn(plan.replace("\n", " ")).isDefined,
+      "a18 no longer keys its join on the blocking column")
+    assert(plan.toLowerCase.contains("levenshtein"),
+      "a18's verify filter disappeared from the physical plan")
+  }
+
+  test("a22's deliberate pairwise scan stays bounded by its pushed id filter") {
+    // a22 is whitelisted as deliberate brute force — legitimate ONLY
+    // while its input stays an explicitly bounded set. Pin the bound:
+    // the scan must push p_partkey <= 40 down to parquet, so the
+    // C(40,2)=780-pair budget can never silently widen into a
+    // corpus-wide quadratic scan.
+    val plan = SparkEntry.queries("a22_damerau_pairs")(spark, sf0001)
+      .queryExecution.executedPlan.toString.replace("\n", " ")
+    assert("LessThanOrEqual\\(p_partkey,\\s*40\\)".r.findFirstIn(plan).isDefined,
+      "a22's bounding filter is no longer pushed to the scan")
+    // p_partkey starts at 0 in the testdata, so <= 40 admits 41 ids
+    val rows = SparkEntry.queries("a22_damerau_pairs")(spark, sf0001).count()
+    assert(rows <= 820, s"a22 produced $rows pairs — bound (C(41,2)) broken")
+  }
 }
