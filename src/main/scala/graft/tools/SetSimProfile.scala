@@ -20,6 +20,11 @@ object SetSimProfile {
     spark.sparkContext.setLogLevel("WARN")
     sys.env.get("SPARK_GRAFT_SHUFFLE").foreach(n =>
       spark.conf.set("spark.sql.shuffle.partitions", n))
+    // generic conf pass-through for experiments: "k=v;k=v"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
     val tauPct = 90
 
     val d0 = (tag match {
@@ -75,7 +80,19 @@ object SetSimProfile {
     timed("tokens")(toks.count())
     timed("freq (df groupBy)")(freq.count())
     timed("prefix (join+window)")(prefix.count())
+    // candidates decomposition: raw pair generation vs the dedup
+    val rawPairs = prefix.as("a")
+      .join(prefix.as("b"), col("a.tok") === col("b.tok") &&
+        col("a.id") < col("b.id") &&
+        lit(100L) * col("a.n") >= lit(90L) * col("b.n") &&
+        lit(100L) * col("b.n") >= lit(90L) * col("a.n"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    timed("candidates raw (no distinct)")(rawPairs.count())
     timed("candidates (selfjoin+dist)")(cands.count())
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
+      println("[profile] === candidates executed plan ===")
+      println(cands.queryExecution.executedPlan.toString)
+    }
     timed("expanded (cands x tokens)")(expanded.count())
     timed("inter (co-count agg)")(inter.count())
     timed("full verify")(full.count())
@@ -118,6 +135,23 @@ object SetSimProfile {
         (col("_na") + col("_nb") - col("inter")).cast("long").as("uni"))
       .filter(col("inter") * 100L >= lit(tauPct.toLong) * col("uni"))
     timed("verify-via-int-arrays e2e")(viaInts.count())
+
+    // variant: skip the candidate distinct entirely — carry duplicate
+    // pairs (one per shared prefix token) through the cheap interned
+    // verify and dedup the verified OUTPUT instead
+    val viaLate = rawPairs
+      .join(toksInt.select(col("id").as("id_a"), col("toks").as("_ta"),
+        col("n").as("_na")), "id_a")
+      .join(toksInt.select(col("id").as("id_b"), col("toks").as("_tb"),
+        col("n").as("_nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("_ta"), col("_tb"))).cast("long").as("inter"),
+        col("_na"), col("_nb"))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        (col("_na") + col("_nb") - col("inter")).cast("long").as("uni"))
+      .filter(col("inter") * 100L >= lit(tauPct.toLong) * col("uni"))
+      .distinct()
+    timed("late-dedup e2e")(viaLate.count())
     spark.stop()
   }
 }
