@@ -73,6 +73,59 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("rewrites preserve a partitioned table's directory layout") {
+    val sps = spark; import sps.implicits._
+    val wh = new graft.warehouse.SparkWarehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-r9-part").toString)
+    val data = (0L until 200L).map(i => (i, s"seg${i % 4}", i * 10))
+      .toDF("id", "seg", "v")
+    wh.createPartitioned("t", data, Seq("seg"))
+      .fold(e => fail(e.message), identity)
+    def segDirs: Set[String] = {
+      val root = new java.io.File(s"${wh.warehouseDir}/t")
+      root.listFiles().filter(_.isDirectory).map(_.getName)
+        .filter(_.startsWith("seg=")).toSet
+    }
+    val before = segDirs
+    assert(before == Set("seg=seg0", "seg=seg1", "seg=seg2", "seg=seg3"))
+    // deleteWhere + updateWhere + compact all go through materializeSwap,
+    // which must keep the col=value directory structure (the one
+    // property 100 TB scans prune on), not flatten it
+    wh.deleteWhere("t", col("id") % 10 === 9).fold(e => fail(e.message), identity)
+    assert(segDirs == before, "deleteWhere flattened the partition layout")
+    wh.updateWhere("t", Map("v" -> (col("v") + 1)), col("id") < 5)
+      .fold(e => fail(e.message), identity)
+    assert(segDirs == before, "updateWhere flattened the partition layout")
+    wh.compact("t", targetFiles = 2).fold(e => fail(e.message), identity)
+    assert(segDirs == before, "compact flattened the partition layout")
+    // content correct after the chain
+    val got = wh.get("t").fold(e => fail(e.message), identity)
+      .orderBy("id").collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("v")))
+    val expected = (0L until 200L).filter(_ % 10 != 9)
+      .map(i => (i, i * 10 + (if (i < 5) 1 else 0)))
+    assert(got.toSeq == expected)
+    // and meta still records the layout
+    assert(wh.meta("t").fold(e => fail(e.message), identity)
+      .partitionCols == Seq("seg"))
+  }
+
+  test("pruned upsert refuses nothing but routes correctly by key shape") {
+    val sps = spark; import sps.implicits._
+    val wh = new graft.warehouse.SparkWarehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-r9-route").toString)
+    val data = (0L until 100L).map(i => (i, s"d${i % 5}", i)).toDF("id", "day", "v")
+    wh.createPartitioned("t", data, Seq("day")).fold(e => fail(e.message), identity)
+    // keys NOT covering the partition col: whole-table path must still
+    // move a key that changes partition (the case pruning cannot serve)
+    val moved = Seq((7L, "d9", 700L)).toDF("id", "day", "v")
+    wh.upsert("t", moved, Seq("id")).fold(e => fail(e.message), identity)
+    val after = wh.get("t").fold(e => fail(e.message), identity)
+      .filter(col("id") === 7).select("day", "v").collect()
+    assert(after.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("d9", 700L)))
+    // exactly one row for the moved key — no duplicate left in the old partition
+    assert(wh.get("t").fold(e => fail(e.message), identity).count() == 100L)
+  }
+
   test("calibrated IVF build reaches its target recall on the real corpus") {
     val e = Tables(spark, sf0001, "embeddings")
     val built = graft.ext.Ivf.buildCalibrated(e, nCentroids = 8, k = 5,
