@@ -120,6 +120,148 @@ object IvfPq {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** [[Ivf.IndexCalibration]]'s two-knob analog: IVF-PQ recall depends
+    * on BOTH the probe width (cells scanned) and the ADC candidate
+    * budget (rows rescored) — the r8 ANN sweep measured the default
+    * (nProbe=2, nCandidates=64) at 0.16 recall on a corpus whose
+    * duplicate clusters are wider than the candidate cutoff, recovering
+    * to 0.58 at 1024 candidates. `curve` holds measured recall at every
+    * evaluated (nProbe, nCandidates) grid point.
+    */
+  final case class PqCalibration(recommendedNProbe: Int,
+                                 recommendedNCandidates: Int,
+                                 estRecall: Double, targetRecall: Double,
+                                 targetReached: Boolean,
+                                 pruningEffective: Boolean,
+                                 curve: Seq[(Int, Int, Double)])
+
+  final case class CalibratedIndex(model: Model,
+                                   indexed: org.apache.spark.sql.DataFrame,
+                                   calibration: PqCalibration)
+
+  /** Train + index + calibrate BOTH recall knobs at build time: recall
+    * is measured against exact brute-force truth on a bounded seeded
+    * query sample for every (nProbe ≤ probe cap) × (candidate budget in
+    * `candidateGrid`), and the recommendation is the cheapest
+    * combination meeting `targetRecall` — ordered by probe width first
+    * (bytes scanned off storage dominate at 100 TB), candidate budget
+    * second (rescore rows). NOTE recall is NOT monotone in either knob
+    * alone (measured, Round9Spec): widening the probe at a fixed
+    * candidate budget adds ADC rows that can DISPLACE true neighbors
+    * from the cutoff, and the quantized rescore can rank a false
+    * neighbor above a true one from a larger pool — which is exactly
+    * why the grid is measured instead of assumed. The index snapshot
+    * used for calibration is checkpointed and released before
+    * returning.
+    */
+  def buildCalibrated(corpus: DataFrame, nCentroids: Int, m: Int,
+                      k: Int = 10, targetRecall: Double = 0.9,
+                      nQueries: Int = 32, maxProbe: Int = 0,
+                      candidateGrid: Seq[Int] = Seq(64, 256, 1024),
+                      kSub: Int = 16, idCol: String = "vec_id",
+                      vecCol: String = "embedding", sampleSize: Int = 4096,
+                      iterations: Int = 8, seed: Long = 42L): CalibratedIndex = {
+    require(targetRecall > 0 && targetRecall <= 1, "targetRecall in (0,1]")
+    require(candidateGrid.nonEmpty && candidateGrid.forall(_ >= 1),
+      "candidateGrid must be non-empty positive budgets")
+    val model = train(corpus, vecCol, nCentroids, m, kSub, sampleSize,
+      iterations, seed)
+    val probeCap =
+      if (maxProbe >= 1) math.min(maxProbe, model.ivf.numCentroids)
+      else model.ivf.numCentroids
+    val indexed = index(corpus, model, idCol, vecCol)
+    val snap = indexed.localCheckpoint()
+    val truth = Similarity.bruteForceTopK(
+      snap.select(col("neighbor_id").as("vec_id"),
+        col("nvec").as("embedding")),
+      corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+        .orderBy(org.apache.spark.sql.functions.rand(seed + 1).asc)
+        .limit(nQueries),
+      k).select("query_id", "neighbor_id").localCheckpoint()
+    try {
+      val queries = corpus
+        .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+        .orderBy(org.apache.spark.sql.functions.rand(seed + 1).asc)
+        .limit(nQueries)
+      val truthPairs = truth.count()
+      require(truthPairs > 0,
+        "no ground-truth pairs — check that the corpus is non-empty")
+      val grid = candidateGrid.distinct.sorted
+      val curve = (for (p <- 1 to probeCap; c <- grid) yield {
+        val hits = topKPruned(snap, queries, model, k, nProbe = p,
+            nCandidates = c, idCol = "vec_id", vecCol = "embedding")
+          .select("query_id", "neighbor_id")
+          .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+          .count()
+        (p, c, hits.toDouble / truthPairs)
+      }).toSeq
+      val reached = curve
+        .sortBy { case (p, c, _) => (p, c) }
+        .find(_._3 >= targetRecall)
+      val (rec, recC, est) = reached.getOrElse(curve.maxBy(_._3))
+      if (reached.isEmpty)
+        log.warn(s"IvfPq.buildCalibrated: best recall $est over the " +
+          s"grid never reaches target $targetRecall — widen the " +
+          "candidate grid, raise nCentroids, or dedup before indexing.")
+      val effective = rec * 2 <= model.ivf.numCentroids
+      if (!effective)
+        log.warn(s"IvfPq.buildCalibrated: target recall needs nProbe=" +
+          s"$rec of ${model.ivf.numCentroids} cells — pruning is " +
+          "ineffective on this corpus (cluster-free regime).")
+      CalibratedIndex(model, indexed,
+        PqCalibration(rec, recC, est, targetRecall, reached.nonEmpty,
+          effective, curve))
+    } finally {
+      org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(snap)
+      org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(truth)
+    }
+  }
+
+  /** Persist the calibration beside a written index
+    * (`<path>/_graft_ivfpq_meta.json`). */
+  def writeCalibration(spark: org.apache.spark.sql.SparkSession, path: String,
+                       cal: PqCalibration): Unit = {
+    val curve = cal.curve
+      .map { case (p, c, r) => s"[$p, $c, $r]" }.mkString("[", ", ", "]")
+    val json = s"""{"recommendedNProbe": ${cal.recommendedNProbe}, """ +
+      s""""recommendedNCandidates": ${cal.recommendedNCandidates}, """ +
+      s""""estRecall": ${cal.estRecall}, """ +
+      s""""targetRecall": ${cal.targetRecall}, """ +
+      s""""targetReached": ${cal.targetReached}, """ +
+      s""""pruningEffective": ${cal.pruningEffective}, """ +
+      s""""curve": $curve}"""
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_ivfpq_meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def readCalibration(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Option[PqCalibration] = {
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_ivfpq_meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val bytes = try org.apache.commons.io.IOUtils.toByteArray(in)
+        finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      val curve = (0 until node.get("curve").size()).map { i =>
+        val e = node.get("curve").get(i)
+        (e.get(0).asInt(), e.get(1).asInt(), e.get(2).asDouble())
+      }
+      Some(PqCalibration(node.get("recommendedNProbe").asInt(),
+        node.get("recommendedNCandidates").asInt(),
+        node.get("estRecall").asDouble(), node.get("targetRecall").asDouble(),
+        node.get("targetReached").asBoolean(),
+        node.get("pruningEffective").asBoolean(), curve))
+    }
+  }
+
   /** The TWO-TABLE persisted layout [[Pq.encode]]'s scaladoc promises:
     * `codes/` holds `(neighbor_id, codes, centroid)` partitioned by
     * centroid — m bytes of payload per row, the table the ADC prune

@@ -91,6 +91,34 @@ object CalibrationProbe {
         s""""query_sec":$tQuery,"fresh_eval_recall":$freshRecall}"""
       println(s"[cal] $line")
       results += line
+
+      // the two-knob IVF-PQ analog: same protocol, recall measured over
+      // the (nProbe, nCandidates) grid; fresh-truth evaluation at the
+      // recommended pair. Target 0.7 — the PQ path's recall vs EXACT
+      // truth is quantization-bound (Round9Spec measures 0.79 on a full
+      // scan at m=8), so 0.9 would just exercise the warning path.
+      val (tBuildPq, builtPq) = timed(() =>
+        graft.ext.IvfPq.buildCalibrated(corpus, nCentroids = 16, m = 8,
+          k = 10, targetRecall = 0.7, nQueries = 32))
+      val calPq = builtPq.calibration
+      val (tQueryPq, gotPq) = timed(() =>
+        graft.ext.IvfPq.topKPruned(builtPq.indexed, evalQ, builtPq.model,
+            k = 10, nProbe = calPq.recommendedNProbe,
+            nCandidates = calPq.recommendedNCandidates)
+          .select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet)
+      val freshPq = gotPq.intersect(truth).size.toDouble / truth.size
+      val linePq = s"""{"method":"ivfpq_calibrated","scale":"x$kScale",""" +
+        s""""rows":$rows,"build_sec":$tBuildPq,""" +
+        s""""recommended_n_probe":${calPq.recommendedNProbe},""" +
+        s""""recommended_n_candidates":${calPq.recommendedNCandidates},""" +
+        s""""target_recall":${calPq.targetRecall},""" +
+        s""""est_recall":${calPq.estRecall},""" +
+        s""""target_reached":${calPq.targetReached},""" +
+        s""""pruning_effective":${calPq.pruningEffective},""" +
+        s""""query_sec":$tQueryPq,"fresh_eval_recall":$freshPq}"""
+      println(s"[cal] $linePq")
+      results += linePq
     }
 
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
