@@ -60,4 +60,43 @@ class Round9PropSpec extends SparkSpec {
       assert(gotF == model, s"trial $trial: merge diverges from the model")
     }
   }
+
+  test("auto-escalation only ever loses pairs, never invents; empty " +
+    "accounting implies byte-identity with the exact join") {
+    val sps = spark; import sps.implicits._
+    val rnd = new scala.util.Random(99L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
+      "zeta", "eta", "theta")
+    for (trial <- 1 to 4) {
+      // random corpus + a planted hot family that trips a small threshold
+      val n = 30 + rnd.nextInt(40)
+      val normal = (0L until n.toLong).map { i =>
+        (i, Seq.fill(3 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+          .distinct.mkString(" "))
+      }
+      val hot = (0 until 40).map(i => (1000L + i, s"hot h$i"))
+      val docs = (normal ++ hot).toDF("id", "text")
+      val tau = Seq(50, 70, 90)(rnd.nextInt(3))
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select("id_a", "id_b", "inter", "uni").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+      val exact = pairs(graft.ext.SetSim.jaccardJoin(docs, col("id"),
+        col("text"), tau, escalateAt = Int.MaxValue))
+      val auto = graft.ext.SetSim.jaccardJoinAuto(docs, col("id"),
+        col("text"), tau, escalateAt = 8, neighborhoodWindow = 4)
+      val got = pairs(auto.pairs)
+      // never invents: every emitted pair is a true pair with the true
+      // exact intersection/union (verification runs on every candidate)
+      assert(got.subsetOf(exact),
+        s"trial $trial tau=$tau: escalation invented pairs")
+      // with a non-binding threshold the accounting is empty and the
+      // result is the exact join, bit for bit
+      val loose = graft.ext.SetSim.jaccardJoinAuto(docs, col("id"),
+        col("text"), tau, escalateAt = 1 << 20)
+      assert(loose.escalated.isEmpty)
+      assert(pairs(loose.pairs) == exact,
+        s"trial $trial tau=$tau: non-binding threshold changed the result")
+    }
+  }
 }
