@@ -1436,6 +1436,34 @@ object ExtQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- the ESCALATED similarity-join semantics, oracle-pinned on a
+    // fully deterministic synthetic corpus (x89 pins the exact path on
+    // real data; this pins what the guard computes when it FIRES). Two
+    // 100-doc hot-token families trip escalateAt=64 at tau=50 (two-token
+    // docs ⇒ the prefix is the whole doc), a rescue pair's every token
+    // is hot (findable only through the neighborhood path), and a cold
+    // family contributes kept-prefix pairs incl. a verify-reject. The
+    // DuckDB oracle replays the WHOLE algorithm independently — prefix
+    // table, bucket widths, hot set, kept pairing, sorted-neighborhood
+    // rescue, exact verification — so any drift in the escalation
+    // semantics is a hash mismatch, not a spec-only regression.
+    "x90_setsim_escalated" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val fam1 = (0 until 100).map(i => (500000L + i, s"zqhot u$i"))
+      val fam2 = (0 until 100).map(i => (600000L + i, s"zqhot2 w$i"))
+      val rescue = Seq((700001L, "zqhot zqhot2"), (700002L, "zqhot zqhot2"))
+      val cold = Seq((800001L, "p1 p2 p3 p4"), (800002L, "p1 p2 p3 p4"),
+        (800003L, "p1 p2 x1 x2"), (800004L, "p1 p2 p3 x9"))
+      val docs = (fam1 ++ fam2 ++ rescue ++ cold).toDF("doc_id", "text")
+      val out = graft.ext.SetSim.jaccardJoinAuto(docs, col("doc_id"),
+        col("text"), tauPct = 50, escalateAt = 64, neighborhoodWindow = 10)
+      val escalated = out.escalated.count()
+      if (escalated != 2)
+        throw new IllegalStateException(
+          s"x90: expected the two hot buckets to escalate, got $escalated")
+      out.pairs.orderBy("id_a", "id_b")
+    }),
+
     // ---- dedup shipped end-to-end: candidates → connected components →
     // ONE representative per cluster (max quality, ties to min id) →
     // survivor list. The composition a curation pipeline actually runs;
@@ -2330,6 +2358,72 @@ object ExtQueries {
         |SELECT component, doc_id AS rep_id, s AS rep_score,
         |  CAST(nm AS BIGINT) AS n_members
         |FROM sel WHERE rn = 1 ORDER BY component""".stripMargin,
+    "x90_setsim_escalated" ->
+      """WITH corpus AS (
+        |  SELECT 500000 + i AS doc_id, 'zqhot u' || CAST(i AS VARCHAR) AS text
+        |  FROM range(100) t(i)
+        |  UNION ALL
+        |  SELECT 600000 + i, 'zqhot2 w' || CAST(i AS VARCHAR)
+        |  FROM range(100) t(i)
+        |  UNION ALL SELECT 700001, 'zqhot zqhot2'
+        |  UNION ALL SELECT 700002, 'zqhot zqhot2'
+        |  UNION ALL SELECT 800001, 'p1 p2 p3 p4'
+        |  UNION ALL SELECT 800002, 'p1 p2 p3 p4'
+        |  UNION ALL SELECT 800003, 'p1 p2 x1 x2'
+        |  UNION ALL SELECT 800004, 'p1 p2 p3 x9'),
+        |tok AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM corpus),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |freq AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
+        |pos AS (
+        |  SELECT t.doc_id, s.n, t.tok,
+        |    row_number() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.tok)
+        |      AS p
+        |  FROM tok t JOIN freq f USING (tok) JOIN sz s USING (doc_id)),
+        |prefix AS (
+        |  SELECT doc_id, n, tok FROM pos
+        |  WHERE p <= n - ((50 * n + 99) // 100) + 1),
+        |hot AS (
+        |  SELECT tok FROM prefix GROUP BY tok HAVING count(*) > 64),
+        |kept AS (SELECT * FROM prefix WHERE tok NOT IN (SELECT tok FROM hot)),
+        |keptpairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM kept a JOIN kept b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |    AND 100 * a.n >= 50 * b.n AND 100 * b.n >= 50 * a.n),
+        |hotdocs AS (
+        |  SELECT DISTINCT doc_id FROM prefix
+        |  WHERE tok IN (SELECT tok FROM hot)),
+        |keyed AS (
+        |  SELECT c.doc_id,
+        |    array_to_string(list_sort(list_distinct(string_split(c.text,
+        |      ' '))), ' ') AS key
+        |  FROM corpus c JOIN hotdocs h USING (doc_id)),
+        |npos AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY key, doc_id) AS p
+        |  FROM keyed),
+        |npairs AS (
+        |  SELECT least(a.doc_id, b.doc_id) AS id_a,
+        |    greatest(a.doc_id, b.doc_id) AS id_b
+        |  FROM npos a JOIN npos b ON b.p > a.p AND b.p <= a.p + 10),
+        |cands AS (
+        |  SELECT DISTINCT id_a, id_b FROM (
+        |    SELECT * FROM keptpairs UNION ALL SELECT * FROM npairs)),
+        |ix AS (
+        |  SELECT c.id_a, c.id_b, count(*) AS inter
+        |  FROM cands c
+        |  JOIN tok ta ON ta.doc_id = c.id_a
+        |  JOIN tok tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT id_a, id_b, inter, sa.n + sb.n - inter AS uni
+        |  FROM ix
+        |  JOIN sz sa ON ix.id_a = sa.doc_id
+        |  JOIN sz sb ON ix.id_b = sb.doc_id)
+        |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+        |  CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni
+        |FROM j WHERE inter * 100 >= 50 * uni
+        |ORDER BY id_a, id_b""".stripMargin,
     "x85_sorted_neighborhood" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id < 400
