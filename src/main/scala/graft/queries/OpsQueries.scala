@@ -476,6 +476,37 @@ object OpsQueries {
       }
     }),
 
+    // ---- partition-pruned predicate DML: on a partitioned table, an
+    // UPDATE whose predicate is partition-constant rewrites only the
+    // matching directories, and a DELETE on the partition column drops
+    // directories without reading a single data file. The gate chains
+    // both against the event_type-partitioned events table; the final
+    // state is fully oracle-expressible and every untouched partition
+    // must survive byte-identical (pinned by Round9Spec's file-level
+    // checks; here the oracle pins the values).
+    "op_dml_partitioned" -> ((s: SparkSession, dir: String) => {
+      val wh = tmpWarehouse(s)
+      val ev = Tables.events(s, dir).select("event_id", "event_type", "value")
+      wh.createPartitioned("ev_dml", ev, Seq("event_type")) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.updateWhere("ev_dml", Map("value" -> (col("value") * 2)),
+        col("event_type") === "click") match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.deleteWhere("ev_dml", col("event_type") === "view") match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.get("ev_dml") match {
+        case Right(df) => df.select("event_id", "event_type", "value")
+          .orderBy("event_id")
+        case Left(e) => throw new RuntimeException(e.message)
+      }
+    }),
+
     // ---- sources: the JDBC sink + scan pair (BASELINE "JDBC/Parquet
     // sinks") made oracle-visible — rows written through the batched
     // JDBC insert into embedded Derby must read back bit-identical.
@@ -851,6 +882,12 @@ object OpsQueries {
         |  SELECT CAST(9000000 + k AS BIGINT), 'click', 1.5
         |  FROM range(1, 4) t(k)
         |) ORDER BY event_id""".stripMargin,
+    "op_dml_partitioned" ->
+      """SELECT event_id, event_type,
+        |  CASE WHEN event_type = 'click' THEN value * 2 ELSE value END
+        |    AS value
+        |FROM events WHERE event_type <> 'view'
+        |ORDER BY event_id""".stripMargin,
     "op_upsert_jdbc" ->
       """SELECT * FROM (
         |  SELECT c_custkey,

@@ -375,21 +375,40 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String)
     val survivors = existing
       .join(broadcast(touched), pcols, "left_semi")
       .join(aligned.select(keys.map(col): _*).distinct(), keys, "left_anti")
-    val replacement = survivors.unionByName(aligned)
+    materializePartitionSwap(name, survivors.unionByName(aligned), pcols,
+      what = "pruned upsert")
+  }
+
+  /** Leaf partition dirs under `base` (relative paths like
+    * "c1=v1/c2=v2"), skipping _SUCCESS and other sidecar files.
+    */
+  private def leafDirs(base: Path, depth: Int,
+                       rel: Seq[String] = Nil): Seq[String] =
+    if (depth == 0) Seq(rel.mkString("/"))
+    else fs.listStatus(base).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .flatMap(st => leafDirs(st.getPath, depth - 1,
+        rel :+ st.getPath.getName))
+
+  /** Materialize `replacement` (the new content of the TOUCHED
+    * partitions only) to a sibling directory partitioned by `pcols`,
+    * then swap exactly the leaf directories Spark wrote into the live
+    * table — backup-rename per directory, full restore on any failure.
+    * Untouched partitions are never read, rewritten, or moved; the
+    * touched set is derived from the temp output, so partition-value
+    * escaping can never disagree with the storage layout. Shared by
+    * the pruned MERGE and the pruned partition-predicate UPDATE.
+    */
+  private def materializePartitionSwap(name: String, replacement: DataFrame,
+                                       pcols: Seq[String],
+                                       what: String): Unit = {
     val tmp = new Path(warehouseDir, s"$name.__upsert_tmp")
     val bakRoot = new Path(warehouseDir, s"$name.__upsert_bak")
     checkedDelete(tmp)
     checkedDelete(bakRoot)
     replacement.write.mode(SaveMode.Overwrite).partitionBy(pcols: _*)
       .parquet(tmp.toString)
-    // leaf partition dirs actually written (relative paths like
-    // "c1=v1/c2=v2"), skipping _SUCCESS and other sidecar files
-    def leaves(base: Path, depth: Int, rel: Seq[String]): Seq[String] =
-      if (depth == 0) Seq(rel.mkString("/"))
-      else fs.listStatus(base).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-        .flatMap(st => leaves(st.getPath, depth - 1, rel :+ st.getPath.getName))
-    val touchedDirs = leaves(tmp, pcols.length, Nil)
+    val touchedDirs = leafDirs(tmp, pcols.length)
     val swapped = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
     try {
       touchedDirs.foreach { rel =>
@@ -415,11 +434,76 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String)
         checkedDelete(tmp)
         checkedDelete(bakRoot)
         throw new java.io.IOException(
-          s"pruned upsert of '$name' failed; touched partitions restored", e)
+          s"$what of '$name' failed; touched partitions restored", e)
     }
     checkedDelete(tmp)
     checkedDelete(bakRoot)
     registerView(name)
+  }
+
+  /** True when every column the predicate references is a partition
+    * column — the condition under which the predicate has ONE value per
+    * partition directory and predicate DML can prune. The references
+    * are read from the ANALYZED filter plan (a Spark-4 `Column` is an
+    * opaque ColumnNode until analysis, so collecting unresolved
+    * attributes from the raw expression sees nothing); analysis alone
+    * runs no job. A predicate with no column references at all (a
+    * literal) returns false: the whole-table path handles it and
+    * nothing is saved by pruning.
+    */
+  private def partitionOnlyPredicate(existing: DataFrame, predicate: Column,
+                                     pcols: Seq[String]): Boolean = {
+    val refs = existing.filter(predicate).queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.references.toSeq.map(_.name)
+    }.flatten
+    refs.nonEmpty && refs.forall(n => pcols.exists(_.equalsIgnoreCase(n)))
+  }
+
+  /** The leaf partition directories of `name` whose (typed) partition
+    * values satisfy the predicate — evaluated by SPARK over a tiny
+    * local frame built from the directory names (values unescaped with
+    * the same %xx scheme the writer uses; `__HIVE_DEFAULT_PARTITION__`
+    * parses as null), then cast to the table's partition column types.
+    * One row per directory; no data file is touched.
+    */
+  private def matchingPartitionDirs(name: String, existing: DataFrame,
+                                    predicate: Column,
+                                    pcols: Seq[String]): Seq[String] = {
+    // two-hex-digit %xx decoder — the inverse of Hive/Spark's
+    // escapePathName scheme the partitioned writer uses
+    def unescape(s: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length) {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+    val dirs = leafDirs(tablePath(name), pcols.length)
+    if (dirs.isEmpty) return Nil
+    val rows = dirs.map { rel =>
+      val segs = rel.split("/").toSeq
+      val vals = segs.map { seg =>
+        val raw = seg.substring(seg.indexOf('=') + 1)
+        if (raw == "__HIVE_DEFAULT_PARTITION__") null else unescape(raw)
+      }
+      org.apache.spark.sql.Row.fromSeq(rel +: vals)
+    }
+    val strSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("_dir",
+        org.apache.spark.sql.types.StringType) +:
+        pcols.map(c => org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.StringType)))
+    val typed = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), strSchema)
+      .select(col("_dir") +: pcols.map(c =>
+        col(c).cast(existing.schema(c).dataType).as(c)): _*)
+    typed.filter(predicate).select("_dir").collect().map(_.getString(0)).toSeq
   }
 
   /** Small-file compaction — the OPTIMIZE step of table maintenance:
@@ -537,8 +621,41 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String)
       case Right(existing) =>
         try {
           requireNotBucketed(name, "deleteWhere")
-          materializeSwap(name,
-            existing.filter(predicate.isNull || !predicate))
+          val pcols = meta(name).toOption.map(_.partitionCols).getOrElse(Nil)
+          if (pcols.nonEmpty && partitionOnlyPredicate(existing, predicate, pcols)) {
+            // the predicate has ONE value per partition directory, so
+            // DELETE degenerates to dropping the matching directories —
+            // a metadata operation, no data file read or rewritten
+            // (ALTER TABLE DROP PARTITION semantics; null-valued
+            // partitions survive a null-evaluating predicate, matching
+            // SQL DELETE's only-TRUE-deletes rule)
+            val matched = matchingPartitionDirs(name, existing, predicate, pcols)
+            val bakRoot = new Path(warehouseDir, s"$name.__dml_bak")
+            checkedDelete(bakRoot)
+            val moved = scala.collection.mutable.ArrayBuffer.empty[String]
+            try {
+              matched.foreach { rel =>
+                val bak = new Path(bakRoot, rel)
+                fs.mkdirs(bak.getParent)
+                checkedRename(new Path(tablePath(name), rel), bak)
+                moved += rel
+              }
+            } catch {
+              case e: Exception =>
+                moved.reverse.foreach { rel =>
+                  fs.rename(new Path(bakRoot, rel),
+                    new Path(tablePath(name), rel))
+                }
+                checkedDelete(bakRoot)
+                throw new java.io.IOException(
+                  s"pruned delete of '$name' failed; partitions restored", e)
+            }
+            checkedDelete(bakRoot)
+            registerView(name)
+          } else {
+            materializeSwap(name,
+              existing.filter(predicate.isNull || !predicate))
+          }
           Right(())
         } catch {
           case e: Exception => Left(TableGenericError(e.getMessage, Some(e)))
@@ -560,13 +677,24 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String)
           requireNotBucketed(name, "updateWhere")
           val missing = set.keys.filterNot(existing.columns.contains)
           require(missing.isEmpty, s"unknown update columns: $missing")
-          val updated = existing.select(existing.columns.toIndexedSeq.map { c =>
-            set.get(c) match {
-              case Some(v) => when(predicate, v).otherwise(col(c)).as(c)
-              case None    => col(c)
-            }
-          }: _*)
-          materializeSwap(name, updated)
+          def applySet(df: DataFrame): DataFrame =
+            df.select(existing.columns.toIndexedSeq.map { c =>
+              set.get(c) match {
+                case Some(v) => when(predicate, v).otherwise(col(c)).as(c)
+                case None    => col(c)
+              }
+            }: _*)
+          val pcols = meta(name).toOption.map(_.partitionCols).getOrElse(Nil)
+          if (pcols.nonEmpty && partitionOnlyPredicate(existing, predicate, pcols)
+              && !set.keys.exists(k => pcols.exists(_.equalsIgnoreCase(k)))) {
+            // partition-constant predicate and no partition column
+            // updated: only matching directories are read (the filter
+            // pushes down as a PartitionFilter) and rewritten via the
+            // per-directory swap; every other partition is untouched
+            materializePartitionSwap(name,
+              applySet(existing.filter(predicate)), pcols,
+              what = "pruned update")
+          } else materializeSwap(name, applySet(existing))
           Right(())
         } catch {
           case e: Exception => Left(TableGenericError(e.getMessage, Some(e)))

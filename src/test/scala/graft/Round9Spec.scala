@@ -109,6 +109,56 @@ class Round9Spec extends SparkSpec {
       .partitionCols == Seq("seg"))
   }
 
+  test("partition-predicate DML touches only matching directories") {
+    val sps = spark; import sps.implicits._
+    val wh = new graft.warehouse.SparkWarehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-r9-dmlp").toString)
+    val data = (0L until 400L).map(i => (i, s"seg${i % 4}", i))
+      .toDF("id", "seg", "v")
+    wh.createPartitioned("t", data, Seq("seg")).fold(e => fail(e.message), identity)
+    def files(seg: String): Map[String, (Long, Long)] = {
+      val d = new java.io.File(s"${wh.warehouseDir}/t/seg=$seg")
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    val before = Seq("seg1", "seg2", "seg3").map(s => s -> files(s)).toMap
+    // pruned UPDATE: only seg0's directory rewritten
+    wh.updateWhere("t", Map("v" -> (col("v") + 1000)), col("seg") === "seg0")
+      .fold(e => fail(e.message), identity)
+    Seq("seg1", "seg2", "seg3").foreach { s =>
+      assert(files(s) == before(s), s"pruned update touched seg=$s")
+    }
+    // pruned DELETE on the partition column: seg2's directory dropped,
+    // no other file moved
+    val seg0AfterUpdate = files("seg0")
+    wh.deleteWhere("t", col("seg") === "seg2")
+      .fold(e => fail(e.message), identity)
+    assert(files("seg2").isEmpty, "seg=seg2 directory survived the delete")
+    assert(files("seg0") == seg0AfterUpdate &&
+      files("seg1") == before("seg1") && files("seg3") == before("seg3"),
+      "pruned delete touched an unmatched partition")
+    // content after the chain
+    val got = wh.get("t").fold(e => fail(e.message), identity)
+      .select("id", "v").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = (0L until 400L).filter(_ % 4 != 2)
+      .map(i => (i, if (i % 4 == 0) i + 1000 else i))
+    assert(got == expected)
+    // non-partition predicate falls back to the whole-table path and
+    // stays correct (and keeps the layout — Round9Spec's layout test)
+    wh.deleteWhere("t", col("id") % 10 === 1).fold(e => fail(e.message), identity)
+    assert(wh.get("t").fold(e => fail(e.message), identity).count() ==
+      expected.count(_._1 % 10 != 1))
+    // updating the PARTITION column itself must fall back (rows move
+    // partitions) — the moved rows land in their new directory
+    wh.updateWhere("t", Map("seg" -> lit("seg9")), col("seg") === "seg3")
+      .fold(e => fail(e.message), identity)
+    val segs = wh.get("t").fold(e => fail(e.message), identity)
+      .select("seg").distinct().collect().map(_.getString(0)).toSet
+    assert(!segs.contains("seg3") && segs.contains("seg9"))
+  }
+
   test("pruned upsert refuses nothing but routes correctly by key shape") {
     val sps = spark; import sps.implicits._
     val wh = new graft.warehouse.SparkWarehouse(spark,
