@@ -104,6 +104,23 @@ object MutationSweep {
       unwrap(whf.load("tf", basep))
       val tF1 = timed(() => unwrap(whf.upsert("tf", oneDay, Seq("id", "day"))))
       record(s"""{"op":"upsert_flat_1day","rows":$n,"sec":$tF1}""")
+
+      // partition-pruned predicate DML (r9): DELETE of one day on the
+      // partitioned table is a directory drop (no data file read) —
+      // its cost must be flat in table size — vs the same predicate on
+      // the flat copy (whole-table rewrite). The pruned UPDATE of one
+      // day rewrites only that directory.
+      val tPD = timed(() => unwrap(whp.deleteWhere("tp", col("day") === 9)))
+      record(s"""{"op":"delete_part_1day","rows":$n,"sec":$tPD}""")
+      val tFD = timed(() => unwrap(whf.deleteWhere("tf", col("day") === 9)))
+      record(s"""{"op":"delete_flat_1day","rows":$n,"sec":$tFD}""")
+      val tPU = timed(() => unwrap(whp.updateWhere("tp",
+        Map("balance" -> (col("balance") + 1.0)), col("day") === 11)))
+      record(s"""{"op":"update_part_1day","rows":$n,"sec":$tPU}""")
+      val pAfter = unwrap(whp.get("tp")).count()
+      val fAfter = unwrap(whf.get("tf")).count()
+      require(pAfter == fAfter,
+        s"pruned/flat DML drift at n=$n: $pAfter != $fAfter")
     }
 
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
