@@ -41,7 +41,14 @@ object Bench {
       }
       val median =
         if (times.contains(-1.0)) -1.0
-        else times.sorted.apply(times.length / 2)
+        else {
+          val s = times.sorted
+          val n = s.length
+          // true median: average the two middle elements for even rep
+          // counts (with reps=2 the upper-middle alone would report the
+          // max of the two runs, not the median the meta claims)
+          if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+        }
       (name, median, times)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }

@@ -159,13 +159,19 @@ object SetSim {
     * apart; docs sharing a hot rare token are near-identical by
     * construction, which is exactly when they sort adjacent.
     *
-    * Detection is two-tier so the common case stays cheap: first a
-    * df-bound probe (one explode + groupBy — no window) since a prefix
-    * bucket can never exceed the token's document frequency; only if
-    * some df exceeds the threshold are true prefix-bucket widths
-    * computed. On corpora with max df ≤ `escalateAt` (every real corpus
-    * in the test bed) the probe is the only extra work and the result is
-    * the EXACT join, byte-identical to the unguarded form.
+    * Detection is two-tier and BOTH tiers are window-free: first a
+    * df-bound probe (one explode + groupBy) since a prefix bucket can
+    * never exceed the token's document frequency; only if some df
+    * exceeds the threshold are true prefix-bucket widths computed — and
+    * for the flagged tokens only, via a broadcast rank-count per doc
+    * (t is in d's prefix iff 1 + |{u ∈ d : (df(u),u) < (df(t),t)}| ≤
+    * prefixLen(d)), never the full windowed prefix table. So a corpus
+    * whose only high-df tokens are stopwords (df > `escalateAt`, prefix
+    * buckets narrow) pays two aggregates and still takes the exact
+    * path; the windowed prefix table is built exactly once, for the
+    * actual join. On corpora with max df ≤ `escalateAt` (every real
+    * corpus in the test bed) the df probe is the only extra work and
+    * the result is the EXACT join, byte-identical to the unguarded form.
     *
     * Candidate budget with escalation: Σ C(min(bucket, escalateAt), 2)
     * + n_hot·window, versus the unguarded Σ C(bucket, 2).
@@ -188,22 +194,49 @@ object SetSim {
     // tier 1: df bound (no window). df(tok) ≥ prefix bucket width, so
     // max df ≤ cap proves no bucket can trip — the exact path with one
     // cheap aggregate of extra work.
-    val dfWide = toks.select(explode(col("toks")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("df"))
-      .filter(col("df") > escalateAt)
-    if (escalateAt == Int.MaxValue || dfWide.isEmpty)
+    val exploded = toks
+      .select(col("id"), col("n"), explode(col("toks")).as("tok"))
+    val freq = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
+    val suspicious = freq.filter(col("df") > escalateAt)
+    if (escalateAt == Int.MaxValue || suspicious.isEmpty)
       return AutoSimJoin(
         verifyPairs(candidatesFromPrefix(prefixTable(toks, tauPct), tauPct),
           toks, tauPct), emptyAccounting)
-    // tier 2: true bucket widths (pays the window — only on corpora the
-    // df bound already flagged as suspicious)
-    val prefix = prefixTable(toks, tauPct)
-    val wide = prefix.groupBy("tok").agg(count(lit(1)).as("prefix_docs"))
-      .filter(col("prefix_docs") > escalateAt)
+    // tier 2, still window-free: EXACT prefix-bucket widths for the
+    // flagged tokens only. A common token (stopword) routinely has
+    // df > escalateAt yet a NARROW prefix bucket — rare-first ordering
+    // pushes it to the suffix of nearly every doc — and the old form
+    // answered that by computing the full windowed prefix table on every
+    // call, permanently defeating the cheap path on any corpus with one
+    // popular token. Instead: t sits in doc d's prefix iff
+    // rank_d(t) = 1 + |{u ∈ d : (df(u), u) < (df(t), t)}| ≤ prefixLen(d),
+    // and the rank needs only a per-doc COUNT against the (few,
+    // broadcast) flagged tokens — one groupBy over the flagged docs'
+    // tokens, no window, no prefix table. Non-flagged tokens can't be
+    // wide (bucket ≤ df), so this reproduces the windowed widths exactly.
+    val susB = broadcast(suspicious
+      .select(col("tok").as("sus_tok"), col("df").as("sus_df")))
+    val docSus = exploded.join(susB, col("tok") === col("sus_tok"))
+      .select(col("id"), col("sus_tok"), col("sus_df"))
+    val susDocToks = exploded
+      .join(docSus.select("id").distinct(), Seq("id"), "left_semi")
+      .join(freq, "tok")
+    val widths = susDocToks.join(docSus, Seq("id"))
+      .groupBy(col("id"), col("sus_tok"))
+      .agg(max(col("n")).as("n"),
+        sum(when(col("df") < col("sus_df") ||
+          (col("df") === col("sus_df") && col("tok") < col("sus_tok")),
+          1L).otherwise(0L)).as("below"))
+      .filter(col("below") + 1 <=
+        col("n") - expr(s"($tauPct * n + 99) div 100") + 1)
+      .groupBy(col("sus_tok")).agg(count(lit(1)).as("prefix_docs"))
+    val wide = widths.filter(col("prefix_docs") > escalateAt)
+      .select(col("sus_tok").as("tok"), col("prefix_docs"))
     if (wide.isEmpty)
       return AutoSimJoin(
-        verifyPairs(candidatesFromPrefix(prefix, tauPct), toks, tauPct),
-        emptyAccounting)
+        verifyPairs(candidatesFromPrefix(prefixTable(toks, tauPct), tauPct),
+          toks, tauPct), emptyAccounting)
+    val prefix = prefixTable(toks, tauPct)
     val hot = wide.select("tok")
     val kept = prefix.join(hot, Seq("tok"), "left_anti")
     val hotDocToks = toks.join(

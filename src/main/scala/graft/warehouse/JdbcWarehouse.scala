@@ -332,15 +332,35 @@ final class JdbcWarehouse(val spark: SparkSession, val url: String)
           // lazily reading `existing` from)
           val staging = s"${name}_graft_stage"
           graft.sources.Sources.writeJdbc(merged, url, staging, SaveMode.Overwrite)
-          withConn { c =>
-            ddl(c, s"DROP TABLE $name")
-            ddl(c, s"RENAME TABLE $staging TO $name")
-          }
+          commitStagingSwap(name, staging)
           registerView(name)
           Right(())
         } catch {
           case e: Exception => Left(TableGenericError(e.getMessage, Some(e)))
         }
+    }
+
+  /** Commit a fully-written staging table over the live one via
+    * backup-rename — live → backup, staging → live, drop backup — so a
+    * crash between any two statements leaves either the original or the
+    * new table addressable under `name` (a plain DROP-then-RENAME has a
+    * window where no live table exists and the data is only recoverable
+    * from the staging name). Mirrors the parquet backend's
+    * materializeSwap restore discipline.
+    */
+  private def commitStagingSwap(name: String, staging: String): Unit =
+    withConn { c =>
+      val backup = s"${name}_graft_bak"
+      if (tableExists(c, backup)) ddl(c, s"DROP TABLE $backup")
+      ddl(c, s"RENAME TABLE $name TO $backup")
+      try ddl(c, s"RENAME TABLE $staging TO $name")
+      catch {
+        case e: Exception =>
+          // restore: the original table comes back under its own name
+          ddl(c, s"RENAME TABLE $backup TO $name")
+          throw e
+      }
+      ddl(c, s"DROP TABLE $backup")
     }
 
   /** Rewrite-and-swap shared by the row-level DML verbs: materialize the
@@ -361,10 +381,7 @@ final class JdbcWarehouse(val spark: SparkSession, val url: String)
           val rewritten = f(existing)
           val staging = s"${name}_graft_stage"
           graft.sources.Sources.writeJdbc(rewritten, url, staging, SaveMode.Overwrite)
-          withConn { c =>
-            ddl(c, s"DROP TABLE $name")
-            ddl(c, s"RENAME TABLE $staging TO $name")
-          }
+          commitStagingSwap(name, staging)
           registerView(name)
           Right(())
         } catch {

@@ -372,8 +372,17 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String)
                            aligned: DataFrame, keys: Seq[String],
                            pcols: Seq[String]): Unit = {
     val touched = aligned.select(pcols.map(col): _*).distinct()
+    // the touched semi-join MUST be null-safe: a name-list equi-join uses
+    // `=`, under which an incoming null partition value matches nothing —
+    // existing rows in the __HIVE_DEFAULT_PARTITION__ directory would be
+    // invisible to the survivors set while the swap still replaces that
+    // directory, silently deleting them (whole-table merge keeps them)
+    val touchedAliased = broadcast(touched.select(
+      pcols.map(c => col(c).as(s"__touched_$c")): _*))
+    val touchedCond = pcols.map(c => col(c) <=> col(s"__touched_$c"))
+      .reduce(_ && _)
     val survivors = existing
-      .join(broadcast(touched), pcols, "left_semi")
+      .join(touchedAliased, touchedCond, "left_semi")
       .join(aligned.select(keys.map(col): _*).distinct(), keys, "left_anti")
     materializePartitionSwap(name, survivors.unionByName(aligned), pcols,
       what = "pruned upsert")

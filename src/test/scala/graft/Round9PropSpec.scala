@@ -61,6 +61,86 @@ class Round9PropSpec extends SparkSpec {
     }
   }
 
+  test("pruned upsert ≡ whole-table upsert when the partition column " +
+    "contains nulls (touched semi-join must be null-safe)") {
+    val sps = spark; import sps.implicits._
+    // base: three rows in the null partition, two in p0
+    val base = Seq(
+      (1L, Option("p0"), 10L), (2L, Option("p0"), 20L),
+      (3L, Option.empty[String], 30L), (4L, Option.empty[String], 40L),
+      (5L, Option.empty[String], 50L))
+    val baseDf = base.toDF("id", "part", "v")
+    // delta touches ONLY the null partition, with a fresh key: under a
+    // null-UNSAFE touched semi-join no existing null-partition row makes
+    // it into the survivors set, so the swap would replace the
+    // __HIVE_DEFAULT_PARTITION__ directory with just this one row —
+    // silently deleting ids 3..5 (the whole-table path keeps them)
+    val delta = Seq((9L, Option.empty[String], 90L)).toDF("id", "part", "v")
+
+    def rows(wh: SparkWarehouse) =
+      wh.get("t").fold(e => fail(e.message), identity)
+        .select("id", "part", "v").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2)))
+        .toSet
+
+    val whP = new SparkWarehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-r10-nullp").toString)
+    whP.createPartitioned("t", baseDf, Seq("part"))
+      .fold(e => fail(e.message), identity)
+    whP.upsert("t", delta, Seq("id", "part"))
+      .fold(e => fail(e.message), identity)
+
+    val whF = new SparkWarehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-r10-nullf").toString)
+    whF.load("t", baseDf).fold(e => fail(e.message), identity)
+    whF.upsert("t", delta, Seq("id", "part"))
+      .fold(e => fail(e.message), identity)
+
+    val gotP = rows(whP)
+    assert(gotP == rows(whF),
+      "pruned and whole-table merges diverge on a null partition value")
+    // the existing null-partition rows survive
+    assert(Set(3L, 4L, 5L).subsetOf(gotP.map(_._1)),
+      "pruned merge deleted existing null-partition rows")
+    assert(gotP.exists(r => r._1 == 9L && r._2.isEmpty && r._3 == 90L))
+  }
+
+  test("window-free width probe: a high-df stopword with a narrow prefix " +
+    "bucket stays exact; a genuinely wide bucket on the same token " +
+    "escalates with the true width") {
+    val sps = spark; import sps.implicits._
+    // 20 docs "the aI bI": df(the)=30 trips any small threshold, but
+    // rare-first ordering keeps "the" out of every 3-token doc's prefix
+    // (tau 50 → prefixLen 2 → the two rare tokens). 10 docs are just
+    // "the": n=1 → prefixLen 1 → "the" IS their prefix. True bucket
+    // width of "the" is exactly 10.
+    val docs = ((0 until 20).map(i => (i.toLong, s"the a$i b$i")) ++
+      (0 until 10).map(i => (100L + i, "the"))).toDF("id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "inter", "uni").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val exact = pairs(graft.ext.SetSim.jaccardJoin(docs, col("id"),
+      col("text"), 50, escalateAt = Int.MaxValue))
+    // escalateAt=15: df probe trips (30 > 15) but the true width (10)
+    // does not — the probe must prove the bucket narrow WITHOUT
+    // escalating, and the result is the exact join with empty accounting
+    val narrow = graft.ext.SetSim.jaccardJoinAuto(docs, col("id"),
+      col("text"), 50, escalateAt = 15)
+    assert(narrow.escalated.isEmpty,
+      "narrow stopword bucket wrongly escalated")
+    assert(pairs(narrow.pairs) == exact)
+    // escalateAt=8: the true width (10) exceeds the threshold — the
+    // accounting must report tok="the" with prefix_docs=10 (the rank
+    // count reproduces the windowed width exactly)
+    val wide = graft.ext.SetSim.jaccardJoinAuto(docs, col("id"),
+      col("text"), 50, escalateAt = 8)
+    val acct = wide.escalated.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(acct == Set(("the", 10L)),
+      s"escalation accounting wrong: $acct")
+  }
+
   test("auto-escalation only ever loses pairs, never invents; empty " +
     "accounting implies byte-identity with the exact join") {
     val sps = spark; import sps.implicits._
