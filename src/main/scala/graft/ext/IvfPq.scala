@@ -137,9 +137,22 @@ object IvfPq {
                                  pruningEffective: Boolean,
                                  curve: Seq[(Int, Int, Double)])
 
+  /** A calibrated build's result. `indexed` is the MATERIALIZED index
+    * snapshot (`localCheckpoint`-backed — the one calibration measured):
+    * probing it or writing it out ([[writeIndexCompactFrom]]) runs no
+    * second k-means/PQ-encode job. OWNERSHIP: the caller releases the
+    * snapshot with [[CalibratedIndex.release]] when done. Before r10
+    * the builder released it internally and returned the lazy plan, so
+    * every action on the result silently re-derived the entire index —
+    * the defect that made `calibration_r9.json`'s ivfpq `query_sec`
+    * overstate the real probe cost ~5–7× (the r9 verdict's weak mark).
+    */
   final case class CalibratedIndex(model: Model,
                                    indexed: org.apache.spark.sql.DataFrame,
-                                   calibration: PqCalibration)
+                                   calibration: PqCalibration) {
+    def release(): Unit =
+      org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(indexed)
+  }
 
   /** Train + index + calibrate BOTH recall knobs at build time: recall
     * is measured against exact brute-force truth on a bounded seeded
@@ -153,8 +166,8 @@ object IvfPq {
     * from the cutoff, and the quantized rescore can rank a false
     * neighbor above a true one from a larger pool — which is exactly
     * why the grid is measured instead of assumed. The index snapshot
-    * used for calibration is checkpointed and released before
-    * returning.
+    * used for calibration is checkpointed and RETURNED as `indexed`
+    * (see [[CalibratedIndex]] for the release contract).
     */
   def buildCalibrated(corpus: DataFrame, nCentroids: Int, m: Int,
                       k: Int = 10, targetRecall: Double = 0.9,
@@ -171,8 +184,7 @@ object IvfPq {
     val probeCap =
       if (maxProbe >= 1) math.min(maxProbe, model.ivf.numCentroids)
       else model.ivf.numCentroids
-    val indexed = index(corpus, model, idCol, vecCol)
-    val snap = indexed.localCheckpoint()
+    val snap = index(corpus, model, idCol, vecCol).localCheckpoint()
     val truth = Similarity.bruteForceTopK(
       snap.select(col("neighbor_id").as("vec_id"),
         col("nvec").as("embedding")),
@@ -210,13 +222,17 @@ object IvfPq {
         log.warn(s"IvfPq.buildCalibrated: target recall needs nProbe=" +
           s"$rec of ${model.ivf.numCentroids} cells — pruning is " +
           "ineffective on this corpus (cluster-free regime).")
-      CalibratedIndex(model, indexed,
+      // return the MATERIALIZED snapshot — ownership passes to the
+      // caller (release()); only the truth checkpoint dies here
+      CalibratedIndex(model, snap,
         PqCalibration(rec, recC, est, targetRecall, reached.nonEmpty,
           effective, curve))
-    } finally {
-      org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(snap)
+    } catch {
+      case e: Throwable =>
+        org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(snap)
+        throw e
+    } finally
       org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(truth)
-    }
   }
 
   /** Persist the calibration beside a written index
@@ -237,6 +253,27 @@ object IvfPq {
     val out = fs.create(p, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** Probe a persisted compact index AT ITS SIDECAR'S recommended
+    * (nProbe, nCandidates) — the consumer-side half of the calibration
+    * contract (see [[Ivf.topKAtRecommended]]): a calibrated index must
+    * not be probed at hard-coded defaults its own calibration rejected.
+    * Same caller obligation as [[topKPrunedCompact]]: release the
+    * result with `GraftColumnBridge.unpersistCheckpoint` when done.
+    */
+  def topKCompactAtRecommended(spark: org.apache.spark.sql.SparkSession,
+                               path: String, queries: DataFrame,
+                               model: Model, k: Int,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding"): DataFrame = {
+    val cal = readCalibration(spark, path).getOrElse(throw
+      new IllegalStateException(s"no calibration sidecar under $path — " +
+        "write one with writeCalibration, or probe topKPrunedCompact at " +
+        "explicit knobs"))
+    topKPrunedCompact(spark, path, queries, model, k,
+      nProbe = cal.recommendedNProbe,
+      nCandidates = cal.recommendedNCandidates, idCol, vecCol)
   }
 
   def readCalibration(spark: org.apache.spark.sql.SparkSession,
@@ -271,6 +308,20 @@ object IvfPq {
     * ≤ nCandidates of them; at 100 TB that is the difference between
     * scanning m bytes/row and 4·D bytes/row over the probed cells.
     */
+  /** [[writeIndexCompact]] from an ALREADY-materialized index frame —
+    * the write path for a [[CalibratedIndex]]'s snapshot: two bounded
+    * projections off the checkpoint, zero re-encode work (the
+    * corpus+model overload below exists for callers who never built a
+    * frame; handing it a calibrated build's corpus would pay the whole
+    * assign+encode pass a second time).
+    */
+  def writeIndexCompactFrom(indexed: DataFrame, path: String): Unit = {
+    indexed.select("neighbor_id", "codes", "centroid")
+      .write.mode("overwrite").partitionBy("centroid").parquet(s"$path/codes")
+    indexed.select("neighbor_id", "nvec")
+      .write.mode("overwrite").parquet(s"$path/vectors")
+  }
+
   def writeIndexCompact(corpus: DataFrame, model: Model, path: String,
                         idCol: String = "vec_id",
                         vecCol: String = "embedding"): Unit = {
@@ -280,12 +331,8 @@ object IvfPq {
     // that doubles the build, the one cost this layout exists to pay
     // exactly once
     val indexed = index(corpus, model, idCol, vecCol).localCheckpoint()
-    try {
-      indexed.select("neighbor_id", "codes", "centroid")
-        .write.mode("overwrite").partitionBy("centroid").parquet(s"$path/codes")
-      indexed.select("neighbor_id", "nvec")
-        .write.mode("overwrite").parquet(s"$path/vectors")
-    } finally
+    try writeIndexCompactFrom(indexed, path)
+    finally
       org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(indexed)
   }
 

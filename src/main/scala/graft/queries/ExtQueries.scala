@@ -1464,6 +1464,52 @@ object ExtQueries {
       out.pairs.orderBy("id_a", "id_b")
     }),
 
+    // ---- calibrated-index CONSUMER contract (r10): build calibrated,
+    // persist index + calibration sidecar, then probe via the helper
+    // that reads the knobs FROM the sidecar — the full production
+    // lifecycle, so a consumer can never silently probe at a default
+    // width the calibration rejected. Planted-query rank-1 oracle (the
+    // copy's bucket is the original's bucket; any recommended width
+    // includes the query's own bucket).
+    "x91_ann_ivf_sidecar" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings")
+      val built = graft.ext.Ivf.buildCalibrated(e, nCentroids = 16, k = 3,
+        targetRecall = 0.9, nQueries = 16)
+      val idxPath = java.nio.file.Files
+        .createTempDirectory("graft-ivfcal-gate").resolve("index").toString
+      graft.ext.Ivf.writeIndex(built.indexed, idxPath)
+      graft.ext.Ivf.writeCalibration(s, idxPath, built.calibration)
+      built.release()
+      val q = e.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      graft.ext.Ivf.topKAtRecommended(s, idxPath, q, built.model, k = 3)
+        .filter(col("rank") === 1)
+        .select("query_id", "neighbor_id")
+        .orderBy("query_id")
+    }),
+
+    // ---- the IVF-PQ analog over the compact two-table layout: codes/
+    // scanned partition-pruned, vectors/ touched only by the bounded
+    // rescore fetch, knobs from the sidecar.
+    "x92_ann_ivfpq_sidecar" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings")
+      val built = graft.ext.IvfPq.buildCalibrated(e, nCentroids = 16,
+        m = 8, k = 3, targetRecall = 0.7, nQueries = 16,
+        candidateGrid = Seq(64, 256))
+      val idxPath = java.nio.file.Files
+        .createTempDirectory("graft-ivfpqcal-gate").resolve("index").toString
+      graft.ext.IvfPq.writeIndexCompactFrom(built.indexed, idxPath)
+      graft.ext.IvfPq.writeCalibration(s, idxPath, built.calibration)
+      built.release()
+      val q = e.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      detachDeep(graft.ext.IvfPq
+        .topKCompactAtRecommended(s, idxPath, q, built.model, k = 3)
+        .filter(col("rank") === 1)
+        .select("query_id", "neighbor_id"))
+        .orderBy("query_id")
+    }),
+
     // ---- dedup shipped end-to-end: candidates → connected components →
     // ONE representative per cluster (max quality, ties to min id) →
     // survivor list. The composition a curation pipeline actually runs;
@@ -2424,6 +2470,15 @@ object ExtQueries {
         |  CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni
         |FROM j WHERE inter * 100 >= 50 * uni
         |ORDER BY id_a, id_b""".stripMargin,
+    // Planted-copy rank-1 through the full calibrated persisted
+    // lifecycle: identical embedding ⇒ same cell ⇒ any recommended
+    // probe width finds the original at cosine 1.
+    "x91_ann_ivf_sidecar" ->
+      """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    "x92_ann_ivfpq_sidecar" ->
+      """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
     "x85_sorted_neighborhood" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id < 400

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-10 pins: the calibrated-index lifecycle is honest end to end —
+  * a freshly calibrated index is MATERIALIZED (no silent rebuild per
+  * action, the r9 verdict's weak-mark mechanism), the calibration
+  * sidecar round-trips bit-exactly, and the consumer-side probe helpers
+  * honor the stored recommendation instead of a hard-coded default.
+  */
+class Round10Spec extends SparkSpec {
+
+  test("a probe on a freshly calibrated IVF index runs no second " +
+    "k-means/assign job (the returned frame is the materialized snapshot)") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val built = graft.ext.Ivf.buildCalibrated(e, nCentroids = 8, k = 5,
+      targetRecall = 0.9, nQueries = 8)
+    try {
+      // the structural pin: the returned plan IS a checkpoint-backed
+      // LogicalRDD — no corpus scan, no centroid-score expression left
+      // to re-evaluate. (Before r10 this was the lazy assign plan, so
+      // every action re-derived the index.)
+      val optimized = built.indexed.queryExecution.optimizedPlan
+      assert(optimized.isInstanceOf[
+        org.apache.spark.sql.execution.LogicalRDD],
+        s"calibrated index is not materialized:\n$optimized")
+      // and the behavioral pin: probing it schedules no job that reads
+      // the corpus parquet (scan-free plan → count of scan nodes is 0)
+      val probe = graft.ext.Ivf.topKPruned(built.indexed,
+        e.filter(col("vec_id") < 3), built.model, k = 3, nProbe = 2)
+      val scans = probe.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(
+            _.toString.contains("embeddings")) => f
+      }
+      // the query side scans the corpus (queries come from it); the
+      // INDEX side must not — exactly one embeddings scan, the queries'
+      assert(scans.size <= 1,
+        s"index side re-scans the corpus: ${scans.size} scans")
+      assert(probe.count() > 0)
+    } finally built.release()
+  }
+
+  test("a freshly calibrated IVF-PQ index is materialized and its " +
+    "compact write runs no re-encode") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val built = graft.ext.IvfPq.buildCalibrated(e, nCentroids = 8, m = 8,
+      k = 5, targetRecall = 0.7, nQueries = 8, candidateGrid = Seq(16, 64))
+    try {
+      val optimized = built.indexed.queryExecution.optimizedPlan
+      assert(optimized.isInstanceOf[
+        org.apache.spark.sql.execution.LogicalRDD],
+        s"calibrated IVF-PQ index is not materialized:\n$optimized")
+      // compact write straight off the snapshot: both projections plan
+      // zero corpus scans (writeIndexCompactFrom exists so a calibrated
+      // build never pays assign+encode twice)
+      Seq(built.indexed.select("neighbor_id", "codes", "centroid"),
+          built.indexed.select("neighbor_id", "nvec")).foreach { proj =>
+        val scans = proj.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }
+        assert(scans.isEmpty, s"compact projection re-scans: $scans")
+      }
+    } finally built.release()
+  }
+
+  test("calibration sidecars round-trip bit-exactly and the recommended-" +
+    "knob probe helpers reproduce the explicit-knob probe") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+
+    // IVF
+    val built = graft.ext.Ivf.buildCalibrated(e, nCentroids = 8, k = 3,
+      targetRecall = 0.9, nQueries = 8)
+    val p1 = java.nio.file.Files.createTempDirectory("graft-r10-ivf")
+      .resolve("idx").toString
+    graft.ext.Ivf.writeIndex(built.indexed, p1)
+    graft.ext.Ivf.writeCalibration(spark, p1, built.calibration)
+    val back = graft.ext.Ivf.readCalibration(spark, p1)
+    assert(back.contains(built.calibration),
+      "IVF sidecar round-trip is not identity (incl. the full curve)")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaHelper = pairs(graft.ext.Ivf.topKAtRecommended(
+      spark, p1, q, built.model, k = 3))
+    val viaExplicit = pairs(graft.ext.Ivf.topKPruned(
+      graft.ext.Ivf.readIndex(spark, p1), q, built.model, k = 3,
+      nProbe = built.calibration.recommendedNProbe))
+    assert(viaHelper == viaExplicit,
+      "topKAtRecommended diverges from the explicit-knob probe")
+    built.release()
+
+    // IVF-PQ (compact layout)
+    val builtPq = graft.ext.IvfPq.buildCalibrated(e, nCentroids = 8, m = 8,
+      k = 3, targetRecall = 0.7, nQueries = 8, candidateGrid = Seq(16, 64))
+    val p2 = java.nio.file.Files.createTempDirectory("graft-r10-ivfpq")
+      .resolve("idx").toString
+    graft.ext.IvfPq.writeIndexCompactFrom(builtPq.indexed, p2)
+    graft.ext.IvfPq.writeCalibration(spark, p2, builtPq.calibration)
+    assert(graft.ext.IvfPq.readCalibration(spark, p2)
+      .contains(builtPq.calibration),
+      "IVF-PQ sidecar round-trip is not identity")
+    val viaHelperPq = graft.ext.IvfPq.topKCompactAtRecommended(
+      spark, p2, q, builtPq.model, k = 3)
+    val viaExplicitPq = graft.ext.IvfPq.topKPrunedCompact(
+      spark, p2, q, builtPq.model, k = 3,
+      nProbe = builtPq.calibration.recommendedNProbe,
+      nCandidates = builtPq.calibration.recommendedNCandidates)
+    val hp = pairs(viaHelperPq)
+    assert(hp == pairs(viaExplicitPq),
+      "topKCompactAtRecommended diverges from the explicit-knob probe")
+    assert(hp.nonEmpty)
+    org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(viaHelperPq)
+    org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(viaExplicitPq)
+    builtPq.release()
+    // a missing sidecar fails loudly, never probes a silent default
+    val noCal = java.nio.file.Files.createTempDirectory("graft-r10-nocal")
+      .resolve("idx").toString
+    graft.ext.Ivf.writeIndex(
+      graft.ext.Ivf.index(e, built.model), noCal)
+    intercept[IllegalStateException] {
+      graft.ext.Ivf.topKAtRecommended(spark, noCal, q, built.model, k = 3)
+    }
+  }
+}
