@@ -507,6 +507,37 @@ object OpsQueries {
       }
     }),
 
+    // ---- merge-on-read DML (r10): deletion-vector sidecar instead of
+    // a file rewrite — DELETE appends (file, row-position) tombstones,
+    // UPDATE appends delta row versions + tombstones, reads anti-join
+    // them out, compact FOLDS them. The oracle replays the same verbs
+    // as SQL over the input (= the copy-on-write semantics), so
+    // MoR ≡ CoW is exactly the hash property; the gate additionally
+    // asserts vectors were pending before the fold and gone after.
+    "op_dml_mor" -> ((s: SparkSession, dir: String) => {
+      val wh = tmpWarehouse(s)
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+      def unwrap[A](e: Either[graft.warehouse.WarehouseError, A]): A =
+        e.fold(err => throw new RuntimeException(err.message), identity)
+      unwrap(wh.load("op_mor_t", orders))
+      unwrap(wh.deleteWhereMor("op_mor_t", col("o_orderkey") % 5 === 0))
+      unwrap(wh.updateWhereMor("op_mor_t", Map("o_orderstatus" -> lit("M")),
+        col("o_orderpriority") === "1-URGENT"))
+      // this delete can only match rows the UPDATE appended as delta
+      // files — vectors over deltas are the failure mode under test
+      unwrap(wh.deleteWhereMor("op_mor_t",
+        col("o_orderstatus") === "M" && col("o_orderkey") % 7 === 0))
+      val pending = unwrap(wh.pendingDeletionVectors("op_mor_t"))
+      if (pending <= 0L) throw new IllegalStateException(
+        s"op_dml_mor: expected pending tombstones, got $pending")
+      unwrap(wh.compact("op_mor_t", targetFiles = 2))
+      val folded = unwrap(wh.pendingDeletionVectors("op_mor_t"))
+      if (folded != 0L) throw new IllegalStateException(
+        s"op_dml_mor: compact left $folded tombstones unfolded")
+      unwrap(wh.get("op_mor_t")).orderBy("o_orderkey")
+    }),
+
     // ---- sources: the JDBC sink + scan pair (BASELINE "JDBC/Parquet
     // sinks") made oracle-visible — rows written through the batched
     // JDBC insert into embedded Derby must read back bit-identical.
@@ -888,6 +919,17 @@ object OpsQueries {
         |    AS value
         |FROM events WHERE event_type <> 'view'
         |ORDER BY event_id""".stripMargin,
+    "op_dml_mor" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderpriority = '1-URGENT' THEN 'M'
+        |       ELSE o_orderstatus END AS o_orderstatus,
+        |  o_orderpriority
+        |FROM orders
+        |WHERE NOT (o_orderkey % 5 = 0)
+        |  AND NOT (CASE WHEN o_orderpriority = '1-URGENT' THEN 'M'
+        |                ELSE o_orderstatus END = 'M'
+        |           AND o_orderkey % 7 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
     "op_upsert_jdbc" ->
       """SELECT * FROM (
         |  SELECT c_custkey,

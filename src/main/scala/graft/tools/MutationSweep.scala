@@ -121,6 +121,44 @@ object MutationSweep {
       val fAfter = unwrap(whf.get("tf")).count()
       require(pAfter == fAfter,
         s"pruned/flat DML drift at n=$n: $pAfter != $fAfter")
+
+      // merge-on-read vs copy-on-write POINT DML (r10): a selective
+      // predicate (one key) that is NOT partition-only. CoW must
+      // rewrite the whole table (cost grows with n); MoR appends one
+      // tombstone / one delta row after a pushed-filter scan whose
+      // row-group stats skip almost everything (cost ~flat in n —
+      // the deletion-vector claim under test). Also measured: the
+      // read-side anti-join tax while vectors are pending, and the
+      // compaction that folds them.
+      val whm = new SparkWarehouse(spark,
+        java.nio.file.Files.createTempDirectory(s"graft-mutm-$n").toString)
+      unwrap(whm.load("tm", base(spark, n)))
+      val whc = new SparkWarehouse(spark,
+        java.nio.file.Files.createTempDirectory(s"graft-mutc-$n").toString)
+      unwrap(whc.load("tc", base(spark, n)))
+      val tMDel = timed(() => unwrap(whm.deleteWhereMor("tm",
+        col("id") === n / 2)))
+      record(s"""{"op":"delete_point_mor","rows":$n,"sec":$tMDel}""")
+      val tCDel = timed(() => unwrap(whc.deleteWhere("tc",
+        col("id") === n / 2)))
+      record(s"""{"op":"delete_point_cow","rows":$n,"sec":$tCDel}""")
+      val tMUpd = timed(() => unwrap(whm.updateWhereMor("tm",
+        Map("balance" -> (col("balance") + 5.0)), col("id") === n / 3)))
+      record(s"""{"op":"update_point_mor","rows":$n,"sec":$tMUpd}""")
+      val tCUpd = timed(() => unwrap(whc.updateWhere("tc",
+        Map("balance" -> (col("balance") + 5.0)), col("id") === n / 3)))
+      record(s"""{"op":"update_point_cow","rows":$n,"sec":$tCUpd}""")
+      val tMRead = timed(() => unwrap(whm.get("tm")).count())
+      record(s"""{"op":"read_with_dv","rows":$n,"sec":$tMRead}""")
+      val tMFold = timed(() => unwrap(whm.compact("tm", targetFiles = 4)))
+      record(s"""{"op":"compact_fold_dv","rows":$n,"sec":$tMFold}""")
+      // end-state equivalence: MoR (folded) ≡ CoW, bit for bit
+      val morSum = unwrap(whm.get("tm"))
+        .agg(count(lit(1)), sum(col("balance"))).head()
+      val cowSum = unwrap(whc.get("tc"))
+        .agg(count(lit(1)), sum(col("balance"))).head()
+      require(morSum == cowSum,
+        s"MoR/CoW drift at n=$n: $morSum != $cowSum")
     }
 
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

@@ -69,21 +69,23 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String)
     try {
       if (!fs.exists(tablePath(name))) Left(TableNotFound(name))
       else {
-        // data = parquet files at top level OR partition directories
-        // (partitionBy layouts have only `col=value/` dirs at the root)
-        val hasData = fs.listStatus(tablePath(name)).exists { f =>
-          f.getPath.getName.endsWith(".parquet") ||
-            (f.isDirectory && !f.getPath.getName.startsWith("_"))
-        }
         // mergeSchema: after additive schema evolution (load appends new
         // fields) the table holds file GENERATIONS with different
         // footers; a single-footer read could silently drop the appended
         // columns. Merging unions the footers (older rows read null in
         // newer columns) at the cost of one parallel footer pass at
         // planning.
-        if (hasData) Right(graft.sources.Sources.parquetMerged(spark,
-          tablePath(name).toString))
-        else {
+        if (hasDataFiles(name)) {
+          val raw = graft.sources.Sources.parquetMerged(spark,
+            tablePath(name).toString)
+          // merge-on-read: rows tombstoned by pending deletion vectors
+          // are filtered out at read time (anti-join on file+row
+          // position). Tables never touched by MoR DML keep the plain
+          // scan plan — zero overhead.
+          Right(
+            if (!hasDeletionVectors(name)) raw
+            else liveWithPositions(name, raw).drop(RelCol, RidxCol))
+        } else {
           // schemaless or not-yet-loaded table: empty frame on the
           // recorded schema
           val st = meta(name).map(m => Widen.toStructType(m.schema))
@@ -94,6 +96,17 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String)
       }
     } catch {
       case e: Exception => Left(TableGenericError(e.getMessage, Some(e)))
+    }
+
+  /** Data = parquet files at top level OR partition directories
+    * (partitionBy layouts have only `col=value/` dirs at the root;
+    * underscore-prefixed sidecars — meta, deletion vectors — never
+    * count).
+    */
+  private def hasDataFiles(name: String): Boolean =
+    fs.listStatus(tablePath(name)).exists { f =>
+      f.getPath.getName.endsWith(".parquet") ||
+        (f.isDirectory && !f.getPath.getName.startsWith("_"))
     }
 
   def meta(name: String): Either[WarehouseError, TableMeta] =
@@ -709,6 +722,130 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String)
           case e: Exception => Left(TableGenericError(e.getMessage, Some(e)))
         }
     }
+
+  // ---------- merge-on-read DML (deletion vectors) ----------
+  //
+  // The copy-on-write verbs above rewrite data files: a selective
+  // predicate that is NOT partition-only on a 100 TB table pays a full
+  // (or full-partition) rewrite for a handful of rows — the one
+  // documented scale wall of the parquet backend. The MoR verbs instead
+  // append TOMBSTONES — (file, row-position) pairs — to an
+  // underscore-prefixed `_graft_dv/` sidecar directory the parquet
+  // scanner ignores; reads anti-join them out (Spark's hidden
+  // `_metadata.file_path`/`row_index` columns are the position source,
+  // the same device Delta's deletion vectors and Iceberg's positional
+  // deletes use). Cost model: DELETE writes O(matched) tombstone rows
+  // after one pushed-filter scan; UPDATE additionally appends O(matched)
+  // new row versions; the table-size-proportional rewrite disappears.
+  // Reads of a vectorless table keep the plain scan plan — zero
+  // overhead until the first MoR mutation. [[compact]] (or any
+  // whole-table rewrite) FOLDS pending vectors: it materializes the
+  // DV-applied view and the swap leaves no `_graft_dv/` behind.
+
+  private val RelCol = "__graft_rel"
+  private val RidxCol = "__graft_ridx"
+
+  private def dvPath(name: String) = new Path(tablePath(name), "_graft_dv")
+
+  private def hasDeletionVectors(name: String): Boolean =
+    fs.exists(dvPath(name)) &&
+      fs.listStatus(dvPath(name)).exists(_.getPath.getName.endsWith(".parquet"))
+
+  /** Table-root-RELATIVE path of each row's file. Relative — not the
+    * full URI — so tombstones survive a table [[rename]]; computed with
+    * the same expression at vector-write and read time, so the strings
+    * can never disagree with themselves.
+    */
+  private def relPathCol(name: String): Column = {
+    val root = tablePath(name).toUri.getPath
+    expr(s"substring(_metadata.file_path, " +
+      s"instr(_metadata.file_path, '$root') + ${root.length + 1})")
+  }
+
+  /** The raw scan with positions, minus every tombstoned row. */
+  private def liveWithPositions(name: String, raw: DataFrame): DataFrame = {
+    val pos = raw.select(col("*"), relPathCol(name).as(RelCol),
+      col("_metadata.row_index").as(RidxCol))
+    if (!hasDeletionVectors(name)) pos
+    else pos.join(
+      spark.read.parquet(dvPath(name).toString)
+        .select(col("rel").as(RelCol), col("ridx").as(RidxCol)),
+      Seq(RelCol, RidxCol), "left_anti")
+  }
+
+  /** Count of pending tombstones — 0 means every read is a plain scan.
+    * Exposed so maintenance jobs can decide when a fold ([[compact]])
+    * pays for itself (read amplification grows with the anti-join's
+    * right side).
+    */
+  def pendingDeletionVectors(name: String): Either[WarehouseError, Long] =
+    try {
+      if (!fs.exists(tablePath(name))) Left(TableNotFound(name))
+      else if (!hasDeletionVectors(name)) Right(0L)
+      else Right(spark.read.parquet(dvPath(name).toString).count())
+    } catch { case e: Exception => Left(TableGenericError(e.getMessage, Some(e))) }
+
+  /** Merge-on-read DELETE ... WHERE: append tombstones for matching live
+    * rows; no data file is rewritten. One pushed-filter scan + an
+    * O(matched)-row write — the 100 TB path for selective predicates
+    * that aren't partition-only (where [[deleteWhere]] would rewrite
+    * the table). Same row semantics as [[deleteWhere]]: only
+    * predicate-TRUE rows die; already-tombstoned rows can't re-match.
+    */
+  def deleteWhereMor(name: String, predicate: Column): Either[WarehouseError, Unit] =
+    try {
+      if (!fs.exists(tablePath(name))) return Left(TableNotFound(name))
+      requireNotBucketed(name, "deleteWhereMor")
+      if (!hasDataFiles(name)) return Right(())
+      val raw = graft.sources.Sources.parquetMerged(spark,
+        tablePath(name).toString)
+      liveWithPositions(name, raw).filter(predicate)
+        .select(col(RelCol).as("rel"), col(RidxCol).as("ridx"))
+        .write.mode(SaveMode.Append).parquet(dvPath(name).toString)
+      registerView(name)
+      Right(())
+    } catch { case e: Exception => Left(TableGenericError(e.getMessage, Some(e))) }
+
+  /** Merge-on-read UPDATE ... SET ... WHERE: append the updated row
+    * versions as delta files + tombstones for the old positions. Delta
+    * files are first-class table files (later vectors can tombstone
+    * them; partitioned layouts keep their directory scheme). Write
+    * order is deltas FIRST, tombstones second: a crash in the window
+    * leaves duplicate (old+new) versions visible, never lost rows. The
+    * matched set is pinned (localCheckpoint) before the delta append so
+    * the tombstone pass can never see — and kill — the rows it just
+    * wrote.
+    */
+  def updateWhereMor(name: String, set: Map[String, Column],
+                     predicate: Column): Either[WarehouseError, Unit] =
+    try {
+      if (!fs.exists(tablePath(name))) return Left(TableNotFound(name))
+      requireNotBucketed(name, "updateWhereMor")
+      if (!hasDataFiles(name)) return Right(())
+      val raw = graft.sources.Sources.parquetMerged(spark,
+        tablePath(name).toString)
+      val missing = set.keys.filterNot(raw.columns.contains)
+      require(missing.isEmpty, s"unknown update columns: $missing")
+      val matched = liveWithPositions(name, raw).filter(predicate)
+        .localCheckpoint()
+      try {
+        val dataCols = raw.columns.toIndexedSeq
+        val newVersions = matched.select(dataCols.map { c =>
+          set.get(c).map(_.as(c)).getOrElse(col(c))
+        }: _*)
+        val pcols = meta(name).toOption.map(_.partitionCols).getOrElse(Nil)
+          .filter(dataCols.contains)
+        val writer = newVersions.write.mode(SaveMode.Append)
+        if (pcols.nonEmpty)
+          writer.partitionBy(pcols: _*).parquet(tablePath(name).toString)
+        else writer.parquet(tablePath(name).toString)
+        matched.select(col(RelCol).as("rel"), col(RidxCol).as("ridx"))
+          .write.mode(SaveMode.Append).parquet(dvPath(name).toString)
+      } finally
+        org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(matched)
+      registerView(name)
+      Right(())
+    } catch { case e: Exception => Left(TableGenericError(e.getMessage, Some(e))) }
 
   /** Rename a table: one atomic filesystem rename (the meta sidecar
     * lives inside the table directory, so it moves with it) + view

@@ -124,4 +124,76 @@ class Round10Spec extends SparkSpec {
       graft.ext.Ivf.topKAtRecommended(spark, noCal, q, built.model, k = 3)
     }
   }
+
+  test("merge-on-read DML ≡ copy-on-write DML over random tables, flat " +
+    "and partitioned, incl. vectors over update deltas") {
+    val sps = spark; import sps.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 3) {
+      val n = 200 + rnd.nextInt(300)
+      val base = (0L until n.toLong).map { i =>
+        (i, s"p${rnd.nextInt(4)}", rnd.nextInt(1000).toLong)
+      }.toDF("id", "part", "v")
+      val partitioned = trial % 2 == 0
+
+      def mkWh(tag: String) = new graft.warehouse.SparkWarehouse(spark,
+        java.nio.file.Files.createTempDirectory(s"graft-r10-$tag-$trial")
+          .toString)
+      def unwrap[A](e: Either[graft.warehouse.WarehouseError, A]): A =
+        e.fold(err => fail(err.message), identity)
+
+      val whM = mkWh("mor")
+      val whC = mkWh("cow")
+      if (partitioned) {
+        unwrap(whM.createPartitioned("t", base, Seq("part")))
+        unwrap(whC.createPartitioned("t", base, Seq("part")))
+      } else {
+        unwrap(whM.load("t", base))
+        unwrap(whC.load("t", base))
+      }
+      // delete, update, then a second delete whose predicate can ONLY
+      // match rows the update appended as delta files — vectors over
+      // deltas are the part a naive implementation gets wrong
+      unwrap(whM.deleteWhereMor("t", col("id") % 5 === 0))
+      unwrap(whC.deleteWhere("t", col("id") % 5 === 0))
+      unwrap(whM.updateWhereMor("t", Map("v" -> (col("v") + 10000L)),
+        col("id") % 3 === 0))
+      unwrap(whC.updateWhere("t", Map("v" -> (col("v") + 10000L)),
+        col("id") % 3 === 0))
+      unwrap(whM.deleteWhereMor("t", col("v") >= 10000L && col("id") % 2 === 0))
+      unwrap(whC.deleteWhere("t", col("v") >= 10000L && col("id") % 2 === 0))
+
+      def rows(wh: graft.warehouse.SparkWarehouse) =
+        unwrap(wh.get("t")).select("id", "part", "v").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows(whM) == rows(whC),
+        s"trial $trial (partitioned=$partitioned): MoR and CoW diverge")
+      // identical SCHEMA too — position helper columns must never leak
+      assert(unwrap(whM.get("t")).columns.sorted.toSeq ==
+        unwrap(whC.get("t")).columns.sorted.toSeq)
+
+      // vectors are pending before the fold, gone after; content fixed
+      assert(unwrap(whM.pendingDeletionVectors("t")) > 0L)
+      val before = rows(whM)
+      unwrap(whM.compact("t", targetFiles = 2))
+      assert(unwrap(whM.pendingDeletionVectors("t")) == 0L,
+        "compact did not fold the deletion vectors")
+      assert(rows(whM) == before, "fold changed the table content")
+    }
+  }
+
+  test("MoR tombstones survive a table rename (positions are root-relative)") {
+    val sps = spark; import sps.implicits._
+    val wh = new graft.warehouse.SparkWarehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-r10-morren").toString)
+    def unwrap[A](e: Either[graft.warehouse.WarehouseError, A]): A =
+      e.fold(err => fail(err.message), identity)
+    val base = (0L until 100L).map(i => (i, i * 10)).toDF("id", "v")
+    unwrap(wh.load("t", base))
+    unwrap(wh.deleteWhereMor("t", col("id") < 50))
+    unwrap(wh.rename("t", "t2"))
+    assert(unwrap(wh.get("t2")).count() == 50L,
+      "tombstones lost across rename")
+    assert(unwrap(wh.get("t2")).agg(min("id")).head.getLong(0) == 50L)
+  }
 }
