@@ -54,10 +54,26 @@ object Bench {
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // streaming machinery floor: one warmup + one timed run of the
+    // s-gates' fixed protocol around a noop kernel (StreamQueries
+    // .machineryFloor), stamped into meta so cross-round streaming
+    // deltas can subtract fixed cost from artifacts alone. -1.0 = the
+    // floor probe itself failed (never fake a zero floor).
+    val streamFloor = try {
+      graft.queries.StreamQueries.machineryFloor(spark, sfDir) // warmup
+      val t0 = System.nanoTime()
+      graft.queries.StreamQueries.machineryFloor(spark, sfDir)
+      (System.nanoTime() - t0) / 1e9
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] stream floor probe failed: ${e.getMessage}")
+        -1.0
+    }
     val meta = s"""{"run":"$runLabel","reps":$reps,""" +
       s""""jvm":"fresh-per-runMain","cpus":$cpus,""" +
       s""""heap":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",""" +
       s""""spark":"${spark.version}",""" +
+      s""""stream_floor_sec":$streamFloor,""" +
       s""""shuffle_partitions":"${spark.conf.get("spark.sql.shuffle.partitions")}"}"""
     val runs = results.map { case (k, _, ts) =>
       s"\"" + k + "\":" + ts.mkString("[", ",", "]")

@@ -127,6 +127,57 @@ object StreamQueries {
       .orderBy("user_id", "session_start")
   }
 
+  /** The fixed machinery cost every streaming gate pays, isolated: the
+    * same staged protocol as [[sessionsGateBody]] (3 chronologically
+    * ordered files — events + two far-future sentinels —
+    * maxFilesPerTrigger=1, watermark, 4 state partitions, AvailableNow)
+    * around a NOOP stateful kernel (windowed count → noop sink). Bench
+    * times this once per run and stamps it into the artifact meta as
+    * `stream_floor_sec`, so cross-round s-gate deltas can subtract the
+    * floor from artifacts alone — the r9 round's +16% streaming drift
+    * (cold per-JVM state-store/codegen init under the fresh-JVM
+    * protocol) was attributable only through PERF_NOTES prose.
+    */
+  def machineryFloor(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    val staged = java.nio.file.Files.createTempDirectory("graft-floor")
+    val dest0 = staged.resolve("0.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"), dest0)
+    dest0.toFile.setLastModified(1000000000L)
+    def sentinel(n: Int, epochSec: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-floor-tmp$n")
+      alignTs(Seq((-n.toLong, epochSec * 1000000000L, -1L, "tick", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+        eventsSchema(s, dir)("ts").dataType)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = staged.resolve(s"$n.parquet")
+      java.nio.file.Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(1000000000L + n * 1000000L)
+    }
+    sentinel(1, 2051222400L)
+    sentinel(2, 2051308800L)
+    withShufflePartitions(s, 4) {
+      val stream = s.readStream.schema(eventsSchema(s, dir))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged.toString)
+        .transform(graft.Tables.normalizeTs(_))
+        .select("event_id", "ts")
+      val q = stream
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour"))
+        .count()
+        .writeStream
+        .format("noop")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      awaitOrFail(q, 120000)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_stream_hourly" -> ((s: SparkSession, dir: String) => {
       // the file-stream source needs a directory: stage the events file

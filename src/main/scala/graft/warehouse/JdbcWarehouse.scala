@@ -363,14 +363,171 @@ final class JdbcWarehouse(val spark: SparkSession, val url: String)
       ddl(c, s"DROP TABLE $backup")
     }
 
-  /** Rewrite-and-swap shared by the row-level DML verbs: materialize the
-    * transformed rows to a staging table BEFORE the live one is touched
-    * (a JDBC Overwrite of `name` would drop the table Spark is still
-    * lazily reading from — the same self-overwrite hazard [[upsert]]
-    * avoids), then DROP + RENAME. On a warehouse-grade JDBC endpoint
-    * these verbs would push down as real UPDATE/DELETE statements; the
-    * rewrite keeps semantics identical across backends, which is what
-    * the swap-the-subclass contract promises.
+  // ---------- server-side predicate DML ----------
+
+  /** Conservative Catalyst → SQL translation for the DML pushdown: a
+    * closed subset (column refs, string/numeric/boolean literals,
+    * comparisons, AND/OR/NOT, IS [NOT] NULL, IN, +, -, *, MOD/pmod)
+    * chosen because it evaluates IDENTICALLY in Spark and an ANSI SQL
+    * engine — no casts, no functions with dialect-divergent semantics.
+    * Anything outside the subset returns None and the caller keeps the
+    * read-transform-swap path: semantics first, pushdown second (the
+    * reference's vendor-delegation premise, `classes.py:45-49` — the
+    * vendor executes what it can express, the engine does the rest).
+    * Column identifiers are quoted with the dialect — matching how
+    * Spark's JDBC writer created them.
+    */
+  private def sqlOf(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Option[String] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    def integralRank(dt: DataType): Int = dt match {
+      case ByteType => 1; case ShortType => 2
+      case IntegerType => 3; case LongType => 4
+      case _ => 0
+    }
+    def bin(l: Expression, op: String, r: Expression): Option[String] =
+      for (ls <- sqlOf(l); rs <- sqlOf(r)) yield s"($ls $op $rs)"
+    e match {
+      case a: AttributeReference => Some(dialect.quoteIdentifier(a.name))
+      case Literal(null, _) => None
+      case Literal(v, StringType) =>
+        Some("'" + v.toString.replace("'", "''") + "'")
+      case Literal(v, ByteType | ShortType | IntegerType | LongType) =>
+        Some(v.toString)
+      case Literal(v, _: DecimalType) => Some(v.toString)
+      case Literal(v, DoubleType)
+        if !v.asInstanceOf[Double].isNaN && !v.asInstanceOf[Double].isInfinite =>
+        Some(v.toString)
+      case Literal(v, FloatType)
+        if !v.asInstanceOf[Float].isNaN && !v.asInstanceOf[Float].isInfinite =>
+        Some(v.toString)
+      case Literal(v, BooleanType) => Some(v.toString.toUpperCase)
+      // analysis wraps literals in casts (lit(7) against a BIGINT column
+      // becomes CAST(7 AS BIGINT)): fold constant casts driver-side,
+      // and drop value-preserving integral widenings of columns —
+      // SQL's mixed-width numeric comparison gives the same answer
+      case c: Cast if c.foldable =>
+        // eval returns the Catalyst-internal value — exactly what the
+        // raw Literal constructor stores
+        sqlOf(Literal(c.eval(null), c.dataType))
+      case Cast(child, dt, _, _)
+        if integralRank(dt) > 0 && integralRank(child.dataType) > 0 &&
+          integralRank(dt) >= integralRank(child.dataType) => sqlOf(child)
+      case EqualTo(l, r) => bin(l, "=", r)
+      case LessThan(l, r) => bin(l, "<", r)
+      case LessThanOrEqual(l, r) => bin(l, "<=", r)
+      case GreaterThan(l, r) => bin(l, ">", r)
+      case GreaterThanOrEqual(l, r) => bin(l, ">=", r)
+      case And(l, r) => bin(l, "AND", r)
+      case Or(l, r) => bin(l, "OR", r)
+      case Not(EqualTo(l, r)) => bin(l, "<>", r)
+      case Not(c) => sqlOf(c).map(s => s"(NOT $s)")
+      case IsNull(c) => sqlOf(c).map(s => s"($s IS NULL)")
+      case IsNotNull(c) => sqlOf(c).map(s => s"($s IS NOT NULL)")
+      case In(v, list) if list.nonEmpty =>
+        for {
+          vs <- sqlOf(v)
+          items <- list.foldLeft(Option(Vector.empty[String])) { (acc, x) =>
+            for (a <- acc; s <- sqlOf(x)) yield a :+ s
+          }
+        } yield s"($vs IN (${items.mkString(", ")}))"
+      case Add(l, r, _) => bin(l, "+", r)
+      case Subtract(l, r, _) => bin(l, "-", r)
+      case Multiply(l, r, _) => bin(l, "*", r)
+      case Remainder(l, r, _) =>
+        for (ls <- sqlOf(l); rs <- sqlOf(r)) yield s"MOD($ls, $rs)"
+      case Pmod(l, r, _) =>
+        // pmod is non-negative for positive modulus; ANSI MOD keeps the
+        // dividend's sign — compose MOD(MOD(l, r) + r, r) to match
+        for (ls <- sqlOf(l); rs <- sqlOf(r))
+          yield s"MOD((MOD($ls, $rs) + $rs), $rs)"
+      case _ => None
+    }
+  }
+
+  /** The analyzed filter condition of `predicate` against `existing` —
+    * analysis only, no job (a Spark-4 Column is an opaque ColumnNode
+    * until analyzed against a plan).
+    */
+  private def analyzedPredicate(existing: DataFrame,
+      predicate: org.apache.spark.sql.Column)
+      : Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+    existing.filter(predicate).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+
+  /** Analyzed expressions of the SET values, keyed by target column. */
+  private def analyzedSet(existing: DataFrame,
+      set: Map[String, org.apache.spark.sql.Column])
+      : Option[Map[String, org.apache.spark.sql.catalyst.expressions.Expression]] = {
+    if (set.isEmpty) return None
+    val keys = set.keys.toSeq
+    val proj = existing.select(keys.map(k => set(k).as(s"__set_$k")): _*)
+    proj.queryExecution.analyzed.collectFirst {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        keys.zip(p.projectList).map {
+          case (k, org.apache.spark.sql.catalyst.expressions.Alias(child, _)) =>
+            k -> child
+          case (k, other) => k -> other
+        }.toMap
+    }
+  }
+
+  /** SQL-translatable predicate DML executes SERVER-SIDE — one
+    * `DELETE FROM`/`UPDATE … WHERE` statement, zero rows through Spark
+    * (at warehouse scale the difference between a statement and
+    * shipping the table through the JVM twice). Statement-atomic in
+    * the database, so on ANY failure the fallback rewrite path can
+    * safely re-run the same semantics.
+    */
+  private def pushedDml(sql: String, name: String): Boolean =
+    try {
+      withConn(ddl(_, sql))
+      registerView(name)
+      true
+    } catch {
+      case e: Exception =>
+        log.warn(s"server-side DML failed (${e.getMessage}); " +
+          "falling back to the rewrite path")
+        false
+    }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Translate a DELETE's predicate, or None when any part of it is
+    * outside the pushdown subset. Exposed package-private so specs can
+    * pin WHICH path a given predicate takes.
+    */
+  private[graft] def deleteSql(existing: DataFrame, name: String,
+      predicate: org.apache.spark.sql.Column): Option[String] =
+    for {
+      p <- analyzedPredicate(existing, predicate)
+      ps <- sqlOf(p)
+    } yield s"DELETE FROM $name WHERE $ps"
+
+  private[graft] def updateSql(existing: DataFrame, name: String,
+      set: Map[String, org.apache.spark.sql.Column],
+      predicate: org.apache.spark.sql.Column): Option[String] =
+    for {
+      p <- analyzedPredicate(existing, predicate)
+      ps <- sqlOf(p)
+      sets <- analyzedSet(existing, set)
+      assigns <- sets.toSeq.sortBy(_._1).foldLeft(Option(Vector.empty[String])) {
+        case (acc, (k, v)) =>
+          for (a <- acc; vs <- sqlOf(v))
+            yield a :+ s"${dialect.quoteIdentifier(k)} = $vs"
+      }
+    } yield s"UPDATE $name SET ${assigns.mkString(", ")} WHERE $ps"
+
+  /** Rewrite-and-swap shared by the row-level DML verbs when the
+    * predicate is NOT expressible in the pushdown subset: materialize
+    * the transformed rows to a staging table BEFORE the live one is
+    * touched (a JDBC Overwrite of `name` would drop the table Spark is
+    * still lazily reading from — the same self-overwrite hazard
+    * [[upsert]] avoids), then swap via backup-rename. Semantics are
+    * identical to the pushed statements — which is what lets
+    * [[updateWhere]]/[[deleteWhere]] pick per predicate.
     */
   private def rewriteSwap(name: String,
                           f: DataFrame => DataFrame): Either[WarehouseError, Unit] =
@@ -391,21 +548,38 @@ final class JdbcWarehouse(val spark: SparkSession, val url: String)
 
   def updateWhere(name: String, set: Map[String, org.apache.spark.sql.Column],
                   predicate: org.apache.spark.sql.Column): Either[WarehouseError, Unit] =
-    rewriteSwap(name, { existing =>
-      val missing = set.keys.filterNot(existing.columns.contains)
-      require(missing.isEmpty, s"unknown update columns: $missing")
-      existing.select(existing.columns.toIndexedSeq.map { c =>
-        set.get(c) match {
-          case Some(v) => org.apache.spark.sql.functions
-            .when(predicate, v).otherwise(col(c)).as(c)
-          case None    => col(c)
-        }
-      }: _*)
-    })
+    get(name) match {
+      case Left(e) => Left(e)
+      case Right(existing) =>
+        val missing = set.keys.filterNot(existing.columns.contains)
+        if (missing.nonEmpty)
+          return Left(InvalidInput(s"unknown update columns: $missing"))
+        val pushed = try updateSql(existing, name, set, predicate)
+          catch { case _: Exception => None }
+        if (pushed.exists(pushedDml(_, name))) Right(())
+        else rewriteSwap(name, { ex =>
+          ex.select(ex.columns.toIndexedSeq.map { c =>
+            set.get(c) match {
+              case Some(v) => org.apache.spark.sql.functions
+                .when(predicate, v).otherwise(col(c)).as(c)
+              case None    => col(c)
+            }
+          }: _*)
+        })
+    }
 
   def deleteWhere(name: String,
                   predicate: org.apache.spark.sql.Column): Either[WarehouseError, Unit] =
-    rewriteSwap(name, _.filter(predicate.isNull || !predicate))
+    get(name) match {
+      case Left(e) => Left(e)
+      case Right(existing) =>
+        // SQL DELETE WHERE p kills only p=TRUE rows — exactly the
+        // engine path's filter(p IS NULL OR NOT p) survivor rule
+        val pushed = try deleteSql(existing, name, predicate)
+          catch { case _: Exception => None }
+        if (pushed.exists(pushedDml(_, name))) Right(())
+        else rewriteSwap(name, _.filter(predicate.isNull || !predicate))
+    }
 
   def rename(from: String, to: String): Either[WarehouseError, Unit] =
     try {
