@@ -177,12 +177,25 @@ object BpeLearn {
     require(batch >= 1, "batch must be >= 1")
     var rounds = 0
     var tokenized = initialTokens(docs, textCol).localCheckpoint()
+    // the driver KNOWS the full token vocabulary at every point: the
+    // initial tokens are single characters (one bounded collect) and
+    // every later token is a merge this loop itself created. That exact
+    // knowledge replaces the old guard's unconditional `+ cutoff`
+    // collision padding — which priced in a conflation that can only
+    // happen when the merged string already IS a token — with a set
+    // lookup; on corpora with tight top counts the padding forced the
+    // batch to end after one merge (near-sequential round-trips,
+    // measured in bpe_sweep_r10).
+    val vocab = scala.collection.mutable.Set.empty[String]
+    vocab ++= tokenized
+      .select(explode(split(col("tok"), " ")).as("t")).distinct()
+      .collect().map(_.getString(0))
     val out = Seq.newBuilder[(Long, String, Long)]
     var rank = 1
     var exhausted = false
     while (rank <= merges && !exhausted) {
       rounds += 1
-      val k = math.max(batch * 4, 16)
+      val k = math.max(batch * 16, 64)
       val rows = pairCounts(tokenized)
         .orderBy(col("n").desc, col("pair")).limit(k).collect()
         .map(r => (r.getString(0), r.getLong(1)))
@@ -214,16 +227,19 @@ object BpeLearn {
                 (c == a || c == b || d == a || d == b) => n2
             }
             // a pair this merge creates inherits at most the count of an
-            // old pair sharing a token (collected → sharing.max, or below
-            // the cutoff); if the merged token string already exists in
-            // the vocabulary the created occurrences additionally conflate
-            // with an unseen pair's old count (≤ cutoff) — hence the sum
+            // old pair sharing a token: collected → sharing.max,
+            // uncollected → below the cutoff. (The old +cutoff term
+            // covered conflation with an existing `merged` token's
+            // unseen pairs; the vocab check below now rules that case
+            // out exactly.)
             guard = math.max(guard,
-              cutoff + math.max(cutoff, if (sharing.isEmpty) 0L else sharing.max))
-            // merged-token collision: counts for pairs touching `merged`
-            // would conflate with an existing token's — end the batch here
-            if (sides.exists { case (_, c, d, _) => c == merged || d == merged })
-              stop = true
+              math.max(cutoff, if (sharing.isEmpty) 0L else sharing.max))
+            // merged-token collision: `merged` already exists in the
+            // vocabulary, so counts for pairs touching it would conflate
+            // with the existing token's — end the batch here (the
+            // selection ITSELF is still the exact argmax)
+            if (vocab.contains(merged)) stop = true
+            vocab += merged
           }
           i += 1
         }

@@ -134,6 +134,84 @@ object AdversarialSweep {
         s""""pairs":$out,"sec":$sec}""")
     }
 
+    // ---- 4. the AUTO guard measured (r10) ---------------------------
+    // (a) tier-1 df-probe overhead on CLEAN corpora (max df far below
+    // the threshold): the guarded default must cost the unguarded join
+    // plus one aggregate ≈ noise.
+    // (b) STOPWORD corpora: one token in EVERY doc (df = n ≫ 4096) but
+    // prefix-narrow — the r10 window-free width probe must clear it
+    // without ever building the windowed prefix table (the r9-advice
+    // regression: the old tier-2 permanently defeated the cheap path
+    // on any corpus with one popular token).
+    Seq(100000L, 1000000L).foreach { m =>
+      Seq(("clean", ""), ("stopword", " the")).foreach { case (tag, suffix) =>
+        spark.range(m).select(col("id"),
+            concat(lit("u"), col("id"), lit(" v"), col("id"), lit(suffix))
+              .as("text"))
+          .write.mode("overwrite").parquet(s"$work/${tag}_$m")
+        val d = spark.read.parquet(s"$work/${tag}_$m")
+        val (secU, pU) = timed(() => graft.ext.SetSim.jaccardJoin(
+          d, col("id"), col("text"), tauPct = 50,
+          escalateAt = Int.MaxValue).count())
+        record(s"""{"kernel":"setsim_auto_$tag","scale":"n${m}_unguarded",""" +
+          s""""rows":$m,"pairs":$pU,"sec":$secU}""")
+        val (secA, pA) = timed(() => {
+          val r = graft.ext.SetSim.jaccardJoinAuto(d, col("id"), col("text"),
+            tauPct = 50)
+          val esc = r.escalated.count()
+          require(esc == 0, s"$tag corpus escalated $esc buckets at n=$m")
+          r.pairs.count()
+        })
+        require(pA == pU, s"$tag auto/unguarded pair drift at n=$m")
+        record(s"""{"kernel":"setsim_auto_$tag","scale":"n${m}_auto",""" +
+          s""""rows":$m,"pairs":$pA,"sec":$secA}""")
+      }
+    }
+
+    // (c) ESCALATED end-to-end wall vs the capped guard on hot two-
+    // family corpora, with the planted rescue pair (every token hot —
+    // reachable only through the neighborhood path) and a cold pair.
+    // The capped run on the same corpus keeps only the cold pair (its
+    // documented trade); auto must recover BOTH with loud accounting.
+    Seq(5000L, 25000L, 50000L).foreach { m =>
+      val sps = spark; import sps.implicits._
+      val fams = spark.range(m).select(col("id"),
+          concat(lit("hot1 u"), col("id")).as("text"))
+        .union(spark.range(m).select((col("id") + m).as("id"),
+          concat(lit("hot2 w"), col("id")).as("text")))
+        .union(Seq((2 * m + 1, "hot1 hot2"), (2 * m + 2, "hot1 hot2"),
+          (2 * m + 3, "p q r s"), (2 * m + 4, "p q r s"))
+          .toDF("id", "text"))
+      fams.write.mode("overwrite").parquet(s"$work/fam_$m")
+      val d = spark.read.parquet(s"$work/fam_$m")
+      val rows = 2 * m + 4
+      val (secA, _) = timed(() => {
+        val r = graft.ext.SetSim.jaccardJoinAuto(d, col("id"), col("text"),
+          tauPct = 50, escalateAt = 64, neighborhoodWindow = 16)
+        val esc = r.escalated.collect()
+          .map(x => (x.getString(0), x.getLong(1))).sortBy(_._1).toSeq
+        require(esc == Seq(("hot1", m + 2), ("hot2", m + 2)),
+          s"escalation accounting wrong at n=$rows: $esc")
+        val pairs = r.pairs.select("id_a", "id_b").collect()
+          .map(x => (x.getLong(0), x.getLong(1))).toSet
+        require(pairs == Set((2 * m + 1, 2 * m + 2), (2 * m + 3, 2 * m + 4)),
+          s"auto lost a planted pair at n=$rows: $pairs")
+      })
+      record(s"""{"kernel":"setsim_auto_escalated","scale":"n$rows",""" +
+        s""""rows":$rows,"pairs":2,"sec":$secA}""")
+      val (secC, _) = timed(() => {
+        val r = graft.ext.SetSim.jaccardJoinCapped(d, col("id"), col("text"),
+          tauPct = 50, maxPerTok = 64)
+        require(r.dropped.count() == 2, s"cap accounting wrong at n=$rows")
+        val pairs = r.pairs.select("id_a", "id_b").collect()
+          .map(x => (x.getLong(0), x.getLong(1))).toSet
+        require(pairs == Set((2 * m + 3, 2 * m + 4)),
+          s"capped pair set wrong at n=$rows: $pairs")
+      })
+      record(s"""{"kernel":"setsim_capped_same_corpus","scale":"n$rows",""" +
+        s""""rows":$rows,"pairs":1,"sec":$secC}""")
+    }
+
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (results.mkString("[\n", ",\n", "\n]") + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -362,4 +362,26 @@ class PartitionPruningSpec extends SparkSpec {
       s"expected both branches on the shared materialization (2 scans), " +
         s"got $sharedScans:\n$plan")
   }
+
+  test("merge-on-read read: deletion vectors apply as a BROADCAST " +
+    "anti-join and the data scan keeps pushdown") {
+    val wh = new graft.warehouse.SparkWarehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-mor-plan").toString)
+    val spark0 = spark
+    import spark0.implicits._
+    val df = (0L until 5000L).map(i => (i, i % 13, s"v$i")).toDF("id", "k", "v")
+    assert(wh.load("t", df).isRight)
+    assert(wh.deleteWhereMor("t", col("id") % 17 === 0).isRight)
+    val read = wh.get("t").toOption.get
+    val plan = read.filter(col("k") === 3).queryExecution.executedPlan.toString
+    // the tombstone side is tiny: the anti-join must be broadcast (a
+    // shuffled anti-join here would re-shuffle 100 TB of data to drop
+    // a handful of tombstoned rows)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"DV application is not a broadcast anti-join:\n$plan")
+    // and the user predicate still reaches the parquet scan underneath
+    assert(plan.contains("PushedFilters: [IsNotNull(k), EqualTo(k,3)]") ||
+      plan.contains("EqualTo(k,3)"),
+      s"pushdown lost through the DV wrapper:\n$plan")
+  }
 }
