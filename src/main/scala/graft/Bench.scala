@@ -25,9 +25,16 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
     val runLabel = sys.env.getOrElse("SPARK_GRAFT_RUN_ID", "driver")
+    // optional comma-separated gate-name substring filter, for profiling
+    // a single gate without paying the full 200-gate run
+    val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
     val spark = Tables.sessionBuilder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      nameFilter.forall(_.exists(n.contains)) }
+    val results = selected.map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warmup
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -54,12 +61,25 @@ object Bench {
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // The driver keeps only a ~2000-char stdout TAIL and parses the JSON
+    // line from it: a line carrying all ~200 per-gate timings overflows
+    // the buffer and the driver records `parsed: null` (this happened in
+    // r9 and r10). The PRINTED line therefore carries the total plus the
+    // slowest gates only, with the remainder summed under "_other"; the
+    // full per-gate map and raw per-rep runs go to the file artifact.
+    val topN = 25
+    val slowest = results.sortBy(-_._2).take(topN)
+    val rest = total - slowest.map(_._2).sum
+    def r3(v: Double): String = "%.3f".format(v)
+    val qsCompact = (slowest.map { case (k, v, _) =>
+      s"\"" + k + "\":" + r3(v) } :+ (s"\"_other_${results.size - slowest.size}_gates\":" + r3(rest)))
+      .mkString("{", ",", "}")
     // streaming machinery floor: one warmup + one timed run of the
     // s-gates' fixed protocol around a noop kernel (StreamQueries
     // .machineryFloor), stamped into meta so cross-round streaming
     // deltas can subtract fixed cost from artifacts alone. -1.0 = the
     // floor probe itself failed (never fake a zero floor).
-    val streamFloor = try {
+    val streamFloor = if (nameFilter.isDefined) -1.0 else try {
       graft.queries.StreamQueries.machineryFloor(spark, sfDir) // warmup
       val t0 = System.nanoTime()
       graft.queries.StreamQueries.machineryFloor(spark, sfDir)
@@ -78,19 +98,26 @@ object Bench {
     val runs = results.map { case (k, _, ts) =>
       s"\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val json =
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","meta":$meta,"runs":$runs}"""
-    // the driver contract: ONE line with metric/value/unit/queries/sf
-    println(json)
-    // the driver artifact keeps only a truncated stdout TAIL, losing most
-    // per-gate timings; also write the full map to a file so every
-    // round-over-round comparison is reproducible from disk
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    // full per-gate map + raw per-rep runs: file artifact (committed per
+    // round as bench_timings_r{N}.json so comparisons survive the tail)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    // the driver contract: ONE parseable line with metric/value/unit/
+    // queries/sf — MUST fit the driver's 2000-char stdout tail
+    val json =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+        s""""queries":$qsCompact,"sf":"$sfDir","meta":$meta,""" +
+        s""""detail":"$outPath"}"""
+    if (json.length > 1800)
+      System.err.println(s"[bench] WARNING: compact line ${json.length} chars" +
+        " — may overflow the driver's 2000-char tail")
+    println(json)
     spark.stop()
   }
 }

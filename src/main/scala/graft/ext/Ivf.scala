@@ -199,14 +199,71 @@ object Ivf {
     require(maxProbe >= 1 && maxProbe <= model.numCentroids,
       s"maxProbe in [1, ${model.numCentroids}]")
     val spark = indexed.sparkSession
+    // ONE-PASS derivation (r11) instead of one pruned probe per width.
+    // Exactness argument: truth is the global top-k under the SAME score
+    // (vector_cosine) and tiebreak (neighbor_id asc) the probe path
+    // ranks with, and a probe's candidate pool is a SUBSET of the corpus
+    // — removing rows can only lower a survivor's row_number — so a
+    // truth neighbor whose centroid is among the query's first p probe
+    // cells ALWAYS survives the top-k cut, and one outside the pool
+    // never appears. Hence hits(p) = #{(q,n) ∈ truth : rank of
+    // centroid(n) in q's probe order ≤ p}: the whole curve falls out of
+    // each truth pair's MINIMAL probe width, one job instead of
+    // maxProbe probe+semi-join actions (the r10 gate paid 16).
+    // Differential spec (Round11Spec) pins derived ≡ probed per width.
+    val truth = Similarity
+      .bruteForceTopK(indexed.select(col("neighbor_id").as("vec_id"),
+          col("nvec").as("embedding")), queries, k)
+      .select("query_id", "neighbor_id")
+    val nbrCell = indexed.select(col("neighbor_id"), col("centroid").as("_nc"))
+    val qScores = queries
+      .select(col("vec_id").as("query_id"),
+        centroidScores(col("embedding"), model).as("_scores"))
+    // probes() orders cells by (score asc, cell id asc); the minimal
+    // width that includes cell c is 1 + #{j : (s_j, j) < (s_c, c)}.
+    // Interpreted HOFs are fine here: ≤ nQueries·k rows ever reach them.
+    val sc = element_at(col("_scores"), col("_nc") + 1)
+    val below = size(filter(
+      zip_with(col("_scores"),
+        sequence(lit(0), lit(model.numCentroids - 1)),
+        (s, i) => struct(s.as("s"), i.as("i"))),
+      x => x("s") < sc || (x("s") === sc && x("i") < col("_nc"))))
+    val hist = truth.join(nbrCell, "neighbor_id")
+      .join(broadcast(qScores), "query_id")
+      .select((below + 1).as("_mw"))
+      .groupBy("_mw").agg(count(lit(1)).as("_c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val truthPairs = hist.map(_._2).sum
+    // an empty truth set (no queries, or every query filtered out of the
+    // brute-force top-k) would make every recall below 0/0 = NaN — fail
+    // loudly instead, mirroring the maxProbe require above
+    require(truthPairs > 0,
+      "no ground-truth pairs — check that `queries` is non-empty and " +
+        "present in the index")
+    import spark.implicits._
+    val rows = (1 to maxProbe).map { p =>
+      val hits = hist.collect { case (mw, c) if mw <= p => c }.sum
+      (p, hits, truthPairs, hits.toDouble / truthPairs.toDouble)
+    }
+    rows.toDF("n_probe", "hits", "truth_pairs", "recall")
+  }
+
+  /** The per-width probed form of [[calibrateNProbe]] — literally runs
+    * `topKPruned` at every width and counts truth hits with a semi-join.
+    * maxProbe actions instead of one; kept as the differential-testing
+    * reference for the one-pass derivation (Round11Spec pins equality).
+    */
+  private[graft] def calibrateNProbeProbed(indexed: DataFrame,
+                                           queries: DataFrame, model: Model,
+                                           k: Int, maxProbe: Int): DataFrame = {
+    require(maxProbe >= 1 && maxProbe <= model.numCentroids,
+      s"maxProbe in [1, ${model.numCentroids}]")
+    val spark = indexed.sparkSession
     val truth = Similarity
       .bruteForceTopK(indexed.select(col("neighbor_id").as("vec_id"),
           col("nvec").as("embedding")), queries, k)
       .select("query_id", "neighbor_id").localCheckpoint()
     val truthPairs = truth.count()
-    // an empty truth set (no queries, or every query filtered out of the
-    // brute-force top-k) would make every recall below 0/0 = NaN — fail
-    // loudly instead, mirroring the maxProbe require above
     require(truthPairs > 0,
       "no ground-truth pairs — check that `queries` is non-empty and " +
         "present in the index")

@@ -175,10 +175,18 @@ object IvfPq {
                       candidateGrid: Seq[Int] = Seq(64, 256, 1024),
                       kSub: Int = 16, idCol: String = "vec_id",
                       vecCol: String = "embedding", sampleSize: Int = 4096,
-                      iterations: Int = 8, seed: Long = 42L): CalibratedIndex = {
+                      iterations: Int = 8, seed: Long = 42L,
+                      earlyStop: Boolean = true): CalibratedIndex = {
     require(targetRecall > 0 && targetRecall <= 1, "targetRecall in (0,1]")
     require(candidateGrid.nonEmpty && candidateGrid.forall(_ >= 1),
       "candidateGrid must be non-empty positive budgets")
+    require(Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType)
+        .contains(corpus.schema(idCol).dataType),
+      s"calibration needs an integral id column, got " +
+        s"${corpus.schema(idCol).dataType} for '$idCol' (the grid " +
+        "kernel's driver-side tiebreak must reproduce the engine's " +
+        "id ordering)")
     val model = train(corpus, vecCol, nCentroids, m, kSub, sampleSize,
       iterations, seed)
     val probeCap =
@@ -201,14 +209,81 @@ object IvfPq {
       require(truthPairs > 0,
         "no ground-truth pairs — check that the corpus is non-empty")
       val grid = candidateGrid.distinct.sorted
-      val curve = (for (p <- 1 to probeCap; c <- grid) yield {
-        val hits = topKPruned(snap, queries, model, k, nProbe = p,
-            nCandidates = c, idCol = "vec_id", vecCol = "embedding")
-          .select("query_id", "neighbor_id")
-          .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
-          .count()
-        (p, c, hits.toDouble / truthPairs)
-      }).toSeq
+      // Grid evaluation, r11 form: ONE action per probe width scores
+      // EVERY candidate budget (the r10 form ran one topKPruned +
+      // semi-join count per (p, c) point — 32 actions at nCentroids=16
+      // × a 2-budget grid, ~18 s of a gate-scale build). Per width p the
+      // kernel computes the maxC-budget ADC pool once; for any c ≤ maxC
+      // the budget-c candidate set is EXACTLY the pool rows with
+      // _crank ≤ c (global top-c of a superset pool is the global
+      // top-c), and the rescore is simulated driver-side on the
+      // collected skinny rows — bounded by nQueries·max(grid) rows,
+      // never the corpus — with the probe path's exact quantized-cosine
+      // ranking and tiebreak (Round11Spec pins kernel ≡ per-point
+      // probes). The walk stays lexicographic (p asc, c asc) — the
+      // recommendation's preference order — so with `earlyStop` it
+      // halts inside the first width reaching target and the
+      // recommendation is IDENTICAL to the full sweep's (only the
+      // recorded curve is the evaluated prefix); pass earlyStop = false
+      // to study the whole (non-monotone) surface.
+      val maxC = grid.max
+      val wLocal = Window.partitionBy(col("query_id"), col("_p"))
+        .orderBy(col("_adc").asc, col("neighbor_id"))
+      val wAdc = Window.partitionBy(col("query_id"))
+        .orderBy(col("_adc").asc, col("neighbor_id"))
+      val qSide = queries
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val curveB = Seq.newBuilder[(Int, Int, Double)]
+      var stop = false
+      for (p <- 1 to probeCap if !stop) {
+        val probed = Ivf.probes(queries, model.ivf, p, idCol = "vec_id",
+          vecCol = "embedding")
+        val q = probed.withColumn("_tables",
+          Pq.queryTables(col("qvec"), model.pq))
+        val pool = broadcast(q.select("query_id", "centroid", "_tables"))
+          .join(snap.select("centroid", "neighbor_id", "codes"),
+            Seq("centroid"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            Pq.adcDistance(col("_tables"), col("codes")).as("_adc"),
+            spark_partition_id().as("_p"))
+          .withColumn("_lrank", row_number().over(wLocal))
+          .filter(col("_lrank") <= maxC)
+          .withColumn("_crank", row_number().over(wAdc))
+          .filter(col("_crank") <= maxC)
+          .select("query_id", "neighbor_id", "_crank")
+        // ids collected as LONG so the driver-side (cos desc, id asc)
+        // tiebreak reproduces the engine's row_number order exactly —
+        // integral ids only (widening Int → Long preserves order)
+        val rows = pool
+          .join(snap.select(col("neighbor_id"), col("nvec")),
+            Seq("neighbor_id"))
+          .join(broadcast(qSide), Seq("query_id"))
+          .select(col("query_id"), col("neighbor_id"), col("_crank"),
+            Similarity.cosineQuantized(col("qvec"), col("nvec")).as("_cos"))
+          .join(truth.withColumn("_t", lit(true)),
+            Seq("query_id", "neighbor_id"), "left")
+          .select(col("query_id").cast("long"),
+            col("neighbor_id").cast("long"), col("_crank"),
+            col("_cos"), coalesce(col("_t"), lit(false)).as("_t"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3),
+            r.getBoolean(4)))
+        val byQuery = rows.groupBy(_._1)
+        for (c <- grid if !stop) {
+          // per query: budget-c candidates, rescored by (cos desc, id
+          // asc) — the probe path's exact ranking — cut to k
+          val hits = byQuery.valuesIterator.map { qr =>
+            qr.filter(_._3 <= c)
+              .sortBy { case (_, id, _, cos, _) => (-cos, id) }
+              .take(k).count(_._5)
+          }.sum
+          val recall = hits.toDouble / truthPairs
+          curveB += ((p, c, recall))
+          if (earlyStop && recall >= targetRecall) stop = true
+        }
+      }
+      val curve = curveB.result()
       val reached = curve
         .sortBy { case (p, c, _) => (p, c) }
         .find(_._3 >= targetRecall)

@@ -360,7 +360,19 @@ final class JdbcWarehouse(val spark: SparkSession, val url: String)
           ddl(c, s"RENAME TABLE $backup TO $name")
           throw e
       }
-      ddl(c, s"DROP TABLE $backup")
+      // the swap is COMMITTED once staging is renamed in — a failure
+      // dropping the backup must not surface as a DML failure (r10
+      // advice: a caller retrying a "failed" but actually-committed
+      // non-idempotent update, e.g. SET v = v + 1, double-applies it).
+      // The DROP-if-exists at entry reclaims a stale backup on the next
+      // swap.
+      try ddl(c, s"DROP TABLE $backup")
+      catch {
+        case e: Exception =>
+          log.warn(s"commitStagingSwap: committed, but dropping backup " +
+            s"$backup failed (${e.getMessage}) — will be reclaimed on " +
+            "the next swap")
+      }
     }
 
   // ---------- server-side predicate DML ----------
@@ -388,6 +400,17 @@ final class JdbcWarehouse(val spark: SparkSession, val url: String)
     }
     def bin(l: Expression, op: String, r: Expression): Option[String] =
       for (ls <- sqlOf(l); rs <- sqlOf(r)) yield s"($ls $op $rs)"
+    // string COMPARISONS are excluded from the pushdown subset (r10
+    // advice): SQL pad-space collation (Derby pads trailing blanks when
+    // comparing character types) and case-insensitive collations make
+    // e.g. name = 'a ' match name='a' server-side while the engine path
+    // matches nothing — the route taken would silently change WHICH
+    // rows a DML mutates. Comparisons over strings take the engine
+    // rewrite path (always binary, no-pad); string LITERALS remain
+    // translatable for SET assignments, where no collation is consulted.
+    def cmp(l: Expression, op: String, r: Expression): Option[String] =
+      if (l.dataType == StringType || r.dataType == StringType) None
+      else bin(l, op, r)
     e match {
       case a: AttributeReference => Some(dialect.quoteIdentifier(a.name))
       case Literal(null, _) => None
@@ -414,18 +437,18 @@ final class JdbcWarehouse(val spark: SparkSession, val url: String)
       case Cast(child, dt, _, _)
         if integralRank(dt) > 0 && integralRank(child.dataType) > 0 &&
           integralRank(dt) >= integralRank(child.dataType) => sqlOf(child)
-      case EqualTo(l, r) => bin(l, "=", r)
-      case LessThan(l, r) => bin(l, "<", r)
-      case LessThanOrEqual(l, r) => bin(l, "<=", r)
-      case GreaterThan(l, r) => bin(l, ">", r)
-      case GreaterThanOrEqual(l, r) => bin(l, ">=", r)
+      case EqualTo(l, r) => cmp(l, "=", r)
+      case LessThan(l, r) => cmp(l, "<", r)
+      case LessThanOrEqual(l, r) => cmp(l, "<=", r)
+      case GreaterThan(l, r) => cmp(l, ">", r)
+      case GreaterThanOrEqual(l, r) => cmp(l, ">=", r)
       case And(l, r) => bin(l, "AND", r)
       case Or(l, r) => bin(l, "OR", r)
-      case Not(EqualTo(l, r)) => bin(l, "<>", r)
+      case Not(EqualTo(l, r)) => cmp(l, "<>", r)
       case Not(c) => sqlOf(c).map(s => s"(NOT $s)")
       case IsNull(c) => sqlOf(c).map(s => s"($s IS NULL)")
       case IsNotNull(c) => sqlOf(c).map(s => s"($s IS NOT NULL)")
-      case In(v, list) if list.nonEmpty =>
+      case In(v, list) if list.nonEmpty && v.dataType != StringType =>
         for {
           vs <- sqlOf(v)
           items <- list.foldLeft(Option(Vector.empty[String])) { (acc, x) =>

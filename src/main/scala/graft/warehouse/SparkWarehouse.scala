@@ -755,11 +755,34 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String)
     * full URI — so tombstones survive a table [[rename]]; computed with
     * the same expression at vector-write and read time, so the strings
     * can never disagree with themselves.
+    *
+    * Robustness (r10 advice): the root is handled as a LENGTH-based
+    * prefix strip of the fs-qualified root URI — the same
+    * `Path.toUri` rendering Spark's file index gives `_metadata
+    * .file_path` — through Column functions, never spliced into an
+    * `expr()` string (a root containing an apostrophe broke analysis,
+    * and a percent-encoded root made `instr` miss and silently degrade
+    * rel paths to URI suffixes, breaking tombstone application after a
+    * rename). A file_path that does NOT start with the expected root
+    * raises at scan time instead of producing a wrong relative path.
     */
   private def relPathCol(name: String): Column = {
-    val root = tablePath(name).toUri.getPath
-    expr(s"substring(_metadata.file_path, " +
-      s"instr(_metadata.file_path, '$root') + ${root.length + 1})")
+    val q = fs.makeQualified(tablePath(name)).toUri
+    // `_metadata.file_path` renders an empty URI authority as
+    // `scheme:/path` (null-authority form) while `Path.toUri.toString`
+    // renders it `scheme:///path` — accept both, same encoding rules
+    val auth = Option(q.getAuthority).filter(_.nonEmpty)
+    val prefixes = (Seq(
+      new java.net.URI(q.getScheme, auth.orNull, q.getPath, null, null)
+        .toString) ++ (if (auth.isEmpty) Seq(q.toString) else Nil)).distinct
+    val fp = col("_metadata.file_path")
+    val relOrNull = prefixes.foldLeft(lit(null).cast("string")) { (acc, p) =>
+      when(fp.startsWith(p + "/"),
+        fp.substr(lit(p.length + 2), length(fp))).otherwise(acc)
+    }
+    when(relOrNull.isNotNull, relOrNull)
+      .otherwise(raise_error(concat(
+        lit(s"relPathCol: file outside table root ${prefixes.head}: "), fp)))
   }
 
   /** The raw scan with positions, minus every tombstoned row. */

@@ -40,4 +40,12 @@ object GraftColumnBridge {
       case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Deterministically drain the async listener bus (`listenerBus` is
+    * `private[spark]`). Test support: a zero-Spark-jobs assertion after
+    * pushed-down JDBC DML needs all in-flight job events delivered;
+    * the fixed sleep it replaces flaked both ways on loaded hosts.
+    */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

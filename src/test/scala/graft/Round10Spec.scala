@@ -219,7 +219,9 @@ class Round10Spec extends SparkSpec {
       unwrap(wh.updateWhere("t", Map("score" -> (col("score") + 100.0)),
         col("id") < 100L))
       unwrap(wh.deleteWhere("t", pmod(col("id"), lit(5)) === 0))
-      Thread.sleep(2000) // listener bus is async; events, if any, land fast
+      // drain the async listener bus DETERMINISTICALLY (r10 advice: a
+      // fixed sleep can flake both ways on a loaded host)
+      org.apache.spark.sql.GraftColumnBridge.drainListenerBus(spark)
       assert(jobs.get() == 0,
         s"pushed DML ran ${jobs.get()} Spark job(s) — table went through Spark")
     } finally spark.sparkContext.removeSparkListener(listener)

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 pins: the calibration kernels that replaced per-grid-point
+  * probe actions are DIFFERENTIALLY equal to the probed forms they
+  * replaced (the r10 bench paid 16 probe actions per IVF calibration
+  * and 32 per IVF-PQ grid at gate scale), and the r10-advice warehouse
+  * fixes hold (string comparisons excluded from JDBC DML pushdown;
+  * relative tombstone paths survive hostile warehouse roots).
+  */
+class Round11Spec extends SparkSpec {
+
+  test("one-pass IVF calibration curve ≡ the per-width probed curve") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val model = graft.ext.Ivf.train(e, "embedding", nCentroids = 8)
+    val indexed = graft.ext.Ivf.index(e, model).localCheckpoint()
+    try {
+      val queries = e.orderBy(rand(7L).asc).limit(12)
+        .select(col("vec_id"), col("embedding"))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r =>
+          (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      val derived = rows(graft.ext.Ivf.calibrateNProbe(
+        indexed, queries, model, k = 5, maxProbe = 8))
+      val probed = rows(graft.ext.Ivf.calibrateNProbeProbed(
+        indexed, queries, model, k = 5, maxProbe = 8))
+      // the derivation (hits(p) = truth pairs whose centroid ranks ≤ p
+      // in the query's probe order) must reproduce the literally-probed
+      // recall at EVERY width — same score, same tiebreak, subset pools
+      // can't displace a global-top-k neighbor
+      assert(derived == probed,
+        s"derived curve drifts from probed:\n$derived\nvs\n$probed")
+    } finally
+      org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(indexed)
+  }
+
+  test("IVF-PQ grid kernel ≡ per-point topKPruned probes on the full grid") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val grid = Seq(16, 64)
+    val built = graft.ext.IvfPq.buildCalibrated(e, nCentroids = 4, m = 8,
+      k = 5, targetRecall = 2.0 min 1.0, nQueries = 12,
+      candidateGrid = grid, earlyStop = false, seed = 42L)
+    try {
+      // replay the r10 per-point loop literally: one pruned probe + one
+      // truth semi-join count per (p, c) over the SAME snapshot, truth
+      // from the same seeded sample
+      val queries = e
+        .select(col("vec_id"), col("embedding"))
+        .orderBy(rand(43L).asc).limit(12) // seed + 1, as the builder does
+      val truth = graft.ext.Similarity.bruteForceTopK(
+        built.indexed.select(col("neighbor_id").as("vec_id"),
+          col("nvec").as("embedding")),
+        queries, 5).select("query_id", "neighbor_id").localCheckpoint()
+      val truthPairs = truth.count().toDouble
+      val replayed = (for (p <- 1 to 4; c <- grid) yield {
+        val hits = graft.ext.IvfPq.topKPruned(built.indexed, queries,
+            built.model, k = 5, nProbe = p, nCandidates = c)
+          .select("query_id", "neighbor_id")
+          .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+          .count()
+        (p, c, hits / truthPairs)
+      }).toSeq
+      org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(truth)
+      assert(built.calibration.curve == replayed,
+        s"grid kernel drifts from probed grid:\n" +
+          s"${built.calibration.curve}\nvs\n$replayed")
+    } finally built.release()
+  }
+
+  test("early-stop produces the identical recommendation as the full grid") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val full = graft.ext.IvfPq.buildCalibrated(e, nCentroids = 4, m = 8,
+      k = 5, targetRecall = 0.5, nQueries = 12,
+      candidateGrid = Seq(16, 64), earlyStop = false)
+    val stopped = graft.ext.IvfPq.buildCalibrated(e, nCentroids = 4, m = 8,
+      k = 5, targetRecall = 0.5, nQueries = 12,
+      candidateGrid = Seq(16, 64), earlyStop = true)
+    try {
+      val (f, s) = (full.calibration, stopped.calibration)
+      assert((f.recommendedNProbe, f.recommendedNCandidates, f.estRecall,
+        f.targetReached) ==
+        (s.recommendedNProbe, s.recommendedNCandidates, s.estRecall,
+          s.targetReached),
+        s"early-stop changed the recommendation: $f vs $s")
+      // and the stopped curve is a prefix of the full one
+      assert(f.curve.startsWith(s.curve))
+    } finally { full.release(); stopped.release() }
+  }
+
+  test("string comparisons are excluded from the JDBC DML pushdown " +
+    "(pad-space collation would change which rows mutate)") {
+    val sps = spark; import sps.implicits._
+    val dbDir = java.nio.file.Files.createTempDirectory("graft-r11-jdbc").toString
+    val wh = new graft.warehouse.JdbcWarehouse(spark,
+      s"jdbc:derby:$dbDir/wh;create=true")
+    def unwrap[A](e: Either[graft.warehouse.WarehouseError, A]): A =
+      e.fold(err => fail(err.message), identity)
+    unwrap(wh.load("t",
+      Seq((1L, "a"), (2L, "a "), (3L, "b")).toDF("id", "name")))
+    val existing = unwrap(wh.get("t"))
+    // every string-comparison shape refuses to translate…
+    assert(wh.deleteSql(existing, "t", col("name") === "a ").isEmpty)
+    assert(wh.deleteSql(existing, "t", col("name") < "b").isEmpty)
+    assert(wh.deleteSql(existing, "t", col("name") =!= "a").isEmpty)
+    assert(wh.deleteSql(existing, "t",
+      col("name").isin("a", "b")).isEmpty)
+    // …while numeric ones still push, and IS NULL on strings is safe
+    assert(wh.deleteSql(existing, "t", col("id") === 1L).isDefined)
+    assert(wh.deleteSql(existing, "t", col("name").isNull).isDefined)
+    // end-to-end: the engine path's binary no-pad semantics decide —
+    // name = 'a ' deletes ONLY the trailing-space row (Derby's own
+    // padded comparison would also match 'a')
+    unwrap(wh.deleteWhere("t", col("name") === "a "))
+    val left = unwrap(wh.get("t")).select("id").collect().map(_.getLong(0)).toSet
+    assert(left == Set(1L, 3L), s"engine semantics drifted: kept $left")
+  }
+
+  test("MoR tombstones survive an apostrophe-and-space warehouse root " +
+    "and a rename (rel paths are length-stripped, never spliced)") {
+    val sps = spark; import sps.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft r11'root")
+    val wh = new graft.warehouse.SparkWarehouse(spark, root.toString)
+    def unwrap[A](e: Either[graft.warehouse.WarehouseError, A]): A =
+      e.fold(err => fail(err.message), identity)
+    unwrap(wh.load("t", (0L until 100L).map(i => (i, i * 2)).toDF("id", "v")))
+    unwrap(wh.deleteWhereMor("t", col("id") < 40L))
+    assert(unwrap(wh.get("t")).count() == 60L)
+    unwrap(wh.rename("t", "t2"))
+    // the documented rename-survival property: tombstones keep applying
+    assert(unwrap(wh.get("t2")).count() == 60L,
+      "tombstones resurrected deleted rows after rename")
+    assert(unwrap(wh.get("t2")).agg(min("id")).head.getLong(0) == 40L)
+  }
+}

@@ -180,26 +180,28 @@ class Round9Spec extends SparkSpec {
     val e = Tables(spark, sf0001, "embeddings")
     val built = graft.ext.Ivf.buildCalibrated(e, nCentroids = 8, k = 5,
       targetRecall = 0.9, nQueries = 16)
-    val cal = built.calibration
-    // the curve is non-decreasing by construction (wider probes scan a
-    // superset of cells) and ends at recall 1.0 (probing every cell IS
-    // the exact scan)
-    assert(cal.curve.sliding(2).forall(w => w.last._2 >= w.head._2 - 1e-12))
-    assert(math.abs(cal.curve.last._2 - 1.0) < 1e-12)
-    // a default build must MEET its target (the r8 finding: fixed
-    // nProbe=2 silently sat at 0.36 recall on this corpus)
-    assert(cal.targetReached && cal.estRecall >= 0.9)
-    // and the recommendation is real: probing at the recommended width
-    // reproduces the estimated recall against fresh brute-force truth
-    assert(cal.recommendedNProbe >= 1 &&
-      cal.recommendedNProbe <= built.model.numCentroids)
-    // sidecar round-trip beside a persisted index
-    val path = java.nio.file.Files
-      .createTempDirectory("graft-cal").resolve("idx").toString
-    graft.ext.Ivf.writeIndex(built.indexed, path)
-    graft.ext.Ivf.writeCalibration(spark, path, cal)
-    val back = graft.ext.Ivf.readCalibration(spark, path)
-    assert(back.contains(cal))
+    try {
+      val cal = built.calibration
+      // the curve is non-decreasing by construction (wider probes scan a
+      // superset of cells) and ends at recall 1.0 (probing every cell IS
+      // the exact scan)
+      assert(cal.curve.sliding(2).forall(w => w.last._2 >= w.head._2 - 1e-12))
+      assert(math.abs(cal.curve.last._2 - 1.0) < 1e-12)
+      // a default build must MEET its target (the r8 finding: fixed
+      // nProbe=2 silently sat at 0.36 recall on this corpus)
+      assert(cal.targetReached && cal.estRecall >= 0.9)
+      // and the recommendation is real: probing at the recommended width
+      // reproduces the estimated recall against fresh brute-force truth
+      assert(cal.recommendedNProbe >= 1 &&
+        cal.recommendedNProbe <= built.model.numCentroids)
+      // sidecar round-trip beside a persisted index
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-cal").resolve("idx").toString
+      graft.ext.Ivf.writeIndex(built.indexed, path)
+      graft.ext.Ivf.writeCalibration(spark, path, cal)
+      val back = graft.ext.Ivf.readCalibration(spark, path)
+      assert(back.contains(cal))
+    } finally built.release() // r10 advice: don't leak the checkpoint
   }
 
   test("calibrated IVF-PQ build meets its target over the two-knob grid") {
@@ -211,29 +213,31 @@ class Round9Spec extends SparkSpec {
     // an unreachable target is the logged-warning path, not a crash.
     val built = graft.ext.IvfPq.buildCalibrated(e, nCentroids = 8, m = 8,
       k = 5, targetRecall = 0.7, nQueries = 16,
-      candidateGrid = Seq(16, 256))
-    val cal = built.calibration
-    // full grid evaluated
-    assert(cal.curve.size == 8 * 2)
-    // recall is NOT monotone in nProbe at a fixed candidate budget
-    // (widening the probe can displace true neighbors from the ADC
-    // cutoff) — the reason the grid is measured, not assumed. What MUST
-    // hold: the recommendation meets the target and is minimal in the
-    // declared cost order.
-    assert(cal.targetReached && cal.estRecall >= 0.7,
-      s"recommendation misses target: $cal")
-    assert(cal.recommendedNProbe >= 1 && cal.recommendedNCandidates >= 16)
-    val cheaper = cal.curve.filter(e =>
-      (e._1 < cal.recommendedNProbe ||
-        (e._1 == cal.recommendedNProbe && e._2 < cal.recommendedNCandidates))
-        && e._3 >= 0.7)
-    assert(cheaper.isEmpty, s"non-minimal recommendation: $cheaper")
-    // sidecar round-trip
-    val path = java.nio.file.Files
-      .createTempDirectory("graft-pqcal").resolve("idx").toString
-    graft.ext.Ivf.writeIndex(built.indexed, path)
-    graft.ext.IvfPq.writeCalibration(spark, path, cal)
-    assert(graft.ext.IvfPq.readCalibration(spark, path).contains(cal))
+      candidateGrid = Seq(16, 256), earlyStop = false) // study the surface
+    try {
+      val cal = built.calibration
+      // full grid evaluated (earlyStop = false)
+      assert(cal.curve.size == 8 * 2)
+      // recall is NOT monotone in nProbe at a fixed candidate budget
+      // (widening the probe can displace true neighbors from the ADC
+      // cutoff) — the reason the grid is measured, not assumed. What MUST
+      // hold: the recommendation meets the target and is minimal in the
+      // declared cost order.
+      assert(cal.targetReached && cal.estRecall >= 0.7,
+        s"recommendation misses target: $cal")
+      assert(cal.recommendedNProbe >= 1 && cal.recommendedNCandidates >= 16)
+      val cheaper = cal.curve.filter(e =>
+        (e._1 < cal.recommendedNProbe ||
+          (e._1 == cal.recommendedNProbe && e._2 < cal.recommendedNCandidates))
+          && e._3 >= 0.7)
+      assert(cheaper.isEmpty, s"non-minimal recommendation: $cheaper")
+      // sidecar round-trip
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-pqcal").resolve("idx").toString
+      graft.ext.Ivf.writeIndex(built.indexed, path)
+      graft.ext.IvfPq.writeCalibration(spark, path, cal)
+      assert(graft.ext.IvfPq.readCalibration(spark, path).contains(cal))
+    } finally built.release() // r10 advice: don't leak the checkpoint
   }
 
   test("a high-df token that never reaches prefixes stays on the exact path") {
