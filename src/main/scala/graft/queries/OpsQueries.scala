@@ -250,6 +250,63 @@ object OpsQueries {
       }
     }),
 
+    // ---- file-level zone-map skipping: cluster (compact on the key),
+    // collect per-file stats, scan with a range predicate through the
+    // pruned path. Rows must be EXACTLY the plain filter's (the oracle
+    // reads the source table); that fewer FILES are read is pinned by
+    // Round11Spec (inputFiles), not hash-visible here.
+    "op_scan_pruned" -> ((s: SparkSession, dir: String) => {
+      val wh = tmpWarehouse(s)
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      wh.load("op_skip_t", li.repartition(8)) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.compact("op_skip_t", targetFiles = 8,
+        sortCols = Seq("l_orderkey")) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.analyzeStats("op_skip_t") match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.scanPruned("op_skip_t",
+        col("l_orderkey") >= 100L && col("l_orderkey") <= 500L) match {
+        case Right(df) => df.orderBy("l_orderkey", "l_partkey", "l_suppkey")
+        case Left(e) => throw new RuntimeException(e.message)
+      }
+    }),
+
+    // ---- Z-order clustering: after a Morton-curve rewrite over
+    // (o_orderkey, o_custkey), a selective predicate on the SECOND
+    // dimension prunes files too (a single-column sort would leave
+    // o_custkey unclustered). Content equality oracled here; the
+    // files-skipped-on-both-dims property is pinned by Round11Spec.
+    "op_zorder_scan" -> ((s: SparkSession, dir: String) => {
+      val wh = tmpWarehouse(s)
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      wh.load("op_zorder_t", orders.repartition(8)) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.compactZOrder("op_zorder_t", targetFiles = 16,
+        zCols = Seq("o_orderkey", "o_custkey"), buckets = 64) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.analyzeStats("op_zorder_t") match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.scanPruned("op_zorder_t", col("o_custkey") < 100L) match {
+        case Right(df) => df.orderBy("o_orderkey")
+        case Left(e) => throw new RuntimeException(e.message)
+      }
+    }),
+
     // ---- row-level DML DELETE ... WHERE: one-pass rewrite keeping the
     // predicate's complement (materialize-then-swap, meta preserved).
     "op_delete_where" -> ((s: SparkSession, dir: String) => {
@@ -847,6 +904,14 @@ object OpsQueries {
       "SELECT CAST(count(*) AS BIGINT) AS n FROM customer",
     "op_compact" ->
       """SELECT o_orderkey, o_custkey FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    "op_scan_pruned" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem
+        |WHERE l_orderkey >= 100 AND l_orderkey <= 500
+        |ORDER BY l_orderkey, l_partkey, l_suppkey""".stripMargin,
+    "op_zorder_scan" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey < 100
         |ORDER BY o_orderkey""".stripMargin,
     "op_delete_where" ->
       """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders

@@ -1,0 +1,212 @@
+package graft.warehouse
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** File-level zone-map skipping: per-file min/max/null statistics and a
+  * conservative driver-side "may this file contain a matching row?"
+  * evaluator over analyzed Catalyst predicates.
+  *
+  * The 100 TB premise (the device Delta/Iceberg/Snowflake scans stand
+  * on, and the BigQuery storage layer the reference targets applies
+  * transparently): a selective predicate should prune FILES before any
+  * byte is read, not just row groups after the scan task launched.
+  * Parquet footer pushdown still applies to whatever survives — this
+  * layer removes the file-listing/task-scheduling cost of provably
+  * non-matching files, which at 1000-executor scale is the difference
+  * between scheduling 40 tasks and 40,000.
+  *
+  * SAFETY MODEL — stats are advisory, never load-bearing:
+  *  - data files in this warehouse are immutable (every rewrite path
+  *    goes through materializeSwap, which produces NEW file names and
+  *    drops the in-table sidecars), so a stats row can never describe
+  *    stale CONTENT — at worst it describes a file that no longer
+  *    exists (ignored: pruning walks the live file list);
+  *  - files WITHOUT a stats row (appended after the last
+  *    [[SparkWarehouse.analyzeStats]], MoR update deltas) are NEVER
+  *    skipped;
+  *  - MoR tombstones only remove rows, so stored bounds stay a superset
+  *    of live values — skipping stays sound without invalidation;
+  *  - any predicate shape outside the closed evaluator subset prunes
+  *    nothing (`mayMatch` defaults to true).
+  */
+object Skipping {
+
+  /** Stats for one column of one file. `vmin`/`vmax` are None when every
+    * row of the file is null in that column.
+    */
+  final case class ColStats(dtype: String, rows: Long, nulls: Long,
+                            vmin: Option[String], vmax: Option[String])
+
+  /** Column types stats are collected for. TIMESTAMP_NTZ is excluded
+    * (no exact micros encoding helper); nested/array/map/binary types
+    * have no total order to bound.
+    */
+  def supported(dt: DataType): Boolean = dt match {
+    case _: NumericType | StringType | BooleanType | DateType |
+         TimestampType => true
+    case _ => false
+  }
+
+  /** Type tag persisted beside the encoded bounds. */
+  def tag(dt: DataType): String = dt match {
+    case _: DecimalType => "decimal"
+    case ByteType | ShortType | IntegerType | LongType => "integral"
+    case FloatType | DoubleType => "floating"
+    case StringType => "string"
+    case BooleanType => "boolean"
+    case DateType => "date"
+    case TimestampType => "timestamp"
+    case other => throw new IllegalArgumentException(s"unsupported $other")
+  }
+
+  /** Order-faithful STRING encoding of a bound value (applied to the
+    * already-aggregated min/max, so it runs once per file, not per
+    * row): numerics via Spark's round-trippable cast-to-string, dates
+    * as ISO (lexicographic == chronological), timestamps as epoch
+    * MICROS (a cast-to-string would render and re-parse through
+    * session-zone formatting).
+    */
+  def encode(c: Column, dt: DataType): Column = dt match {
+    case TimestampType => unix_micros(c).cast("string")
+    case _ => c.cast("string")
+  }
+
+  // decoded comparison domain: BigDecimal for every numeric shape
+  // (exact for integrals/decimals; floats go through their decimal
+  // rendering on BOTH sides, so the order is consistent), String for
+  // strings/dates (ISO), Long-as-BigDecimal for timestamp micros,
+  // Boolean for booleans
+  private def decode(tagged: String, s: String): Option[Any] = tagged match {
+    case "integral" | "decimal" | "floating" | "timestamp" =>
+      // NaN/Infinity bounds (float columns) don't parse — no pruning
+      try Some(BigDecimal(s)) catch { case _: NumberFormatException => None }
+    case "string" | "date" => Some(s)
+    case "boolean" => Some(s.toBoolean)
+  }
+
+  /** Catalyst literal → the same comparison domain as [[decode]], or
+    * None when the literal's type family doesn't line up with the
+    * stored stats (then nothing is pruned on that conjunct).
+    */
+  private def literalValue(tagged: String, v: Any, dt: DataType): Option[Any] =
+    (tagged, dt) match {
+      case (_, _) if v == null => None
+      case ("integral" | "decimal" | "floating",
+            ByteType | ShortType | IntegerType | LongType) =>
+        Some(BigDecimal(v.toString))
+      case ("integral" | "decimal" | "floating", FloatType | DoubleType) =>
+        Some(BigDecimal(v.toString))
+      case ("integral" | "decimal" | "floating", _: DecimalType) =>
+        Some(BigDecimal(v.asInstanceOf[Decimal].toJavaBigDecimal))
+      case ("timestamp", TimestampType) => // internal value IS micros
+        Some(BigDecimal(v.toString))
+      case ("string", StringType) => Some(v.toString)
+      case ("date", DateType) => // internal value is epoch days
+        Some(java.time.LocalDate.ofEpochDay(
+          v.asInstanceOf[Int].toLong).toString)
+      case ("boolean", BooleanType) => Some(v.asInstanceOf[Boolean])
+      case _ => None
+    }
+
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: BigDecimal, y: BigDecimal) => Some(x.compare(y))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: Boolean, y: Boolean) => Some(x.compareTo(y))
+    case _ => None
+  }
+
+  /** Pre-fold the analyzed predicate into the evaluator's closed shape:
+    * foldable casts become literals; value-preserving numeric widenings
+    * of a column reference are stripped (the comparison domain is
+    * BigDecimal either way). Unsupported casts stay put and default the
+    * enclosing conjunct to may-match.
+    */
+  def canonicalize(e: Expression): Expression = e.transformUp {
+    case c: Cast if c.foldable => Literal(c.eval(null), c.dataType)
+    case Cast(a: AttributeReference, dt, _, _)
+      if widens(a.dataType, dt) => a
+  }
+
+  private def widens(from: DataType, to: DataType): Boolean = {
+    def rank(dt: DataType): Int = dt match {
+      case ByteType => 1; case ShortType => 2
+      case IntegerType => 3; case LongType => 4; case _ => 0
+    }
+    (rank(from) > 0 && rank(to) >= rank(from)) ||
+      // int-or-narrower → double/decimal is exact; long → double is NOT
+      (rank(from) > 0 && rank(from) <= 3 && to == DoubleType) ||
+      (rank(from) > 0 && to.isInstanceOf[DecimalType] &&
+        to.asInstanceOf[DecimalType].scale == 0 &&
+        to.asInstanceOf[DecimalType].precision >= 20)
+  }
+
+  /** Conservative may-match of `e` (canonicalized) against one file's
+    * stats. True = the file must be read; false = PROVABLY no row of
+    * the file satisfies the predicate (under SQL's only-TRUE-keeps
+    * filter semantics — null-valued comparisons never match).
+    */
+  def mayMatch(e: Expression, stats: Map[String, ColStats]): Boolean = {
+    def nonNull(cs: ColStats): Boolean = cs.rows - cs.nulls > 0
+    // bound test: could some non-null value v in [min, max] satisfy
+    // `v <op> lit`? Absent stats for the column → must read.
+    def bound(a: AttributeReference, v: Any, dt: DataType)
+             (test: (Int, Int) => Boolean): Boolean =
+      stats.get(a.name) match {
+        case None => true
+        case Some(cs) =>
+          if (!nonNull(cs)) false
+          else (for {
+            lv <- literalValue(cs.dtype, v, dt)
+            mn <- cs.vmin.flatMap(decode(cs.dtype, _))
+            mx <- cs.vmax.flatMap(decode(cs.dtype, _))
+            cMin <- cmp(mn, lv)
+            cMax <- cmp(mx, lv)
+          } yield test(cMin, cMax)).getOrElse(true)
+      }
+    e match {
+      case Literal(true, BooleanType) => true
+      case Literal(false, BooleanType) => false
+      case Literal(null, _) => false
+      case And(l, r) => mayMatch(l, stats) && mayMatch(r, stats)
+      case Or(l, r) => mayMatch(l, stats) || mayMatch(r, stats)
+      case EqualTo(a: AttributeReference, Literal(v, dt)) =>
+        bound(a, v, dt)((cMin, cMax) => cMin <= 0 && cMax >= 0)
+      case EqualTo(Literal(v, dt), a: AttributeReference) =>
+        bound(a, v, dt)((cMin, cMax) => cMin <= 0 && cMax >= 0)
+      case EqualNullSafe(a: AttributeReference, Literal(v, dt)) =>
+        if (v == null) stats.get(a.name).forall(_.nulls > 0)
+        else bound(a, v, dt)((cMin, cMax) => cMin <= 0 && cMax >= 0)
+      case LessThan(a: AttributeReference, Literal(v, dt)) =>
+        bound(a, v, dt)((cMin, _) => cMin < 0)
+      case LessThan(Literal(v, dt), a: AttributeReference) =>
+        bound(a, v, dt)((_, cMax) => cMax > 0)
+      case LessThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
+        bound(a, v, dt)((cMin, _) => cMin <= 0)
+      case LessThanOrEqual(Literal(v, dt), a: AttributeReference) =>
+        bound(a, v, dt)((_, cMax) => cMax >= 0)
+      case GreaterThan(a: AttributeReference, Literal(v, dt)) =>
+        bound(a, v, dt)((_, cMax) => cMax > 0)
+      case GreaterThan(Literal(v, dt), a: AttributeReference) =>
+        bound(a, v, dt)((cMin, _) => cMin < 0)
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
+        bound(a, v, dt)((_, cMax) => cMax >= 0)
+      case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference) =>
+        bound(a, v, dt)((cMin, _) => cMin <= 0)
+      case In(a: AttributeReference, list)
+        if list.forall(_.isInstanceOf[Literal]) =>
+        list.exists { case Literal(v, dt) =>
+          bound(a, v, dt)((cMin, cMax) => cMin <= 0 && cMax >= 0) }
+      case InSet(a: AttributeReference, values) =>
+        values.exists(v => bound(a, v, a.dataType)(
+          (cMin, cMax) => cMin <= 0 && cMax >= 0))
+      case IsNull(a: AttributeReference) =>
+        stats.get(a.name).forall(_.nulls > 0)
+      case IsNotNull(a: AttributeReference) =>
+        stats.get(a.name).forall(nonNull)
+      case _ => true // outside the closed subset: must read
+    }
+  }
+}

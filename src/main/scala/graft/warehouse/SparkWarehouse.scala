@@ -560,6 +560,203 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String)
         }
     }
 
+  // ---------- file-level zone-map skipping ----------
+  // Per-file min/max/null statistics ([[analyzeStats]]) + a pruned scan
+  // ([[scanPruned]]) that drops provably non-matching files from the
+  // read BEFORE any task is scheduled, and a multi-dimensional
+  // clustering rewrite ([[compactZOrder]]) that makes the pruning bite
+  // on more than one column. See [[Skipping]] for the safety model
+  // (immutable files ⇒ stats can describe stale FILES, never stale
+  // CONTENT; statless files are never skipped; MoR deletes only shrink
+  // live values under the stored bounds).
+
+  private def statsPath(name: String) = new Path(tablePath(name), "_graft_stats")
+
+  /** Every current data file of the table (partition dirs walked,
+    * underscore/dot sidecars and temporaries excluded).
+    */
+  private def listDataFiles(name: String): Seq[Path] = {
+    def rec(p: Path): Seq[Path] = fs.listStatus(p).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) Nil
+      else if (st.isDirectory) rec(st.getPath)
+      else if (n.endsWith(".parquet")) Seq(st.getPath)
+      else Nil
+    }
+    rec(tablePath(name))
+  }
+
+  /** Collect per-file zone-map statistics into the `_graft_stats/`
+    * sidecar (overwrite): ONE distributed pass grouping by
+    * `_metadata.file_path`, bounds stored in the order-faithful string
+    * encoding ([[Skipping.encode]]) keyed by table-root-RELATIVE path.
+    * Returns the number of files analyzed. Stats cover the RAW file
+    * contents (tombstoned rows included — bounds stay a superset of
+    * live values, which is the sound direction for skipping).
+    */
+  def analyzeStats(name: String): Either[WarehouseError, Long] =
+    try {
+      if (!fs.exists(tablePath(name))) Left(TableNotFound(name))
+      else if (!hasDataFiles(name)) Right(0L)
+      else {
+        val raw = graft.sources.Sources.parquetMerged(spark,
+          tablePath(name).toString)
+        val supported = raw.schema.fields.filter(f =>
+          Skipping.supported(f.dataType)).toSeq
+        if (supported.isEmpty) Right(0L)
+        else {
+          val aggs = supported.zipWithIndex.flatMap { case (f, i) =>
+            val c = col(s"`${f.name}`")
+            Seq(min(c).as(s"_mn$i"), max(c).as(s"_mx$i"),
+              sum(c.isNull.cast("long")).as(s"_nl$i"))
+          }
+          val wide = raw
+            .select(col("*"), relPathCol(name).as("__rel"))
+            .groupBy(col("__rel").as("rel"))
+            .agg(count(lit(1)).as("rows"), aggs: _*)
+          val entries = supported.zipWithIndex.map { case (f, i) =>
+            struct(lit(f.name).as("column"),
+              lit(Skipping.tag(f.dataType)).as("dtype"),
+              col(s"_nl$i").as("nulls"),
+              Skipping.encode(col(s"_mn$i"), f.dataType).as("vmin"),
+              Skipping.encode(col(s"_mx$i"), f.dataType).as("vmax"))
+          }
+          wide.select(col("rel"), col("rows"),
+              explode(array(entries: _*)).as("e"))
+            .select(col("rel"), col("rows"), col("e.column").as("column"),
+              col("e.dtype").as("dtype"), col("e.nulls").as("nulls"),
+              col("e.vmin").as("vmin"), col("e.vmax").as("vmax"))
+            .write.mode(SaveMode.Overwrite).parquet(statsPath(name).toString)
+          Right(spark.read.parquet(statsPath(name).toString)
+            .select("rel").distinct().count())
+        }
+      }
+    } catch {
+      case e: Exception => Left(TableGenericError(e.getMessage, Some(e)))
+    }
+
+  /** [[get]] + filter with FILE-LEVEL pruning: files whose stored
+    * bounds prove no row can satisfy `predicate` are dropped from the
+    * scan before any task is scheduled. Result rows are IDENTICAL to
+    * `get(name).filter(predicate)` — stats only remove files that
+    * cannot contribute (files without stats are always read; without a
+    * stats sidecar this IS the plain filtered scan). Merge-on-read
+    * tombstones still apply to whatever survives the pruning.
+    */
+  def scanPruned(name: String, predicate: Column)
+      : Either[WarehouseError, DataFrame] =
+    get(name) match {
+      case Left(e) => Left(e)
+      case Right(full) =>
+        try {
+          val filtered = full.filter(predicate)
+          if (!fs.exists(statsPath(name))) Right(filtered)
+          else {
+            val byFile = spark.read.parquet(statsPath(name).toString)
+              .collect()
+              .groupBy(_.getString(0))
+              .map { case (rel, rows) => rel -> rows.map { r =>
+                r.getString(2) -> Skipping.ColStats(r.getString(3),
+                  r.getLong(1), r.getLong(4), Option(r.getString(5)),
+                  Option(r.getString(6)))
+              }.toMap }
+            val cond = filtered.queryExecution.analyzed.collectFirst {
+              case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+                f.condition
+            }
+            cond match {
+              case None => Right(filtered)
+              case Some(c) =>
+                val canon = Skipping.canonicalize(c)
+                val files = listDataFiles(name)
+                val prefixes = rootUriPrefixes(name)
+                val kept = files.filter { p =>
+                  byFile.get(relOf(prefixes, p))
+                    .forall(st => Skipping.mayMatch(canon, st))
+                }
+                if (kept.size == files.size) Right(filtered)
+                else if (kept.isEmpty) Right(filtered.limit(0))
+                else {
+                  val raw = spark.read
+                    .option("mergeSchema", "true")
+                    .option("basePath", tablePath(name).toString)
+                    .parquet(kept.map(_.toString): _*)
+                  val live =
+                    if (!hasDeletionVectors(name)) raw
+                    else liveWithPositions(name, raw).drop(RelCol, RidxCol)
+                  // align to the full-table schema: a pruned GENERATION
+                  // subset can miss columns added by schema evolution
+                  val aligned = live.select(full.schema.fields.map { f =>
+                    if (live.columns.contains(f.name)) col(s"`${f.name}`")
+                    else lit(null).cast(f.dataType).as(f.name)
+                  }.toSeq: _*)
+                  Right(aligned.filter(predicate))
+                }
+            }
+          }
+        } catch {
+          case e: Exception => Left(TableGenericError(e.getMessage, Some(e)))
+        }
+    }
+
+  /** Multi-dimensional clustering rewrite (Z-order): rows are laid out
+    * along the Morton curve over equi-depth bucket ranks of `zCols`, so
+    * file-level min/max bounds become selective on EVERY listed column
+    * at once — the layout that makes [[scanPruned]] bite on more than
+    * the single [[compact]] sort prefix. Bucket splits are equi-DEPTH
+    * (driver-side `approxQuantile`, one pass), so skew cannot collapse
+    * the curve onto a few bucket values. Numeric columns only; the
+    * bucket-rank HOF is interpreted but runs once, inside a one-off
+    * rewrite. Re-run [[analyzeStats]] afterwards — the rewrite, like
+    * every [[materializeSwap]], produces new files with no stats.
+    */
+  def compactZOrder(name: String, targetFiles: Int, zCols: Seq[String],
+                    buckets: Int = 256): Either[WarehouseError, Unit] =
+    get(name) match {
+      case Left(e) => Left(e)
+      case Right(existing) =>
+        try {
+          require(targetFiles > 0, "targetFiles must be positive")
+          require(zCols.size >= 2 && zCols.size <= 4,
+            "zCols: 2-4 columns (one column = plain compact(sortCols))")
+          require(buckets >= 2 && buckets <= 65536 &&
+            Integer.bitCount(buckets) == 1, "buckets must be a power of 2")
+          requireNotBucketed(name, "compactZOrder")
+          zCols.foreach { c =>
+            require(existing.columns.contains(c), s"no such column: $c")
+            require(existing.schema(c).dataType
+              .isInstanceOf[org.apache.spark.sql.types.NumericType],
+              s"z-order column $c must be numeric")
+          }
+          val bits = Integer.numberOfTrailingZeros(buckets)
+          val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+          val splits = zCols.map { c =>
+            c -> existing.select(col(s"`$c`").cast("double").as(c))
+              .stat.approxQuantile(c, probs, 1.0 / (4 * buckets))
+          }.toMap
+          def bucketCol(c: String): Column = {
+            val arr = lit(splits(c).distinct.sorted)
+            // rank = #splits ≤ v (nulls → empty filter → bucket 0)
+            size(filter(arr, s => col(s"`$c`").cast("double") >= s))
+          }
+          val k = zCols.size
+          val zCol = (0 until bits).flatMap { j =>
+            zCols.zipWithIndex.map { case (c, i) =>
+              shiftleft(shiftright(bucketCol(c), j).bitwiseAND(lit(1)),
+                j * k + i).cast("long")
+            }
+          }.reduce(_ + _)
+          val arranged = existing.withColumn("__graft_z", zCol)
+            .repartitionByRange(targetFiles, col("__graft_z"))
+            .sortWithinPartitions(col("__graft_z"))
+            .drop("__graft_z")
+          materializeSwap(name, arranged)
+          Right(())
+        } catch {
+          case e: Exception => Left(TableGenericError(e.getMessage, Some(e)))
+        }
+    }
+
   /** A bucketed catalog table's files encode the bucket spec in their
     * layout; a plain rewrite would silently void the co-located-join
     * contract (and corrupt direct catalog reads).
@@ -766,15 +963,31 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String)
     * rename). A file_path that does NOT start with the expected root
     * raises at scan time instead of producing a wrong relative path.
     */
-  private def relPathCol(name: String): Column = {
+  /** Both URI renderings of the table root (`_metadata.file_path`
+    * renders an empty authority as `scheme:/path` while
+    * `Path.toUri.toString` renders it `scheme:///path`), used for
+    * length-based prefix strips plan-side ([[relPathCol]]) and
+    * driver-side ([[relOf]]) with identical encoding rules.
+    */
+  private def rootUriPrefixes(name: String): Seq[String] = {
     val q = fs.makeQualified(tablePath(name)).toUri
-    // `_metadata.file_path` renders an empty URI authority as
-    // `scheme:/path` (null-authority form) while `Path.toUri.toString`
-    // renders it `scheme:///path` — accept both, same encoding rules
     val auth = Option(q.getAuthority).filter(_.nonEmpty)
-    val prefixes = (Seq(
+    (Seq(
       new java.net.URI(q.getScheme, auth.orNull, q.getPath, null, null)
         .toString) ++ (if (auth.isEmpty) Seq(q.toString) else Nil)).distinct
+  }
+
+  /** Driver-side twin of [[relPathCol]] for a listed file status path. */
+  private def relOf(prefixes: Seq[String], p: Path): String = {
+    val s = p.toUri.toString
+    prefixes.collectFirst {
+      case pre if s.startsWith(pre + "/") => s.substring(pre.length + 1)
+    }.getOrElse(throw new IllegalStateException(
+      s"file outside table root ${prefixes.head}: $s"))
+  }
+
+  private def relPathCol(name: String): Column = {
+    val prefixes = rootUriPrefixes(name)
     val fp = col("_metadata.file_path")
     val relOrNull = prefixes.foldLeft(lit(null).cast("string")) { (acc, p) =>
       when(fp.startsWith(p + "/"),

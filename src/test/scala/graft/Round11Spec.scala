@@ -116,6 +116,77 @@ class Round11Spec extends SparkSpec {
     assert(left == Set(1L, 3L), s"engine semantics drifted: kept $left")
   }
 
+  test("zone-map pruning skips files on a clustered table, returns " +
+    "identical rows, and never skips statless or unprovable cases") {
+    val sps = spark; import sps.implicits._
+    val wh = new graft.warehouse.SparkWarehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-r11-skip").toString)
+    def unwrap[A](e: Either[graft.warehouse.WarehouseError, A]): A =
+      e.fold(err => fail(err.message), identity)
+    val data = (0L until 10000L).map(i => (i, s"n$i", (i % 97).toDouble))
+      .toDF("id", "name", "score")
+    unwrap(wh.load("t", data.repartition(4)))
+    unwrap(wh.compact("t", targetFiles = 10, sortCols = Seq("id")))
+    assert(unwrap(wh.analyzeStats("t")) == 10L)
+    val full = unwrap(wh.get("t"))
+    val totalFiles = full.inputFiles.length
+    assert(totalFiles == 10)
+    // selective range on the clustered column: most files provably
+    // can't match and are dropped from the scan
+    val pruned = unwrap(wh.scanPruned("t",
+      col("id") >= 2000L && col("id") < 2500L))
+    assert(pruned.inputFiles.length < totalFiles,
+      s"no files skipped (${pruned.inputFiles.length}/$totalFiles)")
+    assert(pruned.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (2000L until 2500L))
+    // an all-files-excluded predicate keeps the schema, returns nothing
+    val none = unwrap(wh.scanPruned("t", col("id") > 1000000L))
+    assert(none.columns.toSeq == full.columns.toSeq && none.count() == 0L)
+    // a predicate outside the closed subset prunes nothing but stays
+    // correct
+    val regex = unwrap(wh.scanPruned("t", col("name").rlike("^n123$")))
+    assert(regex.count() == 1L)
+    // appended files carry no stats and are NEVER skipped
+    unwrap(wh.load("t", Seq((20000L, "late", 1.0))
+      .toDF("id", "name", "score")))
+    val late = unwrap(wh.scanPruned("t", col("id") >= 20000L))
+    assert(late.count() == 1L, "statless appended file was skipped")
+    // MoR tombstones still apply through the pruned scan
+    unwrap(wh.deleteWhereMor("t", col("id") === 2100L))
+    assert(unwrap(wh.scanPruned("t",
+      col("id") >= 2000L && col("id") < 2500L)).count() == 499L)
+  }
+
+  test("Z-order layout makes pruning bite on BOTH dimensions") {
+    val sps = spark; import sps.implicits._
+    val wh = new graft.warehouse.SparkWarehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-r11-z").toString)
+    def unwrap[A](e: Either[graft.warehouse.WarehouseError, A]): A =
+      e.fold(err => fail(err.message), identity)
+    // two independent uniform dims — a single-column sort clusters one
+    // and shreds the other
+    val data = (0L until 40000L).map(i => (i % 200L, (i * 7919L) % 200L, i))
+      .toDF("a", "b", "v")
+    unwrap(wh.load("t", data.repartition(4)))
+    unwrap(wh.compactZOrder("t", targetFiles = 16, zCols = Seq("a", "b"),
+      buckets = 64))
+    unwrap(wh.analyzeStats("t"))
+    val total = unwrap(wh.get("t")).inputFiles.length
+    val onA = unwrap(wh.scanPruned("t", col("a") < 13L))
+    val onB = unwrap(wh.scanPruned("t", col("b") < 13L))
+    assert(onA.inputFiles.length < total,
+      s"dim a unpruned: ${onA.inputFiles.length}/$total")
+    assert(onB.inputFiles.length < total,
+      s"dim b unpruned: ${onB.inputFiles.length}/$total")
+    // and the rewrite lost nothing
+    assert(onA.count() ==
+      data.filter(col("a") < 13L).count())
+    assert(onB.count() ==
+      data.filter(col("b") < 13L).count())
+    assert(unwrap(wh.get("t")).agg(sum("v")).head.getLong(0) ==
+      (0L until 40000L).sum)
+  }
+
   test("MoR tombstones survive an apostrophe-and-space warehouse root " +
     "and a rename (rel paths are length-stripped, never spliced)") {
     val sps = spark; import sps.implicits._
