@@ -572,6 +572,40 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String)
 
   private def statsPath(name: String) = new Path(tablePath(name), "_graft_stats")
 
+  // parsed stats sidecar, cached per table against the sidecar's file
+  // fingerprint (names+lengths+mtimes): repeated pruned scans skip the
+  // re-read/re-parse — the metastore-cache role real engines give file
+  // statistics. Invalidation is the fingerprint itself: analyzeStats
+  // overwrites the sidecar, rewrites drop it with the table dir.
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (String, Map[String, Map[String, Skipping.ColStats]])]()
+
+  private def statsFingerprint(name: String): String =
+    fs.listStatus(statsPath(name)).map(st =>
+      s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString(";")
+
+  private def cachedStats(name: String)
+      : Map[String, Map[String, Skipping.ColStats]] = {
+    val fp = statsFingerprint(name)
+    val hit = statsCache.get(name)
+    if (hit != null && hit._1 == fp) hit._2
+    else {
+      val parsed = spark.read.parquet(statsPath(name).toString)
+        .select("rel", "rows", "column", "dtype", "nulls", "vmin", "vmax")
+        .collect()
+        .groupBy(_.getString(0))
+        .map { case (rel, rows) => rel -> rows.map { r =>
+          r.getString(2) -> Skipping.ColStats(r.getString(3),
+            r.getLong(1), r.getLong(4), Option(r.getString(5)),
+            Option(r.getString(6)))
+        }.toMap }
+      statsCache.put(name, (fp, parsed))
+      parsed
+    }
+  }
+
   /** Every current data file of the table (partition dirs walked,
     * underscore/dot sidecars and temporaries excluded).
     */
@@ -652,14 +686,7 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String)
           val filtered = full.filter(predicate)
           if (!fs.exists(statsPath(name))) Right(filtered)
           else {
-            val byFile = spark.read.parquet(statsPath(name).toString)
-              .collect()
-              .groupBy(_.getString(0))
-              .map { case (rel, rows) => rel -> rows.map { r =>
-                r.getString(2) -> Skipping.ColStats(r.getString(3),
-                  r.getLong(1), r.getLong(4), Option(r.getString(5)),
-                  Option(r.getString(6)))
-              }.toMap }
+            val byFile = cachedStats(name)
             val cond = filtered.queryExecution.analyzed.collectFirst {
               case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
                 f.condition
@@ -677,20 +704,21 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String)
                 if (kept.size == files.size) Right(filtered)
                 else if (kept.isEmpty) Right(filtered.limit(0))
                 else {
+                  // the full scan's resolved schema is SUPPLIED: no
+                  // footer inference / mergeSchema pass over the kept
+                  // files (the dominant fixed cost of building the
+                  // pruned plan, measured in the r11 sweep), and schema
+                  // evolution comes free — files missing a column read
+                  // it as null, exactly the merged-footer semantics
                   val raw = spark.read
-                    .option("mergeSchema", "true")
+                    .schema(org.apache.spark.sql.types.StructType(
+                      full.schema.fields))
                     .option("basePath", tablePath(name).toString)
                     .parquet(kept.map(_.toString): _*)
                   val live =
                     if (!hasDeletionVectors(name)) raw
                     else liveWithPositions(name, raw).drop(RelCol, RidxCol)
-                  // align to the full-table schema: a pruned GENERATION
-                  // subset can miss columns added by schema evolution
-                  val aligned = live.select(full.schema.fields.map { f =>
-                    if (live.columns.contains(f.name)) col(s"`${f.name}`")
-                    else lit(null).cast(f.dataType).as(f.name)
-                  }.toSeq: _*)
-                  Right(aligned.filter(predicate))
+                  Right(live.filter(predicate))
                 }
             }
           }
