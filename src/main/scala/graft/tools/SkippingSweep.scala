@@ -53,8 +53,11 @@ object SkippingSweep {
     def filesFor(n: Long): Int = math.max(8, (n / 100000L).toInt * 8)
 
     for (n <- ns; layout <- Seq("sorted", "zorder")) {
-      val wh = new SparkWarehouse(spark,
-        java.nio.file.Files.createTempDirectory(s"graft-skip-$layout-$n").toString)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-skip-$layout-$n").toString
+      val wh = new SparkWarehouse(spark, dir)
+      // the unpruned baseline: same directory, skipping disabled
+      val whPlain = new SparkWarehouse(spark, dir, skippingEnabled = false)
       unwrap(wh.load("t", base(spark, n).repartition(16)))
       val nf = filesFor(n)
       layout match {
@@ -70,14 +73,14 @@ object SkippingSweep {
       val width = math.max(1L, n / 200L)
       for (dim <- Seq("a", "b")) {
         val pred = col(dim) >= lit(n / 2) && col(dim) < lit(n / 2 + width)
-        val prunedDf = unwrap(wh.scanPruned("t", pred))
-        val filesRead = prunedDf.inputFiles.length
+        val filesRead = org.apache.spark.sql.GraftFileIndexBridge
+          .filesRead(unwrap(wh.scanPruned("t", pred)))
         val prunedT = (1 to reps).map(_ =>
           timed(() => unwrap(wh.scanPruned("t", pred)).count())._1).sorted
         val plainT = (1 to reps).map(_ =>
-          timed(() => unwrap(wh.get("t")).filter(pred).count())._1).sorted
-        val rows = prunedDf.count()
-        val plainRows = unwrap(wh.get("t")).filter(pred).count()
+          timed(() => unwrap(whPlain.get("t")).filter(pred).count())._1).sorted
+        val rows = unwrap(wh.scanPruned("t", pred)).count()
+        val plainRows = unwrap(whPlain.get("t")).filter(pred).count()
         require(rows == plainRows,
           s"pruned/plain row drift: $rows vs $plainRows")
         record(

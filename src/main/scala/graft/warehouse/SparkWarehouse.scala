@@ -45,7 +45,8 @@ final case class TableMeta(schema: Seq[FieldRepr], expiresAtMillis: Option[Long]
   * registered as a temp view so `query(sql)` covers the full Catalyst SQL
   * surface.
   */
-final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String)
+final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
+                           val skippingEnabled: Boolean = true)
     extends Warehouse {
 
   private val hadoopConf = spark.sparkContext.hadoopConfiguration
@@ -76,8 +77,21 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String)
         // newer columns) at the cost of one parallel footer pass at
         // planning.
         if (hasDataFiles(name)) {
-          val raw = graft.sources.Sources.parquetMerged(spark,
+          val plain = graft.sources.Sources.parquetMerged(spark,
             tablePath(name).toString)
+          // zone-map skipping, TRANSPARENT: the scan's FileIndex is
+          // wrapped so any predicate later pushed onto this frame —
+          // DataFrame filter, SQL over the registered view, a DML
+          // matched-set scan — prunes provably non-matching files at
+          // listing time. The stats thunk is consulted per listing
+          // (sidecar state always current); tables without a sidecar
+          // list identically to the plain index.
+          val raw =
+            if (!skippingEnabled) plain
+            else org.apache.spark.sql.GraftFileIndexBridge
+              .mapFileIndex(plain)(base =>
+                new org.apache.spark.sql.GraftPruningFileIndex(base,
+                  statsThunk(name)))
           // merge-on-read: rows tombstoned by pending deletion vectors
           // are filtered out at read time (anti-join on file+row
           // position). Tables never touched by MoR DML keep the plain
@@ -586,6 +600,17 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String)
       s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
       .sorted.mkString(";")
 
+  /** Lazy stats supplier for the pruning FileIndex: consulted at every
+    * listing, never throws (a broken/absent sidecar must never fail a
+    * read — it just disables pruning).
+    */
+  private def statsThunk(name: String)
+      : () => Option[(Seq[String], Map[String, Map[String, Skipping.ColStats]])] =
+    () => try {
+      if (!fs.exists(statsPath(name))) None
+      else Some((rootUriPrefixes(name), cachedStats(name)))
+    } catch { case _: Exception => None }
+
   private def cachedStats(name: String)
       : Map[String, Map[String, Skipping.ColStats]] = {
     val fp = statsFingerprint(name)
@@ -604,20 +629,6 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String)
       statsCache.put(name, (fp, parsed))
       parsed
     }
-  }
-
-  /** Every current data file of the table (partition dirs walked,
-    * underscore/dot sidecars and temporaries excluded).
-    */
-  private def listDataFiles(name: String): Seq[Path] = {
-    def rec(p: Path): Seq[Path] = fs.listStatus(p).toSeq.flatMap { st =>
-      val n = st.getPath.getName
-      if (n.startsWith("_") || n.startsWith(".")) Nil
-      else if (st.isDirectory) rec(st.getPath)
-      else if (n.endsWith(".parquet")) Seq(st.getPath)
-      else Nil
-    }
-    rec(tablePath(name))
   }
 
   /** Collect per-file zone-map statistics into the `_graft_stats/`
@@ -669,63 +680,19 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String)
       case e: Exception => Left(TableGenericError(e.getMessage, Some(e)))
     }
 
-  /** [[get]] + filter with FILE-LEVEL pruning: files whose stored
-    * bounds prove no row can satisfy `predicate` are dropped from the
-    * scan before any task is scheduled. Result rows are IDENTICAL to
-    * `get(name).filter(predicate)` — stats only remove files that
-    * cannot contribute (files without stats are always read; without a
-    * stats sidecar this IS the plain filtered scan). Merge-on-read
-    * tombstones still apply to whatever survives the pruning.
+  /** [[get]] + filter with FILE-LEVEL pruning. Since the pruning lives
+    * in the scan's `FileIndex` (r11: `GraftPruningFileIndex` — every
+    * [[get]] frame prunes any predicate Catalyst pushes onto it, SQL
+    * views included), this is literally the filtered scan; the verb
+    * survives as the documented entry point and for the
+    * `skippingEnabled = false` comparison baseline. Result rows are
+    * IDENTICAL to an unpruned filter by construction — stats only
+    * remove files that provably cannot contribute; statless files
+    * always read; merge-on-read tombstones still apply.
     */
   def scanPruned(name: String, predicate: Column)
       : Either[WarehouseError, DataFrame] =
-    get(name) match {
-      case Left(e) => Left(e)
-      case Right(full) =>
-        try {
-          val filtered = full.filter(predicate)
-          if (!fs.exists(statsPath(name))) Right(filtered)
-          else {
-            val byFile = cachedStats(name)
-            val cond = filtered.queryExecution.analyzed.collectFirst {
-              case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-                f.condition
-            }
-            cond match {
-              case None => Right(filtered)
-              case Some(c) =>
-                val canon = Skipping.canonicalize(c)
-                val files = listDataFiles(name)
-                val prefixes = rootUriPrefixes(name)
-                val kept = files.filter { p =>
-                  byFile.get(relOf(prefixes, p))
-                    .forall(st => Skipping.mayMatch(canon, st))
-                }
-                if (kept.size == files.size) Right(filtered)
-                else if (kept.isEmpty) Right(filtered.limit(0))
-                else {
-                  // the full scan's resolved schema is SUPPLIED: no
-                  // footer inference / mergeSchema pass over the kept
-                  // files (the dominant fixed cost of building the
-                  // pruned plan, measured in the r11 sweep), and schema
-                  // evolution comes free — files missing a column read
-                  // it as null, exactly the merged-footer semantics
-                  val raw = spark.read
-                    .schema(org.apache.spark.sql.types.StructType(
-                      full.schema.fields))
-                    .option("basePath", tablePath(name).toString)
-                    .parquet(kept.map(_.toString): _*)
-                  val live =
-                    if (!hasDeletionVectors(name)) raw
-                    else liveWithPositions(name, raw).drop(RelCol, RidxCol)
-                  Right(live.filter(predicate))
-                }
-            }
-          }
-        } catch {
-          case e: Exception => Left(TableGenericError(e.getMessage, Some(e)))
-        }
-    }
+    get(name).map(_.filter(predicate))
 
   /** Multi-dimensional clustering rewrite (Z-order): rows are laid out
     * along the Morton curve over equi-depth bucket ranks of `zCols`, so
@@ -1003,15 +970,6 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String)
     (Seq(
       new java.net.URI(q.getScheme, auth.orNull, q.getPath, null, null)
         .toString) ++ (if (auth.isEmpty) Seq(q.toString) else Nil)).distinct
-  }
-
-  /** Driver-side twin of [[relPathCol]] for a listed file status path. */
-  private def relOf(prefixes: Seq[String], p: Path): String = {
-    val s = p.toUri.toString
-    prefixes.collectFirst {
-      case pre if s.startsWith(pre + "/") => s.substring(pre.length + 1)
-    }.getOrElse(throw new IllegalStateException(
-      s"file outside table root ${prefixes.head}: $s"))
   }
 
   private def relPathCol(name: String): Column = {

@@ -6,8 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * `Expression`s: Spark 4 made the Column⇄Expression converters
   * `private[sql]` (`org.apache.spark.sql.classic.ExpressionUtils`), so
   * extension libraries provide the conversion from inside the package —
-  * the standard pattern used by public Spark extension projects. This is
-  * the ONLY file outside the `graft` namespace.
+  * the standard pattern used by public Spark extension projects. The
+  * only other file outside the `graft` namespace is its sibling
+  * [[GraftFileIndexBridge]] (FileIndex wrapping for data skipping).
   */
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)

@@ -1,0 +1,99 @@
+package org.apache.spark.sql
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+import org.apache.spark.sql.execution.datasources.{FileIndex,
+  HadoopFsRelation, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.types.StructType
+
+/** In-package access for wrapping a scan's `FileIndex` — the standard
+  * extension point (Delta/Iceberg's device) for file-level data
+  * skipping: `FileSourceStrategy` hands every `FileIndex.listFiles`
+  * call the PUSHED partition and data filters, and the contract
+  * explicitly allows the index to return only files that may contain
+  * matching rows. Wrapping the index makes zone-map pruning transparent
+  * to EVERY query path — DataFrame filters, SQL over registered views,
+  * DML predicate scans — with Catalyst's own pushdown (PushedFilters,
+  * partition pruning) intact underneath. Like
+  * [[GraftColumnBridge]], this lives in the spark.sql package because
+  * Spark 4 keeps the needed constructors `private[sql]`.
+  */
+object GraftFileIndexBridge {
+
+  /** `df` with every `HadoopFsRelation`'s location wrapped by `wrap`.
+    * The relation's schema/output attributes are untouched, so the
+    * rebuilt plan resolves identically — only file LISTING changes.
+    */
+  def mapFileIndex(df: DataFrame)(wrap: FileIndex => FileIndex): DataFrame = {
+    val session = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val plan = df.queryExecution.analyzed.transform {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        val fsRel = lr.relation.asInstanceOf[HadoopFsRelation]
+        lr.copy(relation = fsRel.copy(location = wrap(fsRel.location))(session))
+    }
+    classic.Dataset.ofRows(session, plan)
+  }
+
+  /** Files actually read by `df`'s scans: executes the plan and sums
+    * the driver-side `numFiles` metric of every file scan. The
+    * listing-level `inputFiles` cannot see index pruning (it lists
+    * without filters by contract) — this is the observable.
+    */
+  def filesRead(df: DataFrame): Long = {
+    val qe = df.queryExecution
+    qe.executedPlan.executeCollect()
+    qe.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics.get("numFiles").map(_.value).getOrElse(0L)
+    }.sum
+  }
+}
+
+/** Zone-map-pruning `FileIndex`: delegates to `base` and drops, from
+  * each `listFiles` answer, the files whose stored per-file bounds
+  * ([[graft.warehouse.Skipping.ColStats]]) PROVE no row can satisfy the
+  * conjunction of the pushed data filters
+  * ([[graft.warehouse.Skipping.mayMatch]] — conservative: statless
+  * files and unprovable predicates always read). `stats` is consulted
+  * lazily per listing, so the sidecar's current state (re-analyzed,
+  * dropped by a rewrite) always wins; it must never throw. Driver-side
+  * only, like every `FileIndex`.
+  */
+final class GraftPruningFileIndex(
+    base: FileIndex,
+    stats: () => Option[(Seq[String],
+      Map[String, Map[String, graft.warehouse.Skipping.ColStats]])])
+  extends FileIndex {
+
+  override def rootPaths: Seq[Path] = base.rootPaths
+  override def partitionSchema: StructType = base.partitionSchema
+  override def inputFiles: Array[String] = base.inputFiles
+  override def refresh(): Unit = base.refresh()
+  override def sizeInBytes: Long = base.sizeInBytes
+  override def metadataOpsTimeNs: Option[Long] = base.metadataOpsTimeNs
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression])
+      : Seq[PartitionDirectory] = {
+    val dirs = base.listFiles(partitionFilters, dataFilters)
+    if (dataFilters.isEmpty) dirs
+    else stats() match {
+      case None => dirs
+      case Some((prefixes, byFile)) =>
+        val cond = graft.warehouse.Skipping.canonicalize(
+          dataFilters.reduce(And(_, _)))
+        dirs.map { pd =>
+          pd.copy(files = pd.files.filter { f =>
+            val uri = f.fileStatus.getPath.toUri.toString
+            prefixes.collectFirst {
+              case p if uri.startsWith(p + "/") => uri.substring(p.length + 1)
+            } match {
+              case Some(rel) => byFile.get(rel).forall(st =>
+                graft.warehouse.Skipping.mayMatch(cond, st))
+              case None => true // outside the known root: must read
+            }
+          })
+        }
+    }
+  }
+}

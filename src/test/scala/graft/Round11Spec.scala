@@ -116,6 +116,9 @@ class Round11Spec extends SparkSpec {
     assert(left == Set(1L, 3L), s"engine semantics drifted: kept $left")
   }
 
+  private def filesRead(df: org.apache.spark.sql.DataFrame): Long =
+    org.apache.spark.sql.GraftFileIndexBridge.filesRead(df)
+
   test("zone-map pruning skips files on a clustered table, returns " +
     "identical rows, and never skips statless or unprovable cases") {
     val sps = spark; import sps.implicits._
@@ -129,19 +132,22 @@ class Round11Spec extends SparkSpec {
     unwrap(wh.compact("t", targetFiles = 10, sortCols = Seq("id")))
     assert(unwrap(wh.analyzeStats("t")) == 10L)
     val full = unwrap(wh.get("t"))
-    val totalFiles = full.inputFiles.length
-    assert(totalFiles == 10)
+    val totalFiles = filesRead(full)
+    assert(totalFiles == 10L)
     // selective range on the clustered column: most files provably
-    // can't match and are dropped from the scan
+    // can't match and are dropped from the scan (numFiles metric — the
+    // pruning happens INSIDE the FileIndex, invisible to inputFiles)
     val pruned = unwrap(wh.scanPruned("t",
       col("id") >= 2000L && col("id") < 2500L))
-    assert(pruned.inputFiles.length < totalFiles,
-      s"no files skipped (${pruned.inputFiles.length}/$totalFiles)")
+    val prunedFiles = filesRead(pruned)
+    assert(prunedFiles < totalFiles,
+      s"no files skipped ($prunedFiles/$totalFiles)")
     assert(pruned.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
       (2000L until 2500L))
     // an all-files-excluded predicate keeps the schema, returns nothing
     val none = unwrap(wh.scanPruned("t", col("id") > 1000000L))
     assert(none.columns.toSeq == full.columns.toSeq && none.count() == 0L)
+    assert(filesRead(none) == 0L)
     // a predicate outside the closed subset prunes nothing but stays
     // correct
     val regex = unwrap(wh.scanPruned("t", col("name").rlike("^n123$")))
@@ -155,6 +161,36 @@ class Round11Spec extends SparkSpec {
     unwrap(wh.deleteWhereMor("t", col("id") === 2100L))
     assert(unwrap(wh.scanPruned("t",
       col("id") >= 2000L && col("id") < 2500L)).count() == 499L)
+  }
+
+  test("pruning is TRANSPARENT: plain get().filter and SQL over the " +
+    "registered view skip files; skippingEnabled=false reads all") {
+    val sps = spark; import sps.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-r11-transp").toString
+    val wh = new graft.warehouse.SparkWarehouse(spark, dir)
+    def unwrap[A](e: Either[graft.warehouse.WarehouseError, A]): A =
+      e.fold(err => fail(err.message), identity)
+    unwrap(wh.load("tt", (0L until 10000L).map(i => (i, i * 2))
+      .toDF("id", "v").repartition(4)))
+    unwrap(wh.compact("tt", targetFiles = 10, sortCols = Seq("id")))
+    unwrap(wh.analyzeStats("tt"))
+    // no special verb: the FileIndex prunes whatever Catalyst pushes
+    val viaGet = unwrap(wh.get("tt")).filter(col("id") < 1000L)
+    assert(filesRead(viaGet) < 10L, "get().filter did not prune")
+    assert(viaGet.count() == 1000L)
+    // SQL through the registered view prunes too
+    wh.registerView("tt")
+    val viaSql = spark.sql("SELECT count(*) AS n FROM tt WHERE id < 1000")
+    assert(viaSql.head.getLong(0) == 1000L)
+    val sqlScan = spark.sql("SELECT * FROM tt WHERE id < 1000")
+    assert(filesRead(sqlScan) < 10L, "SQL view scan did not prune")
+    // and the baseline switch really disables it
+    val whPlain = new graft.warehouse.SparkWarehouse(spark, dir,
+      skippingEnabled = false)
+    val plain = unwrap(whPlain.get("tt")).filter(col("id") < 1000L)
+    assert(filesRead(plain) == 10L)
+    assert(plain.count() == 1000L)
   }
 
   test("Z-order layout makes pruning bite on BOTH dimensions") {
@@ -171,13 +207,12 @@ class Round11Spec extends SparkSpec {
     unwrap(wh.compactZOrder("t", targetFiles = 16, zCols = Seq("a", "b"),
       buckets = 64))
     unwrap(wh.analyzeStats("t"))
-    val total = unwrap(wh.get("t")).inputFiles.length
+    val total = filesRead(unwrap(wh.get("t")))
     val onA = unwrap(wh.scanPruned("t", col("a") < 13L))
     val onB = unwrap(wh.scanPruned("t", col("b") < 13L))
-    assert(onA.inputFiles.length < total,
-      s"dim a unpruned: ${onA.inputFiles.length}/$total")
-    assert(onB.inputFiles.length < total,
-      s"dim b unpruned: ${onB.inputFiles.length}/$total")
+    val (fa, fb) = (filesRead(onA), filesRead(onB))
+    assert(fa < total, s"dim a unpruned: $fa/$total")
+    assert(fb < total, s"dim b unpruned: $fb/$total")
     // and the rewrite lost nothing
     assert(onA.count() ==
       data.filter(col("a") < 13L).count())
