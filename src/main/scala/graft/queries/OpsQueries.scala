@@ -307,6 +307,65 @@ object OpsQueries {
       }
     }),
 
+    // ---- Bloom-filter skipping: on a RANDOM layout every file's
+    // [min,max] spans the key domain (zone maps prune nothing), but a
+    // per-file Bloom filter proves the point lookup absent from all but
+    // ~1 file. Content equality oracled here; the files-skipped
+    // property is pinned by Round11Spec.
+    "op_bloom_scan" -> ((s: SparkSession, dir: String) => {
+      val wh = tmpWarehouse(s)
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      wh.load("op_bloom_t", li.repartition(8)) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.analyzeStats("op_bloom_t") match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.analyzeBloom("op_bloom_t", Seq("l_orderkey")) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.scanPruned("op_bloom_t", col("l_orderkey") === 1L) match {
+        case Right(df) => df.orderBy("l_linenumber")
+        case Left(e) => throw new RuntimeException(e.message)
+      }
+    }),
+
+    // ---- incremental stats maintenance: append AFTER an analyze, then
+    // the incremental re-analyze stats ONLY the new files (the 100 TB
+    // append workflow — never a full re-scan); the pruned scan over the
+    // mixed-generation table returns exactly the plain filter's rows.
+    "op_stats_incremental" -> ((s: SparkSession, dir: String) => {
+      val wh = tmpWarehouse(s)
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val first = orders.filter(col("o_orderkey") % 2 === 0)
+      val second = orders.filter(col("o_orderkey") % 2 =!= 0)
+      wh.load("op_incstat_t", first.repartition(4)) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.analyzeStats("op_incstat_t") match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.load("op_incstat_t", second.repartition(4)) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.analyzeStats("op_incstat_t") match { // incremental: new files only
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.scanPruned("op_incstat_t", col("o_orderkey") <= 1000L) match {
+        case Right(df) => df.orderBy("o_orderkey")
+        case Left(e) => throw new RuntimeException(e.message)
+      }
+    }),
+
     // ---- row-level DML DELETE ... WHERE: one-pass rewrite keeping the
     // predicate's complement (materialize-then-swap, meta preserved).
     "op_delete_where" -> ((s: SparkSession, dir: String) => {
@@ -912,6 +971,14 @@ object OpsQueries {
     "op_zorder_scan" ->
       """SELECT o_orderkey, o_custkey FROM orders
         |WHERE o_custkey < 100
+        |ORDER BY o_orderkey""".stripMargin,
+    "op_bloom_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey = 1
+        |ORDER BY l_linenumber""".stripMargin,
+    "op_stats_incremental" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey <= 1000
         |ORDER BY o_orderkey""".stripMargin,
     "op_delete_where" ->
       """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders

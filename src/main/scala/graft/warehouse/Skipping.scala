@@ -40,6 +40,44 @@ object Skipping {
   final case class ColStats(dtype: String, rows: Long, nulls: Long,
                             vmin: Option[String], vmax: Option[String])
 
+  /** Everything the pruning `FileIndex` consults for one table: the
+    * root-URI prefixes (for rel-path strips), per-file zone-map stats,
+    * and per-file per-column Bloom filters. Either map may be empty —
+    * a table can be bloom-analyzed without zone stats and vice versa.
+    */
+  final case class PruneMeta(
+      prefixes: Seq[String],
+      stats: Map[String, Map[String, ColStats]],
+      blooms: Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]])
+
+  /** Column types Bloom filters are collected for: types whose
+    * [[encode]]d string is reproducible from a Catalyst literal on the
+    * driver. Floats/decimals are excluded (rendering ambiguity between
+    * the cast-to-string write side and the literal's toString would
+    * risk a false NEGATIVE, which for a Bloom filter is unsound).
+    */
+  def bloomSupported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType |
+         DateType | TimestampType => true
+    case _ => false
+  }
+
+  /** The [[encode]]-equivalent rendering of a Catalyst literal's
+    * INTERNAL value, for Bloom membership probes: integrals via
+    * toString (== cast-to-string), dates from epoch days to ISO,
+    * timestamps as their internal epoch micros (== unix_micros).
+    * None = type outside the bloom subset → no pruning on that term.
+    */
+  def encodeBloomLiteral(v: Any, dt: DataType): Option[String] = dt match {
+    case _ if v == null => None
+    case StringType => Some(v.toString)
+    case ByteType | ShortType | IntegerType | LongType => Some(v.toString)
+    case DateType => Some(java.time.LocalDate.ofEpochDay(
+      v.asInstanceOf[Int].toLong).toString)
+    case TimestampType => Some(v.toString)
+    case _ => None
+  }
+
   /** Column types stats are collected for. TIMESTAMP_NTZ is excluded
     * (no exact micros encoding helper); nested/array/map/binary types
     * have no total order to bound.
@@ -144,12 +182,35 @@ object Skipping {
   }
 
   /** Conservative may-match of `e` (canonicalized) against one file's
-    * stats. True = the file must be read; false = PROVABLY no row of
-    * the file satisfies the predicate (under SQL's only-TRUE-keeps
-    * filter semantics — null-valued comparisons never match).
+    * stats and (optionally) its per-column Bloom filters. True = the
+    * file must be read; false = PROVABLY no row of the file satisfies
+    * the predicate (under SQL's only-TRUE-keeps filter semantics —
+    * null-valued comparisons never match). Blooms strengthen only the
+    * EQUALITY terms (=, <=>, IN): a point probe on a high-cardinality
+    * column prunes files whose [min,max] spans the value but whose
+    * content provably lacks it — the case zone maps cannot see on an
+    * unclustered layout. A bloom can only say "definitely absent" for
+    * values never inserted, so soundness needs the write side
+    * ([[graft.warehouse.SparkWarehouse.analyzeBloom]]) to insert EVERY
+    * non-null value of the file (tombstoned rows included — supersets
+    * are the sound direction, as with zone bounds).
     */
-  def mayMatch(e: Expression, stats: Map[String, ColStats]): Boolean = {
+  def mayMatch(e: Expression, stats: Map[String, ColStats],
+               blooms: Map[String,
+                 org.apache.spark.util.sketch.BloomFilter] = Map.empty)
+      : Boolean = {
     def nonNull(cs: ColStats): Boolean = cs.rows - cs.nulls > 0
+    // bloom test for `col = lit`: absent filter / unencodable literal →
+    // can't prune. mightContainString never false-negatives values the
+    // analyze pass inserted, so false here is a proof of absence.
+    def bloomOk(a: AttributeReference, v: Any, dt: DataType): Boolean =
+      blooms.get(a.name) match {
+        case None => true
+        case Some(bf) => encodeBloomLiteral(v, dt) match {
+          case None => true
+          case Some(s) => bf.mightContainString(s)
+        }
+      }
     // bound test: could some non-null value v in [min, max] satisfy
     // `v <op> lit`? Absent stats for the column → must read.
     def bound(a: AttributeReference, v: Any, dt: DataType)
@@ -170,15 +231,18 @@ object Skipping {
       case Literal(true, BooleanType) => true
       case Literal(false, BooleanType) => false
       case Literal(null, _) => false
-      case And(l, r) => mayMatch(l, stats) && mayMatch(r, stats)
-      case Or(l, r) => mayMatch(l, stats) || mayMatch(r, stats)
+      case And(l, r) => mayMatch(l, stats, blooms) && mayMatch(r, stats, blooms)
+      case Or(l, r) => mayMatch(l, stats, blooms) || mayMatch(r, stats, blooms)
       case EqualTo(a: AttributeReference, Literal(v, dt)) =>
-        bound(a, v, dt)((cMin, cMax) => cMin <= 0 && cMax >= 0)
+        bound(a, v, dt)((cMin, cMax) => cMin <= 0 && cMax >= 0) &&
+          bloomOk(a, v, dt)
       case EqualTo(Literal(v, dt), a: AttributeReference) =>
-        bound(a, v, dt)((cMin, cMax) => cMin <= 0 && cMax >= 0)
+        bound(a, v, dt)((cMin, cMax) => cMin <= 0 && cMax >= 0) &&
+          bloomOk(a, v, dt)
       case EqualNullSafe(a: AttributeReference, Literal(v, dt)) =>
         if (v == null) stats.get(a.name).forall(_.nulls > 0)
-        else bound(a, v, dt)((cMin, cMax) => cMin <= 0 && cMax >= 0)
+        else bound(a, v, dt)((cMin, cMax) => cMin <= 0 && cMax >= 0) &&
+          bloomOk(a, v, dt)
       case LessThan(a: AttributeReference, Literal(v, dt)) =>
         bound(a, v, dt)((cMin, _) => cMin < 0)
       case LessThan(Literal(v, dt), a: AttributeReference) =>
@@ -198,10 +262,12 @@ object Skipping {
       case In(a: AttributeReference, list)
         if list.forall(_.isInstanceOf[Literal]) =>
         list.exists { case Literal(v, dt) =>
-          bound(a, v, dt)((cMin, cMax) => cMin <= 0 && cMax >= 0) }
+          bound(a, v, dt)((cMin, cMax) => cMin <= 0 && cMax >= 0) &&
+            bloomOk(a, v, dt) }
       case InSet(a: AttributeReference, values) =>
         values.exists(v => bound(a, v, a.dataType)(
-          (cMin, cMax) => cMin <= 0 && cMax >= 0))
+          (cMin, cMax) => cMin <= 0 && cMax >= 0) &&
+          bloomOk(a, v, a.dataType))
       case IsNull(a: AttributeReference) =>
         stats.get(a.name).forall(_.nulls > 0)
       case IsNotNull(a: AttributeReference) =>

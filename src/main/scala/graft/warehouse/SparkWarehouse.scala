@@ -91,7 +91,7 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
             else org.apache.spark.sql.GraftFileIndexBridge
               .mapFileIndex(plain)(base =>
                 new org.apache.spark.sql.GraftPruningFileIndex(base,
-                  statsThunk(name)))
+                  pruneMetaThunk(name)))
           // merge-on-read: rows tombstoned by pending deletion vectors
           // are filtered out at read time (anti-join on file+row
           // position). Tables never touched by MoR DML keep the plain
@@ -585,6 +585,7 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
   // live values under the stored bounds).
 
   private def statsPath(name: String) = new Path(tablePath(name), "_graft_stats")
+  private def bloomPath(name: String) = new Path(tablePath(name), "_graft_bloom")
 
   // parsed stats sidecar, cached per table against the sidecar's file
   // fingerprint (names+lengths+mtimes): repeated pruned scans skip the
@@ -595,25 +596,59 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     new java.util.concurrent.ConcurrentHashMap[String,
       (String, Map[String, Map[String, Skipping.ColStats]])]()
 
-  private def statsFingerprint(name: String): String =
-    fs.listStatus(statsPath(name)).map(st =>
+  private def sidecarFingerprint(dir: Path): String =
+    fs.listStatus(dir).map(st =>
       s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
       .sorted.mkString(";")
 
-  /** Lazy stats supplier for the pruning FileIndex: consulted at every
-    * listing, never throws (a broken/absent sidecar must never fail a
-    * read — it just disables pruning).
+  // deserialized Bloom filters, cached like the stats sidecar (the
+  // fingerprint invalidates on re-analyze; rewrites drop the dir).
+  // Driver residency is the sidecar's decoded size — O(#files × #cols ×
+  // filter bytes); [[analyzeBloom]] documents the sizing trade.
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (String, Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]])]()
+
+  private def cachedBlooms(name: String)
+      : Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]] = {
+    val fp = sidecarFingerprint(bloomPath(name))
+    val hit = bloomCache.get(name)
+    if (hit != null && hit._1 == fp) hit._2
+    else {
+      val parsed = spark.read.parquet(bloomPath(name).toString)
+        .select("rel", "column", "bloom")
+        .collect()
+        .filter(r => r.getString(1).nonEmpty && r.get(2) != null) // sentinels
+        .groupBy(_.getString(0))
+        .map { case (rel, rows) => rel -> rows.map { r =>
+          r.getString(1) -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+        }.toMap }
+      bloomCache.put(name, (fp, parsed))
+      parsed
+    }
+  }
+
+  /** Lazy skipping-metadata supplier for the pruning FileIndex:
+    * consulted at every listing, never throws (a broken/absent sidecar
+    * must never fail a read — it just disables pruning). Zone stats and
+    * Bloom sidecars load independently; either alone still prunes.
     */
-  private def statsThunk(name: String)
-      : () => Option[(Seq[String], Map[String, Map[String, Skipping.ColStats]])] =
+  private def pruneMetaThunk(name: String)
+      : () => Option[Skipping.PruneMeta] =
     () => try {
-      if (!fs.exists(statsPath(name))) None
-      else Some((rootUriPrefixes(name), cachedStats(name)))
+      val hasStats = fs.exists(statsPath(name))
+      val hasBloom = fs.exists(bloomPath(name))
+      if (!hasStats && !hasBloom) None
+      else Some(Skipping.PruneMeta(
+        rootUriPrefixes(name),
+        if (hasStats) cachedStats(name) else Map.empty,
+        if (hasBloom) cachedBlooms(name) else Map.empty))
     } catch { case _: Exception => None }
 
   private def cachedStats(name: String)
       : Map[String, Map[String, Skipping.ColStats]] = {
-    val fp = statsFingerprint(name)
+    val fp = sidecarFingerprint(statsPath(name))
     val hit = statsCache.get(name)
     if (hit != null && hit._1 == fp) hit._2
     else {
@@ -631,49 +666,342 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     }
   }
 
+  /** Live data files under the table root — (root-relative path in the
+    * same URI rendering `_metadata.file_path` uses, absolute path) —
+    * with underscore/dot-prefixed sidecars (meta, stats, blooms,
+    * deletion vectors, _SUCCESS) excluded at every level. One driver
+    * listing per call; at 100 TB this is the metastore-listing cost
+    * every lakehouse pays, NOT a data scan.
+    */
+  private def liveDataFiles(name: String): Seq[(String, Path)] = {
+    def walk(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isDirectory) walk(st.getPath)
+        else if (n.endsWith(".parquet")) Seq(st.getPath)
+        else Nil
+      }
+    val prefixes = rootUriPrefixes(name)
+    walk(tablePath(name)).map { p =>
+      val uri = fs.makeQualified(p).toUri.toString
+      val rel = prefixes.collectFirst {
+        case pre if uri.startsWith(pre + "/") => uri.substring(pre.length + 1)
+      }.getOrElse(throw new IllegalStateException(
+        s"liveDataFiles: $uri outside table root ${prefixes.head}"))
+      (rel, p)
+    }
+  }
+
+  /** Overwrite a sidecar directory ATOMICALLY with respect to its own
+    * readers: write to a sibling temp dir, then swap — never overwrite
+    * in place while a lazy plan may still be reading the old rows (the
+    * incremental analyze reads the sidecar it is about to replace).
+    */
+  private def swapSidecar(dir: Path, rows: DataFrame): Unit = {
+    val tmp = new Path(dir.getParent, dir.getName + "__tmp")
+    checkedDelete(tmp)
+    rows.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    checkedDelete(dir)
+    checkedRename(tmp, dir)
+  }
+
+  /** Mark analyzed files that produced NO sidecar rows (empty part
+    * files; for blooms, files all-null in every tracked column) with a
+    * sentinel row under the empty column name, so the incremental pass
+    * never rescans them. Lookups key on real attribute names, miss the
+    * sentinel, and read the file — sound, and trivially cheap for the
+    * empty files this covers.
+    */
+  private def appendSentinels(dir: Path, expected: Seq[String],
+                              mk: Seq[String] => DataFrame): Unit = {
+    val covered = spark.read.parquet(dir.toString).select("rel").distinct()
+      .collect().map(_.getString(0)).toSet
+    val missing = expected.filterNot(covered.contains)
+    if (missing.nonEmpty)
+      mk(missing).write.mode(SaveMode.Append).parquet(dir.toString)
+  }
+
+  private val statsSidecarSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("rel",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("rows",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("column",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("dtype",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("nulls",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("vmin",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("vmax",
+      org.apache.spark.sql.types.StringType)))
+
+  private def statsSentinels(rels: Seq[String]): DataFrame =
+    spark.createDataFrame(
+      rels.map(r => org.apache.spark.sql.Row(
+        r, 0L, "", "none", 0L, null, null)).asJava, statsSidecarSchema)
+
+  private val bloomSidecarSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("rel",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("column",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("bloom",
+      org.apache.spark.sql.types.BinaryType)))
+
+  private def bloomSentinels(rels: Seq[String]): DataFrame =
+    spark.createDataFrame(
+      rels.map(r => org.apache.spark.sql.Row(r, "", null)).asJava,
+      bloomSidecarSchema)
+
+  /** One distributed zone-map stats pass over `raw` (any subset of the
+    * table's files read with the table's root as basePath), grouped by
+    * `_metadata.file_path`: rows keyed (rel, column) with bounds in the
+    * order-faithful string encoding. None = no supported columns.
+    */
+  private def statsRowsOf(name: String, raw: DataFrame): Option[DataFrame] = {
+    val supported = raw.schema.fields.filter(f =>
+      Skipping.supported(f.dataType)).toSeq
+    if (supported.isEmpty) None
+    else Some {
+      val aggs = supported.zipWithIndex.flatMap { case (f, i) =>
+        val c = col(s"`${f.name}`")
+        Seq(min(c).as(s"_mn$i"), max(c).as(s"_mx$i"),
+          sum(c.isNull.cast("long")).as(s"_nl$i"))
+      }
+      val wide = raw
+        .select(col("*"), relPathCol(name).as("__rel"))
+        .groupBy(col("__rel").as("rel"))
+        .agg(count(lit(1)).as("rows"), aggs: _*)
+      val entries = supported.zipWithIndex.map { case (f, i) =>
+        struct(lit(f.name).as("column"),
+          lit(Skipping.tag(f.dataType)).as("dtype"),
+          col(s"_nl$i").as("nulls"),
+          Skipping.encode(col(s"_mn$i"), f.dataType).as("vmin"),
+          Skipping.encode(col(s"_mx$i"), f.dataType).as("vmax"))
+      }
+      wide.select(col("rel"), col("rows"),
+          explode(array(entries: _*)).as("e"))
+        .select(col("rel"), col("rows"), col("e.column").as("column"),
+          col("e.dtype").as("dtype"), col("e.nulls").as("nulls"),
+          col("e.vmin").as("vmin"), col("e.vmax").as("vmax"))
+    }
+  }
+
   /** Collect per-file zone-map statistics into the `_graft_stats/`
-    * sidecar (overwrite): ONE distributed pass grouping by
-    * `_metadata.file_path`, bounds stored in the order-faithful string
-    * encoding ([[Skipping.encode]]) keyed by table-root-RELATIVE path.
-    * Returns the number of files analyzed. Stats cover the RAW file
+    * sidecar, bounds stored in the order-faithful string encoding
+    * ([[Skipping.encode]]) keyed by table-root-RELATIVE path. Returns
+    * the number of files analyzed THIS call. Stats cover the RAW file
     * contents (tombstoned rows included — bounds stay a superset of
     * live values, which is the sound direction for skipping).
+    *
+    * `incremental = true` (the default) scans ONLY files that have no
+    * stats row yet — the append workflow's maintenance verb: at 100 TB,
+    * re-deriving bounds for petabytes of immutable, already-analyzed
+    * files on every append is the scale-killer, and immutability makes
+    * the saved work provably identical (a stats row can never describe
+    * stale content — rewrites produce new names and drop the sidecar
+    * wholesale). Rows for files that no longer exist are dropped in the
+    * same pass; old files missing a column added later simply have no
+    * stats row for it (absent stats → always read: sound). A full
+    * rebuild (`incremental = false`) is only needed to heal a manually
+    * corrupted sidecar.
     */
-  def analyzeStats(name: String): Either[WarehouseError, Long] =
+  def analyzeStats(name: String,
+                   incremental: Boolean = true): Either[WarehouseError, Long] =
     try {
       if (!fs.exists(tablePath(name))) Left(TableNotFound(name))
       else if (!hasDataFiles(name)) Right(0L)
       else {
-        val raw = graft.sources.Sources.parquetMerged(spark,
-          tablePath(name).toString)
-        val supported = raw.schema.fields.filter(f =>
-          Skipping.supported(f.dataType)).toSeq
-        if (supported.isEmpty) Right(0L)
+        val root = tablePath(name).toString
+        if (!incremental || !fs.exists(statsPath(name))) {
+          val raw = graft.sources.Sources.parquetMerged(spark, root)
+          statsRowsOf(name, raw) match {
+            case None => Right(0L)
+            case Some(rows) =>
+              rows.write.mode(SaveMode.Overwrite)
+                .parquet(statsPath(name).toString)
+              val live = liveDataFiles(name)
+              appendSentinels(statsPath(name), live.map(_._1), statsSentinels)
+              Right(live.size.toLong)
+          }
+        } else {
+          val live = liveDataFiles(name)
+          val liveRels = live.map(_._1).toSet
+          val oldRows = spark.read.parquet(statsPath(name).toString)
+            .select("rel", "rows", "column", "dtype", "nulls", "vmin", "vmax")
+          val oldRels = oldRows.select("rel").distinct()
+            .collect().map(_.getString(0)).toSet
+          val fresh = live.filterNot { case (rel, _) => oldRels.contains(rel) }
+          if (fresh.isEmpty) Right(0L)
+          else {
+            val raw = spark.read.option("mergeSchema", "true")
+              .option("basePath", root)
+              .parquet(fresh.map(_._2.toString): _*)
+            statsRowsOf(name, raw) match {
+              case None => Right(0L)
+              case Some(newRows) =>
+                val dead = oldRels.diff(liveRels)
+                val kept =
+                  if (dead.isEmpty) oldRows
+                  else oldRows.filter(!col("rel").isin(dead.toSeq: _*))
+                swapSidecar(statsPath(name), kept.unionByName(newRows))
+                appendSentinels(statsPath(name), fresh.map(_._1),
+                  statsSentinels)
+                Right(fresh.size.toLong)
+            }
+          }
+        }
+      }
+    } catch {
+      case e: Exception => Left(TableGenericError(e.getMessage, Some(e)))
+    }
+
+  /** Build per-file Bloom filters for `cols` into the `_graft_bloom/`
+    * sidecar — the point-lookup complement to [[analyzeStats]]: on an
+    * UNCLUSTERED layout every file's [min,max] spans the whole domain
+    * and zone maps prune nothing, but `WHERE id = K` provably misses
+    * every file whose filter lacks K's encoding (false-positive rate
+    * `fpp` per file — a few extra files read, never a missed row).
+    * This is the device Parquet's column-index blooms and Delta's bloom
+    * sidecars standardize; here it feeds the same transparent
+    * `FileIndex` pruning as the zone maps, so any equality/IN predicate
+    * on any query path benefits.
+    *
+    * One distributed pass over the target files: per-partition partial
+    * filters per (file, column), merged by key (filters built in one
+    * call share sizing, so `mergeInPlace` is exact), written as binary
+    * parquet rows (rel, column, bloom). `incremental = true` (default)
+    * builds filters only for files that have none yet — same append
+    * workflow and immutability argument as [[analyzeStats]].
+    *
+    * Sizing: `expectedItemsPerFile = 0` derives capacity from the stats
+    * sidecar's max rows-per-file (or one count pass), clamped to
+    * [1024, 10M] — ~1.2 KB to ~12 MB per (file, column) at fpp 0.01.
+    * Oversizing only wastes bytes; undersizing only raises the
+    * false-positive rate — NEVER unsound (an inserted value is always
+    * `mightContain`). Columns must be string/integral/date/timestamp
+    * ([[Skipping.bloomSupported]]); floats and decimals are rejected
+    * because their literal rendering is not reproducible bit-exactly.
+    * Driver planning cost: the whole sidecar is decoded and cached once
+    * per fingerprint — size filters (and choose columns) so
+    * #files × #cols × filterBytes fits driver memory, the same budget
+    * rule every lakehouse bloom index documents.
+    */
+  def analyzeBloom(name: String, cols: Seq[String], fpp: Double = 0.01,
+                   expectedItemsPerFile: Long = 0L,
+                   incremental: Boolean = true): Either[WarehouseError, Long] =
+    try {
+      if (!fs.exists(tablePath(name))) Left(TableNotFound(name))
+      else if (!hasDataFiles(name)) Right(0L)
+      else {
+        require(cols.nonEmpty, "analyzeBloom: cols must be non-empty")
+        require(fpp > 0 && fpp < 1, "analyzeBloom: fpp must be in (0, 1)")
+        val root = tablePath(name).toString
+        val full = graft.sources.Sources.parquetMerged(spark, root)
+        val fields = cols.map { c =>
+          require(full.columns.contains(c), s"no such column: $c")
+          val f = full.schema(c)
+          require(Skipping.bloomSupported(f.dataType),
+            s"bloom column $c: unsupported type ${f.dataType.simpleString}")
+          f
+        }
+        val live = liveDataFiles(name)
+        val haveSidecar = fs.exists(bloomPath(name))
+        val (fresh, keptOld) =
+          if (!incremental || !haveSidecar) (live, None)
+          else {
+            val oldRows = spark.read.parquet(bloomPath(name).toString)
+              .select("rel", "column", "bloom")
+            val oldRels = oldRows.select("rel").distinct()
+              .collect().map(_.getString(0)).toSet
+            (live.filterNot { case (rel, _) => oldRels.contains(rel) },
+              Some(oldRows))
+          }
+        if (fresh.isEmpty) Right(0L)
         else {
-          val aggs = supported.zipWithIndex.flatMap { case (f, i) =>
-            val c = col(s"`${f.name}`")
-            Seq(min(c).as(s"_mn$i"), max(c).as(s"_mx$i"),
-              sum(c.isNull.cast("long")).as(s"_nl$i"))
+          val items = (if (expectedItemsPerFile > 0) expectedItemsPerFile
+            else {
+              val fromStats =
+                if (!fs.exists(statsPath(name))) None
+                else spark.read.parquet(statsPath(name).toString)
+                  .agg(max("rows")).head.get(0) match {
+                    case n: Long => Some(n)
+                    case _ => None
+                  }
+              fromStats.getOrElse {
+                full.select(relPathCol(name).as("__rel"))
+                  .groupBy("__rel").count()
+                  .agg(max("count")).head.getLong(0)
+              }
+            }).max(1024L).min(10_000_000L)
+          val raw = spark.read.option("mergeSchema", "true")
+            .option("basePath", root)
+            .parquet(fresh.map(_._2.toString): _*)
+          // a file generation may predate a bloom column entirely —
+          // those files get no row for it (absent filter → always read)
+          val present = fields.filter(f => raw.columns.contains(f.name))
+          val newRows: DataFrame =
+            if (present.isEmpty)
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                bloomSidecarSchema)
+            else {
+              val proj = raw.select(relPathCol(name).as("__rel") +:
+                present.map(f => Skipping.encode(col(s"`${f.name}`"),
+                  f.dataType).as(f.name)): _*)
+              val names = present.map(_.name)
+              val n = names.size
+              val itemsB = items
+              val fppB = fpp
+              import org.apache.spark.util.sketch.BloomFilter
+              val merged = proj.rdd.mapPartitions { it =>
+                val m = scala.collection.mutable.HashMap[(String, Int),
+                  BloomFilter]()
+                it.foreach { row =>
+                  val rel = row.getString(0)
+                  var i = 0
+                  while (i < n) {
+                    if (!row.isNullAt(i + 1))
+                      m.getOrElseUpdate((rel, i),
+                        BloomFilter.create(itemsB, fppB))
+                        .putString(row.getString(i + 1))
+                    i += 1
+                  }
+                }
+                m.iterator.map { case (k, bf) =>
+                  val bos = new java.io.ByteArrayOutputStream()
+                  bf.writeTo(bos); (k, bos.toByteArray)
+                }
+              }.reduceByKey { (a, b) =>
+                val x = BloomFilter.readFrom(new java.io.ByteArrayInputStream(a))
+                x.mergeInPlace(
+                  BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)))
+                val bos = new java.io.ByteArrayOutputStream()
+                x.writeTo(bos); bos.toByteArray
+              }
+              val rowRdd = merged.map { case ((rel, i), bytes) =>
+                org.apache.spark.sql.Row(rel, names(i), bytes)
+              }
+              spark.createDataFrame(rowRdd, bloomSidecarSchema)
+            }
+          keptOld match {
+            case None =>
+              newRows.write.mode(SaveMode.Overwrite)
+                .parquet(bloomPath(name).toString)
+            case Some(oldRows) =>
+              val liveRels = live.map(_._1).toSet
+              val dead = oldRows.select("rel").distinct()
+                .collect().map(_.getString(0)).toSet.diff(liveRels)
+              val kept =
+                if (dead.isEmpty) oldRows
+                else oldRows.filter(!col("rel").isin(dead.toSeq: _*))
+              swapSidecar(bloomPath(name), kept.unionByName(newRows))
           }
-          val wide = raw
-            .select(col("*"), relPathCol(name).as("__rel"))
-            .groupBy(col("__rel").as("rel"))
-            .agg(count(lit(1)).as("rows"), aggs: _*)
-          val entries = supported.zipWithIndex.map { case (f, i) =>
-            struct(lit(f.name).as("column"),
-              lit(Skipping.tag(f.dataType)).as("dtype"),
-              col(s"_nl$i").as("nulls"),
-              Skipping.encode(col(s"_mn$i"), f.dataType).as("vmin"),
-              Skipping.encode(col(s"_mx$i"), f.dataType).as("vmax"))
-          }
-          wide.select(col("rel"), col("rows"),
-              explode(array(entries: _*)).as("e"))
-            .select(col("rel"), col("rows"), col("e.column").as("column"),
-              col("e.dtype").as("dtype"), col("e.nulls").as("nulls"),
-              col("e.vmin").as("vmin"), col("e.vmax").as("vmax"))
-            .write.mode(SaveMode.Overwrite).parquet(statsPath(name).toString)
-          Right(spark.read.parquet(statsPath(name).toString)
-            .select("rel").distinct().count())
+          appendSentinels(bloomPath(name), fresh.map(_._1), bloomSentinels)
+          Right(fresh.size.toLong)
         }
       }
     } catch {

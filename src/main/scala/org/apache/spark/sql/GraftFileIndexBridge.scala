@@ -49,20 +49,19 @@ object GraftFileIndexBridge {
   }
 }
 
-/** Zone-map-pruning `FileIndex`: delegates to `base` and drops, from
-  * each `listFiles` answer, the files whose stored per-file bounds
-  * ([[graft.warehouse.Skipping.ColStats]]) PROVE no row can satisfy the
-  * conjunction of the pushed data filters
-  * ([[graft.warehouse.Skipping.mayMatch]] — conservative: statless
-  * files and unprovable predicates always read). `stats` is consulted
-  * lazily per listing, so the sidecar's current state (re-analyzed,
-  * dropped by a rewrite) always wins; it must never throw. Driver-side
-  * only, like every `FileIndex`.
+/** Data-skipping `FileIndex`: delegates to `base` and drops, from
+  * each `listFiles` answer, the files whose stored per-file metadata —
+  * zone-map bounds ([[graft.warehouse.Skipping.ColStats]]) and/or
+  * per-column Bloom filters — PROVE no row can satisfy the conjunction
+  * of the pushed data filters ([[graft.warehouse.Skipping.mayMatch]] —
+  * conservative: files without metadata and unprovable predicates
+  * always read). `meta` is consulted lazily per listing, so the
+  * sidecars' current state (re-analyzed, dropped by a rewrite) always
+  * wins; it must never throw. Driver-side only, like every `FileIndex`.
   */
 final class GraftPruningFileIndex(
     base: FileIndex,
-    stats: () => Option[(Seq[String],
-      Map[String, Map[String, graft.warehouse.Skipping.ColStats]])])
+    meta: () => Option[graft.warehouse.Skipping.PruneMeta])
   extends FileIndex {
 
   override def rootPaths: Seq[Path] = base.rootPaths
@@ -77,19 +76,20 @@ final class GraftPruningFileIndex(
       : Seq[PartitionDirectory] = {
     val dirs = base.listFiles(partitionFilters, dataFilters)
     if (dataFilters.isEmpty) dirs
-    else stats() match {
+    else meta() match {
       case None => dirs
-      case Some((prefixes, byFile)) =>
+      case Some(pm) =>
         val cond = graft.warehouse.Skipping.canonicalize(
           dataFilters.reduce(And(_, _)))
         dirs.map { pd =>
           pd.copy(files = pd.files.filter { f =>
             val uri = f.fileStatus.getPath.toUri.toString
-            prefixes.collectFirst {
+            pm.prefixes.collectFirst {
               case p if uri.startsWith(p + "/") => uri.substring(p.length + 1)
             } match {
-              case Some(rel) => byFile.get(rel).forall(st =>
-                graft.warehouse.Skipping.mayMatch(cond, st))
+              case Some(rel) => graft.warehouse.Skipping.mayMatch(cond,
+                pm.stats.getOrElse(rel, Map.empty),
+                pm.blooms.getOrElse(rel, Map.empty))
               case None => true // outside the known root: must read
             }
           })

@@ -222,6 +222,92 @@ class Round11Spec extends SparkSpec {
       (0L until 40000L).sum)
   }
 
+  test("incremental analyzeStats scans ONLY appended files and yields " +
+    "the same pruning as a full rebuild") {
+    val sps = spark; import sps.implicits._
+    val wh = new graft.warehouse.SparkWarehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-r11-inc").toString)
+    def unwrap[A](e: Either[graft.warehouse.WarehouseError, A]): A =
+      e.fold(err => fail(err.message), identity)
+    unwrap(wh.load("t", (0L until 10000L).map(i => (i, i * 3))
+      .toDF("id", "v").repartition(4)))
+    unwrap(wh.compact("t", targetFiles = 10, sortCols = Seq("id")))
+    assert(unwrap(wh.analyzeStats("t")) == 10L)
+    // nothing appended → nothing analyzed, sidecar untouched
+    assert(unwrap(wh.analyzeStats("t")) == 0L)
+    // append a sorted batch; the incremental pass must touch ONLY it
+    unwrap(wh.load("t", (20000L until 21000L).map(i => (i, i * 3))
+      .toDF("id", "v").coalesce(1)))
+    val fresh = unwrap(wh.analyzeStats("t"))
+    assert(fresh >= 1L && fresh <= 2L, s"expected ~1 new file, got $fresh")
+    // analyzed-but-empty files are sentinel-marked: nothing rescans
+    assert(unwrap(wh.analyzeStats("t")) == 0L)
+    // the appended range now PRUNES (it has stats), old ranges still do
+    val late = unwrap(wh.get("t")).filter(col("id") >= 20000L)
+    assert(filesRead(late) < 11L && late.count() == 1000L)
+    val early = unwrap(wh.get("t")).filter(col("id") < 500L)
+    assert(filesRead(early) < 10L && early.count() == 500L)
+    // incremental sidecar ≡ full rebuild: same files read per probe
+    val incEarly = filesRead(unwrap(wh.get("t")).filter(col("id") < 500L))
+    val incLate = filesRead(unwrap(wh.get("t")).filter(col("id") >= 20000L))
+    assert(unwrap(wh.analyzeStats("t", incremental = false)) == 10L + fresh)
+    assert(filesRead(unwrap(wh.get("t"))
+      .filter(col("id") < 500L)) == incEarly)
+    assert(filesRead(unwrap(wh.get("t"))
+      .filter(col("id") >= 20000L)) == incLate)
+  }
+
+  test("Bloom-filter skipping prunes point lookups on an UNCLUSTERED " +
+    "layout where zone maps see nothing") {
+    val sps = spark; import sps.implicits._
+    val wh = new graft.warehouse.SparkWarehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-r11-bloom").toString)
+    def unwrap[A](e: Either[graft.warehouse.WarehouseError, A]): A =
+      e.fold(err => fail(err.message), identity)
+    // high-cardinality ids, random layout: every file's [min,max] spans
+    // the domain, so zone maps alone cannot prune an equality
+    val data = (0L until 20000L).map(i => (i, s"key_$i")).toDF("id", "name")
+    unwrap(wh.load("t", data.repartition(10)))
+    val total = unwrap(wh.analyzeStats("t"))
+    assert(total >= 10L, s"expected >=10 files, got $total")
+    assert(filesRead(unwrap(wh.get("t"))) == total)
+    assert(filesRead(unwrap(wh.get("t")).filter(col("id") === 777L)) == total,
+      "zone maps unexpectedly pruned a random layout")
+    // blooms on both columns: a point probe now reads ~1 file
+    assert(unwrap(wh.analyzeBloom("t", Seq("id", "name"))) == total)
+    val eq = unwrap(wh.get("t")).filter(col("id") === 777L)
+    assert(filesRead(eq) <= 3L, s"bloom did not prune: ${filesRead(eq)}/$total")
+    assert(eq.select("name").head.getString(0) == "key_777")
+    val byName = unwrap(wh.get("t")).filter(col("name") === "key_4242")
+    assert(filesRead(byName) <= 3L)
+    assert(byName.select("id").head.getLong(0) == 4242L)
+    // IN-list: union of per-value probes
+    val inl = unwrap(wh.get("t"))
+      .filter(col("id").isin(11L, 222L, 3333L))
+    assert(filesRead(inl) <= 6L && inl.count() == 3L)
+    // absent value: provably-missing files skipped, zero rows, no error
+    val miss = unwrap(wh.get("t")).filter(col("name") === "absent")
+    assert(filesRead(miss) <= 2L && miss.count() == 0L)
+    // a bloomless appended file is NEVER skipped
+    unwrap(wh.load("t", Seq((999999L, "fresh")).toDF("id", "name")))
+    val late = unwrap(wh.get("t")).filter(col("name") === "fresh")
+    assert(late.count() == 1L, "bloomless appended file was skipped")
+    // incremental bloom analyze covers ONLY the new file(s), then prunes;
+    // a second call finds nothing left (empty files sentinel-marked)
+    val freshB = unwrap(wh.analyzeBloom("t", Seq("id", "name")))
+    assert(freshB >= 1L && freshB <= 2L, s"expected ~1 new file, got $freshB")
+    assert(unwrap(wh.analyzeBloom("t", Seq("id", "name"))) == 0L)
+    val lateEq = unwrap(wh.get("t")).filter(col("id") === 999999L)
+    assert(filesRead(lateEq) <= 3L && lateEq.count() == 1L)
+    // negation/range on a bloomed column falls back to zone semantics
+    assert(unwrap(wh.get("t")).filter(col("id") =!= 777L).count() == 20000L)
+    // unsupported column types are rejected loudly
+    val wh2 = new graft.warehouse.SparkWarehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-r11-bloom2").toString)
+    unwrap(wh2.load("f", Seq((1L, 0.5)).toDF("id", "score")))
+    assert(wh2.analyzeBloom("f", Seq("score")).isLeft)
+  }
+
   test("MoR tombstones survive an apostrophe-and-space warehouse root " +
     "and a rename (rel paths are length-stripped, never spliced)") {
     val sps = spark; import sps.implicits._
