@@ -1,0 +1,146 @@
+package graft.tools
+
+import graft.Tables
+import graft.warehouse.SparkWarehouse
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bloom-skipping + incremental-analyze sweep — the two r11 follow-ons
+  * to the zone-map feature, measured where their premises live:
+  *
+  *  1. BLOOM leg — a RANDOM (hash-partitioned) layout where every
+  *     file's [min,max] spans the whole key domain, so zone maps prune
+  *     nothing; a per-file Bloom filter should cut a point lookup on
+  *     the high-cardinality key to ~1 file (present value) or ~0 files
+  *     (absent in-range value), with files_read recorded for zone-only
+  *     vs zone+bloom on the SAME table. The key column holds EVEN
+  *     values only so an odd probe is in-range-but-absent — the case
+  *     only a content filter can prove.
+  *  2. INCREMENTAL leg — append 10% to an analyzed table, then time
+  *     `analyzeStats()` (incremental: should cost O(append)) vs
+  *     `analyzeStats(incremental = false)` (full rebuild: O(table));
+  *     the gap is the 100 TB append-maintenance claim.
+  *
+  * Correctness guard on every point: pruned scan row count == plain
+  * scan row count. Output: one JSON line per point to
+  * SPARK_GRAFT_BLOOM_OUT (default bloom_sweep.json); scan timings are
+  * 3 in-JVM reps with medians + raws (same protocol as
+  * skipping_sweep_r11.json), analyze timings single-shot (they are the
+  * dominant cost under test, not a microsecond kernel).
+  */
+object BloomSweep {
+
+  private def timed[A](thunk: () => A): (Double, A) = {
+    val t0 = System.nanoTime()
+    val r = thunk()
+    ((System.nanoTime() - t0) / 1e9, r)
+  }
+
+  // key `a` = even values 0,2,..,2(n-1): unique, high-cardinality, and
+  // odd probes are in-range absent. `v` is payload.
+  private def base(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select((col("id") * 2L).as("a"),
+      pmod(col("id") * 7919L, lit(n)).as("b"),
+      (col("id") * 3L).as("v"))
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outPath =
+      sys.env.getOrElse("SPARK_GRAFT_BLOOM_OUT", "bloom_sweep.json")
+    val spark = Tables.sessionBuilder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val results = scala.collection.mutable.ArrayBuffer.empty[String]
+    def record(line: String): Unit = { println(s"[bloom] $line"); results += line }
+    def unwrap[A](e: Either[graft.warehouse.WarehouseError, A]): A =
+      e.fold(err => throw new RuntimeException(err.message), identity)
+    val reps = 3
+    def filesRead(df: DataFrame): Long =
+      org.apache.spark.sql.GraftFileIndexBridge.filesRead(df)
+
+    val ns = Seq(100000L, 1000000L, 10000000L)
+    def filesFor(n: Long): Int = math.max(8, (n / 100000L).toInt * 8)
+
+    // ---- leg 1: bloom point lookup on a random layout ----
+    for (n <- ns) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-bloom-$n").toString
+      val wh = new SparkWarehouse(spark, dir)
+      val whPlain = new SparkWarehouse(spark, dir, skippingEnabled = false)
+      val nf = filesFor(n)
+      // hash repartition = random layout: every file spans ~the domain
+      unwrap(wh.load("t", base(spark, n).repartition(nf)))
+      val (statsSec, _) = timed(() => unwrap(wh.analyzeStats("t")))
+      val totalFiles = unwrap(wh.get("t")).inputFiles.length
+      val present = col("a") === lit(n) // even, present once
+      val absent = col("a") === lit(n + 1L) // odd, in-range, absent
+      val zoneFilesPresent = filesRead(unwrap(wh.scanPruned("t", present)))
+      val zoneFilesAbsent = filesRead(unwrap(wh.scanPruned("t", absent)))
+      val (bloomSec, bloomFiles) =
+        timed(() => unwrap(wh.analyzeBloom("t", Seq("a"))))
+      val bloomFilesPresent = filesRead(unwrap(wh.scanPruned("t", present)))
+      val bloomFilesAbsent = filesRead(unwrap(wh.scanPruned("t", absent)))
+      val prunedT = (1 to reps).map(_ =>
+        timed(() => unwrap(wh.scanPruned("t", present)).count())._1).sorted
+      val plainT = (1 to reps).map(_ =>
+        timed(() => unwrap(whPlain.get("t")).filter(present).count())._1).sorted
+      val rows = unwrap(wh.scanPruned("t", present)).count()
+      val plainRows = unwrap(whPlain.get("t")).filter(present).count()
+      require(rows == plainRows && rows == 1L,
+        s"bloom pruned/plain drift: $rows vs $plainRows (want 1)")
+      require(unwrap(wh.scanPruned("t", absent)).count() == 0L,
+        "bloom absent probe returned rows")
+      record(
+        s"""{"leg":"bloom","n":$n,"files_total":$totalFiles,""" +
+          s""""zone_files_present":$zoneFilesPresent,""" +
+          s""""zone_files_absent":$zoneFilesAbsent,""" +
+          s""""bloom_files_present":$bloomFilesPresent,""" +
+          s""""bloom_files_absent":$bloomFilesAbsent,""" +
+          s""""analyze_stats_sec":$statsSec,""" +
+          s""""analyze_bloom_sec":$bloomSec,"files_bloomed":$bloomFiles,""" +
+          s""""pruned_sec":${prunedT(reps / 2)},""" +
+          s""""plain_sec":${plainT(reps / 2)},""" +
+          s""""pruned_raw":${prunedT.mkString("[", ",", "]")},""" +
+          s""""plain_raw":${plainT.mkString("[", ",", "]")}}""")
+    }
+
+    // ---- leg 2: incremental analyze vs full rebuild after an append ----
+    for (n <- ns) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-incstat-$n").toString
+      val wh = new SparkWarehouse(spark, dir)
+      val whPlain = new SparkWarehouse(spark, dir, skippingEnabled = false)
+      val nf = filesFor(n)
+      unwrap(wh.load("t", base(spark, n).repartition(nf)))
+      val (initialSec, initialFiles) =
+        timed(() => unwrap(wh.analyzeStats("t")))
+      // append 10% new rows (disjoint key range), few files
+      val extra = spark.range(n, n + n / 10)
+        .select((col("id") * 2L).as("a"),
+          pmod(col("id") * 7919L, lit(n)).as("b"),
+          (col("id") * 3L).as("v"))
+      unwrap(wh.load("t", extra.repartition(math.max(1, nf / 10))))
+      val (incSec, incFiles) = timed(() => unwrap(wh.analyzeStats("t")))
+      val (fullSec, fullFiles) =
+        timed(() => unwrap(wh.analyzeStats("t", incremental = false)))
+      val pred = col("a") >= lit(2L * n) // only appended rows match
+      val rows = unwrap(wh.scanPruned("t", pred)).count()
+      val plainRows = unwrap(whPlain.get("t")).filter(pred).count()
+      require(rows == plainRows && rows == n / 10,
+        s"incstat pruned/plain drift: $rows vs $plainRows (want ${n / 10})")
+      val readFiles = filesRead(unwrap(wh.scanPruned("t", pred)))
+      record(
+        s"""{"leg":"incremental","n":$n,"appended":${n / 10},""" +
+          s""""initial_analyze_sec":$initialSec,""" +
+          s""""initial_files":$initialFiles,""" +
+          s""""incremental_analyze_sec":$incSec,""" +
+          s""""incremental_files":$incFiles,""" +
+          s""""full_reanalyze_sec":$fullSec,"full_files":$fullFiles,""" +
+          s""""append_scan_files_read":$readFiles}""")
+    }
+
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      results.mkString("[\n", ",\n", "\n]")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+}
