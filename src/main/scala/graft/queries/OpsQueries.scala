@@ -366,6 +366,60 @@ object OpsQueries {
       }
     }),
 
+    // ---- dynamic FILE pruning for an equi-join: the selective dim's
+    // collected keys (hull BETWEEN + IN) close fact files via the same
+    // zone-map/Bloom FileIndex any scan uses — the file-level analog of
+    // dynamic partition pruning. Join content oracled here; files-read
+    // reduction pinned by Round11Spec.
+    "op_join_pruned" -> ((s: SparkSession, dir: String) => {
+      val wh = tmpWarehouse(s)
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"))
+      wh.load("op_dfp_fact", li.repartition(8)) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.compact("op_dfp_fact", targetFiles = 8,
+        sortCols = Seq("l_partkey")) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.analyzeStats("op_dfp_fact") match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      val dim = Tables(s, dir, "part").filter(col("p_size") === 1)
+        .select(col("p_partkey"), col("p_name"))
+      wh.joinPruned("op_dfp_fact", "l_partkey", dim, "p_partkey") match {
+        case Right(df) => df.orderBy("l_orderkey", "l_linenumber")
+        case Left(e) => throw new RuntimeException(e.message)
+      }
+    }),
+
+    // ---- metadata-only aggregates: COUNT/MIN/MAX served from the
+    // stats sidecar with zero data files read (Round11Spec pins the
+    // zero-jobs warm path); values must equal a real scan's — which is
+    // exactly what the DuckDB oracle computes.
+    "op_stats_agg" -> ((s: SparkSession, dir: String) => {
+      val wh = tmpWarehouse(s)
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      wh.load("op_fastagg_t", orders.repartition(6)) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.analyzeStats("op_fastagg_t") match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.statsAggFast("op_fastagg_t",
+        Seq("o_orderkey", "o_totalprice")) match {
+        case Right(df) => df
+        case Left(e) => throw new RuntimeException(e.message)
+      }
+    }),
+
     // ---- row-level DML DELETE ... WHERE: one-pass rewrite keeping the
     // predicate's complement (materialize-then-swap, meta preserved).
     "op_delete_where" -> ((s: SparkSession, dir: String) => {
@@ -980,6 +1034,19 @@ object OpsQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey <= 1000
         |ORDER BY o_orderkey""".stripMargin,
+    "op_join_pruned" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |       p_partkey, p_name
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size = 1
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "op_stats_agg" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |       min(o_orderkey) AS min_o_orderkey,
+        |       max(o_orderkey) AS max_o_orderkey,
+        |       min(o_totalprice) AS min_o_totalprice,
+        |       max(o_totalprice) AS max_o_totalprice
+        |FROM orders""".stripMargin,
     "op_delete_where" ->
       """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
         |WHERE NOT (o_orderkey % 3 = 0)

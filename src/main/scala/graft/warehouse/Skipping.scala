@@ -149,6 +149,32 @@ object Skipping {
       case _ => None
     }
 
+  /** Decoded-domain fold of per-file encoded bounds, for metadata-only
+    * MIN/MAX: the global (minEncoded, maxEncoded) across files, or None
+    * when any bound fails to decode (then the caller must scan —
+    * encoded strings are NOT lexicographically ordered for numerics, so
+    * a raw string fold would be wrong, e.g. "9" > "10").
+    */
+  def foldBounds(tagged: String, bounds: Seq[(String, String)])
+      : Option[(String, String)] = {
+    if (bounds.isEmpty) return None
+    if (decode(tagged, bounds.head._1).isEmpty ||
+        decode(tagged, bounds.head._2).isEmpty) return None
+    var acc = bounds.head
+    for ((lo, hi) <- bounds.tail) {
+      val step = for {
+        dl <- decode(tagged, lo); dal <- decode(tagged, acc._1)
+        dh <- decode(tagged, hi); dah <- decode(tagged, acc._2)
+        cl <- cmp(dl, dal); ch <- cmp(dh, dah)
+      } yield (if (cl < 0) lo else acc._1, if (ch > 0) hi else acc._2)
+      step match {
+        case Some(p) => acc = p
+        case None => return None
+      }
+    }
+    Some(acc)
+  }
+
   private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
     case (x: BigDecimal, y: BigDecimal) => Some(x.compare(y))
     case (x: String, y: String) => Some(x.compareTo(y))

@@ -1022,6 +1022,182 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
       : Either[WarehouseError, DataFrame] =
     get(name).map(_.filter(predicate))
 
+  /** Dynamic FILE pruning for an equi-join against a small/filtered
+    * build side — the file-level analog of Spark's dynamic PARTITION
+    * pruning (which only serves partition columns): the dim side's
+    * distinct join keys are collected (bounded by `maxKeys`) and
+    * re-applied to the fact scan as `key BETWEEN hull AND key IN
+    * (...)`, which the pruning `FileIndex` turns into skipped files —
+    * the BETWEEN hull closes files via zone maps on clustered layouts
+    * (2 comparisons per file), the IN list via per-file Bloom filters
+    * on random layouts. At 100 TB this is the difference between
+    * scanning the fact table and scanning the handful of files that
+    * hold the dim's keys; the dim itself is broadcast (the join's
+    * premise is that it is small).
+    *
+    * Restricted to `inner` and `left_semi` joins — the only types for
+    * which filtering the probe side by build-side keys is
+    * semantics-preserving (an outer join must keep unmatched fact
+    * rows). If the dim has more than `maxKeys` distinct keys the
+    * filter is skipped entirely (plain broadcast join, still correct):
+    * a huge IN list would cost more in driver-side planning
+    * (O(files × keys) worst-case may-match checks) than it saves, the
+    * same guard every dynamic-file-pruning implementation documents.
+    * NULL dim keys never match an equi-join and are dropped from the
+    * collected set.
+    */
+  def joinPruned(factName: String, factKey: String,
+                 dim: DataFrame, dimKey: String,
+                 joinType: String = "inner",
+                 maxKeys: Int = 10000): Either[WarehouseError, DataFrame] =
+    get(factName) match {
+      case Left(e) => Left(e)
+      case Right(fact) =>
+        try {
+          val jt = joinType.toLowerCase.replace("_", "")
+          require(jt == "inner" || jt == "leftsemi" || jt == "semi",
+            s"joinPruned: only inner/left_semi preserve semantics under " +
+              s"a build-side key filter (got $joinType)")
+          require(fact.columns.contains(factKey),
+            s"joinPruned: no such fact column $factKey")
+          require(dim.columns.contains(dimKey),
+            s"joinPruned: no such dim column $dimKey")
+          val keys = dim.select(col(s"`$dimKey`"))
+            .where(col(s"`$dimKey`").isNotNull)
+            .distinct().limit(maxKeys + 1).collect().map(_.get(0))
+          val probe =
+            if (keys.isEmpty || keys.length > maxKeys) fact
+            else {
+              val k = col(s"`$factKey`")
+              // BETWEEN hull first: 2 zone-map checks close most files
+              // on clustered layouts before the IN list is consulted
+              val ord = fact.schema(factKey).dataType match {
+                case _: org.apache.spark.sql.types.NumericType |
+                     org.apache.spark.sql.types.StringType |
+                     org.apache.spark.sql.types.DateType |
+                     org.apache.spark.sql.types.TimestampType => true
+                case _ => false
+              }
+              val inList = k.isin(keys.toSeq: _*)
+              if (!ord || keys.length < 2) fact.filter(inList)
+              else fact.filter(
+                k >= lit(keys.min(catalystOrdering)) &&
+                k <= lit(keys.max(catalystOrdering)) && inList)
+            }
+          val dimB = broadcast(dim)
+          Right(
+            if (jt == "inner")
+              probe.join(dimB, probe(factKey) === dimB(dimKey), "inner")
+            else
+              probe.join(dimB, probe(factKey) === dimB(dimKey), "left_semi"))
+        } catch {
+          case e: Exception => Left(TableGenericError(e.getMessage, Some(e)))
+        }
+    }
+
+  /** Metadata-only COUNT(*)/MIN/MAX — answered from the stats sidecar
+    * with ZERO data files read (after the sidecar cache is warm, zero
+    * Spark jobs at all), the way lakehouse engines serve `SELECT
+    * count(*)` from table metadata. Returns a one-row frame `cnt,
+    * min_<c>, max_<c>…` in the columns' original types.
+    *
+    * Served from metadata ONLY when provably sound, else silently
+    * computed by a real scan (same schema, same values — "fast" is an
+    * execution strategy, never an approximation):
+    *  - no pending merge-on-read tombstones (raw per-file rows would
+    *    overcount, and a deleted row may carry a bound);
+    *  - every live data file has a sidecar entry (stats describe
+    *    immutable files, so coverage + freshness is just set equality
+    *    on relative paths — the fingerprint logic scans nothing);
+    *  - every requested column has bounds in every non-empty file, or
+    *    is all-null there (files predating a column's addition, or
+    *    unsupported types, force the scan path).
+    * At 100 TB the metadata path is a driver-side fold over the cached
+    * sidecar — the difference between answering in milliseconds and
+    * scheduling a full-table scan for one number.
+    */
+  def statsAggFast(name: String, cols: Seq[String] = Nil)
+      : Either[WarehouseError, DataFrame] =
+    try {
+      if (!fs.exists(tablePath(name))) Left(TableNotFound(name))
+      else {
+        // the metadata path types its literals from the META sidecar's
+        // schema (driver-side JSON — load/evolution keep it in lockstep
+        // with the footers), so the warm path never touches a footer
+        val fast = meta(name).toOption
+          .map(m => SchemaCodec.toStructType(m.schema))
+          .filter(sch => cols.forall(sch.fieldNames.contains))
+          .flatMap(sch => fromMetadata(name, sch, cols))
+        fast match {
+          case Some(df) => Right(df)
+          case None => get(name) match {
+            case Left(e) => Left(e)
+            case Right(full) =>
+              cols.foreach(c => require(full.columns.contains(c),
+                s"statsAggFast: no such column $c"))
+              val aggs = count(lit(1)).as("cnt") +: cols.flatMap(c => Seq(
+                min(col(s"`$c`")).as(s"min_$c"),
+                max(col(s"`$c`")).as(s"max_$c")))
+              Right(full.agg(aggs.head, aggs.tail: _*))
+          }
+        }
+      }
+    } catch {
+      case e: Exception => Left(TableGenericError(e.getMessage, Some(e)))
+    }
+
+  // the provably-sound metadata path of [[statsAggFast]]; None = any
+  // soundness condition failed (caller scans)
+  private def fromMetadata(name: String, schema: StructType,
+                           cols: Seq[String]): Option[DataFrame] = {
+    if (hasDeletionVectors(name) || !fs.exists(statsPath(name))) return None
+    val stats = cachedStats(name)
+    val live = liveDataFiles(name).map(_._1)
+    if (!live.forall(stats.contains)) return None // uncovered file
+    def rowsOf(rel: String): Long = stats(rel).head._2.rows
+    val cnt = live.map(rowsOf).sum
+    val colExprs = cols.map { c =>
+      val dt = schema(c).dataType
+      if (!Skipping.supported(dt)) return None
+      val tag = Skipping.tag(dt)
+      def decodeLit(enc: String): Column = dt match {
+        case org.apache.spark.sql.types.TimestampType =>
+          timestamp_micros(lit(enc.toLong))
+        case _ => lit(enc).cast(dt)
+      }
+      val perFile = live.filter(rowsOf(_) > 0).map { rel =>
+        stats(rel).get(c) match {
+          case None => return None // rows exist but no stats for c
+          case Some(cs) if cs.nulls == cs.rows => None // all-null file
+          case Some(cs) => (cs.vmin, cs.vmax) match {
+            case (Some(lo), Some(hi)) if cs.dtype == tag => Some((lo, hi))
+            case _ => return None // bound missing or stale-typed
+          }
+        }
+      }.flatten
+      if (perFile.isEmpty) // zero non-null values: SQL min/max are NULL
+        Seq(lit(null).cast(dt).as(s"min_$c"), lit(null).cast(dt).as(s"max_$c"))
+      else Skipping.foldBounds(tag, perFile) match {
+        case None => return None // undecodable bound (NaN etc.)
+        case Some((lo, hi)) =>
+          Seq(decodeLit(lo).as(s"min_$c"), decodeLit(hi).as(s"max_$c"))
+      }
+    }
+    Some(spark.range(1).select(lit(cnt).as("cnt") +: colExprs.flatten: _*))
+  }
+
+  // external-row-value ordering for the BETWEEN hull of [[joinPruned]]
+  // (collected keys arrive as java types; only called for types the
+  // `ord` guard admitted)
+  private val catalystOrdering: Ordering[Any] = new Ordering[Any] {
+    def compare(a: Any, b: Any): Int = (a, b) match {
+      case (x: java.lang.Comparable[_], y) =>
+        x.asInstanceOf[java.lang.Comparable[Any]].compareTo(y)
+      case _ => throw new IllegalArgumentException(
+        s"unorderable key ${a.getClass}")
+    }
+  }
+
   /** Multi-dimensional clustering rewrite (Z-order): rows are laid out
     * along the Morton curve over equi-depth bucket ranks of `zCols`, so
     * file-level min/max bounds become selective on EVERY listed column

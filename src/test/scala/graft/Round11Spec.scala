@@ -308,6 +308,116 @@ class Round11Spec extends SparkSpec {
     assert(wh2.analyzeBloom("f", Seq("score")).isLeft)
   }
 
+  test("joinPruned turns a selective dim into skipped fact FILES " +
+    "(dynamic file pruning), result ≡ the plain join") {
+    val sps = spark; import sps.implicits._
+    val wh = new graft.warehouse.SparkWarehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-r11-dfp").toString)
+    def unwrap[A](e: Either[graft.warehouse.WarehouseError, A]): A =
+      e.fold(err => fail(err.message), identity)
+    // clustered fact: 100k rows, 20 files sorted by key → the BETWEEN
+    // hull alone closes every file outside the dim's key range
+    val fact = (0L until 100000L).map(i => (i, i % 97))
+      .toDF("fk", "fv")
+    unwrap(wh.load("fact", fact.repartition(8)))
+    unwrap(wh.compact("fact", targetFiles = 20, sortCols = Seq("fk")))
+    val total = unwrap(wh.analyzeStats("fact"))
+    assert(total == 20L)
+    val dim = (50000L until 50040L).map(i => (i, s"d_$i")).toDF("dk", "dname")
+    val joined = unwrap(wh.joinPruned("fact", "fk", dim, "dk"))
+    assert(filesRead(joined) <= 2L,
+      s"dim hull did not prune: ${filesRead(joined)}/$total files")
+    val expected = unwrap(wh.get("fact"))
+      .join(dim, col("fk") === col("dk")).orderBy("fk")
+      .collect().toSeq
+    assert(joined.orderBy("fk").collect().toSeq == expected)
+    assert(expected.size == 40)
+    // the dim is broadcast (no shuffle of the 100k fact side)
+    assert(joined.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    // left_semi keeps only fact columns, same pruning
+    val semi = unwrap(wh.joinPruned("fact", "fk", dim, "dk", "left_semi"))
+    assert(semi.columns.toSeq == Seq("fk", "fv"))
+    assert(semi.count() == 40L && filesRead(semi) <= 2L)
+    // RANDOM layout + blooms: scattered point keys prune via content
+    // filters where the hull spans everything
+    unwrap(wh.compact("fact", targetFiles = 20)) // unsorted rewrite
+    assert(unwrap(wh.analyzeStats("fact")) == 20L)
+    assert(unwrap(wh.analyzeBloom("fact", Seq("fk"))) == 20L)
+    val dim3 = Seq(11L, 44444L, 99999L).map(i => (i, i)).toDF("dk", "w")
+    val j3 = unwrap(wh.joinPruned("fact", "fk", dim3, "dk"))
+    assert(j3.count() == 3L)
+    assert(filesRead(j3) <= 6L,
+      s"blooms did not prune the IN list: ${filesRead(j3)}/$total")
+    // over-maxKeys dim: filter skipped, join still correct
+    val bigDim = (0L until 5000L).map(i => (i * 2, i)).toDF("dk", "w")
+    val jBig = unwrap(wh.joinPruned("fact", "fk", bigDim, "dk",
+      maxKeys = 100))
+    assert(jBig.count() == 5000L)
+    // outer joins are rejected loudly (the filter would drop rows)
+    assert(wh.joinPruned("fact", "fk", dim, "dk", "left_outer").isLeft)
+  }
+
+  test("statsAggFast answers count/min/max from the sidecar — zero " +
+    "Spark jobs when warm — and falls back to a scan when unsound") {
+    val sps = spark; import sps.implicits._
+    val wh = new graft.warehouse.SparkWarehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-r11-fastagg").toString)
+    def unwrap[A](e: Either[graft.warehouse.WarehouseError, A]): A =
+      e.fold(err => fail(err.message), identity)
+    val data = (0L until 50000L)
+      .map(i => (i, s"n${i % 321}", java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(18000 + (i % 400)))))
+      .toDF("id", "name", "d")
+    unwrap(wh.load("t", data.repartition(6)))
+    unwrap(wh.analyzeStats("t"))
+    def modelRow = unwrap(wh.get("t"))
+      .agg(count(lit(1)).as("cnt"), min("id").as("min_id"),
+        max("id").as("max_id"), min("name").as("min_name"),
+        max("name").as("max_name"), min("d").as("min_d"),
+        max("d").as("max_d")).head
+    val want = modelRow
+    val fastCols = Seq("id", "name", "d")
+    val first = unwrap(wh.statsAggFast("t", fastCols)).head
+    assert(first == want, s"metadata agg drifts: $first vs $want")
+    // warm path: sidecar cached by fingerprint → zero Spark jobs
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val warmFrame =
+      try {
+        val f = unwrap(wh.statsAggFast("t", fastCols))
+        org.apache.spark.sql.GraftColumnBridge.drainListenerBus(spark)
+        assert(jobs.get() == 0,
+          s"warm statsAggFast planned ${jobs.get()} job(s)")
+        f
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(warmFrame.head == want)
+    // an UNANALYZED append → uncovered file → silent scan fallback,
+    // values still exact
+    unwrap(wh.load("t", Seq((999999L, "zz", java.sql.Date.valueOf(
+      "2030-01-01"))).toDF("id", "name", "d")))
+    val afterAppend = unwrap(wh.statsAggFast("t", Seq("id"))).head
+    assert(afterAppend.getLong(0) == 50001L &&
+      afterAppend.getLong(2) == 999999L)
+    // re-analyze restores the metadata path incl. the new bounds
+    unwrap(wh.analyzeStats("t"))
+    val again = unwrap(wh.statsAggFast("t", Seq("id", "d"))).head
+    assert(again.getLong(0) == 50001L && again.getLong(2) == 999999L &&
+      again.getDate(4).toString == "2030-01-01")
+    // merge-on-read tombstones make raw file rows an overcount: the
+    // verb must fall back and return the LIVE count
+    unwrap(wh.deleteWhereMor("t", col("id") < 10000L))
+    val afterDv = unwrap(wh.statsAggFast("t", Seq("id"))).head
+    assert(afterDv.getLong(0) == 40001L && afterDv.getLong(1) == 10000L,
+      s"tombstoned rows leaked into statsAggFast: $afterDv")
+  }
+
   test("MoR tombstones survive an apostrophe-and-space warehouse root " +
     "and a rename (rel paths are length-stripped, never spliced)") {
     val sps = spark; import sps.implicits._
