@@ -138,6 +138,85 @@ object BloomSweep {
           s""""append_scan_files_read":$readFiles}""")
     }
 
+    // ---- leg 3: dynamic file pruning for joins (joinPruned) ----
+    // clustered fact + 40-consecutive-key dim: the BETWEEN hull closes
+    // all but ~1 file; random fact + blooms + 3 scattered keys: the IN
+    // list closes all but ~3. Baseline = the same broadcast join on the
+    // skipping-disabled frame.
+    for (n <- ns) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-dfp-$n").toString
+      val wh = new SparkWarehouse(spark, dir)
+      val whPlain = new SparkWarehouse(spark, dir, skippingEnabled = false)
+      val nf = filesFor(n)
+      unwrap(wh.load("fact", base(spark, n).repartition(16)))
+      unwrap(wh.compact("fact", targetFiles = nf, sortCols = Seq("a")))
+      unwrap(wh.analyzeStats("fact"))
+      val totalFiles = unwrap(wh.get("fact")).inputFiles.length
+      import spark.implicits._
+      val dim = (n until n + 80L by 2L).map(k => (k, s"d$k")).toDF("dk", "dn")
+      val pruned = unwrap(wh.joinPruned("fact", "a", dim, "dk"))
+      val dfpFiles = filesRead(pruned)
+      val prunedT = (1 to reps).map(_ => timed(() =>
+        unwrap(wh.joinPruned("fact", "a", dim, "dk")).count())._1).sorted
+      def plainJoin() = unwrap(whPlain.get("fact"))
+        .join(broadcast(dim), col("a") === col("dk"))
+      val plainT = (1 to reps).map(_ =>
+        timed(() => plainJoin().count())._1).sorted
+      val rows = pruned.count()
+      require(rows == plainJoin().count() && rows == 40L,
+        s"dfp drift: $rows")
+      // random layout + blooms, 3 scattered point keys
+      unwrap(wh.compact("fact", targetFiles = nf))
+      unwrap(wh.analyzeStats("fact"))
+      unwrap(wh.analyzeBloom("fact", Seq("a")))
+      val dim3 = Seq(2L, n - (n % 2) + n / 2, 2L * (n - 1)).distinct
+        .map(k => (k, k)).toDF("dk", "w")
+      val j3 = unwrap(wh.joinPruned("fact", "a", dim3, "dk"))
+      val bloomFiles = filesRead(j3)
+      val bloomT = (1 to reps).map(_ => timed(() =>
+        unwrap(wh.joinPruned("fact", "a", dim3, "dk")).count())._1).sorted
+      val plain3T = (1 to reps).map(_ => timed(() =>
+        unwrap(whPlain.get("fact"))
+          .join(broadcast(dim3), col("a") === col("dk")).count())._1).sorted
+      record(
+        s"""{"leg":"dfp","n":$n,"files_total":$totalFiles,""" +
+          s""""hull_files_read":$dfpFiles,""" +
+          s""""hull_join_sec":${prunedT(reps / 2)},""" +
+          s""""hull_plain_sec":${plainT(reps / 2)},""" +
+          s""""bloom_files_read":$bloomFiles,""" +
+          s""""bloom_join_sec":${bloomT(reps / 2)},""" +
+          s""""bloom_plain_sec":${plain3T(reps / 2)},""" +
+          s""""hull_raw":${prunedT.mkString("[", ",", "]")},""" +
+          s""""bloom_raw":${bloomT.mkString("[", ",", "]")}}""")
+    }
+
+    // ---- leg 4: metadata-only aggregates (statsAggFast) ----
+    // warm metadata path vs the real scan for the same three numbers
+    for (n <- Seq(1000000L, 10000000L)) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-fastagg-$n").toString
+      val wh = new SparkWarehouse(spark, dir)
+      unwrap(wh.load("t", base(spark, n).repartition(filesFor(n))))
+      unwrap(wh.analyzeStats("t"))
+      unwrap(wh.statsAggFast("t", Seq("a"))).collect() // warm the cache
+      val metaT = (1 to reps).map(_ => timed(() =>
+        unwrap(wh.statsAggFast("t", Seq("a"))).collect())._1).sorted
+      val scanT = (1 to reps).map(_ => timed(() =>
+        unwrap(wh.get("t")).agg(count(lit(1)), min("a"), max("a"))
+          .collect())._1).sorted
+      val m = unwrap(wh.statsAggFast("t", Seq("a"))).head
+      val sRow = unwrap(wh.get("t"))
+        .agg(count(lit(1)).as("cnt"), min("a").as("min_a"),
+          max("a").as("max_a")).head
+      require(m == sRow, s"fastagg drift: $m vs $sRow")
+      record(
+        s"""{"leg":"fastagg","n":$n,""" +
+          s""""meta_sec":${metaT(reps / 2)},"scan_sec":${scanT(reps / 2)},""" +
+          s""""meta_raw":${metaT.mkString("[", ",", "]")},""" +
+          s""""scan_raw":${scanT.mkString("[", ",", "]")}}""")
+    }
+
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       results.mkString("[\n", ",\n", "\n]")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))

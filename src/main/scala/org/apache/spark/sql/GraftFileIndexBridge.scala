@@ -37,15 +37,28 @@ object GraftFileIndexBridge {
   /** Files actually read by `df`'s scans: executes the plan and sums
     * the driver-side `numFiles` metric of every file scan. The
     * listing-level `inputFiles` cannot see index pruning (it lists
-    * without filters by contract) — this is the observable.
+    * without filters by contract) — this is the observable. Descends
+    * into `AdaptiveSparkPlanExec`/query stages (both are `collect`
+    * leaves that hide their real subtree), so plans with exchanges —
+    * joins, aggregates under AQE — report their scans instead of 0.
     */
   def filesRead(df: DataFrame): Long = {
     val qe = df.queryExecution
     qe.executedPlan.executeCollect()
-    qe.executedPlan.collect {
-      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
-        s.metrics.get("numFiles").map(_.value).getOrElse(0L)
-    }.sum
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[execution.FileSourceScanExec,
+        java.lang.Boolean]())
+    def visit(p: execution.SparkPlan): Unit = p.foreach {
+      case s: execution.FileSourceScanExec => seen.add(s)
+      case a: execution.adaptive.AdaptiveSparkPlanExec => visit(a.executedPlan)
+      case q: execution.adaptive.QueryStageExec => visit(q.plan)
+      case r: execution.exchange.ReusedExchangeExec => visit(r.child)
+      case _ =>
+    }
+    visit(qe.executedPlan)
+    import scala.jdk.CollectionConverters._
+    seen.asScala.toSeq
+      .map(_.metrics.get("numFiles").map(_.value).getOrElse(0L)).sum
   }
 }
 
