@@ -67,7 +67,12 @@ object Bench {
     // r9 and r10). The PRINTED line therefore carries the total plus the
     // slowest gates only, with the remainder summed under "_other"; the
     // full per-gate map and raw per-rep runs go to the file artifact.
-    val topN = 25
+    // r12: topN 25 still overflowed — the r11 line ran ~1900 chars, and
+    // with sbt's trailing "[success] Total time …" line inside the same
+    // 2000-char window the line's HEAD was truncated and the driver
+    // recorded parsed:null again. The whole line must fit WITH ~100
+    // chars of trailing sbt output: ≤12 gates keeps it near 800 chars.
+    val topN = 12
     val slowest = results.sortBy(-_._2).take(topN)
     val rest = total - slowest.map(_._2).sum
     def r3(v: Double): String = "%.3f".format(v)
@@ -114,9 +119,10 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
         s""""queries":$qsCompact,"sf":"$sfDir","meta":$meta,""" +
         s""""detail":"$outPath"}"""
-    if (json.length > 1800)
+    if (json.length > 1500)
       System.err.println(s"[bench] WARNING: compact line ${json.length} chars" +
-        " — may overflow the driver's 2000-char tail")
+        " — may overflow the driver's 2000-char tail (with trailing sbt " +
+        "output inside the same window)")
     println(json)
     spark.stop()
   }

@@ -307,6 +307,63 @@ object OpsQueries {
       }
     }),
 
+    // ---- prefix (LIKE 'p%') skipping: clustered on the string column,
+    // the StartsWith evaluator closes every file whose truncated
+    // [min,max] window excludes the prefix — the top string predicate
+    // on crawl/URL corpora. Content equality oracled here; the
+    // files-skipped property is pinned by Round12Spec.
+    "op_prefix_scan" -> ((s: SparkSession, dir: String) => {
+      val wh = tmpWarehouse(s)
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      wh.load("op_prefix_t", docs.repartition(8)) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.compact("op_prefix_t", targetFiles = 8,
+        sortCols = Seq("source", "doc_id")) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.analyzeStats("op_prefix_t") match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.scanPruned("op_prefix_t", col("source").startsWith("src1")) match {
+        case Right(df) => df.orderBy("doc_id")
+        case Left(e) => throw new RuntimeException(e.message)
+      }
+    }),
+
+    // ---- Z-order over a STRING and a DATE dimension (the layout keys
+    // of a real training-data table: source, date): both dims prune
+    // after the rewrite via their order-preserving numeric proxies.
+    // Content equality oracled here; per-dim pruning pinned by
+    // Round12Spec.
+    "op_zorder_string" -> ((s: SparkSession, dir: String) => {
+      val wh = tmpWarehouse(s)
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderdate"))
+      wh.load("op_zstr_t", orders.repartition(8)) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.compactZOrder("op_zstr_t", targetFiles = 16,
+        zCols = Seq("o_orderstatus", "o_orderdate"), buckets = 64) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.analyzeStats("op_zstr_t") match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.scanPruned("op_zstr_t", col("o_orderstatus") === "F" &&
+        col("o_orderdate") < lit("1996-01-01 00:00:00").cast("timestamp")) match {
+        case Right(df) => df.orderBy("o_orderkey")
+        case Left(e) => throw new RuntimeException(e.message)
+      }
+    }),
+
     // ---- Bloom-filter skipping: on a RANDOM layout every file's
     // [min,max] spans the key domain (zone maps prune nothing), but a
     // per-file Bloom filter proves the point lookup absent from all but
@@ -1025,6 +1082,15 @@ object OpsQueries {
     "op_zorder_scan" ->
       """SELECT o_orderkey, o_custkey FROM orders
         |WHERE o_custkey < 100
+        |ORDER BY o_orderkey""".stripMargin,
+    "op_prefix_scan" ->
+      """SELECT doc_id, source, lang, n_chars FROM documents
+        |WHERE source LIKE 'src1%'
+        |ORDER BY doc_id""".stripMargin,
+    "op_zorder_string" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderdate FROM orders
+        |WHERE o_orderstatus = 'F'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
         |ORDER BY o_orderkey""".stripMargin,
     "op_bloom_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem

@@ -217,6 +217,37 @@ object BloomSweep {
           s""""scan_raw":${scanT.mkString("[", ",", "]")}}""")
     }
 
+    // ---- leg 5: bloom-cache driver-memory budget at many files ----
+    // the scale point the r11 verdict asked for: decoded residency at
+    // ~800 (file, column) filters, plus the over-budget behavior (bloom
+    // pruning disabled, zone pruning and results intact)
+    {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-budget-800").toString
+      val wh = new SparkWarehouse(spark, dir)
+      val n = 800000L
+      unwrap(wh.load("t", base(spark, n).repartition(800)))
+      unwrap(wh.analyzeStats("t"))
+      val (bloomSec, _) = timed(() => unwrap(wh.analyzeBloom("t", Seq("a"))))
+      val probe = col("a") === lit(1000L) // even → present exactly once
+      val filesPruned = filesRead(unwrap(wh.scanPruned("t", probe)))
+      require(unwrap(wh.scanPruned("t", probe)).count() == 1L)
+      val (resTables, resBytes) = wh.bloomCacheResident
+      // a fresh warehouse under a tiny budget: decode refused, pruning
+      // falls back to zone maps (random layout → all files), same rows
+      spark.conf.set("spark.graft.bloomCache.maxBytes", "4096")
+      val wh2 = new SparkWarehouse(spark, dir)
+      val filesOver = filesRead(unwrap(wh2.scanPruned("t", probe)))
+      require(unwrap(wh2.scanPruned("t", probe)).count() == 1L)
+      spark.conf.unset("spark.graft.bloomCache.maxBytes")
+      record(
+        s"""{"leg":"budget","n":$n,"files":800,""" +
+          s""""analyze_bloom_sec":$bloomSec,""" +
+          s""""decoded_bytes":$resBytes,"resident_tables":$resTables,""" +
+          s""""files_read_pruned":$filesPruned,""" +
+          s""""files_read_over_budget":$filesOver}""")
+    }
+
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       results.mkString("[\n", ",\n", "\n]")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -325,8 +325,11 @@ class Round11Spec extends SparkSpec {
     assert(total == 20L)
     val dim = (50000L until 50040L).map(i => (i, s"d_$i")).toDF("dk", "dname")
     val joined = unwrap(wh.joinPruned("fact", "fk", dim, "dk"))
-    assert(filesRead(joined) <= 2L,
-      s"dim hull did not prune: ${filesRead(joined)}/$total files")
+    // two-sided: >= 1 guards against a zeroed/broken metric reading as
+    // "perfect pruning" (the r11 dfp sweep rows recorded a stale 0)
+    val fj = filesRead(joined)
+    assert(fj >= 1L && fj <= 2L,
+      s"dim hull pruning off: $fj/$total files")
     val expected = unwrap(wh.get("fact"))
       .join(dim, col("fk") === col("dk")).orderBy("fk")
       .collect().toSeq
@@ -338,7 +341,8 @@ class Round11Spec extends SparkSpec {
     // left_semi keeps only fact columns, same pruning
     val semi = unwrap(wh.joinPruned("fact", "fk", dim, "dk", "left_semi"))
     assert(semi.columns.toSeq == Seq("fk", "fv"))
-    assert(semi.count() == 40L && filesRead(semi) <= 2L)
+    val fsemi = filesRead(semi)
+    assert(semi.count() == 40L && fsemi >= 1L && fsemi <= 2L)
     // RANDOM layout + blooms: scattered point keys prune via content
     // filters where the hull spans everything
     unwrap(wh.compact("fact", targetFiles = 20)) // unsorted rewrite
@@ -347,8 +351,9 @@ class Round11Spec extends SparkSpec {
     val dim3 = Seq(11L, 44444L, 99999L).map(i => (i, i)).toDF("dk", "w")
     val j3 = unwrap(wh.joinPruned("fact", "fk", dim3, "dk"))
     assert(j3.count() == 3L)
-    assert(filesRead(j3) <= 6L,
-      s"blooms did not prune the IN list: ${filesRead(j3)}/$total")
+    val f3 = filesRead(j3)
+    assert(f3 >= 1L && f3 <= 6L,
+      s"bloom IN-list pruning off: $f3/$total")
     // over-maxKeys dim: filter skipped, join still correct
     val bigDim = (0L until 5000L).map(i => (i * 2, i)).toDF("dk", "w")
     val jBig = unwrap(wh.joinPruned("fact", "fk", bigDim, "dk",

