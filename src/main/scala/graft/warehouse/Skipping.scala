@@ -332,6 +332,25 @@ object Skipping {
         values.exists(v => bound(a, v, a.dataType)(
           (cMin, cMax) => cMin <= 0 && cMax >= 0) &&
           bloomOk(a, v, a.dataType))
+      // `col != lit` can only be CLOSED when the file is constant in
+      // that column (min == max == lit): then every non-null row equals
+      // the literal and no row satisfies != (nulls never match). The
+      // layout this serves is a dictionary/partition-like clustering —
+      // e.g. a language or source column after compact(sortCols) — the
+      // common "everything except English" sweep over a corpus.
+      case Not(EqualTo(a: AttributeReference, Literal(v, dt))) =>
+        bound(a, v, dt)((cMin, cMax) => !(cMin == 0 && cMax == 0))
+      case Not(EqualTo(Literal(v, dt), a: AttributeReference)) =>
+        bound(a, v, dt)((cMin, cMax) => !(cMin == 0 && cMax == 0))
+      // `col NOT IN (lits)` closes a constant file whose value is any
+      // of the listed literals (NOT IN with a NULL literal matches no
+      // row at all under three-valued logic, but Catalyst folds that
+      // case before it reaches a scan filter — staying conservative
+      // here costs nothing: a null literal's bound() is None → true)
+      case Not(In(a: AttributeReference, list))
+        if list.forall(_.isInstanceOf[Literal]) =>
+        !list.exists { case Literal(v, dt) =>
+          !bound(a, v, dt)((cMin, cMax) => !(cMin == 0 && cMax == 0)) }
       // prefix predicate (Catalyst rewrites `LIKE 'p%'` to StartsWith):
       // decidable from string [min,max] because truncation to |p| bytes
       // is monotone under the unsigned-UTF-8 order — if some s in

@@ -942,9 +942,12 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     * ([[Skipping.bloomSupported]]); floats and decimals are rejected
     * because their literal rendering is not reproducible bit-exactly.
     * Driver planning cost: the whole sidecar is decoded and cached once
-    * per fingerprint — size filters (and choose columns) so
-    * #files × #cols × filterBytes fits driver memory, the same budget
-    * rule every lakehouse bloom index documents.
+    * per fingerprint, under an ENFORCED budget
+    * (`spark.graft.bloomCache.maxBytes`, default 1 GiB): a sidecar that
+    * would exceed it is refused loudly and bloom pruning is disabled
+    * for that table (zone maps and correctness unaffected), and
+    * across-table residency is LRU-bounded — size filters (and choose
+    * columns) so #files × #cols × filterBytes fits the budget.
     */
   def analyzeBloom(name: String, cols: Seq[String], fpp: Double = 0.01,
                    expectedItemsPerFile: Long = 0L,

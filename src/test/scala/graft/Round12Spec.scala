@@ -118,6 +118,34 @@ class Round12Spec extends SparkSpec {
         .count() == 1L, s"prefix $p lost its row")
   }
 
+  test("col != lit closes constant files (dictionary-clustered layout); " +
+    "NOT IN composes; results ≡ plain") {
+    val sps = spark; import sps.implicits._
+    val wh = tmpWh("graft-r12-neq")
+    val langs = Seq("de", "en", "es", "fr")
+    val data = (0 until 20000).map(i => (langs(i % 4), i.toLong))
+      .toDF("lang", "v")
+    unwrap(wh.load("t", data.repartition(4)))
+    // 8 files sorted by lang → each file constant in lang (4 values,
+    // 8 range partitions)
+    unwrap(wh.compact("t", targetFiles = 8, sortCols = Seq("lang")))
+    unwrap(wh.analyzeStats("t"))
+    val total = filesRead(unwrap(wh.get("t")))
+    val neq = unwrap(wh.scanPruned("t", col("lang") =!= "en"))
+    assert(filesRead(neq) < total,
+      s"constant en-files not closed: ${filesRead(neq)}/$total")
+    assert(neq.count() == 15000L)
+    val notIn = unwrap(wh.scanPruned("t",
+      !col("lang").isin("en", "fr")))
+    assert(filesRead(notIn) < total && notIn.count() == 10000L)
+    // a NON-constant file is never closed by !=
+    val wh2 = tmpWh("graft-r12-neq2")
+    unwrap(wh2.load("t2", data.repartition(4))) // random layout
+    unwrap(wh2.analyzeStats("t2"))
+    assert(unwrap(wh2.scanPruned("t2", col("lang") =!= "en"))
+      .count() == 15000L)
+  }
+
   test("TIMESTAMP_NTZ columns collect stats, prune, and fold exactly " +
     "(zone-free micros encoding)") {
     val sps = spark; import sps.implicits._
