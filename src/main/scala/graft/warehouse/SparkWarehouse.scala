@@ -592,9 +592,26 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
   // re-read/re-parse — the metastore-cache role real engines give file
   // statistics. Invalidation is the fingerprint itself: analyzeStats
   // overwrites the sidecar, rewrites drop it with the table dir.
-  private val statsCache =
-    new java.util.concurrent.ConcurrentHashMap[String,
-      (String, Map[String, Map[String, Skipping.ColStats]])]()
+  // Residency is budget-bounded like the Bloom cache
+  // (`spark.graft.statsCache.maxBytes`, default 1 GiB): a table whose
+  // decoded stats would exceed the budget gets zone-map pruning
+  // DISABLED loudly (reads stay correct — they just stop skipping),
+  // and across tables the least-recently-used entries are evicted.
+  private def statsCacheBudgetBytes: Long =
+    spark.conf.getOption("spark.graft.statsCache.maxBytes")
+      .map(_.toLong).getOrElse(1L << 30)
+
+  private val statsCache = new java.util.LinkedHashMap[String,
+    (String, Long, Map[String, Map[String, Skipping.ColStats]])](
+    16, 0.75f, /* accessOrder = */ true)
+  private var statsCacheBytes = 0L
+  private val statsBudgetWarned =
+    scala.collection.mutable.Set.empty[String]
+
+  /** (resident tables, resident decoded bytes) for the stats cache. */
+  def statsCacheResident: (Int, Long) = statsCache.synchronized {
+    (statsCache.size, statsCacheBytes)
+  }
 
   private def sidecarFingerprint(dir: Path): String =
     fs.listStatus(dir).map(st =>
@@ -699,21 +716,51 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
   private def cachedStats(name: String)
       : Map[String, Map[String, Skipping.ColStats]] = {
     val fp = sidecarFingerprint(statsPath(name))
-    val hit = statsCache.get(name)
-    if (hit != null && hit._1 == fp) hit._2
-    else {
-      val parsed = spark.read.parquet(statsPath(name).toString)
-        .select("rel", "rows", "column", "dtype", "nulls", "vmin", "vmax")
-        .collect()
-        .groupBy(_.getString(0))
-        .map { case (rel, rows) => rel -> rows.map { r =>
-          r.getString(2) -> Skipping.ColStats(r.getString(3),
-            r.getLong(1), r.getLong(4), Option(r.getString(5)),
-            Option(r.getString(6)))
-        }.toMap }
-      statsCache.put(name, (fp, parsed))
-      parsed
+    statsCache.synchronized {
+      val hit = statsCache.get(name) // touches LRU order
+      if (hit != null && hit._1 == fp) return hit._3
     }
+    val rows = spark.read.parquet(statsPath(name).toString)
+      .select("rel", "rows", "column", "dtype", "nulls", "vmin", "vmax")
+      .collect()
+    // decoded-size estimate: the strings dominate (2 bytes/char on
+    // heap), plus ~64 bytes of object/entry overhead per row
+    val bytes = rows.map { r =>
+      2L * (0 to 6).map(i => r.get(i) match {
+        case s: String => s.length; case _ => 4 }).sum + 64L
+    }.sum
+    val budget = statsCacheBudgetBytes
+    if (bytes > budget) {
+      statsCache.synchronized {
+        if (statsBudgetWarned.add(fp))
+          System.err.println(s"[graft] stats sidecar for '$name' decodes " +
+            s"to ~$bytes bytes > budget $budget " +
+            "(spark.graft.statsCache.maxBytes): zone-map pruning DISABLED " +
+            "for this table — raise the budget or drop stats for " +
+            "low-value columns")
+      }
+      return Map.empty
+    }
+    val parsed = rows
+      .groupBy(_.getString(0))
+      .map { case (rel, rs) => rel -> rs.map { r =>
+        r.getString(2) -> Skipping.ColStats(r.getString(3),
+          r.getLong(1), r.getLong(4), Option(r.getString(5)),
+          Option(r.getString(6)))
+      }.toMap }
+    statsCache.synchronized {
+      val prior = statsCache.put(name, (fp, bytes, parsed))
+      statsCacheBytes += bytes - (if (prior == null) 0L else prior._2)
+      val it = statsCache.entrySet().iterator()
+      while (statsCacheBytes > budget && it.hasNext) {
+        val eldest = it.next()
+        if (eldest.getKey != name) {
+          statsCacheBytes -= eldest.getValue._2
+          it.remove()
+        }
+      }
+    }
+    parsed
   }
 
   /** Live data files under the table root — (root-relative path in the

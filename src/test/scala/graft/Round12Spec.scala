@@ -242,6 +242,33 @@ class Round12Spec extends SparkSpec {
     } finally spark.conf.unset(conf)
   }
 
+  test("stats cache enforces its own driver-memory budget: over-budget " +
+    "sidecars disable zone pruning loudly, results unchanged") {
+    val sps = spark; import sps.implicits._
+    val wh = tmpWh("graft-r12-sbudget")
+    unwrap(wh.load("t", (0L until 10000L).map(i => (i, s"n$i"))
+      .toDF("id", "name").repartition(4)))
+    unwrap(wh.compact("t", targetFiles = 10, sortCols = Seq("id")))
+    unwrap(wh.analyzeStats("t"))
+    val conf = "spark.graft.statsCache.maxBytes"
+    try {
+      spark.conf.set(conf, "128")
+      val total = filesRead(unwrap(wh.get("t")))
+      val filtered = unwrap(wh.get("t")).filter(col("id") < 1000L)
+      assert(filesRead(filtered) == total,
+        "over-budget stats sidecar still pruned (must be disabled)")
+      assert(filtered.count() == 1000L)
+      assert(wh.statsCacheResident == ((0, 0L)))
+      // and statsAggFast falls back to the scan, values exact
+      val agg = unwrap(wh.statsAggFast("t", Seq("id"))).head
+      assert(agg.getLong(0) == 10000L && agg.getLong(2) == 9999L)
+      spark.conf.unset(conf)
+      val pruned = unwrap(wh.get("t")).filter(col("id") < 1000L)
+      assert(filesRead(pruned) < total && pruned.count() == 1000L)
+      assert(wh.statsCacheResident._1 == 1)
+    } finally spark.conf.unset(conf)
+  }
+
   test("analyzeBloom coverage is per-(file, column): widening the " +
     "column set builds filters for the new column on covered files") {
     val sps = spark; import sps.implicits._
@@ -274,26 +301,32 @@ class Round12Spec extends SparkSpec {
       .toDF("id", "v").repartition(4)))
     unwrap(wh.analyzeStats("t"))
     unwrap(wh.analyzeBloom("t", Seq("id")))
-    // drop one data file out from under the table (simulates a
-    // partition-pruned delete's dead rel)
+    // drop one NON-EMPTY data file out from under the table (simulates
+    // a partition-pruned delete's dead rel); the stats sidecar tells us
+    // which files actually hold rows — part-file row distribution is
+    // not guaranteed uniform
     val root = new org.apache.hadoop.fs.Path(s"$dir/t")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val victim = fs.listStatus(root).map(_.getPath)
-      .filter(p => p.getName.endsWith(".parquet")).head
-    fs.delete(victim, false)
+    val statsRows = spark.read.parquet(s"$root/_graft_stats")
+      .select("rel", "rows").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val victimRel = statsRows.collectFirst {
+      case (rel, n) if n > 0 => rel }.get
+    val victimRows = statsRows(victimRel)
+    fs.delete(new org.apache.hadoop.fs.Path(root, victimRel), false)
     def relsOf(sub: String): Set[String] =
       spark.read.parquet(s"$root/$sub").select("rel").distinct()
         .collect().map(_.getString(0)).toSet
-    assert(relsOf("_graft_stats").exists(_ == victim.getName) ||
-      relsOf("_graft_stats").size == 4)
+    assert(relsOf("_graft_stats").contains(victimRel))
     // incremental analyze with NOTHING fresh must still drop dead rows
     assert(unwrap(wh.analyzeStats("t")) == 0L)
     assert(unwrap(wh.analyzeBloom("t", Seq("id"))) == 0L)
-    assert(!relsOf("_graft_stats").contains(victim.getName),
+    assert(!relsOf("_graft_stats").contains(victimRel),
       "dead rel lingered in the stats sidecar")
-    assert(!relsOf("_graft_bloom").contains(victim.getName),
+    assert(!relsOf("_graft_bloom").contains(victimRel),
       "dead rel lingered in the bloom sidecar")
-    assert(unwrap(wh.get("t")).count() < 1000L) // the file is really gone
+    assert(unwrap(wh.get("t")).count() == 1000L - victimRows,
+      "the dropped file's rows still read")
   }
 
   test("statsAggFast degrades to the scan path when the metadata probe " +
