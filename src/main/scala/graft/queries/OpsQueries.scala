@@ -477,6 +477,29 @@ object OpsQueries {
       }
     }),
 
+    // ---- metadata-only SUM: per-file exact integral sums folded from
+    // the stats sidecar with zero data files read (the micro-partition
+    // aggregate fold); values must equal a real scan's — the DuckDB
+    // oracle computes exactly that.
+    "op_stats_sum" -> ((s: SparkSession, dir: String) => {
+      val wh = tmpWarehouse(s)
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"))
+      wh.load("op_fastsum_t", li.repartition(6)) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.analyzeStats("op_fastsum_t") match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.statsSumFast("op_fastsum_t",
+        Seq("l_orderkey", "l_linenumber")) match {
+        case Right(df) => df
+        case Left(e) => throw new RuntimeException(e.message)
+      }
+    }),
+
     // ---- row-level DML DELETE ... WHERE: one-pass rewrite keeping the
     // predicate's complement (materialize-then-swap, meta preserved).
     "op_delete_where" -> ((s: SparkSession, dir: String) => {
@@ -1113,6 +1136,11 @@ object OpsQueries {
         |       min(o_totalprice) AS min_o_totalprice,
         |       max(o_totalprice) AS max_o_totalprice
         |FROM orders""".stripMargin,
+    "op_stats_sum" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(l_orderkey) AS BIGINT) AS sum_l_orderkey,
+        |       CAST(sum(l_linenumber) AS BIGINT) AS sum_l_linenumber
+        |FROM lineitem""".stripMargin,
     "op_delete_where" ->
       """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
         |WHERE NOT (o_orderkey % 3 = 0)

@@ -93,6 +93,56 @@ object SkippingSweep {
             s""""plain_raw":${plainT.mkString("[", ",", "]")}}""")
       }
     }
+    // ---- string layouts (r12): a source/date-shaped corpus table.
+    // Claims: (a) prefix predicates (LIKE 'p%') read O(match) files on
+    // a source-clustered layout; (b) string×date Z-order (numeric
+    // proxies) keeps BOTH dims selective; (c) != closes constant files.
+    for (n <- ns) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-skipstr-$n").toString
+      val wh = new SparkWarehouse(spark, dir)
+      val whPlain = new SparkWarehouse(spark, dir, skippingEnabled = false)
+      val nf = filesFor(n)
+      // 40 sources × dates scattered over ~400 days — the layout keys
+      // of a crawl corpus
+      val data = spark.range(n).select(
+        concat(lit("source_"), pmod(col("id"), lit(40L)).cast("string"),
+          lit("/doc"), col("id").cast("string")).as("url"),
+        date_add(lit("2019-01-01").cast("date"),
+          pmod(col("id") * 7919L, lit(400L)).cast("int")).as("d"),
+        (col("id") * 3L).as("v"))
+      unwrap(wh.load("t", data.repartition(16)))
+      unwrap(wh.compactZOrder("t", targetFiles = nf,
+        zCols = Seq("url", "d"), buckets = 256))
+      val (analyzeSec, _) = timed(() => unwrap(wh.analyzeStats("t")))
+      val totalFiles = unwrap(wh.get("t")).inputFiles.length
+      // (no != probe here: unique urls have no constant files — the
+      // dictionary-layout != close is pinned by Round12Spec instead)
+      val probes = Seq(
+        ("prefix", col("url").startsWith("source_17/")),
+        ("date_band", col("d") >= lit("2019-06-01").cast("date") &&
+          col("d") < lit("2019-06-08").cast("date")))
+      for ((kind, pred) <- probes) {
+        val filesRead = org.apache.spark.sql.GraftFileIndexBridge
+          .filesRead(unwrap(wh.scanPruned("t", pred)))
+        val prunedT = (1 to reps).map(_ =>
+          timed(() => unwrap(wh.scanPruned("t", pred)).count())._1).sorted
+        val plainT = (1 to reps).map(_ =>
+          timed(() => unwrap(whPlain.get("t")).filter(pred).count())._1).sorted
+        val rows = unwrap(wh.scanPruned("t", pred)).count()
+        val plainRows = unwrap(whPlain.get("t")).filter(pred).count()
+        require(rows == plainRows,
+          s"string-layout pruned/plain drift ($kind): $rows vs $plainRows")
+        record(
+          s"""{"layout":"zorder_string","n":$n,"dim":"$kind",""" +
+            s""""files_total":$totalFiles,"files_read":$filesRead,""" +
+            s""""rows":$rows,"analyze_sec":$analyzeSec,""" +
+            s""""pruned_sec":${prunedT(reps / 2)},""" +
+            s""""plain_sec":${plainT(reps / 2)},""" +
+            s""""pruned_raw":${prunedT.mkString("[", ",", "]")},""" +
+            s""""plain_raw":${plainT.mkString("[", ",", "]")}}""")
+      }
+    }
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       results.mkString("[\n", ",\n", "\n]")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -35,10 +35,18 @@ import org.apache.spark.sql.types._
 object Skipping {
 
   /** Stats for one column of one file. `vmin`/`vmax` are None when every
-    * row of the file is null in that column.
+    * row of the file is null in that column. `vsum` is the file's exact
+    * column sum (nulls skipped, decimal string) — kept only for
+    * INTEGRAL columns, where per-file sums are exact and associative,
+    * so a metadata-only SUM can fold them; floats are excluded (their
+    * addition is not associative, so a fold could differ from a scan)
+    * and decimals are excluded (per-file overflow-widening would need
+    * its own protocol). None = not an integral column, or an old
+    * sidecar generation predating sums.
     */
   final case class ColStats(dtype: String, rows: Long, nulls: Long,
-                            vmin: Option[String], vmax: Option[String])
+                            vmin: Option[String], vmax: Option[String],
+                            vsum: Option[String] = None)
 
   /** Everything the pruning `FileIndex` consults for one table: the
     * root-URI prefixes (for rel-path strips), per-file zone-map stats,

@@ -713,6 +713,20 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
         if (hasBloom) cachedBlooms(name) else Map.empty))
     } catch { case _: Exception => None }
 
+  /** The stats sidecar normalized to the CURRENT schema: sidecars
+    * written before the per-file-sum column default `vsum` to null
+    * (metadata SUM just falls back to a scan for them until the next
+    * full analyze).
+    */
+  private def readStatsSidecar(name: String): DataFrame = {
+    val raw = spark.read.parquet(statsPath(name).toString)
+    val withSum =
+      if (raw.columns.contains("vsum")) raw
+      else raw.withColumn("vsum", lit(null).cast("string"))
+    withSum.select("rel", "rows", "column", "dtype", "nulls",
+      "vmin", "vmax", "vsum")
+  }
+
   private def cachedStats(name: String)
       : Map[String, Map[String, Skipping.ColStats]] = {
     val fp = sidecarFingerprint(statsPath(name))
@@ -720,13 +734,11 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
       val hit = statsCache.get(name) // touches LRU order
       if (hit != null && hit._1 == fp) return hit._3
     }
-    val rows = spark.read.parquet(statsPath(name).toString)
-      .select("rel", "rows", "column", "dtype", "nulls", "vmin", "vmax")
-      .collect()
+    val rows = readStatsSidecar(name).collect()
     // decoded-size estimate: the strings dominate (2 bytes/char on
     // heap), plus ~64 bytes of object/entry overhead per row
     val bytes = rows.map { r =>
-      2L * (0 to 6).map(i => r.get(i) match {
+      2L * (0 to 7).map(i => r.get(i) match {
         case s: String => s.length; case _ => 4 }).sum + 64L
     }.sum
     val budget = statsCacheBudgetBytes
@@ -746,7 +758,7 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
       .map { case (rel, rs) => rel -> rs.map { r =>
         r.getString(2) -> Skipping.ColStats(r.getString(3),
           r.getLong(1), r.getLong(4), Option(r.getString(5)),
-          Option(r.getString(6)))
+          Option(r.getString(6)), Option(r.getString(7)))
       }.toMap }
     statsCache.synchronized {
       val prior = statsCache.put(name, (fp, bytes, parsed))
@@ -833,12 +845,14 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     org.apache.spark.sql.types.StructField("vmin",
       org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("vmax",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("vsum",
       org.apache.spark.sql.types.StringType)))
 
   private def statsSentinels(rels: Seq[String]): DataFrame =
     spark.createDataFrame(
       rels.map(r => org.apache.spark.sql.Row(
-        r, 0L, "", "none", 0L, null, null)).asJava, statsSidecarSchema)
+        r, 0L, "", "none", 0L, null, null, null)).asJava, statsSidecarSchema)
 
   private val bloomSidecarSchema = StructType(Seq(
     org.apache.spark.sql.types.StructField("rel",
@@ -858,10 +872,25 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
       Skipping.supported(f.dataType)).toSeq
     if (supported.isEmpty) None
     else Some {
+      // per-file exact sums for integral columns only (see
+      // [[Skipping.ColStats]]): decimal(38,0) accumulation cannot
+      // overflow at any realistic file size, and the encoded string is
+      // exact for the driver-side fold
+      def integral(dt: org.apache.spark.sql.types.DataType): Boolean =
+        dt match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType => true
+          case _ => false
+        }
       val aggs = supported.zipWithIndex.flatMap { case (f, i) =>
         val c = col(s"`${f.name}`")
         Seq(min(c).as(s"_mn$i"), max(c).as(s"_mx$i"),
-          sum(c.isNull.cast("long")).as(s"_nl$i"))
+          sum(c.isNull.cast("long")).as(s"_nl$i")) ++
+          (if (integral(f.dataType))
+            Seq(sum(c.cast("decimal(38,0)")).cast("string").as(s"_sm$i"))
+          else Nil)
       }
       val wide = raw
         .select(col("*"), relPathCol(name).as("__rel"))
@@ -872,13 +901,16 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
           lit(Skipping.tag(f.dataType)).as("dtype"),
           col(s"_nl$i").as("nulls"),
           Skipping.encode(col(s"_mn$i"), f.dataType).as("vmin"),
-          Skipping.encode(col(s"_mx$i"), f.dataType).as("vmax"))
+          Skipping.encode(col(s"_mx$i"), f.dataType).as("vmax"),
+          (if (integral(f.dataType)) col(s"_sm$i")
+          else lit(null).cast("string")).as("vsum"))
       }
       wide.select(col("rel"), col("rows"),
           explode(array(entries: _*)).as("e"))
         .select(col("rel"), col("rows"), col("e.column").as("column"),
           col("e.dtype").as("dtype"), col("e.nulls").as("nulls"),
-          col("e.vmin").as("vmin"), col("e.vmax").as("vmax"))
+          col("e.vmin").as("vmin"), col("e.vmax").as("vmax"),
+          col("e.vsum").as("vsum"))
     }
   }
 
@@ -922,8 +954,7 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
         } else {
           val live = liveDataFiles(name)
           val liveRels = live.map(_._1).toSet
-          val oldRows = spark.read.parquet(statsPath(name).toString)
-            .select("rel", "rows", "column", "dtype", "nulls", "vmin", "vmax")
+          val oldRows = readStatsSidecar(name)
           val oldRels = oldRows.select("rel").distinct()
             .collect().map(_.getString(0)).toSet
           val fresh = live.filterNot { case (rel, _) => oldRels.contains(rel) }
@@ -1352,6 +1383,86 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
       }
     }
     Some(spark.range(1).select(lit(cnt).as("cnt") +: colExprs.flatten: _*))
+  }
+
+  /** Metadata-only COUNT(*) + exact SUM over INTEGRAL columns — the
+    * per-micro-partition aggregate fold engines like Snowflake serve
+    * dashboards from. Same soundness contract as [[statsAggFast]]
+    * (served from the sidecar only when provably exact, else silently
+    * computed by a real scan): additionally every non-empty file must
+    * carry a `vsum` for the column (old sidecar generations and
+    * non-integral columns force the scan), and a fold that leaves the
+    * Long range falls back so the scan raises Spark's own ANSI
+    * overflow instead of silently wrapping. Result: one row
+    * `cnt, sum_<c>…` with Spark's sum-of-integral type (LongType).
+    */
+  def statsSumFast(name: String, cols: Seq[String])
+      : Either[WarehouseError, DataFrame] =
+    try {
+      if (!fs.exists(tablePath(name))) Left(TableNotFound(name))
+      else {
+        val fast = try {
+          meta(name).toOption
+            .map(m => SchemaCodec.toStructType(m.schema))
+            .filter(sch => cols.forall(sch.fieldNames.contains))
+            .flatMap(sch => sumFromMetadata(name, sch, cols))
+        } catch { case _: Exception => None }
+        fast match {
+          case Some(df) => Right(df)
+          case None => get(name) match {
+            case Left(e) => Left(e)
+            case Right(full) =>
+              cols.foreach(c => require(full.columns.contains(c),
+                s"statsSumFast: no such column $c"))
+              val aggs = count(lit(1)).as("cnt") +: cols.map(c =>
+                sum(col(s"`$c`")).as(s"sum_$c"))
+              Right(full.agg(aggs.head, aggs.tail: _*))
+          }
+        }
+      }
+    } catch {
+      case e: Exception => Left(TableGenericError(e.getMessage, Some(e)))
+    }
+
+  // the provably-sound metadata path of [[statsSumFast]]; None = any
+  // soundness condition failed (caller scans)
+  private def sumFromMetadata(name: String, schema: StructType,
+                              cols: Seq[String]): Option[DataFrame] = {
+    if (hasDeletionVectors(name) || !fs.exists(statsPath(name))) return None
+    val stats = cachedStats(name)
+    val live = liveDataFiles(name).map(_._1)
+    if (live.nonEmpty && stats.isEmpty) return None // budget-disabled
+    if (!live.forall(stats.contains)) return None // uncovered file
+    def rowsOf(rel: String): Long = stats(rel).head._2.rows
+    val cnt = live.map(rowsOf).sum
+    val colExprs = cols.map { c =>
+      schema(c).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => ()
+        case _ => return None // sums kept for integral columns only
+      }
+      var total = BigDecimal(0)
+      var anyNonNull = false
+      for (rel <- live if rowsOf(rel) > 0) {
+        stats(rel).get(c) match {
+          case None => return None // rows exist but no stats for c
+          case Some(cs) if cs.nulls == cs.rows => () // all-null: skip
+          case Some(cs) => cs.vsum match {
+            case Some(s) if cs.dtype == "integral" =>
+              total += BigDecimal(s); anyNonNull = true
+            case _ => return None // pre-vsum sidecar or stale type
+          }
+        }
+      }
+      if (!anyNonNull) // SQL SUM over zero non-null values is NULL
+        lit(null).cast(org.apache.spark.sql.types.LongType).as(s"sum_$c")
+      else if (total < BigDecimal(Long.MinValue) ||
+        total > BigDecimal(Long.MaxValue)) return None // ANSI: scan throws
+      else lit(total.toLong).as(s"sum_$c")
+    }
+    Some(spark.range(1).select(lit(cnt).as("cnt") +: colExprs: _*))
   }
 
   // external-row-value ordering for the BETWEEN hull of [[joinPruned]]

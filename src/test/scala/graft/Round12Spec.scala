@@ -329,6 +329,70 @@ class Round12Spec extends SparkSpec {
       "the dropped file's rows still read")
   }
 
+  test("statsSumFast folds exact per-file sums from metadata — zero " +
+    "Spark jobs warm — and falls back whenever exactness is unprovable") {
+    val sps = spark; import sps.implicits._
+    val wh = tmpWh("graft-r12-sum")
+    val data = (0L until 50000L).map(i =>
+      (i, (i % 1000).toInt, if (i % 7 == 0) None else Some(i * 3)))
+      .toDF("id", "k", "v")
+    unwrap(wh.load("t", data.repartition(6)))
+    unwrap(wh.analyzeStats("t"))
+    val want = unwrap(wh.get("t"))
+      .agg(count(lit(1)).as("cnt"), sum("id").as("sum_id"),
+        sum("k").as("sum_k"), sum("v").as("sum_v")).head
+    val got = unwrap(wh.statsSumFast("t", Seq("id", "k", "v"))).head
+    assert(got == want, s"metadata sum drifts: $got vs $want")
+    // warm path: zero Spark jobs
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val warm =
+      try {
+        val f = unwrap(wh.statsSumFast("t", Seq("id")))
+        org.apache.spark.sql.GraftColumnBridge.drainListenerBus(spark)
+        assert(jobs.get() == 0,
+          s"warm statsSumFast planned ${jobs.get()} jobs")
+        f
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(warm.head.getLong(1) == want.getLong(1))
+    // an all-null column sums to SQL NULL
+    unwrap(wh.load("t2", Seq((1L, None: Option[Long]), (2L, None))
+      .toDF("id", "w")))
+    unwrap(wh.analyzeStats("t2"))
+    val nulls = unwrap(wh.statsSumFast("t2", Seq("w"))).head
+    assert(nulls.isNullAt(1), s"all-null sum must be NULL: $nulls")
+    // non-integral columns force the scan path, values still exact
+    unwrap(wh.load("t3", Seq((1L, 0.5), (2L, 0.25)).toDF("id", "f")))
+    unwrap(wh.analyzeStats("t3"))
+    assert(unwrap(wh.statsSumFast("t3", Seq("f"))).head.getDouble(1) == 0.75)
+    // MoR tombstones: raw per-file sums would overcount — must fall
+    // back and return the LIVE sum
+    unwrap(wh.deleteWhereMor("t", col("id") < 10000L))
+    val afterDv = unwrap(wh.statsSumFast("t", Seq("id"))).head
+    assert(afterDv.getLong(0) == 40000L &&
+      afterDv.getLong(1) == (10000L until 50000L).sum,
+      s"tombstoned rows leaked into statsSumFast: $afterDv")
+    // Long-overflow folds are never silently wrapped: the metadata
+    // path refuses and the scan's own ANSI overflow surfaces at
+    // execution (the frame is lazy, so the verb may return Right)
+    unwrap(wh.load("ovf", Seq(Long.MaxValue / 2 + 1, Long.MaxValue / 2 + 1)
+      .toDF("big")))
+    unwrap(wh.analyzeStats("ovf"))
+    wh.statsSumFast("ovf", Seq("big")) match {
+      case Left(_) => () // eager failure is fine
+      case Right(df) =>
+        val thrown = intercept[Exception] { df.head }
+        assert(thrown.getMessage.toLowerCase.contains("overflow"),
+          s"expected ANSI overflow, got: ${thrown.getMessage}")
+    }
+  }
+
   test("statsAggFast degrades to the scan path when the metadata probe " +
     "throws (corrupt sidecar), instead of failing the query") {
     val sps = spark; import sps.implicits._
