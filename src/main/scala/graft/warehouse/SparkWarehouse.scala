@@ -1494,10 +1494,14 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     * common layout keys of a training-data table (source, language,
     * date). Non-numerics go through an ORDER-PRESERVING numeric proxy
     * before the quantile pass: dates as epoch days, timestamps as epoch
-    * micros, strings as their first 8 UTF-8 bytes read as an unsigned
-    * big-endian integer (monotone under Spark's UTF-8 string order;
-    * values sharing an 8-byte prefix collapse into one bucket, which
-    * costs curve resolution, never correctness — the layout is
+    * micros. Strings take one of two proxies: up to 4096 distinct
+    * values (source/language keys) get EXACT dictionary ranks — one
+    * bounded distinct pass, UTF-8-sorted, broadcast-joined — so no two
+    * distinct values ever share a bucket rank; higher-cardinality
+    * strings (urls, ids) use their first 8 UTF-8 bytes read as an
+    * unsigned big-endian integer (monotone under Spark's UTF-8 string
+    * order; values sharing an 8-byte prefix collapse into one bucket,
+    * which costs curve resolution, never correctness — the layout is
     * performance-only and [[analyzeStats]] re-derives bounds from the
     * actual values). The bucket-rank HOF is interpreted but runs once,
     * inside a one-off rewrite. Re-run [[analyzeStats]] afterwards — the
@@ -1526,6 +1530,43 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
               s"z-order column $c must be numeric, string, date, or " +
                 s"timestamp (got ${dt.simpleString})")
           }
+          // LOW-cardinality string keys (source, language — the common
+          // corpus cluster keys) get EXACT dictionary ranks: one
+          // bounded distinct pass per column, values sorted in UTF-8
+          // byte order, rank attached via a broadcast join. This
+          // removes the 8-byte-prefix tie collapse entirely for the
+          // keys where it hurts most ("source_17" vs "source_18" share
+          // 8 bytes and would land in one proxy group). High-cardinality
+          // strings (urls, ids) fall back to the prefix proxy below.
+          val dictCap = 4096
+          val dictRanks: Map[String, Option[Map[String, Int]]] =
+            zCols.map { c =>
+              c -> (existing.schema(c).dataType match {
+                case StringType =>
+                  val vals = existing.select(col(s"`$c`"))
+                    .where(col(s"`$c`").isNotNull)
+                    .distinct().limit(dictCap + 1)
+                    .collect().map(_.getString(0))
+                  if (vals.length > dictCap) None
+                  else Some(vals.sortWith(
+                    Skipping.utf8Cmp(_, _) < 0).zipWithIndex.toMap)
+                case _ => None
+              })
+            }.toMap
+          val dictColName: Map[String, String] = zCols.zipWithIndex
+            .collect { case (c, i) if dictRanks(c).isDefined =>
+              c -> s"__graft_zdict_$i" }.toMap
+          // base frame with dictionary ranks attached (broadcast joins
+          // against tiny rank tables; null keys → null rank → bucket 0)
+          val prepared = dictColName.foldLeft(existing) {
+            case (df, (c, rankCol)) =>
+              val sps = spark
+              import sps.implicits._
+              val ranks = broadcast(dictRanks(c).get.toSeq
+                .toDF("__graft_zk", rankCol))
+              df.join(ranks, df(s"`$c`") === ranks("__graft_zk"), "left")
+                .drop("__graft_zk")
+          }
           // order-preserving numeric proxy (see scaladoc); monotone
           // maps keep equi-depth quantiles equi-depth on the original
           def zProxy(c: String): Column = {
@@ -1536,6 +1577,8 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
               case TimestampType => unix_micros(v).cast("double")
               case TimestampNTZType =>
                 graft.warehouse.Skipping.ntzMicros(v).cast("double")
+              case StringType if dictColName.contains(c) =>
+                col(dictColName(c)).cast("double")
               case StringType =>
                 // first 8 UTF-8 bytes as an unsigned big-endian value:
                 // right-padding the HEX with '0' appends zero bytes, so
@@ -1550,7 +1593,7 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
           val bits = Integer.numberOfTrailingZeros(buckets)
           val probs = (1 until buckets).map(_.toDouble / buckets).toArray
           val splits = zCols.map { c =>
-            c -> existing.select(zProxy(c).as(c))
+            c -> prepared.select(zProxy(c).as(c))
               .stat.approxQuantile(c, probs, 1.0 / (4 * buckets))
           }.toMap
           def bucketCol(c: String): Column = {
@@ -1565,10 +1608,10 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
                 j * k + i).cast("long")
             }
           }.reduce(_ + _)
-          val arranged = existing.withColumn("__graft_z", zCol)
+          val arranged = prepared.withColumn("__graft_z", zCol)
             .repartitionByRange(targetFiles, col("__graft_z"))
             .sortWithinPartitions(col("__graft_z"))
-            .drop("__graft_z")
+            .drop("__graft_z" +: dictColName.values.toSeq: _*)
           materializeSwap(name, arranged)
           Right(())
         } catch {

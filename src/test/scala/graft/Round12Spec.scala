@@ -203,6 +203,45 @@ class Round12Spec extends SparkSpec {
       data.filter(col("src").startsWith("source_1")).count())
   }
 
+  test("low-cardinality string z-keys get exact dictionary ranks: " +
+    "keys sharing an 8-byte prefix still cluster and prune") {
+    val sps = spark; import sps.implicits._
+    val wh = tmpWh("graft-r12-zdict")
+    // every key shares the first 21 bytes — the 8-byte proxy sees ONE
+    // value and cannot cluster this dimension at all; the dictionary
+    // path ranks all 40 exactly
+    val data = (0L until 40000L).map { i =>
+      (s"verylongsourceprefix_${i % 40}",
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+          18000L + (i * 7919L) % 400L)), i)
+    }.toDF("src", "d", "v")
+    unwrap(wh.load("t", data.repartition(4)))
+    unwrap(wh.compactZOrder("t", targetFiles = 16, zCols = Seq("src", "d"),
+      buckets = 64))
+    unwrap(wh.analyzeStats("t"))
+    val total = filesRead(unwrap(wh.get("t")))
+    // the 8-byte proxy would read ALL files here (the dim is constant
+    // under it); the dictionary path makes the dim selective — at 16
+    // files the Morton curve yields ~half, converging to the exact
+    // 1/40 as files per z-cell grow (see skipping_sweep_r12 prefix leg)
+    val onSrc = unwrap(wh.scanPruned("t",
+      col("src") === "verylongsourceprefix_17"))
+    assert(filesRead(onSrc) <= total / 2,
+      s"dictionary dim unpruned: ${filesRead(onSrc)}/$total")
+    assert(onSrc.count() == 1000L)
+    val onDate = unwrap(wh.scanPruned("t",
+      col("d") < lit("2019-05-01").cast("date")))
+    assert(filesRead(onDate) < total,
+      s"date dim unpruned: ${filesRead(onDate)}/$total")
+    assert(unwrap(wh.get("t")).agg(sum("v")).head.getLong(0) ==
+      (0L until 40000L).sum, "rewrite lost rows")
+    // prefix predicates on the dictionary dim compose
+    val pre = unwrap(wh.scanPruned("t",
+      col("src").startsWith("verylongsourceprefix_1")))
+    assert(pre.count() ==
+      data.filter(col("src").startsWith("verylongsourceprefix_1")).count())
+  }
+
   test("Bloom cache enforces its driver-memory budget: over-budget " +
     "sidecars disable bloom pruning loudly, LRU eviction bounds residency") {
     val sps = spark; import sps.implicits._
