@@ -359,6 +359,9 @@ object Skipping {
         if list.forall(_.isInstanceOf[Literal]) =>
         !list.exists { case Literal(v, dt) =>
           !bound(a, v, dt)((cMin, cMax) => !(cMin == 0 && cMax == 0)) }
+      case Not(InSet(a: AttributeReference, values)) => // long NOT IN lists
+        !values.exists(v =>
+          !bound(a, v, a.dataType)((cMin, cMax) => !(cMin == 0 && cMax == 0)))
       // prefix predicate (Catalyst rewrites `LIKE 'p%'` to StartsWith):
       // decidable from string [min,max] because truncation to |p| bytes
       // is monotone under the unsigned-UTF-8 order — if some s in

@@ -1221,11 +1221,14 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     * Restricted to `inner` and `left_semi` joins — the only types for
     * which filtering the probe side by build-side keys is
     * semantics-preserving (an outer join must keep unmatched fact
-    * rows). If the dim has more than `maxKeys` distinct keys the
-    * filter is skipped entirely (plain broadcast join, still correct):
-    * a huge IN list would cost more in driver-side planning
-    * (O(files × keys) worst-case may-match checks) than it saves, the
-    * same guard every dynamic-file-pruning implementation documents.
+    * rows). If the dim has more than `maxKeys` distinct keys the IN
+    * list is skipped — a huge list would cost more in driver-side
+    * planning (O(files × keys) worst-case may-match checks) than it
+    * saves, the same guard every dynamic-file-pruning implementation
+    * documents — but the BETWEEN hull is kept: its two bounds come
+    * from one tiny `dim.agg(min, max)` job and still close every
+    * clustered fact file outside the dim's key range, so a 100k-key
+    * dim over a narrow range prunes instead of scanning the table.
     * NULL dim keys never match an equi-join and are dropped from the
     * collected set.
     */
@@ -1248,19 +1251,33 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
           val keys = dim.select(col(s"`$dimKey`"))
             .where(col(s"`$dimKey`").isNotNull)
             .distinct().limit(maxKeys + 1).collect().map(_.get(0))
+          val k = col(s"`$factKey`")
+          // the hull is sound for any type with a total order the zone
+          // maps understand
+          val ord = fact.schema(factKey).dataType match {
+            case _: org.apache.spark.sql.types.NumericType |
+                 org.apache.spark.sql.types.StringType |
+                 org.apache.spark.sql.types.DateType |
+                 org.apache.spark.sql.types.TimestampType |
+                 org.apache.spark.sql.types.TimestampNTZType => true
+            case _ => false
+          }
           val probe =
-            if (keys.isEmpty || keys.length > maxKeys) fact
-            else {
-              val k = col(s"`$factKey`")
+            if (keys.isEmpty) fact
+            else if (keys.length > maxKeys) {
+              // over-limit: hull-only (one tiny dim agg; rows outside
+              // [min, max] cannot match an equi-join)
+              if (!ord) fact
+              else {
+                val row = dim.agg(
+                  min(col(s"`$dimKey`")).as("mn"),
+                  max(col(s"`$dimKey`")).as("mx")).head
+                if (row.isNullAt(0)) fact
+                else fact.filter(k >= lit(row.get(0)) && k <= lit(row.get(1)))
+              }
+            } else {
               // BETWEEN hull first: 2 zone-map checks close most files
               // on clustered layouts before the IN list is consulted
-              val ord = fact.schema(factKey).dataType match {
-                case _: org.apache.spark.sql.types.NumericType |
-                     org.apache.spark.sql.types.StringType |
-                     org.apache.spark.sql.types.DateType |
-                     org.apache.spark.sql.types.TimestampType => true
-                case _ => false
-              }
               val inList = k.isin(keys.toSeq: _*)
               if (!ord || keys.length < 2) fact.filter(inList)
               else fact.filter(

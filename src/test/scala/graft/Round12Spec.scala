@@ -81,6 +81,29 @@ class Round12Spec extends SparkSpec {
       "UTF-16 hull min/max dropped a matching join row")
   }
 
+  test("joinPruned keeps the BETWEEN hull when the dim exceeds maxKeys " +
+    "(one dim agg; clustered fact files outside the range still close)") {
+    val sps = spark; import sps.implicits._
+    val wh = tmpWh("graft-r12-hullonly")
+    val fact = (0L until 100000L).map(i => (i, i % 97)).toDF("fk", "fv")
+    unwrap(wh.load("fact", fact.repartition(8)))
+    unwrap(wh.compact("fact", targetFiles = 20, sortCols = Seq("fk")))
+    val total = unwrap(wh.analyzeStats("fact"))
+    assert(total == 20L)
+    // 5000 keys in a 10%-wide band: far over maxKeys, narrow hull
+    val dim = (40000L until 50000L by 2L).map(i => (i, s"d$i"))
+      .toDF("dk", "dn")
+    val j = unwrap(wh.joinPruned("fact", "fk", dim, "dk", maxKeys = 100))
+    val f = filesRead(j)
+    assert(f >= 1L && f <= 4L,
+      s"hull-only fallback did not prune: $f/$total files")
+    assert(j.count() == 5000L)
+    // ≡ the plain join
+    val plain = unwrap(wh.get("fact"))
+      .join(dim, col("fk") === col("dk")).count()
+    assert(plain == 5000L)
+  }
+
   test("StartsWith (prefix LIKE) prunes files on a source-clustered " +
     "layout, returns exactly the plain filter's rows") {
     val sps = spark; import sps.implicits._
