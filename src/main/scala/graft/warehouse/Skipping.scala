@@ -150,12 +150,18 @@ object Skipping {
       // NaN/Infinity bounds (float columns) don't parse — no pruning
       try Some(BigDecimal(s)) catch { case _: NumberFormatException => None }
     case "string" | "date" => Some(s)
-    case "boolean" => Some(s.toBoolean)
+    case "boolean" => // corrupt sidecar content must not fail the read
+      try Some(s.toBoolean)
+      catch { case _: IllegalArgumentException => None }
   }
 
   /** Catalyst literal → the same comparison domain as [[decode]], or
     * None when the literal's type family doesn't line up with the
-    * stored stats (then nothing is pruned on that conjunct).
+    * stored stats (then nothing is pruned on that conjunct). TOTAL —
+    * never throws: a NaN/Infinity float literal (`f != double('NaN')`
+    * is a standard scrub) has no BigDecimal rendering and must default
+    * the conjunct to may-match, not fail the query (the pruning
+    * FileIndex sits on every read path).
     */
   private def literalValue(tagged: String, v: Any, dt: DataType): Option[Any] =
     (tagged, dt) match {
@@ -164,7 +170,8 @@ object Skipping {
             ByteType | ShortType | IntegerType | LongType) =>
         Some(BigDecimal(v.toString))
       case ("integral" | "decimal" | "floating", FloatType | DoubleType) =>
-        Some(BigDecimal(v.toString))
+        try Some(BigDecimal(v.toString))
+        catch { case _: NumberFormatException => None } // NaN/Infinity
       case ("integral" | "decimal" | "floating", _: DecimalType) =>
         Some(BigDecimal(v.asInstanceOf[Decimal].toJavaBigDecimal))
       case ("timestamp", TimestampType) => // internal value IS micros

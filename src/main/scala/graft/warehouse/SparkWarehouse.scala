@@ -605,7 +605,9 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     (String, Long, Map[String, Map[String, Skipping.ColStats]])](
     16, 0.75f, /* accessOrder = */ true)
   private var statsCacheBytes = 0L
-  private val statsBudgetWarned =
+  // fingerprints refused for exceeding the budget (one sizing job per
+  // sidecar generation, not a re-read per query)
+  private val statsDisabledFps =
     scala.collection.mutable.Set.empty[String]
 
   /** (resident tables, resident decoded bytes) for the stats cache. */
@@ -641,8 +643,11 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     16, 0.75f, /* accessOrder = */ true)
 
   private var bloomCacheBytes = 0L
-  private val bloomBudgetWarned =
-    scala.collection.mutable.Set.empty[String] // fingerprints warned for
+  // fingerprints whose decode was refused for exceeding the budget:
+  // memoized so an over-budget table costs ONE sizing job per sidecar
+  // generation, not a re-read per query
+  private val bloomDisabledFps =
+    scala.collection.mutable.Set.empty[String]
 
   /** (resident tables, resident decoded bytes) — test/ops observability
     * for the budget enforcement.
@@ -657,16 +662,24 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     bloomCache.synchronized {
       val hit = bloomCache.get(name) // touches LRU order
       if (hit != null && hit._1 == fp) return hit._3
+      if (bloomDisabledFps.contains(s"$fp@${bloomCacheBudgetBytes}"))
+        return Map.empty // memoized refusal (keyed on budget too)
     }
-    val rows = spark.read.parquet(bloomPath(name).toString)
-      .select("rel", "column", "bloom")
-      .collect()
-      .filter(r => r.getString(1).nonEmpty && r.get(2) != null) // sentinels
-    val bytes = rows.map(_.getAs[Array[Byte]](2).length.toLong).sum
     val budget = bloomCacheBudgetBytes
+    // size check BEFORE any driver materialization (one small
+    // aggregation job): collecting first and checking after would
+    // already have OOM'd the driver on the sidecar the budget exists
+    // to refuse
+    val bytes = Option(spark.read.parquet(bloomPath(name).toString)
+        .agg(sum(length(col("bloom")))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     if (bytes > budget) {
       bloomCache.synchronized {
-        if (bloomBudgetWarned.add(fp))
+        // a stale PRIOR generation can never serve fp again — drop it
+        // rather than leave unusable bytes resident
+        val prior = bloomCache.remove(name)
+        if (prior != null) bloomCacheBytes -= prior._2
+        if (bloomDisabledFps.add(s"$fp@$budget"))
           System.err.println(s"[graft] bloom sidecar for '$name' decodes " +
             s"to $bytes bytes > budget $budget " +
             "(spark.graft.bloomCache.maxBytes): bloom pruning DISABLED " +
@@ -675,6 +688,10 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
       }
       return Map.empty
     }
+    val rows = spark.read.parquet(bloomPath(name).toString)
+      .select("rel", "column", "bloom")
+      .collect()
+      .filter(r => r.getString(1).nonEmpty && r.get(2) != null) // sentinels
     val parsed = rows
       .groupBy(_.getString(0))
       .map { case (rel, rs) => rel -> rs.map { r =>
@@ -733,18 +750,25 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     statsCache.synchronized {
       val hit = statsCache.get(name) // touches LRU order
       if (hit != null && hit._1 == fp) return hit._3
+      if (statsDisabledFps.contains(s"$fp@${statsCacheBudgetBytes}"))
+        return Map.empty // memoized refusal (keyed on budget too)
     }
-    val rows = readStatsSidecar(name).collect()
-    // decoded-size estimate: the strings dominate (2 bytes/char on
-    // heap), plus ~64 bytes of object/entry overhead per row
-    val bytes = rows.map { r =>
-      2L * (0 to 7).map(i => r.get(i) match {
-        case s: String => s.length; case _ => 4 }).sum + 64L
-    }.sum
     val budget = statsCacheBudgetBytes
+    // decoded-size estimate computed DISTRIBUTED before any driver
+    // materialization: strings dominate (2 bytes/char on heap) plus
+    // ~8 numeric bytes and ~64 of object/entry overhead per row
+    def sl(c: String): Column =
+      coalesce(length(col(c)).cast("long"), lit(0L))
+    val bytes = Option(readStatsSidecar(name)
+        .agg(sum(lit(2L) * (sl("rel") + sl("column") + sl("dtype") +
+          sl("vmin") + sl("vmax") + sl("vsum") + lit(8L)) + lit(64L)))
+        .head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     if (bytes > budget) {
       statsCache.synchronized {
-        if (statsBudgetWarned.add(fp))
+        val prior = statsCache.remove(name) // stale generation: drop
+        if (prior != null) statsCacheBytes -= prior._2
+        if (statsDisabledFps.add(s"$fp@$budget"))
           System.err.println(s"[graft] stats sidecar for '$name' decodes " +
             s"to ~$bytes bytes > budget $budget " +
             "(spark.graft.statsCache.maxBytes): zone-map pruning DISABLED " +
@@ -753,6 +777,7 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
       }
       return Map.empty
     }
+    val rows = readStatsSidecar(name).collect()
     val parsed = rows
       .groupBy(_.getString(0))
       .map { case (rel, rs) => rel -> rs.map { r =>
@@ -1170,10 +1195,15 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
           // generation predates the column) is marked with a NULL bloom
           // so the next incremental pass never rescans it; lookups
           // ignore null filters (absent filter → always read: sound)
+          val freshSet = fresh.map(_._1).toSet
+          // projection-only read (parquet never touches the binary
+          // column); membership filtered driver-side — an isin() with
+          // one literal per fresh file would build an O(#files)
+          // expression at exactly the scale this feature targets
           val producedPairs = spark.read.parquet(bloomPath(name).toString)
             .select("rel", "column")
-            .filter(col("rel").isin(fresh.map(_._1): _*))
-            .collect().map(r => (r.getString(0), r.getString(1))).toSet
+            .collect().map(r => (r.getString(0), r.getString(1)))
+            .filter { case (rel, _) => freshSet.contains(rel) }.toSet
           val missingPairs = for {
             (rel, _) <- fresh; c <- cols
             if !producedPairs.contains((rel, c))
@@ -1448,8 +1478,7 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     if (hasDeletionVectors(name) || !fs.exists(statsPath(name))) return None
     val stats = cachedStats(name)
     val live = liveDataFiles(name).map(_._1)
-    if (live.nonEmpty && stats.isEmpty) return None // budget-disabled
-    if (!live.forall(stats.contains)) return None // uncovered file
+    if (!live.forall(stats.contains)) return None // uncovered/disabled
     def rowsOf(rel: String): Long = stats(rel).head._2.rows
     val cnt = live.map(rowsOf).sum
     val colExprs = cols.map { c =>
@@ -1556,10 +1585,27 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
           // 8 bytes and would land in one proxy group). High-cardinality
           // strings (urls, ids) fall back to the prefix proxy below.
           val dictCap = 4096
+          // one cheap approx-distinct pass over ALL string z-columns
+          // first: a unique-url column would otherwise pay a full
+          // distinct SHUFFLE just to learn it exceeds the cap (HLL
+          // partials shuffle a sketch, not the values). 2× margin over
+          // the 5% default rsd; borderline columns still get the exact
+          // bounded-distinct check.
+          val stringZ = zCols.filter(c =>
+            existing.schema(c).dataType == StringType)
+          val approxCounts: Map[String, Long] =
+            if (stringZ.isEmpty) Map.empty
+            else {
+              val aggs = stringZ.map(c =>
+                approx_count_distinct(col(s"`$c`")).as(c))
+              val row = existing.agg(aggs.head, aggs.tail: _*).head
+              stringZ.zipWithIndex.map { case (c, i) =>
+                c -> row.getLong(i) }.toMap
+            }
           val dictRanks: Map[String, Option[Map[String, Int]]] =
             zCols.map { c =>
               c -> (existing.schema(c).dataType match {
-                case StringType =>
+                case StringType if approxCounts(c) <= 2L * dictCap =>
                   val vals = existing.select(col(s"`$c`"))
                     .where(col(s"`$c`").isNotNull)
                     .distinct().limit(dictCap + 1)

@@ -169,6 +169,25 @@ class Round12Spec extends SparkSpec {
       .count() == 15000L)
   }
 
+  test("NaN/Infinity float literals never fail a pruned read: every " +
+    "predicate shape degrades to may-match on an analyzed double column") {
+    val sps = spark; import sps.implicits._
+    val wh = tmpWh("graft-r12-nan")
+    unwrap(wh.load("t", Seq((1L, 0.5), (2L, Double.NaN),
+      (3L, Double.PositiveInfinity), (4L, 2.0)).toDF("id", "f")
+      .repartition(2)))
+    unwrap(wh.analyzeStats("t"))
+    // the standard NaN scrub (Spark: NaN equals itself, sorts greatest)
+    assert(unwrap(wh.scanPruned("t", col("f") =!= Double.NaN))
+      .count() == 3L)
+    assert(unwrap(wh.scanPruned("t", col("f") === Double.NaN))
+      .count() == 1L)
+    assert(unwrap(wh.scanPruned("t",
+      !col("f").isin(Double.NaN, Double.PositiveInfinity))).count() == 2L)
+    assert(unwrap(wh.scanPruned("t", col("f") < Double.PositiveInfinity))
+      .count() == 2L)
+  }
+
   test("TIMESTAMP_NTZ columns collect stats, prune, and fold exactly " +
     "(zone-free micros encoding)") {
     val sps = spark; import sps.implicits._
