@@ -500,6 +500,50 @@ object OpsQueries {
       }
     }),
 
+    // ---- metadata-only approx COUNT(DISTINCT): per-file HLL sketches
+    // unioned driver-side with zero data files read. The sketch
+    // estimate itself is asserted in-gate (within 5% of exact AND
+    // identical to the one-pass same-estimator sketch); the
+    // hash-compared output is the EXACT distinct counts, which DuckDB
+    // reproduces.
+    "op_distinct_sketch" -> ((s: SparkSession, dir: String) => {
+      val wh = tmpWarehouse(s)
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      wh.load("op_hll_t", li.repartition(6)) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.analyzeSketch("op_hll_t", Seq("l_orderkey", "l_suppkey")) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      val est = wh.approxDistinctFast("op_hll_t",
+        Seq("l_orderkey", "l_suppkey")) match {
+        case Right(df) => df.head
+        case Left(e) => throw new RuntimeException(e.message)
+      }
+      val full = wh.get("op_hll_t") match {
+        case Right(df) => df
+        case Left(e) => throw new RuntimeException(e.message)
+      }
+      val onePass = full.select(
+        expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey, 12))"),
+        expr("hll_sketch_estimate(hll_sketch_agg(l_suppkey, 12))")).head
+      val exact = full.agg(
+        countDistinct(col("l_orderkey")).as("nd_orderkey"),
+        countDistinct(col("l_suppkey")).as("nd_suppkey"))
+      val exactRow = exact.head
+      (0 to 1).foreach { i =>
+        require(est.getLong(i) == onePass.getLong(i),
+          s"metadata union drifts from one-pass sketch at col $i")
+        require(math.abs(est.getLong(i) - exactRow.getLong(i)).toDouble /
+          exactRow.getLong(i) < 0.05,
+          s"sketch estimate off by >5% at col $i")
+      }
+      exact
+    }),
+
     // ---- row-level DML DELETE ... WHERE: one-pass rewrite keeping the
     // predicate's complement (materialize-then-swap, meta preserved).
     "op_delete_where" -> ((s: SparkSession, dir: String) => {
@@ -1136,6 +1180,10 @@ object OpsQueries {
         |       min(o_totalprice) AS min_o_totalprice,
         |       max(o_totalprice) AS max_o_totalprice
         |FROM orders""".stripMargin,
+    "op_distinct_sketch" ->
+      """SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nd_orderkey,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS nd_suppkey
+        |FROM lineitem""".stripMargin,
     "op_stats_sum" ->
       """SELECT CAST(count(*) AS BIGINT) AS cnt,
         |       CAST(sum(l_orderkey) AS BIGINT) AS sum_l_orderkey,

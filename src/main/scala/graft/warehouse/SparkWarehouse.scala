@@ -1221,6 +1221,193 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
       case e: Exception => Left(TableGenericError(e.getMessage, Some(e)))
     }
 
+  private def hllPath(name: String) = new Path(tablePath(name), "_graft_hll")
+
+  private val hllSidecarSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("rel",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("column",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("hll",
+      org.apache.spark.sql.types.BinaryType)))
+
+  /** Build per-file HLL sketches (DataSketches, the library behind
+    * Spark's own `hll_sketch_agg`) for `cols` into the `_graft_hll/`
+    * sidecar — the third metadata family after bounds and Blooms: HLL
+    * union is register-wise max, associative and deterministic, so
+    * per-file sketches folded together ARE the whole-table sketch and
+    * [[approxDistinctFast]] can answer approx COUNT(DISTINCT) without
+    * touching a data file. Incremental per (file, column) with the
+    * same immutability/sentinel/dead-rel discipline as
+    * [[analyzeBloom]]; a file all-null in a column stores a NULL
+    * sketch (union skips it — an empty stream contributes nothing).
+    * Sketches are ~1-4 KB each and are never held decoded on the
+    * driver, so no cache budget applies.
+    */
+  def analyzeSketch(name: String, cols: Seq[String], lgK: Int = 12,
+                    incremental: Boolean = true)
+      : Either[WarehouseError, Long] =
+    try {
+      if (!fs.exists(tablePath(name))) Left(TableNotFound(name))
+      else if (!hasDataFiles(name)) Right(0L)
+      else {
+        require(cols.nonEmpty, "analyzeSketch: cols must be non-empty")
+        require(lgK >= 4 && lgK <= 21, "analyzeSketch: lgK in [4, 21]")
+        val root = tablePath(name).toString
+        val full = graft.sources.Sources.parquetMerged(spark, root)
+        cols.foreach(c => require(full.columns.contains(c),
+          s"no such column: $c"))
+        val live = liveDataFiles(name)
+        val haveSidecar = fs.exists(hllPath(name))
+        val (fresh, keptOld) =
+          if (!incremental || !haveSidecar) (live, None)
+          else {
+            val oldRows = spark.read.parquet(hllPath(name).toString)
+              .select("rel", "column", "hll")
+            val pairs = oldRows.select("rel", "column").collect()
+              .map(r => (r.getString(0), r.getString(1))).toSet
+            (live.filter { case (rel, _) =>
+              cols.exists(c => !pairs.contains((rel, c))) },
+              Some(oldRows))
+          }
+        val liveRels = live.map(_._1).toSet
+        def deadOf(oldRows: DataFrame): Set[String] =
+          oldRows.select("rel").distinct()
+            .collect().map(_.getString(0)).toSet.diff(liveRels)
+        if (fresh.isEmpty) {
+          keptOld.foreach { oldRows =>
+            val dead = deadOf(oldRows)
+            if (dead.nonEmpty)
+              swapSidecar(hllPath(name),
+                oldRows.filter(!col("rel").isin(dead.toSeq: _*)))
+          }
+          Right(0L)
+        } else {
+          val raw = spark.read.option("mergeSchema", "true")
+            .option("basePath", root)
+            .parquet(fresh.map(_._2.toString): _*)
+          val present = cols.filter(raw.columns.contains)
+          val newRows: DataFrame =
+            if (present.isEmpty)
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                hllSidecarSchema)
+            else {
+              val aggs = present.map(c =>
+                hll_sketch_agg(col(s"`$c`"), lit(lgK)).as(c))
+              val wide = raw
+                .select(relPathCol(name).as("__rel") +:
+                  present.map(c => col(s"`$c`")): _*)
+                .groupBy(col("__rel").as("rel"))
+                .agg(aggs.head, aggs.tail: _*)
+              val entries = present.map(c =>
+                struct(lit(c).as("column"), col(s"`$c`").as("hll")))
+              wide.select(col("rel"), explode(array(entries: _*)).as("e"))
+                .select(col("rel"), col("e.column").as("column"),
+                  col("e.hll").as("hll"))
+            }
+          keptOld match {
+            case None =>
+              newRows.write.mode(SaveMode.Overwrite)
+                .parquet(hllPath(name).toString)
+            case Some(oldRows) =>
+              val dead = deadOf(oldRows)
+              val freshRels = fresh.map(_._1).toSet
+              val kept = oldRows
+                .filter(if (dead.isEmpty) lit(true)
+                  else !col("rel").isin(dead.toSeq: _*))
+                .filter(!(col("rel").isin(freshRels.toSeq: _*) &&
+                  col("column").isin(cols: _*)))
+              swapSidecar(hllPath(name), kept.unionByName(newRows))
+          }
+          // per-(file, column) sentinels for pairs that produced no
+          // row (file's schema generation predates the column): NULL
+          // sketch = analyzed, nothing to count
+          val freshSet = fresh.map(_._1).toSet
+          val producedPairs = spark.read.parquet(hllPath(name).toString)
+            .select("rel", "column")
+            .collect().map(r => (r.getString(0), r.getString(1)))
+            .filter { case (rel, _) => freshSet.contains(rel) }.toSet
+          val missingPairs = for {
+            (rel, _) <- fresh; c <- cols
+            if !producedPairs.contains((rel, c))
+          } yield (rel, c)
+          if (missingPairs.nonEmpty)
+            spark.createDataFrame(
+              missingPairs.map { case (r, c) =>
+                org.apache.spark.sql.Row(r, c, null) }.asJava,
+              hllSidecarSchema)
+              .write.mode(SaveMode.Append).parquet(hllPath(name).toString)
+          Right(fresh.size.toLong)
+        }
+      }
+    } catch {
+      case e: Exception => Left(TableGenericError(e.getMessage, Some(e)))
+    }
+
+  /** Metadata-only approximate COUNT(DISTINCT): per-file HLL sketches
+    * unioned DRIVER-side (DataSketches `Union` — register-wise max,
+    * the exact operation `hll_union_agg` performs) with zero data
+    * files read. Served from metadata only when provably equivalent to
+    * sketching the live rows — no merge-on-read tombstones (a raw-file
+    * sketch would count deleted rows) and every live file covered for
+    * every requested column — else silently computed by a real scan
+    * WITH THE SAME ESTIMATOR (`hll_sketch_agg` at the sidecar's lgK is
+    * not recoverable, so the fallback uses the same default), so both
+    * paths return DataSketches estimates. Result: one row
+    * `approx_distinct_<c>…` as LongType (rounded estimates, matching
+    * `approx_count_distinct`'s integral contract).
+    */
+  def approxDistinctFast(name: String, cols: Seq[String], lgK: Int = 12)
+      : Either[WarehouseError, DataFrame] =
+    try {
+      if (!fs.exists(tablePath(name))) Left(TableNotFound(name))
+      else {
+        val fast = try { hllFromMetadata(name, cols) }
+          catch { case _: Exception => None }
+        fast match {
+          case Some(df) => Right(df)
+          case None => get(name) match {
+            case Left(e) => Left(e)
+            case Right(full) =>
+              cols.foreach(c => require(full.columns.contains(c),
+                s"approxDistinctFast: no such column $c"))
+              val aggs = cols.map(c => round(hll_sketch_estimate(
+                hll_sketch_agg(col(s"`$c`"), lit(lgK))))
+                .cast("long").as(s"approx_distinct_$c"))
+              Right(full.agg(aggs.head, aggs.tail: _*))
+          }
+        }
+      }
+    } catch {
+      case e: Exception => Left(TableGenericError(e.getMessage, Some(e)))
+    }
+
+  private def hllFromMetadata(name: String, cols: Seq[String])
+      : Option[DataFrame] = {
+    if (hasDeletionVectors(name) || !fs.exists(hllPath(name))) return None
+    val live = liveDataFiles(name).map(_._1).toSet
+    val rows = spark.read.parquet(hllPath(name).toString)
+      .select("rel", "column", "hll").collect() // KB-scale metadata
+      .filter(r => live.contains(r.getString(0)))
+    val byCol = rows.groupBy(_.getString(1))
+    val colExprs = cols.map { c =>
+      val rs = byCol.getOrElse(c, Array.empty)
+      if (!live.subsetOf(rs.map(_.getString(0)).toSet)) return None
+      val sketches = rs.flatMap(r => Option(r.getAs[Array[Byte]](2)))
+      if (sketches.isEmpty) lit(0L).as(s"approx_distinct_$c")
+      else {
+        // lgMaxK 21 (the library max) never downsamples: the union's
+        // effective precision is the stored sketches' own lgK
+        val u = new org.apache.datasketches.hll.Union(21)
+        sketches.foreach(b => u.update(
+          org.apache.datasketches.hll.HllSketch.heapify(b)))
+        lit(Math.round(u.getEstimate)).as(s"approx_distinct_$c")
+      }
+    }
+    Some(spark.range(1).select(colExprs: _*))
+  }
+
   /** [[get]] + filter with FILE-LEVEL pruning. Since the pruning lives
     * in the scan's `FileIndex` (r11: `GraftPruningFileIndex` — every
     * [[get]] frame prunes any predicate Catalyst pushes onto it, SQL

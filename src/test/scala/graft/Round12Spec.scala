@@ -474,6 +474,55 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("approxDistinctFast folds per-file HLL sketches from metadata — " +
+    "estimate identical to the same-estimator scan — and falls back " +
+    "on tombstones/uncovered files") {
+    val sps = spark; import sps.implicits._
+    val wh = tmpWh("graft-r12-hll")
+    val data = (0L until 50000L).map(i =>
+      (i % 12345, s"v${i % 777}", if (i % 5 == 0) None else Some(i % 99)))
+      .toDF("id", "name", "v")
+    unwrap(wh.load("t", data.repartition(6)))
+    assert(unwrap(wh.analyzeSketch("t", Seq("id", "name", "v"))) >= 6L)
+    // differential: union-of-per-file-sketches ≡ one-pass sketch (HLL
+    // union is register-wise max — deterministic, associative)
+    val want = unwrap(wh.get("t")).select(
+      expr("hll_sketch_estimate(hll_sketch_agg(id, 12))"),
+      expr("hll_sketch_estimate(hll_sketch_agg(name, 12))"),
+      expr("hll_sketch_estimate(hll_sketch_agg(v, 12))")).head
+    val got = unwrap(wh.approxDistinctFast("t", Seq("id", "name", "v"))).head
+    assert((0 to 2).forall(i => got.getLong(i) == want.getLong(i)),
+      s"metadata union drifts from one-pass sketch: $got vs $want")
+    // and the estimates are sane (within 5% of exact at lgK 12)
+    val exact = unwrap(wh.get("t"))
+      .agg(countDistinct("id"), countDistinct("name")).head
+    assert(math.abs(got.getLong(0) - exact.getLong(0)).toDouble /
+      exact.getLong(0) < 0.05)
+    // incremental: append → only new files sketched → still identical
+    unwrap(wh.load("t", (90000L until 91000L).map(i => (i, s"x$i", Some(i)))
+      .toDF("id", "name", "v").coalesce(1)))
+    val freshN = unwrap(wh.analyzeSketch("t", Seq("id", "name", "v")))
+    assert(freshN >= 1L && freshN <= 2L, s"expected ~1 new file, got $freshN")
+    val want2 = unwrap(wh.get("t")).select(
+      expr("hll_sketch_estimate(hll_sketch_agg(id, 12))")).head.getLong(0)
+    assert(unwrap(wh.approxDistinctFast("t", Seq("id"))).head.getLong(0)
+      == want2, "incremental sidecar drifts from one-pass sketch")
+    // all-null column → 0 distinct
+    unwrap(wh.load("t2", Seq((1L, None: Option[Long]), (2L, None))
+      .toDF("id", "w")))
+    unwrap(wh.analyzeSketch("t2", Seq("w")))
+    assert(unwrap(wh.approxDistinctFast("t2", Seq("w"))).head.getLong(0) == 0L)
+    // MoR tombstones: raw-file sketches would overcount — fall back to
+    // the live scan (same estimator, so equality against the live
+    // sketch still holds)
+    unwrap(wh.deleteWhereMor("t", col("id") >= 90000L))
+    val afterDv = unwrap(wh.approxDistinctFast("t", Seq("id"))).head.getLong(0)
+    val liveSketch = unwrap(wh.get("t")).select(
+      expr("hll_sketch_estimate(hll_sketch_agg(id, 12))")).head.getLong(0)
+    assert(afterDv == liveSketch,
+      s"tombstoned rows leaked into the estimate: $afterDv vs $liveSketch")
+  }
+
   test("statsAggFast degrades to the scan path when the metadata probe " +
     "throws (corrupt sidecar), instead of failing the query") {
     val sps = spark; import sps.implicits._
