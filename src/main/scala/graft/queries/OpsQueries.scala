@@ -500,6 +500,33 @@ object OpsQueries {
       }
     }),
 
+    // ---- metadata-only SUM over DECIMAL columns (the reference maps
+    // NUMERIC/BIGNUMERIC to DecimalType — money columns): per-file
+    // exact decimal sums folded driver-side; the fold must land in
+    // EXACTLY the scan's SUM result type, value-identical to DuckDB's
+    // scan. Decimals are built from integral sources so the
+    // double→decimal cast is exact on both engines.
+    "op_stats_sum_decimal" -> ((s: SparkSession, dir: String) => {
+      val wh = tmpWarehouse(s)
+      val li = Tables(s, dir, "lineitem").select(
+        col("l_orderkey").cast("decimal(18,2)").as("price"),
+        col("l_linenumber").cast("decimal(9,3)").as("qty"))
+      wh.load("op_fastsum_dec_t", li.repartition(6)) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.analyzeStats("op_fastsum_dec_t") match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.statsSumFast("op_fastsum_dec_t", Seq("price", "qty")) match {
+        case Right(df) => df.select(col("cnt"),
+          col("sum_price").cast("string").as("sum_price"),
+          col("sum_qty").cast("string").as("sum_qty"))
+        case Left(e) => throw new RuntimeException(e.message)
+      }
+    }),
+
     // ---- metadata-only approx COUNT(DISTINCT): per-file HLL sketches
     // unioned driver-side with zero data files read. The sketch
     // estimate itself is asserted in-gate (within 5% of exact AND
@@ -1188,6 +1215,13 @@ object OpsQueries {
       """SELECT CAST(count(*) AS BIGINT) AS cnt,
         |       CAST(sum(l_orderkey) AS BIGINT) AS sum_l_orderkey,
         |       CAST(sum(l_linenumber) AS BIGINT) AS sum_l_linenumber
+        |FROM lineitem""".stripMargin,
+    "op_stats_sum_decimal" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(CAST(l_orderkey AS DECIMAL(18,2))) AS VARCHAR)
+        |         AS sum_price,
+        |       CAST(sum(CAST(l_linenumber AS DECIMAL(9,3))) AS VARCHAR)
+        |         AS sum_qty
         |FROM lineitem""".stripMargin,
     "op_delete_where" ->
       """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders

@@ -36,13 +36,16 @@ object Skipping {
 
   /** Stats for one column of one file. `vmin`/`vmax` are None when every
     * row of the file is null in that column. `vsum` is the file's exact
-    * column sum (nulls skipped, decimal string) — kept only for
-    * INTEGRAL columns, where per-file sums are exact and associative,
-    * so a metadata-only SUM can fold them; floats are excluded (their
-    * addition is not associative, so a fold could differ from a scan)
-    * and decimals are excluded (per-file overflow-widening would need
-    * its own protocol). None = not an integral column, or an old
-    * sidecar generation predating sums.
+    * column sum (nulls skipped, decimal string) — kept for INTEGRAL and
+    * DECIMAL columns, where per-file sums are exact and associative, so
+    * a metadata-only SUM can fold them; floats are excluded (their
+    * addition is not associative, so a fold could differ from a scan).
+    * Decimal sums are collected with `try_sum` at the column's
+    * SUM-result precision: a per-file precision overflow yields a null
+    * `vsum` (NOT an error), which the fold treats as "must scan" — the
+    * same refusal discipline the driver-side Long-range check applies
+    * to the global fold. None = unsupported column type, a per-file
+    * overflow, or an old sidecar generation predating sums.
     */
   final case class ColStats(dtype: String, rows: Long, nulls: Long,
                             vmin: Option[String], vmax: Option[String],

@@ -897,10 +897,13 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
       Skipping.supported(f.dataType)).toSeq
     if (supported.isEmpty) None
     else Some {
-      // per-file exact sums for integral columns only (see
-      // [[Skipping.ColStats]]): decimal(38,0) accumulation cannot
-      // overflow at any realistic file size, and the encoded string is
-      // exact for the driver-side fold
+      // per-file exact sums for integral and decimal columns (see
+      // [[Skipping.ColStats]]): integral accumulation in decimal(38,0)
+      // cannot overflow at any realistic file size; decimal columns sum
+      // via try_sum at Spark's own SUM-result precision, so a per-file
+      // precision overflow becomes a null vsum (→ the metadata fold
+      // refuses and the caller scans) instead of an analyze-time error.
+      // Both encoded strings are exact for the driver-side fold.
       def integral(dt: org.apache.spark.sql.types.DataType): Boolean =
         dt match {
           case org.apache.spark.sql.types.ByteType |
@@ -909,13 +912,19 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
                org.apache.spark.sql.types.LongType => true
           case _ => false
         }
+      def sumCol(f: org.apache.spark.sql.types.StructField,
+                 c: Column): Option[Column] = f.dataType match {
+        case dt if integral(dt) =>
+          Some(sum(c.cast("decimal(38,0)")).cast("string"))
+        case _: org.apache.spark.sql.types.DecimalType =>
+          Some(try_sum(c).cast("string"))
+        case _ => None
+      }
       val aggs = supported.zipWithIndex.flatMap { case (f, i) =>
         val c = col(s"`${f.name}`")
         Seq(min(c).as(s"_mn$i"), max(c).as(s"_mx$i"),
           sum(c.isNull.cast("long")).as(s"_nl$i")) ++
-          (if (integral(f.dataType))
-            Seq(sum(c.cast("decimal(38,0)")).cast("string").as(s"_sm$i"))
-          else Nil)
+          sumCol(f, c).map(_.as(s"_sm$i")).toSeq
       }
       val wide = raw
         .select(col("*"), relPathCol(name).as("__rel"))
@@ -927,7 +936,7 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
           col(s"_nl$i").as("nulls"),
           Skipping.encode(col(s"_mn$i"), f.dataType).as("vmin"),
           Skipping.encode(col(s"_mx$i"), f.dataType).as("vmax"),
-          (if (integral(f.dataType)) col(s"_sm$i")
+          (if (sumCol(f, col(s"`${f.name}`")).isDefined) col(s"_sm$i")
           else lit(null).cast("string")).as("vsum"))
       }
       wide.select(col("rel"), col("rows"),
@@ -1619,16 +1628,21 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     Some(spark.range(1).select(lit(cnt).as("cnt") +: colExprs.flatten: _*))
   }
 
-  /** Metadata-only COUNT(*) + exact SUM over INTEGRAL columns — the
-    * per-micro-partition aggregate fold engines like Snowflake serve
-    * dashboards from. Same soundness contract as [[statsAggFast]]
+  /** Metadata-only COUNT(*) + exact SUM over INTEGRAL and DECIMAL
+    * columns — the per-micro-partition aggregate fold engines like
+    * Snowflake serve dashboards from (decimals matter because the
+    * reference maps NUMERIC/BIGNUMERIC to DecimalType,
+    * `bigquery/schema.py:84-85` — money columns are exactly what SUM
+    * dashboards hit). Same soundness contract as [[statsAggFast]]
     * (served from the sidecar only when provably exact, else silently
     * computed by a real scan): additionally every non-empty file must
-    * carry a `vsum` for the column (old sidecar generations and
-    * non-integral columns force the scan), and a fold that leaves the
-    * Long range falls back so the scan raises Spark's own ANSI
-    * overflow instead of silently wrapping. Result: one row
-    * `cnt, sum_<c>…` with Spark's sum-of-integral type (LongType).
+    * carry a `vsum` for the column (old sidecar generations, float
+    * columns, and per-file decimal overflows force the scan), and a
+    * fold that leaves the result type's range falls back so the scan
+    * raises Spark's own ANSI overflow instead of silently wrapping.
+    * Result: one row `cnt, sum_<c>…` in exactly the type a scan's
+    * SUM would produce (LongType for integrals; decimal(min(38, p+10),
+    * s) for decimal(p, s)).
     */
   def statsSumFast(name: String, cols: Seq[String])
       : Either[WarehouseError, DataFrame] =
@@ -1669,12 +1683,20 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     def rowsOf(rel: String): Long = stats(rel).head._2.rows
     val cnt = live.map(rowsOf).sum
     val colExprs = cols.map { c =>
-      schema(c).dataType match {
+      import org.apache.spark.sql.types.{DecimalType, LongType}
+      // (expected sidecar tag, SQL SUM result type): integrals sum to
+      // LONG; decimal(p,s) sums to decimal(min(38, p+10), s) — the
+      // metadata literal must land in EXACTLY the type a scan would
+      // produce, or downstream unions/joins would see a schema drift.
+      val (tag, resultType) = schema(c).dataType match {
         case org.apache.spark.sql.types.ByteType |
              org.apache.spark.sql.types.ShortType |
              org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.LongType => ()
-        case _ => return None // sums kept for integral columns only
+             org.apache.spark.sql.types.LongType =>
+          ("integral", LongType: org.apache.spark.sql.types.DataType)
+        case d: DecimalType =>
+          ("decimal", DecimalType(math.min(38, d.precision + 10), d.scale))
+        case _ => return None // sums kept for integral/decimal columns
       }
       var total = BigDecimal(0)
       var anyNonNull = false
@@ -1683,17 +1705,31 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
           case None => return None // rows exist but no stats for c
           case Some(cs) if cs.nulls == cs.rows => () // all-null: skip
           case Some(cs) => cs.vsum match {
-            case Some(s) if cs.dtype == "integral" =>
+            case Some(s) if cs.dtype == tag =>
               total += BigDecimal(s); anyNonNull = true
-            case _ => return None // pre-vsum sidecar or stale type
+            // null vsum on a non-all-null decimal file = the analyze
+            // pass's try_sum refused a per-file precision overflow;
+            // pre-vsum sidecars and stale types land here too → scan
+            case _ => return None
           }
         }
       }
       if (!anyNonNull) // SQL SUM over zero non-null values is NULL
-        lit(null).cast(org.apache.spark.sql.types.LongType).as(s"sum_$c")
-      else if (total < BigDecimal(Long.MinValue) ||
-        total > BigDecimal(Long.MaxValue)) return None // ANSI: scan throws
-      else lit(total.toLong).as(s"sum_$c")
+        lit(null).cast(resultType).as(s"sum_$c")
+      else resultType match {
+        case LongType =>
+          if (total < BigDecimal(Long.MinValue) ||
+            total > BigDecimal(Long.MaxValue)) return None // ANSI: scan throws
+          else lit(total.toLong).as(s"sum_$c")
+        case dt: DecimalType =>
+          // fits iff |total| < 10^(p - s); outside, refuse exactly like
+          // the Long path so the scan raises Spark's own overflow
+          val limit = BigDecimal(10).pow(dt.precision - dt.scale)
+          if (total <= -limit || total >= limit) return None
+          else lit(total.underlying.setScale(dt.scale))
+            .cast(dt).as(s"sum_$c")
+        case other => throw new IllegalStateException(s"unreachable $other")
+      }
     }
     Some(spark.range(1).select(lit(cnt).as("cnt") +: colExprs: _*))
   }
@@ -1731,12 +1767,15 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     * values (source/language keys) get EXACT dictionary ranks — one
     * bounded distinct pass, UTF-8-sorted, broadcast-joined — so no two
     * distinct values ever share a bucket rank; higher-cardinality
-    * strings (urls, ids) use their first 8 UTF-8 bytes read as an
-    * unsigned big-endian integer (monotone under Spark's UTF-8 string
-    * order; values sharing an 8-byte prefix collapse into one bucket,
+    * strings (urls, ids) use 8 UTF-8 bytes read as an unsigned
+    * big-endian integer, taken AFTER stripping the column-global longest
+    * common prefix of [min,max] (every in-range value must share it, so
+    * the strip is order-preserving on the actual domain; without it a
+    * shared "https://" scheme would consume the whole window). Values
+    * still tied after the stripped window collapse into one bucket,
     * which costs curve resolution, never correctness — the layout is
     * performance-only and [[analyzeStats]] re-derives bounds from the
-    * actual values). The bucket-rank HOF is interpreted but runs once,
+    * actual values. The bucket-rank HOF is interpreted but runs once,
     * inside a one-off rewrite. Re-run [[analyzeStats]] afterwards — the
     * rewrite, like every [[materializeSwap]], produces new files with
     * no stats.
@@ -1780,14 +1819,22 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
           // bounded-distinct check.
           val stringZ = zCols.filter(c =>
             existing.schema(c).dataType == StringType)
-          val approxCounts: Map[String, Long] =
-            if (stringZ.isEmpty) Map.empty
+          // single scan: approx cardinality (dictionary eligibility) AND
+          // global [min,max] (common-prefix strip for the 8-byte proxy)
+          val (approxCounts, stringBounds):
+              (Map[String, Long], Map[String, (String, String)]) =
+            if (stringZ.isEmpty) (Map.empty, Map.empty)
             else {
-              val aggs = stringZ.map(c =>
-                approx_count_distinct(col(s"`$c`")).as(c))
+              val aggs = stringZ.flatMap(c => Seq(
+                approx_count_distinct(col(s"`$c`")).as(s"c_$c"),
+                min(col(s"`$c`")).as(s"lo_$c"),
+                max(col(s"`$c`")).as(s"hi_$c")))
               val row = existing.agg(aggs.head, aggs.tail: _*).head
-              stringZ.zipWithIndex.map { case (c, i) =>
-                c -> row.getLong(i) }.toMap
+              (stringZ.zipWithIndex.map { case (c, i) =>
+                c -> row.getLong(3 * i) }.toMap,
+               stringZ.zipWithIndex.map { case (c, i) =>
+                c -> ((row.getString(3 * i + 1), row.getString(3 * i + 2)))
+               }.toMap)
             }
           val dictRanks: Map[String, Option[Map[String, Int]]] =
             zCols.map { c =>
@@ -1806,6 +1853,26 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
           val dictColName: Map[String, String] = zCols.zipWithIndex
             .collect { case (c, i) if dictRanks(c).isDefined =>
               c -> s"__graft_zdict_$i" }.toMap
+          // For high-cardinality strings, every value in [min,max] (byte
+          // order) must start with the longest common UTF-8 prefix of the
+          // two bounds — a value diverging from it inside those bytes
+          // would sort outside the hull. Stripping that prefix before the
+          // 8-byte window is therefore order-preserving on the actual
+          // domain, and restores curve resolution on URL-shaped keys
+          // where a shared "https://…" scheme would otherwise consume
+          // the whole window and collapse the dimension to one bucket.
+          val prefixStrip: Map[String, Int] = stringZ
+            .filterNot(dictColName.contains).map { c =>
+              val (lo, hi) = stringBounds(c)
+              val l = if (lo == null || hi == null) 0 else {
+                val a = lo.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                val b = hi.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                var j = 0
+                while (j < a.length && j < b.length && a(j) == b(j)) j += 1
+                j
+              }
+              c -> l
+            }.toMap
           // base frame with dictionary ranks attached (broadcast joins
           // against tiny rank tables; null keys → null rank → bucket 0)
           val prepared = dictColName.foldLeft(existing) {
@@ -1830,12 +1897,14 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
               case StringType if dictColName.contains(c) =>
                 col(dictColName(c)).cast("double")
               case StringType =>
-                // first 8 UTF-8 bytes as an unsigned big-endian value:
+                // first 8 UTF-8 bytes PAST the column's global common
+                // prefix, read as an unsigned big-endian value:
                 // right-padding the HEX with '0' appends zero bytes, so
                 // shorter strings sort before their extensions exactly
                 // as the byte order does
-                conv(rpad(hex(substring(v.cast("binary"), 1, 8)), 16, "0"),
-                  16, 10).cast("double")
+                val off = prefixStrip.getOrElse(c, 0)
+                conv(rpad(hex(substring(v.cast("binary"), off + 1, 8)),
+                  16, "0"), 16, 10).cast("double")
               case other => throw new IllegalArgumentException(
                 s"unreachable: $other passed the z-order type guard")
             }
