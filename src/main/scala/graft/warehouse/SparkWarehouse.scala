@@ -840,44 +840,48 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     checkedRename(tmp, dir)
   }
 
+  /** One-column DataFrame of rel paths — the driver's live-file list
+    * lifted into the cluster so every sidecar coverage computation is
+    * a JOIN against it instead of a driver-side collect of the sidecar
+    * (at ~10⁶ files × cols the collected pair set is exactly the
+    * driver-memory scale-killer incremental analyze exists to avoid;
+    * the local relation broadcasts when small and shuffles when not,
+    * which is the right behavior at both ends).
+    */
+  private def relsDf(rels: Seq[String]): DataFrame = {
+    val sps = spark
+    import sps.implicits._
+    rels.toDF("rel")
+  }
+
   /** Mark analyzed files that produced NO sidecar rows (empty part
     * files; for blooms, files all-null in every tracked column) with a
     * sentinel row under the empty column name, so the incremental pass
     * never rescans them. Lookups key on real attribute names, miss the
     * sentinel, and read the file — sound, and trivially cheap for the
-    * empty files this covers.
+    * empty files this covers. Missing rels are found with a
+    * distributed LEFT ANTI join (never a collect of the covered set);
+    * `mk` turns the missing-rel frame into sentinel rows.
     */
   private def appendSentinels(dir: Path, expected: Seq[String],
-                              mk: Seq[String] => DataFrame): Unit = {
-    val covered = spark.read.parquet(dir.toString).select("rel").distinct()
-      .collect().map(_.getString(0)).toSet
-    val missing = expected.filterNot(covered.contains)
-    if (missing.nonEmpty)
-      mk(missing).write.mode(SaveMode.Append).parquet(dir.toString)
+                              mk: DataFrame => DataFrame): Unit = {
+    val covered = spark.read.parquet(dir.toString).select("rel")
+    val missing = relsDf(expected)
+      .join(covered, Seq("rel"), "left_anti").cache()
+    try {
+      if (!missing.isEmpty)
+        mk(missing).write.mode(SaveMode.Append).parquet(dir.toString)
+    } finally missing.unpersist()
   }
 
-  private val statsSidecarSchema = StructType(Seq(
-    org.apache.spark.sql.types.StructField("rel",
-      org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("rows",
-      org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("column",
-      org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("dtype",
-      org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("nulls",
-      org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("vmin",
-      org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("vmax",
-      org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("vsum",
-      org.apache.spark.sql.types.StringType)))
-
-  private def statsSentinels(rels: Seq[String]): DataFrame =
-    spark.createDataFrame(
-      rels.map(r => org.apache.spark.sql.Row(
-        r, 0L, "", "none", 0L, null, null, null)).asJava, statsSidecarSchema)
+  // sentinel rows for a frame of uncovered rels (plan-only transform —
+  // composes with the anti-join in [[appendSentinels]])
+  private def statsSentinels(missing: DataFrame): DataFrame =
+    missing.select(col("rel"), lit(0L).as("rows"), lit("").as("column"),
+      lit("none").as("dtype"), lit(0L).as("nulls"),
+      lit(null).cast("string").as("vmin"),
+      lit(null).cast("string").as("vmax"),
+      lit(null).cast("string").as("vsum"))
 
   private val bloomSidecarSchema = StructType(Seq(
     org.apache.spark.sql.types.StructField("rel",
@@ -987,22 +991,31 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
           }
         } else {
           val live = liveDataFiles(name)
-          val liveRels = live.map(_._1).toSet
+          val liveDf = relsDf(live.map(_._1))
           val oldRows = readStatsSidecar(name)
-          val oldRels = oldRows.select("rel").distinct()
+          // coverage math is DISTRIBUTED: fresh rels via LEFT ANTI
+          // against the sidecar's rel column (the collect is bounded by
+          // the NEW files — which must come to the driver anyway to be
+          // listed as scan paths), dead detection/cleanup via LEFT
+          // ANTI/SEMI against the live list. The sidecar's own rel set
+          // is never collected — at ~10⁶ files that collect on every
+          // no-op incremental call was the avoidable driver cost.
+          val freshRels = liveDf
+            .join(oldRows.select("rel"), Seq("rel"), "left_anti")
             .collect().map(_.getString(0)).toSet
-          val fresh = live.filterNot { case (rel, _) => oldRels.contains(rel) }
-          val dead = oldRels.diff(liveRels)
+          val fresh = live.filter { case (rel, _) => freshRels.contains(rel) }
           // dead-rel rows (partition-pruned deletes, manual file drops)
           // are cleaned even when nothing fresh exists — otherwise they
           // linger in the sidecar and driver caches until some append
           // triggers a write pass (they are harmless for pruning, which
           // walks live files, but they bloat every cache reload)
+          val hasDead = !oldRows.select("rel")
+            .join(liveDf, Seq("rel"), "left_anti").isEmpty
           def dropDead(rows: DataFrame): DataFrame =
-            if (dead.isEmpty) rows
-            else rows.filter(!col("rel").isin(dead.toSeq: _*))
+            if (!hasDead) rows
+            else rows.join(liveDf, Seq("rel"), "left_semi")
           if (fresh.isEmpty) {
-            if (dead.nonEmpty) swapSidecar(statsPath(name), dropDead(oldRows))
+            if (hasDead) swapSidecar(statsPath(name), dropDead(oldRows))
             Right(0L)
           } else {
             val raw = spark.read.option("mergeSchema", "true")
@@ -1010,7 +1023,7 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
               .parquet(fresh.map(_._2.toString): _*)
             statsRowsOf(name, raw) match {
               case None =>
-                if (dead.nonEmpty)
+                if (hasDead)
                   swapSidecar(statsPath(name), dropDead(oldRows))
                 Right(0L)
               case Some(newRows) =>
@@ -1080,6 +1093,9 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
           f
         }
         val live = liveDataFiles(name)
+        val liveDf = relsDf(live.map(_._1))
+        val colsDf = { val sps = spark; import sps.implicits._
+          cols.toDF("column") }
         val haveSidecar = fs.exists(bloomPath(name))
         // coverage is per-(file, column), NOT per-file: an incremental
         // call with a WIDER column set must build filters for the new
@@ -1087,32 +1103,37 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
         // return 0 and silently defeat the user's intent). Legacy
         // empty-column sentinels (pre-r12 sidecars recorded "analyzed,
         // no rows" without naming columns) cover nothing and their
-        // files are rebuilt once — sound, a one-time cost.
+        // files are rebuilt once — sound, a one-time cost. The needed
+        // pair set (live × requested cols) LEFT ANTI the sidecar's
+        // covered pairs is computed DISTRIBUTED — the sidecar's pair
+        // set is never collected (O(files × cols) driver memory at
+        // exactly the scale this verb targets); only the FRESH rels
+        // come to the driver, which they must anyway as scan paths.
         val (fresh, keptOld) =
           if (!incremental || !haveSidecar) (live, None)
           else {
             val oldRows = spark.read.parquet(bloomPath(name).toString)
               .select("rel", "column", "bloom")
-            val pairs = oldRows.select("rel", "column").collect()
-              .filter(_.getString(1).nonEmpty)
-              .map(r => (r.getString(0), r.getString(1))).toSet
-            (live.filter { case (rel, _) =>
-              cols.exists(c => !pairs.contains((rel, c))) },
+            val covered = oldRows.select("rel", "column")
+              .filter(col("column") =!= "")
+            val freshRels = liveDf.crossJoin(colsDf)
+              .join(covered, Seq("rel", "column"), "left_anti")
+              .select("rel").distinct()
+              .collect().map(_.getString(0)).toSet
+            (live.filter { case (rel, _) => freshRels.contains(rel) },
               Some(oldRows))
           }
-        val liveRels = live.map(_._1).toSet
-        def deadOf(oldRows: DataFrame): Set[String] =
-          oldRows.select("rel").distinct()
-            .collect().map(_.getString(0)).toSet.diff(liveRels)
         if (fresh.isEmpty) {
           // nothing to build, but dead-rel rows (partition-pruned
           // deletes) are still cleaned rather than deferred to the
-          // next append
+          // next append — existence decided distributed, cleanup via
+          // LEFT SEMI against the live list
           keptOld.foreach { oldRows =>
-            val dead = deadOf(oldRows)
-            if (dead.nonEmpty)
+            val hasDead = !oldRows.select("rel")
+              .join(liveDf, Seq("rel"), "left_anti").isEmpty
+            if (hasDead)
               swapSidecar(bloomPath(name),
-                oldRows.filter(!col("rel").isin(dead.toSeq: _*)))
+                oldRows.join(liveDf, Seq("rel"), "left_semi"))
           }
           Right(0L)
         } else {
@@ -1181,48 +1202,45 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
               }
               spark.createDataFrame(rowRdd, bloomSidecarSchema)
             }
+          val freshDf = relsDf(fresh.map(_._1))
           keptOld match {
             case None =>
               newRows.write.mode(SaveMode.Overwrite)
                 .parquet(bloomPath(name).toString)
             case Some(oldRows) =>
-              val dead = deadOf(oldRows)
-              val freshRels = fresh.map(_._1).toSeq
-              // drop dead rels AND the (fresh rel × requested col) rows
-              // being rebuilt this pass (plus legacy "" sentinels on
-              // fresh rels) — other columns' filters on fresh files are
-              // untouched
+              // drop dead rels (LEFT SEMI against the live list) AND
+              // the (fresh rel × requested col) rows being rebuilt this
+              // pass (pair LEFT ANTI, plus legacy "" sentinels on fresh
+              // rels) — other columns' filters on fresh files are
+              // untouched. All joins: no O(#files) isin expression, no
+              // collected pair set.
               val kept = oldRows
-                .filter(if (dead.isEmpty) lit(true)
-                  else !col("rel").isin(dead.toSeq: _*))
-                .filter(!(col("rel").isin(freshRels: _*) &&
-                  (col("column").isin(cols: _*) || col("column") === "")))
+                .join(liveDf, Seq("rel"), "left_semi")
+                .join(freshDf.crossJoin(colsDf),
+                  Seq("rel", "column"), "left_anti")
+                .join(freshDf.withColumn("column", lit("")),
+                  Seq("rel", "column"), "left_anti")
               swapSidecar(bloomPath(name), kept.unionByName(newRows))
           }
           // per-(file, column) sentinels: a fresh pair that produced no
           // filter (file all-null in that column, or the file's schema
           // generation predates the column) is marked with a NULL bloom
           // so the next incremental pass never rescans it; lookups
-          // ignore null filters (absent filter → always read: sound)
-          val freshSet = fresh.map(_._1).toSet
+          // ignore null filters (absent filter → always read: sound).
+          // Missing pairs via a distributed pair LEFT ANTI over a
           // projection-only read (parquet never touches the binary
-          // column); membership filtered driver-side — an isin() with
-          // one literal per fresh file would build an O(#files)
-          // expression at exactly the scale this feature targets
+          // column) — nothing pair-shaped is ever collected.
           val producedPairs = spark.read.parquet(bloomPath(name).toString)
             .select("rel", "column")
-            .collect().map(r => (r.getString(0), r.getString(1)))
-            .filter { case (rel, _) => freshSet.contains(rel) }.toSet
-          val missingPairs = for {
-            (rel, _) <- fresh; c <- cols
-            if !producedPairs.contains((rel, c))
-          } yield (rel, c)
-          if (missingPairs.nonEmpty)
-            spark.createDataFrame(
-              missingPairs.map { case (r, c) =>
-                org.apache.spark.sql.Row(r, c, null) }.asJava,
-              bloomSidecarSchema)
-              .write.mode(SaveMode.Append).parquet(bloomPath(name).toString)
+          val missingPairs = freshDf.crossJoin(colsDf)
+            .join(producedPairs, Seq("rel", "column"), "left_anti").cache()
+          try {
+            if (!missingPairs.isEmpty)
+              missingPairs.select(col("rel"), col("column"),
+                lit(null).cast("binary").as("bloom"))
+                .write.mode(SaveMode.Append)
+                .parquet(bloomPath(name).toString)
+          } finally missingPairs.unpersist()
           Right(fresh.size.toLong)
         }
       }
@@ -1238,7 +1256,20 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     org.apache.spark.sql.types.StructField("column",
       org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("hll",
-      org.apache.spark.sql.types.BinaryType)))
+      org.apache.spark.sql.types.BinaryType),
+    org.apache.spark.sql.types.StructField("lgk",
+      org.apache.spark.sql.types.IntegerType)))
+
+  // legacy (pre-r13) HLL sidecars carry no lgk column: normalize to the
+  // current shape with a null lgk, which no caller precision can match
+  // — those rows are rebuilt by the next analyze and never served at a
+  // precision they might not have (sound, a one-time cost)
+  private def readHllSidecar(name: String): DataFrame = {
+    val raw = spark.read.parquet(hllPath(name).toString)
+    (if (raw.columns.contains("lgk")) raw
+     else raw.withColumn("lgk", lit(null).cast("int")))
+      .select("rel", "column", "hll", "lgk")
+  }
 
   /** Build per-file HLL sketches (DataSketches, the library behind
     * Spark's own `hll_sketch_agg`) for `cols` into the `_graft_hll/`
@@ -1250,8 +1281,12 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     * same immutability/sentinel/dead-rel discipline as
     * [[analyzeBloom]]; a file all-null in a column stores a NULL
     * sketch (union skips it — an empty stream contributes nothing).
-    * Sketches are ~1-4 KB each and are never held decoded on the
-    * driver, so no cache budget applies.
+    * Each row records the `lgK` it was sketched at, and incremental
+    * coverage is lgK-aware: pairs stored at a DIFFERENT precision are
+    * rebuilt, so the sidecar converges to the requested precision (and
+    * [[approxDistinctFast]] can refuse to mix precisions). Sketches
+    * are ~1-4 KB each and are never held decoded on the driver, so no
+    * cache budget applies.
     */
   def analyzeSketch(name: String, cols: Seq[String], lgK: Int = 12,
                     incremental: Boolean = true)
@@ -1267,28 +1302,36 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
         cols.foreach(c => require(full.columns.contains(c),
           s"no such column: $c"))
         val live = liveDataFiles(name)
+        val liveDf = relsDf(live.map(_._1))
+        val colsDf = { val sps = spark; import sps.implicits._
+          cols.toDF("column") }
         val haveSidecar = fs.exists(hllPath(name))
+        // coverage is per-(file, column) AT THE REQUESTED lgK: a pair
+        // stored at a different precision (or a legacy row with no lgk)
+        // is NOT covered and gets rebuilt, so the sidecar converges to
+        // the requested precision instead of silently keeping a mix.
+        // Computed distributed (pair LEFT ANTI) — the sidecar's pair
+        // set is never collected; only fresh rels reach the driver.
         val (fresh, keptOld) =
           if (!incremental || !haveSidecar) (live, None)
           else {
-            val oldRows = spark.read.parquet(hllPath(name).toString)
-              .select("rel", "column", "hll")
-            val pairs = oldRows.select("rel", "column").collect()
-              .map(r => (r.getString(0), r.getString(1))).toSet
-            (live.filter { case (rel, _) =>
-              cols.exists(c => !pairs.contains((rel, c))) },
+            val oldRows = readHllSidecar(name)
+            val covered = oldRows.filter(col("lgk") === lit(lgK))
+              .select("rel", "column")
+            val freshRels = liveDf.crossJoin(colsDf)
+              .join(covered, Seq("rel", "column"), "left_anti")
+              .select("rel").distinct()
+              .collect().map(_.getString(0)).toSet
+            (live.filter { case (rel, _) => freshRels.contains(rel) },
               Some(oldRows))
           }
-        val liveRels = live.map(_._1).toSet
-        def deadOf(oldRows: DataFrame): Set[String] =
-          oldRows.select("rel").distinct()
-            .collect().map(_.getString(0)).toSet.diff(liveRels)
         if (fresh.isEmpty) {
           keptOld.foreach { oldRows =>
-            val dead = deadOf(oldRows)
-            if (dead.nonEmpty)
+            val hasDead = !oldRows.select("rel")
+              .join(liveDf, Seq("rel"), "left_anti").isEmpty
+            if (hasDead)
               swapSidecar(hllPath(name),
-                oldRows.filter(!col("rel").isin(dead.toSeq: _*)))
+                oldRows.join(liveDf, Seq("rel"), "left_semi"))
           }
           Right(0L)
         } else {
@@ -1310,43 +1353,43 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
                 .groupBy(col("__rel").as("rel"))
                 .agg(aggs.head, aggs.tail: _*)
               val entries = present.map(c =>
-                struct(lit(c).as("column"), col(s"`$c`").as("hll")))
+                struct(lit(c).as("column"), col(s"`$c`").as("hll"),
+                  lit(lgK).as("lgk")))
               wide.select(col("rel"), explode(array(entries: _*)).as("e"))
                 .select(col("rel"), col("e.column").as("column"),
-                  col("e.hll").as("hll"))
+                  col("e.hll").as("hll"), col("e.lgk").as("lgk"))
             }
+          val freshDf = relsDf(fresh.map(_._1))
           keptOld match {
             case None =>
               newRows.write.mode(SaveMode.Overwrite)
                 .parquet(hllPath(name).toString)
             case Some(oldRows) =>
-              val dead = deadOf(oldRows)
-              val freshRels = fresh.map(_._1).toSet
+              // dead rels out via LEFT SEMI, rebuilt pairs (any stored
+              // lgk) out via pair LEFT ANTI — all joins, no collects
               val kept = oldRows
-                .filter(if (dead.isEmpty) lit(true)
-                  else !col("rel").isin(dead.toSeq: _*))
-                .filter(!(col("rel").isin(freshRels.toSeq: _*) &&
-                  col("column").isin(cols: _*)))
+                .join(liveDf, Seq("rel"), "left_semi")
+                .join(freshDf.crossJoin(colsDf),
+                  Seq("rel", "column"), "left_anti")
               swapSidecar(hllPath(name), kept.unionByName(newRows))
           }
           // per-(file, column) sentinels for pairs that produced no
           // row (file's schema generation predates the column): NULL
-          // sketch = analyzed, nothing to count
-          val freshSet = fresh.map(_._1).toSet
+          // sketch = analyzed at this lgK, nothing to count. Missing
+          // pairs via a distributed pair LEFT ANTI (projection-only
+          // read; the binary column is never touched).
           val producedPairs = spark.read.parquet(hllPath(name).toString)
             .select("rel", "column")
-            .collect().map(r => (r.getString(0), r.getString(1)))
-            .filter { case (rel, _) => freshSet.contains(rel) }.toSet
-          val missingPairs = for {
-            (rel, _) <- fresh; c <- cols
-            if !producedPairs.contains((rel, c))
-          } yield (rel, c)
-          if (missingPairs.nonEmpty)
-            spark.createDataFrame(
-              missingPairs.map { case (r, c) =>
-                org.apache.spark.sql.Row(r, c, null) }.asJava,
-              hllSidecarSchema)
-              .write.mode(SaveMode.Append).parquet(hllPath(name).toString)
+          val missingPairs = freshDf.crossJoin(colsDf)
+            .join(producedPairs, Seq("rel", "column"), "left_anti").cache()
+          try {
+            if (!missingPairs.isEmpty)
+              missingPairs.select(col("rel"), col("column"),
+                lit(null).cast("binary").as("hll"),
+                lit(lgK).as("lgk"))
+                .write.mode(SaveMode.Append)
+                .parquet(hllPath(name).toString)
+          } finally missingPairs.unpersist()
           Right(fresh.size.toLong)
         }
       }
@@ -1359,20 +1402,24 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     * the exact operation `hll_union_agg` performs) with zero data
     * files read. Served from metadata only when provably equivalent to
     * sketching the live rows — no merge-on-read tombstones (a raw-file
-    * sketch would count deleted rows) and every live file covered for
-    * every requested column — else silently computed by a real scan
-    * WITH THE SAME ESTIMATOR (`hll_sketch_agg` at the sidecar's lgK is
-    * not recoverable, so the fallback uses the same default), so both
-    * paths return DataSketches estimates. Result: one row
-    * `approx_distinct_<c>…` as LongType (rounded estimates, matching
-    * `approx_count_distinct`'s integral contract).
+    * sketch would count deleted rows), every live file covered for
+    * every requested column, AND every contributing sketch built at
+    * the CALLER's `lgK` (the sidecar stores its lgK per row since r13;
+    * a stored precision that differs from the requested one — or a
+    * legacy row with no recorded lgK — takes the scan path, so the
+    * same query never silently returns two precisions depending on
+    * coverage state) — else silently computed by a real scan WITH THE
+    * SAME ESTIMATOR at the requested lgK, so both paths return
+    * DataSketches estimates. Result: one row `approx_distinct_<c>…` as
+    * LongType (rounded estimates, matching `approx_count_distinct`'s
+    * integral contract).
     */
   def approxDistinctFast(name: String, cols: Seq[String], lgK: Int = 12)
       : Either[WarehouseError, DataFrame] =
     try {
       if (!fs.exists(tablePath(name))) Left(TableNotFound(name))
       else {
-        val fast = try { hllFromMetadata(name, cols) }
+        val fast = try { hllFromMetadata(name, cols, lgK) }
           catch { case _: Exception => None }
         fast match {
           case Some(df) => Right(df)
@@ -1392,22 +1439,34 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
       case e: Exception => Left(TableGenericError(e.getMessage, Some(e)))
     }
 
-  private def hllFromMetadata(name: String, cols: Seq[String])
+  private def hllFromMetadata(name: String, cols: Seq[String], lgK: Int)
       : Option[DataFrame] = {
     if (hasDeletionVectors(name) || !fs.exists(hllPath(name))) return None
     val live = liveDataFiles(name).map(_._1).toSet
-    val rows = spark.read.parquet(hllPath(name).toString)
-      .select("rel", "column", "hll").collect() // KB-scale metadata
+    // only the requested columns' rows come to the driver (the fold
+    // itself is a driver-side union over ~KB sketches; at extreme file
+    // counts the same fold could run as a distributed hll union, at
+    // the cost of the zero-jobs warm path)
+    val rows = readHllSidecar(name)
+      .filter(col("column").isin(cols: _*)).collect()
       .filter(r => live.contains(r.getString(0)))
     val byCol = rows.groupBy(_.getString(1))
     val colExprs = cols.map { c =>
       val rs = byCol.getOrElse(c, Array.empty)
       if (!live.subsetOf(rs.map(_.getString(0)).toSet)) return None
-      val sketches = rs.flatMap(r => Option(r.getAs[Array[Byte]](2)))
+      val withSketch = rs.filter(r => r.getAs[Array[Byte]](2) != null)
+      // precision discipline: every CONTRIBUTING sketch must have been
+      // built at the caller's lgK (null-hll sentinels contribute
+      // nothing and carry no precision); a mismatch or a legacy row
+      // with no recorded lgK refuses the metadata path
+      if (withSketch.exists(r => r.isNullAt(3) || r.getInt(3) != lgK))
+        return None
+      val sketches = withSketch.map(_.getAs[Array[Byte]](2))
       if (sketches.isEmpty) lit(0L).as(s"approx_distinct_$c")
       else {
         // lgMaxK 21 (the library max) never downsamples: the union's
-        // effective precision is the stored sketches' own lgK
+        // effective precision is the stored sketches' own (= caller's)
+        // lgK
         val u = new org.apache.datasketches.hll.Union(21)
         sketches.foreach(b => u.update(
           org.apache.datasketches.hll.HllSketch.heapify(b)))
