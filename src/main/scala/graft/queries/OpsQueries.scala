@@ -571,6 +571,36 @@ object OpsQueries {
       exact
     }),
 
+    // ---- prefix Bloom pruning: per-file filters over fixed-length key
+    // prefixes close files for LIKE 'q%' on a RANDOM (uncompacted)
+    // layout, where zone maps are blind. Results must equal the plain
+    // LIKE — DuckDB computes exactly that.
+    "op_prefix_bloom" -> ((s: SparkSession, dir: String) => {
+      val wh = tmpWarehouse(s)
+      val orders = Tables(s, dir, "orders").select(
+        concat(lit("https://"), col("o_orderpriority"), lit("/o"),
+          col("o_orderkey").cast("string")).as("url"),
+        col("o_orderkey"))
+      // random layout on purpose: no compact, no sort
+      wh.load("op_pfxbloom_t", orders.repartition(8)) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.analyzeStats("op_pfxbloom_t") match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.analyzeBloom("op_pfxbloom_t", Seq("url"), prefixBytes = 16) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      // |probe| = 17 bytes ≥ 16: the prefix filter applies
+      wh.get("op_pfxbloom_t") match {
+        case Right(df) => df.filter(col("url").startsWith("https://2-HIGH/o7"))
+        case Left(e) => throw new RuntimeException(e.message)
+      }
+    }),
+
     // ---- row-level DML DELETE ... WHERE: one-pass rewrite keeping the
     // predicate's complement (materialize-then-swap, meta preserved).
     "op_delete_where" -> ((s: SparkSession, dir: String) => {
@@ -1216,6 +1246,13 @@ object OpsQueries {
         |       CAST(sum(l_orderkey) AS BIGINT) AS sum_l_orderkey,
         |       CAST(sum(l_linenumber) AS BIGINT) AS sum_l_linenumber
         |FROM lineitem""".stripMargin,
+    "op_prefix_bloom" ->
+      """SELECT 'https://' || o_orderpriority || '/o' ||
+        |         CAST(o_orderkey AS VARCHAR) AS url,
+        |       o_orderkey
+        |FROM orders
+        |WHERE 'https://' || o_orderpriority || '/o' ||
+        |        CAST(o_orderkey AS VARCHAR) LIKE 'https://2-HIGH/o7%'""".stripMargin,
     "op_stats_sum_decimal" ->
       """SELECT CAST(count(*) AS BIGINT) AS cnt,
         |       CAST(sum(CAST(l_orderkey AS DECIMAL(18,2))) AS VARCHAR)

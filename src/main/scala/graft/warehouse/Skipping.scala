@@ -73,6 +73,43 @@ object Skipping {
     case _ => false
   }
 
+  /** Sidecar key for a PREFIX Bloom filter over string column `c`: the
+    * filter contains, for every non-null row, the first `p` UTF-8
+    * BYTES of the value (the whole value when shorter). A prefix
+    * predicate `LIKE 'q%'` with |q| ≥ p bytes then closes any file
+    * whose filter lacks q's first p bytes — the case zone maps cannot
+    * see on an UNCLUSTERED layout (every file's [min,max] spans the
+    * domain), which is the steady state of an append-only crawl table
+    * that was never compacted. The NUL separators cannot collide with
+    * a real column name produced by the schema sanitizer (NUL is not a
+    * valid identifier character anywhere in the reference's key
+    * grammar, `sanitize.py`).
+    */
+  def prefixBloomName(c: String, p: Int): String =
+    c + "\u0000prefix\u0000" + p
+
+  /** All prefix filters for column `name` must agree the probe bytes
+    * may be present (filters at different lengths are each sound: a
+    * row matching `startsWith(q)` has, for every p ≤ |q|, its p-byte
+    * prefix equal to q's). A probe SHORTER than a filter's length
+    * cannot be tested against it (the filter holds p-byte keys) and
+    * defaults that filter to may-match.
+    */
+  private[warehouse] def prefixBloomOk(
+      name: String, probe: Array[Byte],
+      blooms: Map[String, org.apache.spark.util.sketch.BloomFilter])
+      : Boolean = {
+    val marker = name + "\u0000prefix\u0000"
+    blooms.forall { case (k, bf) =>
+      if (!k.startsWith(marker)) true
+      else k.substring(marker.length).toIntOption match {
+        case Some(p) if probe.length >= p =>
+          bf.mightContainBinary(probe.take(p))
+        case _ => true
+      }
+    }
+  }
+
   /** The [[encode]]-equivalent rendering of a Catalyst literal's
     * INTERNAL value, for Bloom membership probes: integrals via
     * toString (== cast-to-string), dates from epoch days to ISO,
@@ -281,18 +318,35 @@ object Skipping {
                blooms: Map[String,
                  org.apache.spark.util.sketch.BloomFilter] = Map.empty)
       : Boolean = {
+    // a file the stats pass counted at ZERO rows (the ""-keyed
+    // sentinel is the only row such files get) can never satisfy any
+    // predicate — close it outright; per-column lookups would miss the
+    // sentinel and read the file forever
+    if (stats.nonEmpty && stats.valuesIterator.next().rows == 0L)
+      return false
     def nonNull(cs: ColStats): Boolean = cs.rows - cs.nulls > 0
     // bloom test for `col = lit`: absent filter / unencodable literal →
     // can't prune. mightContainString never false-negatives values the
     // analyze pass inserted, so false here is a proof of absence.
-    def bloomOk(a: AttributeReference, v: Any, dt: DataType): Boolean =
-      blooms.get(a.name) match {
+    def bloomOk(a: AttributeReference, v: Any, dt: DataType): Boolean = {
+      val point = blooms.get(a.name) match {
         case None => true
         case Some(bf) => encodeBloomLiteral(v, dt) match {
           case None => true
           case Some(s) => bf.mightContainString(s)
         }
       }
+      // equality also implies every prefix: a string point probe can
+      // use the PREFIX filters too (covers tables analyzed with
+      // prefixBytes where the point filter is absent or saturated)
+      val pfx = dt match {
+        case StringType if v != null =>
+          prefixBloomOk(a.name, v.toString.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8), blooms)
+        case _ => true
+      }
+      point && pfx
+    }
     // bound test: could some non-null value v in [min, max] satisfy
     // `v <op> lit`? Absent stats for the column → must read.
     def bound(a: AttributeReference, v: Any, dt: DataType)
@@ -381,15 +435,15 @@ object Skipping {
       // (`WHERE url LIKE 'https://en.%'`), previously unprunable.
       case StartsWith(a: AttributeReference, Literal(p, StringType))
         if p != null =>
-        stats.get(a.name) match {
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val pb = p.toString.getBytes(utf8)
+        val zoneOk = stats.get(a.name) match {
           case None => true
           case Some(cs) =>
             if (!nonNull(cs)) false
             else if (cs.dtype != "string") true
             else (cs.vmin, cs.vmax) match {
               case (Some(lo), Some(hi)) =>
-                val utf8 = java.nio.charset.StandardCharsets.UTF_8
-                val pb = p.toString.getBytes(utf8)
                 val loT = lo.getBytes(utf8).take(pb.length)
                 val hiT = hi.getBytes(utf8).take(pb.length)
                 java.util.Arrays.compareUnsigned(loT, pb) <= 0 &&
@@ -397,6 +451,11 @@ object Skipping {
               case _ => true
             }
         }
+        // prefix Blooms close files zone maps cannot: on an UNCLUSTERED
+        // layout every [min,max] spans the probe, but a file whose
+        // filter provably lacks the probe's first `p` bytes has no
+        // matching row
+        zoneOk && prefixBloomOk(a.name, pb, blooms)
       case IsNull(a: AttributeReference) =>
         stats.get(a.name).forall(_.nulls > 0)
       case IsNotNull(a: AttributeReference) =>

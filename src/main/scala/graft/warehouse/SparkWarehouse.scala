@@ -1058,6 +1058,14 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     * builds filters only for files that have none yet — same append
     * workflow and immutability argument as [[analyzeStats]].
     *
+    * `prefixBytes > 0` additionally builds, for every STRING column in
+    * `cols`, a PREFIX filter holding each row's first `prefixBytes`
+    * UTF-8 bytes: `LIKE 'q%'` probes with |q| ≥ prefixBytes then close
+    * files on an unclustered layout, where the zone-map prefix test is
+    * blind ([[Skipping.prefixBloomName]]; the second-most-common text
+    * predicate on crawl corpora after equality). Shorter probes and
+    * non-string columns are unaffected.
+    *
     * Sizing: `expectedItemsPerFile = 0` derives capacity from the stats
     * sidecar's max rows-per-file (or one count pass), clamped to
     * [1024, 10M] — ~1.2 KB to ~12 MB per (file, column) at fpp 0.01.
@@ -1076,13 +1084,16 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     */
   def analyzeBloom(name: String, cols: Seq[String], fpp: Double = 0.01,
                    expectedItemsPerFile: Long = 0L,
-                   incremental: Boolean = true): Either[WarehouseError, Long] =
+                   incremental: Boolean = true,
+                   prefixBytes: Int = 0): Either[WarehouseError, Long] =
     try {
       if (!fs.exists(tablePath(name))) Left(TableNotFound(name))
       else if (!hasDataFiles(name)) Right(0L)
       else {
         require(cols.nonEmpty, "analyzeBloom: cols must be non-empty")
         require(fpp > 0 && fpp < 1, "analyzeBloom: fpp must be in (0, 1)")
+        require(prefixBytes >= 0 && prefixBytes <= 128,
+          "analyzeBloom: prefixBytes in [0, 128]")
         val root = tablePath(name).toString
         val full = graft.sources.Sources.parquetMerged(spark, root)
         val fields = cols.map { c =>
@@ -1092,10 +1103,24 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
             s"bloom column $c: unsupported type ${f.dataType.simpleString}")
           f
         }
+        // prefix filters: one EXTRA sidecar entry per string column,
+        // keyed by [[Skipping.prefixBloomName]], holding each row's
+        // first `prefixBytes` UTF-8 bytes — the filter that lets
+        // `LIKE 'q%'` (|q| ≥ prefixBytes) close files on a layout the
+        // zone maps see as unclustered. Same coverage/sentinel/cache
+        // machinery; a later call with a different prefixBytes builds
+        // filters under a new name and leaves old ones (still sound —
+        // every stored length is probed independently).
+        val prefixPairs: Seq[(String, String)] =
+          if (prefixBytes == 0) Nil
+          else fields
+            .filter(_.dataType == org.apache.spark.sql.types.StringType)
+            .map(f => f.name -> Skipping.prefixBloomName(f.name, prefixBytes))
+        val reqCols = cols ++ prefixPairs.map(_._2)
         val live = liveDataFiles(name)
         val liveDf = relsDf(live.map(_._1))
         val colsDf = { val sps = spark; import sps.implicits._
-          cols.toDF("column") }
+          reqCols.toDF("column") }
         val haveSidecar = fs.exists(bloomPath(name))
         // coverage is per-(file, column), NOT per-file: an incremental
         // call with a WIDER column set must build filters for the new
@@ -1158,16 +1183,28 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
           // a file generation may predate a bloom column entirely —
           // those files get no row for it (absent filter → always read)
           val present = fields.filter(f => raw.columns.contains(f.name))
+          val presentPrefix = prefixPairs.filter { case (src, _) =>
+            raw.columns.contains(src) }
           val newRows: DataFrame =
             if (present.isEmpty)
               spark.createDataFrame(
                 spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
                 bloomSidecarSchema)
             else {
+              // point filters insert the encoded STRING; prefix filters
+              // insert the first-prefixBytes BINARY slice (a byte
+              // window may split a multibyte char, so it is not a
+              // valid string — putBinary/mightContainBinary keep the
+              // probe bit-exact)
               val proj = raw.select(relPathCol(name).as("__rel") +:
-                present.map(f => Skipping.encode(col(s"`${f.name}`"),
-                  f.dataType).as(f.name)): _*)
-              val names = present.map(_.name)
+                (present.map(f => Skipping.encode(col(s"`${f.name}`"),
+                  f.dataType).as(f.name)) ++
+                 presentPrefix.map { case (src, nm) =>
+                   substring(col(s"`$src`").cast("binary"), 1, prefixBytes)
+                     .as(nm) }): _*)
+              val names = present.map(_.name) ++ presentPrefix.map(_._2)
+              val isBinary = (present.map(_ => false) ++
+                presentPrefix.map(_ => true)).toArray
               val n = names.size
               val itemsB = items
               val fppB = fpp
@@ -1179,10 +1216,12 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
                   val rel = row.getString(0)
                   var i = 0
                   while (i < n) {
-                    if (!row.isNullAt(i + 1))
-                      m.getOrElseUpdate((rel, i),
+                    if (!row.isNullAt(i + 1)) {
+                      val bf = m.getOrElseUpdate((rel, i),
                         BloomFilter.create(itemsB, fppB))
-                        .putString(row.getString(i + 1))
+                      if (isBinary(i)) bf.putBinary(row.getAs[Array[Byte]](i + 1))
+                      else bf.putString(row.getString(i + 1))
+                    }
                     i += 1
                   }
                 }

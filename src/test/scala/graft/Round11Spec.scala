@@ -271,7 +271,11 @@ class Round11Spec extends SparkSpec {
     val total = unwrap(wh.analyzeStats("t"))
     assert(total >= 10L, s"expected >=10 files, got $total")
     assert(filesRead(unwrap(wh.get("t"))) == total)
-    assert(filesRead(unwrap(wh.get("t")).filter(col("id") === 777L)) == total,
+    // zone maps cannot prune NON-EMPTY files on a random layout; the
+    // one zero-row create-file load writes closes on any predicate
+    // (r13: the stats sentinel's rows=0 is a proof of emptiness)
+    assert(filesRead(unwrap(wh.get("t")).filter(col("id") === 777L))
+      == total - 1,
       "zone maps unexpectedly pruned a random layout")
     // blooms on both columns: a point probe now reads ~1 file
     assert(unwrap(wh.analyzeBloom("t", Seq("id", "name"))) == total)

@@ -307,7 +307,9 @@ class Round12Spec extends SparkSpec {
       spark.conf.set(conf, "1024")
       val totalA = filesRead(unwrap(wh.get("a")))
       val eq = unwrap(wh.get("a")).filter(col("id") === 777L)
-      assert(filesRead(eq) == totalA,
+      // every NON-EMPTY file is read (bloom pruning disabled; the one
+      // zero-row create-file closes via its r13 stats sentinel)
+      assert(filesRead(eq) == totalA - 1,
         "over-budget sidecar still pruned (must be disabled)")
       assert(eq.count() == 1L)
       assert(wh.bloomCacheResident == ((0, 0L)),

@@ -224,6 +224,52 @@ class Round13Spec extends SparkSpec {
       sums.getLong(1) == (0L until 22000L).sum)
   }
 
+  test("prefix Blooms close files for LIKE 'q%' on an UNCLUSTERED " +
+    "layout; shorter probes and results stay exact") {
+    val sps = spark; import sps.implicits._
+    val wh = tmpWh("graft-r13-pfxbloom")
+    // 40k DISTINCT urls, RANDOM layout (no compact): every file's
+    // [min,max] spans the domain, so zone maps prune nothing here
+    val data = spark.range(40000).select(
+      format_string("https://s%d.x/p", col("id")).as("url"),
+      col("id").as("v"))
+    unwrap(wh.load("t", data.repartition(8)))
+    unwrap(wh.analyzeStats("t"))
+    assert(unwrap(wh.analyzeBloom("t", Seq("url"), prefixBytes = 14)) >= 8L)
+    // re-call is a no-op (prefix pairs participate in coverage)
+    assert(unwrap(wh.analyzeBloom("t", Seq("url"), prefixBytes = 14)) == 0L)
+    val total = filesRead(unwrap(wh.get("t")))
+    // |probe| = 14 bytes: selects exactly url of id 31415 — only the
+    // file holding it (plus Bloom false positives) is read
+    val hit = unwrap(wh.scanPruned("t",
+      col("url").startsWith("https://s31415")))
+    val fHit = filesRead(hit)
+    assert(fHit >= 1L && fHit <= 3L,
+      s"prefix bloom did not prune: $fHit/$total")
+    assert(hit.count() == 1L)
+    // an absent prefix closes EVERY file
+    val none = unwrap(wh.scanPruned("t",
+      col("url").startsWith("https://s99999")))
+    assert(filesRead(none) == 0L && none.count() == 0L)
+    // a probe SHORTER than prefixBytes cannot use the filter — reads
+    // every non-empty file on this layout (load's zero-row create-file
+    // closes on any predicate), results still exact
+    val short = unwrap(wh.scanPruned("t",
+      col("url").startsWith("https://s3")))
+    assert(filesRead(short) >= total - 1)
+    assert(short.count() ==
+      data.filter(col("url").startsWith("https://s3")).count())
+    // string EQUALITY can use the prefix filters too (equality implies
+    // every prefix)
+    val eq = unwrap(wh.scanPruned("t", col("url") === "https://s777.x/p"))
+    assert(filesRead(eq) <= 3L && eq.count() == 1L)
+    // LIKE through SQL canonicalizes to StartsWith and prunes the same
+    wh.registerView("t")
+    val viaSql = spark.sql(
+      "SELECT * FROM t WHERE url LIKE 'https://s31415%'")
+    assert(filesRead(viaSql) <= 3L && viaSql.count() == 1L)
+  }
+
   test("string z-proxy strips the column-global common prefix: " +
     "https://-prefixed high-cardinality keys cluster and prune") {
     val sps = spark; import sps.implicits._
