@@ -601,6 +601,34 @@ object OpsQueries {
       }
     }),
 
+    // ---- n-gram Bloom pruning: per-file filters over every n-byte
+    // window serve the substring predicate (LIKE '%x%') no zone map or
+    // point filter can. Results must equal the plain LIKE — DuckDB
+    // computes exactly that.
+    "op_ngram_bloom" -> ((s: SparkSession, dir: String) => {
+      val wh = tmpWarehouse(s)
+      val orders = Tables(s, dir, "orders").select(
+        concat(lit("doc of "), col("o_orderpriority"), lit(" order "),
+          col("o_orderkey").cast("string"), lit(" end")).as("body"),
+        col("o_orderkey"))
+      wh.load("op_ngrambloom_t", orders.repartition(8)) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.analyzeStats("op_ngrambloom_t") match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.analyzeBloom("op_ngrambloom_t", Seq("body"), ngramBytes = 6) match {
+        case Left(e) => throw new RuntimeException(e.message)
+        case Right(_) => ()
+      }
+      wh.get("op_ngrambloom_t") match {
+        case Right(df) => df.filter(col("body").contains(" order 7007 "))
+        case Left(e) => throw new RuntimeException(e.message)
+      }
+    }),
+
     // ---- row-level DML DELETE ... WHERE: one-pass rewrite keeping the
     // predicate's complement (materialize-then-swap, meta preserved).
     "op_delete_where" -> ((s: SparkSession, dir: String) => {
@@ -1246,6 +1274,14 @@ object OpsQueries {
         |       CAST(sum(l_orderkey) AS BIGINT) AS sum_l_orderkey,
         |       CAST(sum(l_linenumber) AS BIGINT) AS sum_l_linenumber
         |FROM lineitem""".stripMargin,
+    "op_ngram_bloom" ->
+      """SELECT 'doc of ' || o_orderpriority || ' order ' ||
+        |         CAST(o_orderkey AS VARCHAR) || ' end' AS body,
+        |       o_orderkey
+        |FROM orders
+        |WHERE 'doc of ' || o_orderpriority || ' order ' ||
+        |        CAST(o_orderkey AS VARCHAR) || ' end'
+        |      LIKE '% order 7007 %'""".stripMargin,
     "op_prefix_bloom" ->
       """SELECT 'https://' || o_orderpriority || '/o' ||
         |         CAST(o_orderkey AS VARCHAR) AS url,

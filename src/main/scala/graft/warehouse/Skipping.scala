@@ -110,6 +110,40 @@ object Skipping {
     }
   }
 
+  /** Sidecar key for an N-GRAM Bloom filter over string column `c`:
+    * the filter contains EVERY n-byte window of every non-null row's
+    * UTF-8 bytes — the ClickHouse-`ngrambf`-style index that serves
+    * the SUBSTRING predicate family (`LIKE '%x%'`, `LIKE '%x'`, and it
+    * strengthens `LIKE 'x%'`/equality), which no zone map or point
+    * filter can: a row containing probe q contains every n-byte window
+    * of q, so ONE provably-absent window closes the file.
+    */
+  def ngramBloomName(c: String, n: Int): String =
+    c + "\u0000ngram\u0000" + n
+
+  /** All n-gram filters for column `name` must agree EVERY n-byte
+    * window of the probe may be present; one absent window is a proof
+    * that no row CONTAINS the probe. Probes shorter than a filter's n
+    * default that filter to may-match (their windows were never the
+    * insertion unit).
+    */
+  private[warehouse] def ngramBloomOk(
+      name: String, probe: Array[Byte],
+      blooms: Map[String, org.apache.spark.util.sketch.BloomFilter])
+      : Boolean = {
+    val marker = name + "\u0000ngram\u0000"
+    blooms.forall { case (k, bf) =>
+      if (!k.startsWith(marker)) true
+      else k.substring(marker.length).toIntOption match {
+        case Some(n) if n > 0 && probe.length >= n =>
+          (0 to probe.length - n).forall(i =>
+            bf.mightContainBinary(
+              java.util.Arrays.copyOfRange(probe, i, i + n)))
+        case _ => true
+      }
+    }
+  }
+
   /** The [[encode]]-equivalent rendering of a Catalyst literal's
     * INTERNAL value, for Bloom membership probes: integrals via
     * toString (== cast-to-string), dates from epoch days to ISO,
@@ -336,13 +370,15 @@ object Skipping {
           case Some(s) => bf.mightContainString(s)
         }
       }
-      // equality also implies every prefix: a string point probe can
-      // use the PREFIX filters too (covers tables analyzed with
-      // prefixBytes where the point filter is absent or saturated)
+      // equality also implies every prefix and every n-gram: a string
+      // point probe can use the PREFIX and N-GRAM filters too (covers
+      // tables analyzed with prefixBytes/ngramBytes where the point
+      // filter is absent or saturated)
       val pfx = dt match {
         case StringType if v != null =>
-          prefixBloomOk(a.name, v.toString.getBytes(
-            java.nio.charset.StandardCharsets.UTF_8), blooms)
+          val b = v.toString.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8)
+          prefixBloomOk(a.name, b, blooms) && ngramBloomOk(a.name, b, blooms)
         case _ => true
       }
       point && pfx
@@ -451,11 +487,28 @@ object Skipping {
               case _ => true
             }
         }
-        // prefix Blooms close files zone maps cannot: on an UNCLUSTERED
-        // layout every [min,max] spans the probe, but a file whose
-        // filter provably lacks the probe's first `p` bytes has no
-        // matching row
-        zoneOk && prefixBloomOk(a.name, pb, blooms)
+        // prefix/n-gram Blooms close files zone maps cannot: on an
+        // UNCLUSTERED layout every [min,max] spans the probe, but a
+        // file whose filter provably lacks the probe's first `p` bytes
+        // (or any n-byte window of it) has no matching row
+        zoneOk && prefixBloomOk(a.name, pb, blooms) &&
+          ngramBloomOk(a.name, pb, blooms)
+      // substring predicates (Catalyst rewrites LIKE '%x%' to Contains,
+      // LIKE '%x' to EndsWith): zone maps are inherently blind — a
+      // substring can occur anywhere inside any [min,max] — but a row
+      // containing the probe contains every n-byte window of it, so
+      // the n-gram filters ([[ngramBloomName]]) close files provably
+      // lacking one; all-null files close outright
+      case Contains(a: AttributeReference, Literal(p, StringType))
+        if p != null =>
+        stats.get(a.name).forall(nonNull) &&
+          ngramBloomOk(a.name, p.toString.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8), blooms)
+      case EndsWith(a: AttributeReference, Literal(p, StringType))
+        if p != null =>
+        stats.get(a.name).forall(nonNull) &&
+          ngramBloomOk(a.name, p.toString.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8), blooms)
       case IsNull(a: AttributeReference) =>
         stats.get(a.name).forall(_.nulls > 0)
       case IsNotNull(a: AttributeReference) =>

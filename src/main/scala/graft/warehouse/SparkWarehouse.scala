@@ -1066,6 +1066,14 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     * predicate on crawl corpora after equality). Shorter probes and
     * non-string columns are unaffected.
     *
+    * `ngramBytes > 0` additionally builds an N-GRAM filter per string
+    * column — every `ngramBytes`-byte window of every value, the
+    * ClickHouse-`ngrambf`-style index — serving the SUBSTRING family
+    * (`LIKE '%x%'`/`'%x'`, |x| ≥ ngramBytes), which neither bounds nor
+    * point/prefix filters can. Capacity defaults to ~24 windows per
+    * row (see the build); undersizing only raises the false-positive
+    * rate, never unsound.
+    *
     * Sizing: `expectedItemsPerFile = 0` derives capacity from the stats
     * sidecar's max rows-per-file (or one count pass), clamped to
     * [1024, 10M] — ~1.2 KB to ~12 MB per (file, column) at fpp 0.01.
@@ -1085,7 +1093,8 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
   def analyzeBloom(name: String, cols: Seq[String], fpp: Double = 0.01,
                    expectedItemsPerFile: Long = 0L,
                    incremental: Boolean = true,
-                   prefixBytes: Int = 0): Either[WarehouseError, Long] =
+                   prefixBytes: Int = 0,
+                   ngramBytes: Int = 0): Either[WarehouseError, Long] =
     try {
       if (!fs.exists(tablePath(name))) Left(TableNotFound(name))
       else if (!hasDataFiles(name)) Right(0L)
@@ -1094,6 +1103,8 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
         require(fpp > 0 && fpp < 1, "analyzeBloom: fpp must be in (0, 1)")
         require(prefixBytes >= 0 && prefixBytes <= 128,
           "analyzeBloom: prefixBytes in [0, 128]")
+        require(ngramBytes >= 0 && ngramBytes <= 32,
+          "analyzeBloom: ngramBytes in [0, 32]")
         val root = tablePath(name).toString
         val full = graft.sources.Sources.parquetMerged(spark, root)
         val fields = cols.map { c =>
@@ -1116,7 +1127,16 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
           else fields
             .filter(_.dataType == org.apache.spark.sql.types.StringType)
             .map(f => f.name -> Skipping.prefixBloomName(f.name, prefixBytes))
-        val reqCols = cols ++ prefixPairs.map(_._2)
+        // n-gram filters ([[Skipping.ngramBloomName]]): every
+        // ngramBytes-byte window of every value — the substring
+        // (`LIKE '%x%'`) index. Values shorter than ngramBytes insert
+        // nothing (no probe of length ≥ ngramBytes can match them).
+        val ngramPairs: Seq[(String, String)] =
+          if (ngramBytes == 0) Nil
+          else fields
+            .filter(_.dataType == org.apache.spark.sql.types.StringType)
+            .map(f => f.name -> Skipping.ngramBloomName(f.name, ngramBytes))
+        val reqCols = cols ++ prefixPairs.map(_._2) ++ ngramPairs.map(_._2)
         val live = liveDataFiles(name)
         val liveDf = relsDf(live.map(_._1))
         val colsDf = { val sps = spark; import sps.implicits._
@@ -1185,6 +1205,8 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
           val present = fields.filter(f => raw.columns.contains(f.name))
           val presentPrefix = prefixPairs.filter { case (src, _) =>
             raw.columns.contains(src) }
+          val presentNgram = ngramPairs.filter { case (src, _) =>
+            raw.columns.contains(src) }
           val newRows: DataFrame =
             if (present.isEmpty)
               spark.createDataFrame(
@@ -1192,21 +1214,36 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
                 bloomSidecarSchema)
             else {
               // point filters insert the encoded STRING; prefix filters
-              // insert the first-prefixBytes BINARY slice (a byte
-              // window may split a multibyte char, so it is not a
-              // valid string — putBinary/mightContainBinary keep the
-              // probe bit-exact)
+              // insert the first-prefixBytes BINARY slice; n-gram
+              // filters slide an ngramBytes window over the whole
+              // BINARY value (byte windows may split a multibyte char,
+              // so they are not valid strings —
+              // putBinary/mightContainBinary keep the probe bit-exact)
               val proj = raw.select(relPathCol(name).as("__rel") +:
                 (present.map(f => Skipping.encode(col(s"`${f.name}`"),
                   f.dataType).as(f.name)) ++
                  presentPrefix.map { case (src, nm) =>
                    substring(col(s"`$src`").cast("binary"), 1, prefixBytes)
-                     .as(nm) }): _*)
-              val names = present.map(_.name) ++ presentPrefix.map(_._2)
-              val isBinary = (present.map(_ => false) ++
-                presentPrefix.map(_ => true)).toArray
+                     .as(nm) } ++
+                 presentNgram.map { case (src, nm) =>
+                   col(s"`$src`").cast("binary").as(nm) }): _*)
+              val names = present.map(_.name) ++ presentPrefix.map(_._2) ++
+                presentNgram.map(_._2)
+              // 0 = encoded string (point), 1 = binary direct (prefix),
+              // 2 = binary sliding window (n-gram)
+              val kind = (present.map(_ => 0) ++ presentPrefix.map(_ => 1) ++
+                presentNgram.map(_ => 2)).toArray
               val n = names.size
               val itemsB = items
+              // capacity heuristic for n-gram filters: ~24 windows per
+              // row (undersizing only raises the false-positive rate —
+              // never unsound; a caller with long documents sizes
+              // explicitly via expectedItemsPerFile, which applies to
+              // every filter kind)
+              val ngramItemsB =
+                if (expectedItemsPerFile > 0) items
+                else (items * 24L).min(10_000_000L)
+              val ngramW = ngramBytes
               val fppB = fpp
               import org.apache.spark.util.sketch.BloomFilter
               val merged = proj.rdd.mapPartitions { it =>
@@ -1218,9 +1255,20 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
                   while (i < n) {
                     if (!row.isNullAt(i + 1)) {
                       val bf = m.getOrElseUpdate((rel, i),
-                        BloomFilter.create(itemsB, fppB))
-                      if (isBinary(i)) bf.putBinary(row.getAs[Array[Byte]](i + 1))
-                      else bf.putString(row.getString(i + 1))
+                        BloomFilter.create(
+                          if (kind(i) == 2) ngramItemsB else itemsB, fppB))
+                      kind(i) match {
+                        case 0 => bf.putString(row.getString(i + 1))
+                        case 1 => bf.putBinary(row.getAs[Array[Byte]](i + 1))
+                        case _ =>
+                          val b = row.getAs[Array[Byte]](i + 1)
+                          var j = 0
+                          while (j <= b.length - ngramW) {
+                            bf.putBinary(
+                              java.util.Arrays.copyOfRange(b, j, j + ngramW))
+                            j += 1
+                          }
+                      }
                     }
                     i += 1
                   }

@@ -270,6 +270,45 @@ class Round13Spec extends SparkSpec {
     assert(filesRead(viaSql) <= 3L && viaSql.count() == 1L)
   }
 
+  test("n-gram Blooms close files for LIKE '%x%' / '%x' — the substring " +
+    "family zone maps and point filters cannot serve") {
+    val sps = spark; import sps.implicits._
+    val wh = tmpWh("graft-r13-ngram")
+    // random layout; every body is distinct, substrings discriminative
+    val data = spark.range(40000).select(
+      format_string("begin doc%d marker%d tail", col("id"), col("id") % 1000)
+        .as("body"),
+      col("id").as("v"))
+    unwrap(wh.load("t", data.repartition(8)))
+    unwrap(wh.analyzeStats("t"))
+    assert(unwrap(wh.analyzeBloom("t", Seq("body"), ngramBytes = 6)) >= 8L)
+    assert(unwrap(wh.analyzeBloom("t", Seq("body"), ngramBytes = 6)) == 0L)
+    val total = filesRead(unwrap(wh.get("t")))
+    // contains: ' doc31415 ' occurs in exactly one row — only its file
+    // (plus Bloom false positives) is read
+    val hit = unwrap(wh.scanPruned("t", col("body").contains(" doc31415 ")))
+    val fHit = filesRead(hit)
+    assert(fHit >= 1L && fHit <= 3L, s"ngram bloom did not prune: $fHit/$total")
+    assert(hit.count() == 1L)
+    // an absent substring closes every file
+    val none = unwrap(wh.scanPruned("t", col("body").contains("doc99999")))
+    assert(filesRead(none) == 0L && none.count() == 0L)
+    // endsWith rides the same filters (LIKE '%x')
+    val ew = unwrap(wh.scanPruned("t", col("body").endsWith("doc31415 marker415 tail")))
+    assert(filesRead(ew) <= 3L && ew.count() == 1L)
+    // a probe SHORTER than ngramBytes cannot use the filter — results
+    // stay exact (and every non-empty file is read on this layout)
+    val short = unwrap(wh.scanPruned("t", col("body").contains("doc3")))
+    assert(filesRead(short) >= total - 1)
+    assert(short.count() ==
+      data.filter(col("body").contains("doc3")).count())
+    // LIKE '%x%' through SQL canonicalizes to Contains and prunes
+    wh.registerView("t")
+    val viaSql = spark.sql(
+      "SELECT * FROM t WHERE body LIKE '% doc31415 %'")
+    assert(filesRead(viaSql) <= 3L && viaSql.count() == 1L)
+  }
+
   test("string z-proxy strips the column-global common prefix: " +
     "https://-prefixed high-cardinality keys cluster and prune") {
     val sps = spark; import sps.implicits._
