@@ -248,6 +248,59 @@ object BloomSweep {
           s""""files_read_over_budget":$filesOver}""")
     }
 
+    // ---- leg 6: prefix + n-gram filters (r13) on a random layout ----
+    // the substring-predicate family: zone maps read everything here
+    // (every file spans the domain), the prefix filter serves
+    // LIKE 'q%', the n-gram filter serves LIKE '%x%' — files_read
+    // before/after on the SAME table, plus the sidecar's byte cost.
+    for (n <- Seq(100000L, 1000000L)) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-pfxngram-$n").toString
+      val wh = new SparkWarehouse(spark, dir)
+      val whPlain = new SparkWarehouse(spark, dir, skippingEnabled = false)
+      val nf = filesFor(n)
+      val docs = spark.range(n).select(
+        format_string("https://s%d.x/p", col("id")).as("url"),
+        format_string("begin doc%d tail", col("id")).as("body"),
+        col("id").as("v"))
+      unwrap(wh.load("t", docs.repartition(nf)))
+      unwrap(wh.analyzeStats("t"))
+      val totalFiles = unwrap(wh.get("t")).inputFiles.length
+      val prefProbe = col("url").startsWith(s"https://s${n / 2}.")
+      val containsProbe = col("body").contains(s" doc${n / 2} ")
+      val zonePref = filesRead(unwrap(wh.scanPruned("t", prefProbe)))
+      val zoneCont = filesRead(unwrap(wh.scanPruned("t", containsProbe)))
+      val (anSec, _) = timed(() => unwrap(wh.analyzeBloom("t",
+        Seq("url", "body"), prefixBytes = 12, ngramBytes = 6)))
+      val pfxFiles = filesRead(unwrap(wh.scanPruned("t", prefProbe)))
+      val ngramFiles = filesRead(unwrap(wh.scanPruned("t", containsProbe)))
+      val sidecarBytes = Option(spark.read
+          .parquet(s"$dir/t/_graft_bloom")
+          .agg(sum(length(col("bloom")))).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      val prunedT = (1 to reps).map(_ => timed(() =>
+        unwrap(wh.scanPruned("t", containsProbe)).count())._1).sorted
+      val plainT = (1 to reps).map(_ => timed(() =>
+        unwrap(whPlain.get("t")).filter(containsProbe).count())._1).sorted
+      val rows = unwrap(wh.scanPruned("t", containsProbe)).count()
+      val plainRows = unwrap(whPlain.get("t")).filter(containsProbe).count()
+      require(rows == plainRows && rows == 1L,
+        s"pfx/ngram pruned/plain drift: $rows vs $plainRows (want 1)")
+      require(unwrap(wh.scanPruned("t", prefProbe)).count() == 1L,
+        "prefix probe drift")
+      record(
+        s"""{"leg":"pfx_ngram","n":$n,"files_total":$totalFiles,""" +
+          s""""zone_files_prefix":$zonePref,""" +
+          s""""zone_files_contains":$zoneCont,""" +
+          s""""pfx_files_prefix":$pfxFiles,""" +
+          s""""ngram_files_contains":$ngramFiles,""" +
+          s""""analyze_sec":$anSec,"sidecar_bytes":$sidecarBytes,""" +
+          s""""contains_pruned_sec":${prunedT(reps / 2)},""" +
+          s""""contains_plain_sec":${plainT(reps / 2)},""" +
+          s""""pruned_raw":${prunedT.mkString("[", ",", "]")},""" +
+          s""""plain_raw":${plainT.mkString("[", ",", "]")}}""")
+    }
+
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       results.mkString("[\n", ",\n", "\n]")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))

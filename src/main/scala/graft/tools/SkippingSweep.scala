@@ -143,6 +143,53 @@ object SkippingSweep {
             s""""plain_raw":${plainT.mkString("[", ",", "]")}}""")
       }
     }
+    // ---- https:// URL layout (r13): keys whose first 8 bytes are the
+    // CONSTANT scheme. Claim: the common-prefix-stripped z-proxy
+    // restores prefix selectivity exactly where the unstripped 8-byte
+    // window was blind (r12 honest numbers: 8/8 files at 100k rows) —
+    // the difference shows at the SMALL file counts a fresh corpus has.
+    for (n <- ns) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-skipurl-$n").toString
+      val wh = new SparkWarehouse(spark, dir)
+      val whPlain = new SparkWarehouse(spark, dir, skippingEnabled = false)
+      val nf = filesFor(n)
+      val data = spark.range(n).select(
+        format_string("https://s%d.example.com/d%d",
+          pmod(col("id"), lit(40L)), col("id")).as("url"),
+        date_add(lit("2019-01-01").cast("date"),
+          pmod(col("id") * 7919L, lit(400L)).cast("int")).as("d"),
+        (col("id") * 3L).as("v"))
+      unwrap(wh.load("t", data.repartition(16)))
+      unwrap(wh.compactZOrder("t", targetFiles = nf,
+        zCols = Seq("url", "d"), buckets = 256))
+      val (analyzeSec, _) = timed(() => unwrap(wh.analyzeStats("t")))
+      val totalFiles = unwrap(wh.get("t")).inputFiles.length
+      val probes = Seq(
+        ("prefix", col("url").startsWith("https://s17.")),
+        ("date_band", col("d") >= lit("2019-06-01").cast("date") &&
+          col("d") < lit("2019-06-08").cast("date")))
+      for ((kind, pred) <- probes) {
+        val filesRead = org.apache.spark.sql.GraftFileIndexBridge
+          .filesRead(unwrap(wh.scanPruned("t", pred)))
+        val prunedT = (1 to reps).map(_ =>
+          timed(() => unwrap(wh.scanPruned("t", pred)).count())._1).sorted
+        val plainT = (1 to reps).map(_ =>
+          timed(() => unwrap(whPlain.get("t")).filter(pred).count())._1).sorted
+        val rows = unwrap(wh.scanPruned("t", pred)).count()
+        val plainRows = unwrap(whPlain.get("t")).filter(pred).count()
+        require(rows == plainRows,
+          s"url-layout pruned/plain drift ($kind): $rows vs $plainRows")
+        record(
+          s"""{"layout":"zorder_url","n":$n,"dim":"$kind",""" +
+            s""""files_total":$totalFiles,"files_read":$filesRead,""" +
+            s""""rows":$rows,"analyze_sec":$analyzeSec,""" +
+            s""""pruned_sec":${prunedT(reps / 2)},""" +
+            s""""plain_sec":${plainT(reps / 2)},""" +
+            s""""pruned_raw":${prunedT.mkString("[", ",", "]")},""" +
+            s""""plain_raw":${plainT.mkString("[", ",", "]")}}""")
+      }
+    }
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       results.mkString("[\n", ",\n", "\n]")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
