@@ -2062,9 +2062,22 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
               .stat.approxQuantile(c, probs, 1.0 / (4 * buckets))
           }.toMap
           def bucketCol(c: String): Column = {
-            val arr = lit(splits(c).distinct.sorted)
-            // rank = #splits ≤ v (nulls → empty filter → bucket 0)
-            size(filter(arr, s => zProxy(c) >= s))
+            val distinctSplits = splits(c).distinct.sorted
+            val arr = lit(distinctSplits)
+            // rank = #splits ≤ v, in [0, #distinctSplits] (nulls →
+            // empty filter → bucket 0). When the proxy domain has FEW
+            // distinct values (a low-cardinality key: 40 sources →
+            // ranks 0..40) the raw rank only populates the curve's LOW
+            // bits, so the top-of-curve splits — the only ones that
+            // matter at small file counts — ignore the dimension
+            // entirely (the r13 url sweep measured exactly that: 8/8
+            // files on a prefix probe at 8 files). Scale the rank
+            // MONOTONICALLY onto [0, buckets) so every dimension's
+            // high bits participate at every file count.
+            val n = distinctSplits.length.toLong + 1L
+            val rank = size(filter(arr, s => zProxy(c) >= s))
+            floor(rank.cast("long") * lit(buckets.toLong) / lit(n))
+              .cast("int")
           }
           val k = zCols.size
           val zCol = (0 until bits).flatMap { j =>

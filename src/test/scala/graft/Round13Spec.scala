@@ -350,4 +350,41 @@ class Round13Spec extends SparkSpec {
     assert(unwrap(wh.get("t")).agg(sum("v")).head.getLong(0) ==
       (0L until 40000L).sum)
   }
+
+  test("bucket ranks scale to the full curve: a low-cardinality proxy " +
+    "domain (40 sources behind a shared scheme) still clusters at the " +
+    "8-file scale") {
+    val sps = spark; import sps.implicits._
+    val wh = tmpWh("graft-r13-zlow")
+    // 40 sources × unique doc ids: the stripped 8-byte window sees only
+    // ~40 distinct values, so UNSCALED ranks (0..40) would populate
+    // only the curve's low bits and the 8-file top splits would ignore
+    // the url dimension entirely (the regression the r13 url sweep
+    // caught: 8/8 files on every prefix probe)
+    val data = spark.range(100000).select(
+      format_string("https://s%d.example.com/d%d",
+        pmod(col("id"), lit(40L)), col("id")).as("url"),
+      date_add(lit("2019-01-01").cast("date"),
+        pmod(col("id") * 7919L, lit(400L)).cast("int")).as("d"),
+      col("id").as("v"))
+    unwrap(wh.load("t", data.repartition(8)))
+    unwrap(wh.compactZOrder("t", targetFiles = 8,
+      zCols = Seq("url", "d"), buckets = 256))
+    unwrap(wh.analyzeStats("t"))
+    val total = filesRead(unwrap(wh.get("t")))
+    val pre = unwrap(wh.scanPruned("t",
+      col("url").startsWith("https://s17.")))
+    val f = filesRead(pre)
+    assert(f >= 1L && f < total,
+      s"low-cardinality url dim unpruned at 8 files: $f/$total")
+    assert(pre.count() ==
+      data.filter(col("url").startsWith("https://s17.")).count())
+    // the date dim still prunes too (scaling must not break the curve)
+    val band = unwrap(wh.scanPruned("t",
+      col("d") >= lit("2019-06-01").cast("date") &&
+        col("d") < lit("2019-06-08").cast("date")))
+    assert(filesRead(band) < total)
+    assert(unwrap(wh.get("t")).agg(sum("v")).head.getLong(0) ==
+      (0L until 100000L).sum)
+  }
 }
