@@ -351,6 +351,44 @@ class Round13Spec extends SparkSpec {
       (0L until 40000L).sum)
   }
 
+  test("prefix/n-gram Blooms are byte-exact on non-BMP text: windows " +
+    "that split a multibyte char never drop matching rows, absent " +
+    "probes still close files") {
+    val sps = spark; import sps.implicits._
+    val wh = tmpWh("graft-r13-nonbmp-bloom")
+    // one file per value (the r12 non-BMP discipline): any unsound
+    // byte-window comparison shows up as a wrongly-skipped file
+    val vals = Seq("😀😀😀end", "豈b😀tail", "ascii_only_value", "😁xyz😁")
+    vals.foreach(v =>
+      unwrap(wh.load("t", Seq(v).toDF("s").coalesce(1))))
+    unwrap(wh.analyzeStats("t"))
+    // prefixBytes=5 splits the leading 4-byte emoji + 1 byte of the
+    // next char; ngramBytes=3 windows split EVERY multibyte char —
+    // write side and probe side must derive identical byte streams
+    assert(unwrap(wh.analyzeBloom("t", Seq("s"),
+      prefixBytes = 5, ngramBytes = 3)) >= vals.size.toLong)
+    for (v <- vals) {
+      val eq = unwrap(wh.scanPruned("t", col("s") === v))
+      assert(eq.count() == 1L,
+        s"equality dropped the row for ${v.codePoints().toArray.toSeq}")
+      val pre = unwrap(wh.scanPruned("t", col("s").startsWith(v)))
+      assert(pre.count() == 1L, s"full-value prefix dropped $v")
+    }
+    // probes whose windows split surrogate-encoded chars
+    val emoji2 = unwrap(wh.scanPruned("t", col("s").startsWith("😀😀")))
+    assert(filesRead(emoji2) <= 2L && emoji2.count() == 1L)
+    val hanContains = unwrap(wh.scanPruned("t", col("s").contains("b😀")))
+    assert(hanContains.count() == 1L)
+    val midContains = unwrap(wh.scanPruned("t", col("s").contains("xyz😁")))
+    assert(midContains.count() == 1L)
+    // absent non-BMP probes close files (proof of absence holds on
+    // supplementary-plane bytes too)
+    val noPre = unwrap(wh.scanPruned("t", col("s").startsWith("😡😡")))
+    assert(filesRead(noPre) == 0L && noPre.count() == 0L)
+    val noSub = unwrap(wh.scanPruned("t", col("s").contains("😡")))
+    assert(filesRead(noSub) == 0L && noSub.count() == 0L)
+  }
+
   test("bucket ranks scale to the full curve: a low-cardinality proxy " +
     "domain (40 sources behind a shared scheme) still clusters at the " +
     "8-file scale") {
