@@ -100,6 +100,10 @@ object CoverageSweep {
           lit(null).cast("binary").as("bloom"))
         .repartition(8)
         .write.mode("overwrite").parquet(s"$dir/t/_graft_bloom")
+      // the counterfeit copies were written OUT-OF-BAND: heal the
+      // live-file manifest once (not measured) so the measured no-op
+      // exercises the r14 manifest-served path over all N files
+      unwrap(wh.refreshManifest("t"))
 
       for (analyzer <- Seq("stats", "bloom")) {
         def call(): Long = analyzer match {
@@ -125,8 +129,19 @@ object CoverageSweep {
         val times = measured.map(_._1).sorted
         val allocs = measured.map(_._2).sorted
         val h1 = usedHeap()
+        // listing baseline: same call with the manifest read-disabled
+        // (writes stay on, so re-enabling can never trust a stale
+        // manifest) — the r13 recursive-walk cost the manifest removes
+        val listingTimes =
+          try {
+            spark.conf.set("spark.graft.manifest.enabled", "false")
+            call() // warm the listing path's FS caches
+            (1 to 3).map(_ => timed(() => call())._1).sorted
+          } finally spark.conf.unset("spark.graft.manifest.enabled")
         record(s"""{"analyzer":"$analyzer","n_files":$nFiles,""" +
           s""""noop_sec":${times(1)},"raw_sec":[${times.mkString(",")}],""" +
+          s""""listing_noop_sec":${listingTimes(1)},""" +
+          s""""raw_listing_sec":[${listingTimes.mkString(",")}],""" +
           s""""driver_thread_alloc_mb":${allocs(1)},""" +
           s""""raw_alloc_mb":[${allocs.mkString(",")}],""" +
           s""""retained_heap_delta_mb":${(h1 - h0) / 1048576.0}}""")

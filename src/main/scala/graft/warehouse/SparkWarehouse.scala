@@ -37,6 +37,14 @@ final case class TableRef(name: String)
 final case class TableMeta(schema: Seq[FieldRepr], expiresAtMillis: Option[Long],
                            partitionCols: Seq[String] = Nil)
 
+/** One live data file in the `_graft_manifest` sidecar: table-root-
+  * relative path in `_metadata.file_path`'s URI rendering, EXACT byte
+  * length (a parquet footer read seeks to len-8), and mtime millis
+  * (keeps `_metadata.file_modification_time` faithful on
+  * manifest-served scans).
+  */
+final case class ManifestEntry(rel: String, bytes: Long, mtime: Long)
+
 /** The vendor-neutral warehouse over Spark — the reference's
   * `DataWarehouse` ABC (`src/load_datawarehouse/classes.py:18-64`) with
   * the BigQuery backend's operations (`bigquery/__init__.py:103-700`)
@@ -77,21 +85,26 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
         // newer columns) at the cost of one parallel footer pass at
         // planning.
         if (hasDataFiles(name)) {
-          val plain = graft.sources.Sources.parquetMerged(spark,
-            tablePath(name).toString)
           // zone-map skipping, TRANSPARENT: the scan's FileIndex is
           // wrapped so any predicate later pushed onto this frame —
           // DataFrame filter, SQL over the registered view, a DML
           // matched-set scan — prunes provably non-matching files at
           // listing time. The stats thunk is consulted per listing
           // (sidecar state always current); tables without a sidecar
-          // list identically to the plain index.
-          val raw =
+          // list identically to the plain index. The scan PLAN itself
+          // is served from the live-file manifest when present (zero
+          // directory listing; merged schema cached per manifest
+          // generation), falling back to the recursive-listing +
+          // footer-merge read otherwise.
+          val raw = manifestScanFrame(name).getOrElse {
+            val plain = graft.sources.Sources.parquetMerged(spark,
+              tablePath(name).toString)
             if (!skippingEnabled) plain
             else org.apache.spark.sql.GraftFileIndexBridge
               .mapFileIndex(plain)(base =>
                 new org.apache.spark.sql.GraftPruningFileIndex(base,
                   pruneMetaThunk(name)))
+          }
           // merge-on-read: rows tombstoned by pending deletion vectors
           // are filtered out at read time (anti-join on file+row
           // position). Tables never touched by MoR DML keep the plain
@@ -187,6 +200,7 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
         fs.mkdirs(tablePath(name))
       }
       writeMeta(name, TableMeta(effectiveSchema, expires.map(_.toEpochMilli)))
+      rebuildManifest(name)
       registerView(name)
       Right(TableRef(name))
     } catch { case e: Exception => Left(TableGenericError(e.getMessage, Some(e))) }
@@ -301,6 +315,7 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
               .drop("_chunk")
               .write.mode(SaveMode.Append).parquet(tablePath(name).toString)
           } finally chunked.unpersist()
+          rebuildManifest(name)
           registerView(name)
           Right(chunked.rows)
       }
@@ -325,6 +340,7 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
           SchemaCodec.fromStructType(prepared.schema)
         else prior.get.schema
       writeMeta(name, TableMeta(newSchema, prior.flatMap(_.expiresAtMillis)))
+      rebuildManifest(name)
       registerView(name)
       Right(())
     } catch { case e: Exception => Left(TableGenericError(e.getMessage, Some(e))) }
@@ -474,6 +490,7 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     }
     checkedDelete(tmp)
     checkedDelete(bakRoot)
+    patchManifestDirs(name, touchedDirs, walkTouched = true)
     registerView(name)
   }
 
@@ -801,31 +818,282 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
   }
 
   /** Live data files under the table root — (root-relative path in the
-    * same URI rendering `_metadata.file_path` uses, absolute path) —
-    * with underscore/dot-prefixed sidecars (meta, stats, blooms,
-    * deletion vectors, _SUCCESS) excluded at every level. One driver
-    * listing per call; at 100 TB this is the metastore-listing cost
-    * every lakehouse pays, NOT a data scan.
+    * same URI rendering `_metadata.file_path` uses, absolute path).
+    * Served from the [[manifestPath]] sidecar when present (ZERO
+    * directory listing — the steady-state cost every table touch used
+    * to pay recursively at O(files)); a missing/corrupt/disabled
+    * manifest falls back to the full [[listDataFiles]] walk. Every
+    * mutation verb in this class rewrites the manifest write-through,
+    * so warehouse-managed tables never serve a stale list; out-of-band
+    * writers (files copied into the directory by hand) must call
+    * [[refreshManifest]] — the same contract every manifest-backed
+    * table format (Delta, Iceberg) documents.
     */
-  private def liveDataFiles(name: String): Seq[(String, Path)] = {
-    def walk(p: Path): Seq[Path] =
+  private def liveDataFiles(name: String): Seq[(String, Path)] =
+    readManifest(name) match {
+      case Some(entries) =>
+        val prefix = fs.makeQualified(tablePath(name)).toUri.toString
+        entries.map { e =>
+          (e.rel, new Path(new java.net.URI(prefix + "/" + e.rel)))
+        }
+      case None => listDataFiles(name).map(e => (e._1.rel, e._2))
+    }
+
+  /** The listing-walk source of truth behind [[liveDataFiles]]:
+    * (entry, absolute path), underscore/dot-prefixed sidecars (meta,
+    * stats, blooms, deletion vectors, _SUCCESS) excluded at every
+    * level. One recursive driver listing per call — the O(files)
+    * metastore cost the manifest exists to amortize.
+    */
+  private def listDataFiles(name: String): Seq[(ManifestEntry, Path)] = {
+    def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(p).toSeq.flatMap { st =>
         val n = st.getPath.getName
         if (n.startsWith("_") || n.startsWith(".")) Nil
         else if (st.isDirectory) walk(st.getPath)
-        else if (n.endsWith(".parquet")) Seq(st.getPath)
+        else if (n.endsWith(".parquet")) Seq(st)
         else Nil
       }
     val prefixes = rootUriPrefixes(name)
-    walk(tablePath(name)).map { p =>
-      val uri = fs.makeQualified(p).toUri.toString
+    walk(tablePath(name)).map { st =>
+      val uri = fs.makeQualified(st.getPath).toUri.toString
       val rel = prefixes.collectFirst {
         case pre if uri.startsWith(pre + "/") => uri.substring(pre.length + 1)
       }.getOrElse(throw new IllegalStateException(
-        s"liveDataFiles: $uri outside table root ${prefixes.head}"))
-      (rel, p)
+        s"listDataFiles: $uri outside table root ${prefixes.head}"))
+      (ManifestEntry(rel, st.getLen, st.getModificationTime), st.getPath)
     }
   }
+
+  // ---------- live-file manifest ----------
+  // Persisted inventory of the table's live data files: one
+  // underscore-prefixed sidecar FILE (`_graft_manifest`) holding
+  // (byte length, mtime millis, rel path) per line, rel in the same
+  // URI rendering `_metadata.file_path` uses — which never contains
+  // raw whitespace, so the space-separated line format is unambiguous,
+  // and the exact absolute Path round-trips through `new Path(new
+  // URI(root + "/" + rel))`. Byte lengths are recorded EXACTLY (a
+  // parquet footer read seeks to len-8, so a manifest-served
+  // FileStatus must carry the true length); mtimes keep
+  // `_metadata.file_modification_time` faithful on manifest-served
+  // scans. The header line carries a version tag, a per-write nonce,
+  // and the entry count: a reread validates the count (a truncated or
+  // foreign file falls back to listing), and the nonce makes the
+  // driver cache immune to same-length-same-mtime rewrites. Writes
+  // are atomic (temp + rename), so a racing reader sees either
+  // generation, never a torn file; the brief absent window during the
+  // swap degrades to the listing walk — sound, never wrong.
+  //
+  // COMMIT SEMANTICS: the manifest write is each mutation verb's
+  // commit point for metadata- and manifest-served paths. A crash
+  // between a parquet append and the manifest rewrite leaves the new
+  // files invisible to manifest-served scans/aggregates — the
+  // UNCOMMITTED-write semantics every manifest-backed table format
+  // (Delta, Iceberg) has; refreshManifest (or any later mutation)
+  // re-derives truth from the directory.
+
+  private def manifestPath(name: String) =
+    new Path(tablePath(name), "_graft_manifest")
+
+  /** Reading the manifest is gated by `spark.graft.manifest.enabled`
+    * (default true — set false to measure the listing baseline);
+    * WRITES are unconditional, so toggling the flag can never leave a
+    * stale manifest behind for a later re-enable to trust.
+    */
+  private def manifestReadEnabled: Boolean =
+    spark.conf.getOption("spark.graft.manifest.enabled")
+      .forall(_.toBoolean)
+
+  // name -> (header line, entries); the header's nonce+count identify
+  // the generation, so a cache probe costs one 1-line read, not a
+  // re-parse of 100k entries
+  private val manifestCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, IndexedSeq[ManifestEntry])]()
+
+  private def manifestHeader(nonce: String, n: Int): String =
+    s"graft-manifest v1 $nonce $n"
+
+  /** Parsed manifest entries, or None when absent, corrupt, or
+    * read-disabled — callers then walk the directory. Never throws:
+    * the manifest is an accelerator, not a gatekeeper.
+    */
+  private def readManifest(name: String): Option[IndexedSeq[ManifestEntry]] =
+    readManifestWithHeader(name).map(_._2)
+
+  private def readManifestWithHeader(name: String)
+      : Option[(String, IndexedSeq[ManifestEntry])] = {
+    if (!manifestReadEnabled) return None
+    try {
+      if (!fs.exists(manifestPath(name))) return None
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        fs.open(manifestPath(name)), StandardCharsets.UTF_8))
+      try {
+        val header = in.readLine()
+        if (header == null || !header.startsWith("graft-manifest v1 "))
+          return None
+        val cached = manifestCache.get(name)
+        if (cached != null && cached._1 == header)
+          return Some((header, cached._2))
+        val n = header.substring(header.lastIndexOf(' ') + 1).toInt
+        val out =
+          new scala.collection.immutable.VectorBuilder[ManifestEntry]()
+        var line = in.readLine()
+        var read = 0
+        while (line != null) {
+          val sp1 = line.indexOf(' ')
+          val sp2 = if (sp1 < 0) -1 else line.indexOf(' ', sp1 + 1)
+          if (sp1 <= 0 || sp2 <= sp1) return None // torn/foreign content
+          out += ManifestEntry(line.substring(sp2 + 1),
+            line.substring(0, sp1).toLong,
+            line.substring(sp1 + 1, sp2).toLong)
+          read += 1
+          line = in.readLine()
+        }
+        if (read != n) return None // truncated write
+        val entries = out.result()
+        manifestCache.put(name, (header, entries))
+        Some((header, entries))
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
+  private def writeManifestEntries(name: String,
+                                   entries: Seq[ManifestEntry]): Unit = {
+    val header = manifestHeader(
+      java.util.UUID.randomUUID().toString.take(8), entries.size)
+    val sb = new StringBuilder(header).append('\n')
+    entries.foreach { e =>
+      sb.append(e.bytes).append(' ').append(e.mtime).append(' ')
+        .append(e.rel).append('\n')
+    }
+    val tmp = new Path(tablePath(name), "_graft_manifest.__tmp")
+    val out = fs.create(tmp, true)
+    try out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    checkedDelete(manifestPath(name))
+    checkedRename(tmp, manifestPath(name))
+    manifestCache.put(name, (header, entries.toIndexedSeq))
+  }
+
+  /** Rebuild the manifest from one authoritative directory walk — the
+    * write-through hook every whole-table mutation (load, update,
+    * materializeSwap, bucketed/partitioned create) ends with, and the
+    * public healing verb for out-of-band writes. O(files) listing once
+    * per MUTATION instead of once per read/analyze. Best-effort when
+    * called from mutation paths: a manifest write failure must never
+    * fail a committed data write (readers just fall back to listing).
+    */
+  private def rebuildManifest(name: String): Unit =
+    try writeManifestEntries(name, listDataFiles(name).map(_._1))
+    catch { case _: Exception => manifestCache.remove(name) }
+
+  /** Public heal/bootstrap: re-derive the manifest from a directory
+    * listing (the ONLY correct move after files were added or removed
+    * by something other than this warehouse). Returns the live file
+    * count.
+    */
+  def refreshManifest(name: String): Either[WarehouseError, Long] =
+    try {
+      if (!fs.exists(tablePath(name))) Left(TableNotFound(name))
+      else {
+        val files = listDataFiles(name)
+        writeManifestEntries(name, files.map(_._1))
+        Right(files.size.toLong)
+      }
+    } catch { case e: Exception => Left(TableGenericError(e.getMessage, Some(e))) }
+
+  // per-generation cache of the manifest-built scan index + merged
+  // data schema: warm get() is then a pure driver-memory plan build —
+  // no listing, no footer job. Keyed by the manifest header
+  // (nonce+count), which every mutation verb rotates, so evolution/
+  // rewrites re-infer exactly once. Residency is O(#files) driver
+  // memory per table — the same order Spark's own shared
+  // FileStatusCache holds for listing-path reads.
+  private val scanIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    String,
+    (String, org.apache.spark.sql.execution.datasources.FileIndex,
+      StructType)]()
+
+  /** Manifest-served scan plan: the raw merged-schema frame built from
+    * the manifest inventory with ZERO directory listing (and, warm,
+    * zero footer reads). None when the manifest is absent, disabled,
+    * corrupt, or empty — the caller falls back to the listing+footer
+    * path. Fail-soft: any error here degrades to the listing read,
+    * never fails a query. The pruning FileIndex wraps the manifest
+    * index exactly as it wraps a listed one.
+    */
+  private def manifestScanFrame(name: String): Option[DataFrame] =
+    try readManifestWithHeader(name).flatMap { case (header, entries) =>
+      if (entries.isEmpty) None
+      else {
+        val rootQ = fs.makeQualified(tablePath(name))
+        val prefix = rootQ.toUri.toString
+        val cached = scanIndexCache.get(name)
+        val (index, dataSchema) =
+          if (cached != null && cached._1 == header) (cached._2, cached._3)
+          else {
+            val statuses = entries.map { e =>
+              new org.apache.hadoop.fs.FileStatus(e.bytes, false, 1,
+                134217728L, e.mtime,
+                new Path(new java.net.URI(prefix + "/" + e.rel)))
+            }
+            val (idx, ds) = org.apache.spark.sql.GraftFileIndexBridge
+              .manifestIndex(spark, rootQ, statuses, None)
+            scanIndexCache.put(name, (header, idx, ds))
+            (idx, ds)
+          }
+        Some(org.apache.spark.sql.GraftFileIndexBridge.manifestFrame(
+          spark, index, dataSchema,
+          base =>
+            if (!skippingEnabled) base
+            else new org.apache.spark.sql.GraftPruningFileIndex(base,
+              pruneMetaThunk(name))))
+      }
+    } catch { case _: Exception => None }
+
+  /** Partition-surgical manifest update: entries under `touchedDirs`
+    * (rel leaf-directory paths, raw on-disk form) are replaced by a
+    * walk of ONLY those directories; everything else is carried over
+    * untouched. Used by the pruned-partition swap and the pruned
+    * DELETE (`walkTouched = false` drops without walking — the
+    * directories are gone). Falls back to a full rebuild when no
+    * manifest exists yet.
+    */
+  private def patchManifestDirs(name: String, touchedDirs: Seq[String],
+                                walkTouched: Boolean): Unit =
+    try {
+      readManifest(name) match {
+        case None => rebuildManifest(name)
+        case Some(old) =>
+          // rel is URI-rendered; a touched dir prefix must be compared
+          // in the same rendering
+          val prefix = fs.makeQualified(tablePath(name)).toUri.toString
+          val touchedUri = touchedDirs.map { d =>
+            val qualified = fs.makeQualified(
+              new Path(tablePath(name), d)).toUri.toString
+            require(qualified.startsWith(prefix + "/"),
+              s"touched dir $d outside table root")
+            qualified.substring(prefix.length + 1) + "/"
+          }
+          val kept = old.filterNot(e => touchedUri.exists(e.rel.startsWith))
+          val added =
+            if (!walkTouched) Nil
+            else touchedDirs.flatMap { d =>
+              val dir = new Path(tablePath(name), d)
+              if (!fs.exists(dir)) Nil
+              else fs.listStatus(dir).toSeq.collect {
+                case st if !st.isDirectory &&
+                  st.getPath.getName.endsWith(".parquet") &&
+                  !st.getPath.getName.startsWith("_") &&
+                  !st.getPath.getName.startsWith(".") =>
+                  val uri = fs.makeQualified(st.getPath).toUri.toString
+                  ManifestEntry(uri.substring(prefix.length + 1),
+                    st.getLen, st.getModificationTime)
+              }
+            }
+          writeManifestEntries(name, kept ++ added)
+      }
+    } catch { case _: Exception => manifestCache.remove(name) }
 
   /** Overwrite a sidecar directory ATOMICALLY with respect to its own
     * readers: write to a sibling temp dir, then swap — never overwrite
@@ -991,26 +1259,47 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
           }
         } else {
           val live = liveDataFiles(name)
-          val liveDf = relsDf(live.map(_._1))
-          val oldRows = readStatsSidecar(name)
-          // coverage math is DISTRIBUTED: fresh rels via LEFT ANTI
-          // against the sidecar's rel column (the collect is bounded by
-          // the NEW files — which must come to the driver anyway to be
-          // listed as scan paths), dead detection/cleanup via LEFT
-          // ANTI/SEMI against the live list. The sidecar's own rel set
-          // is never collected — at ~10⁶ files that collect on every
-          // no-op incremental call was the avoidable driver cost.
-          val freshRels = liveDf
-            .join(oldRows.select("rel"), Seq("rel"), "left_anti")
-            .collect().map(_.getString(0)).toSet
+          lazy val liveDf = relsDf(live.map(_._1))
+          // lazy: even CONSTRUCTING the sidecar frame costs a parquet
+          // schema-inference job in Spark 4, which the warm cache path
+          // must never pay
+          lazy val oldRows = readStatsSidecar(name)
+          // coverage math: when the decoded stats cache is resident
+          // (fingerprint-validated against the sidecar, budget-bounded
+          // — the same structure warm pruned scans consult) fresh/dead
+          // are pure driver set tests, ZERO Spark jobs on the
+          // steady-state no-op call. A cold or budget-refused cache
+          // falls back to DISTRIBUTED joins, fused into ONE action:
+          // fresh rels via LEFT ANTI against the sidecar's rel column
+          // (the collect is bounded by the NEW files — which must come
+          // to the driver anyway to be listed as scan paths) unioned
+          // with a LIMIT-1 existence probe of dead rels (partition-
+          // pruned deletes, manual file drops). The sidecar's own rel
+          // set is never collected — at ~10⁶ files that collect on
+          // every no-op incremental call was the avoidable driver cost.
+          val cachedCov = cachedStats(name)
+          val (freshRels, hasDead) =
+            if (cachedCov.nonEmpty) {
+              val liveSet = live.map(_._1).toSet
+              (liveSet.diff(cachedCov.keySet),
+                cachedCov.keysIterator.exists(!liveSet.contains(_)))
+            } else {
+              val fr = liveDf
+                .join(oldRows.select("rel"), Seq("rel"), "left_anti")
+                .select(col("rel"), lit(false).as("dead"))
+              val dd = oldRows.select("rel")
+                .join(liveDf, Seq("rel"), "left_anti")
+                .select(col("rel"), lit(true).as("dead")).limit(1)
+              val asym = fr.union(dd).collect()
+              (asym.filter(!_.getBoolean(1)).map(_.getString(0)).toSet,
+                asym.exists(_.getBoolean(1)))
+            }
           val fresh = live.filter { case (rel, _) => freshRels.contains(rel) }
-          // dead-rel rows (partition-pruned deletes, manual file drops)
-          // are cleaned even when nothing fresh exists — otherwise they
-          // linger in the sidecar and driver caches until some append
-          // triggers a write pass (they are harmless for pruning, which
-          // walks live files, but they bloat every cache reload)
-          val hasDead = !oldRows.select("rel")
-            .join(liveDf, Seq("rel"), "left_anti").isEmpty
+          // dead-rel rows are cleaned even when nothing fresh exists —
+          // otherwise they linger in the sidecar and driver caches
+          // until some append triggers a write pass (they are harmless
+          // for pruning, which walks live files, but they bloat every
+          // cache reload)
           def dropDead(rows: DataFrame): DataFrame =
             if (!hasDead) rows
             else rows.join(liveDf, Seq("rel"), "left_semi")
@@ -1154,28 +1443,34 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
         // set is never collected (O(files × cols) driver memory at
         // exactly the scale this verb targets); only the FRESH rels
         // come to the driver, which they must anyway as scan paths.
-        val (fresh, keptOld) =
-          if (!incremental || !haveSidecar) (live, None)
+        // Fresh detection and the dead-rel existence probe are FUSED
+        // into one action (a union with a LIMIT-1 dead leg), so the
+        // steady-state no-op call schedules one job, not two.
+        val (fresh, keptOld, hasDead) =
+          if (!incremental || !haveSidecar) (live, None, false)
           else {
             val oldRows = spark.read.parquet(bloomPath(name).toString)
               .select("rel", "column", "bloom")
             val covered = oldRows.select("rel", "column")
               .filter(col("column") =!= "")
-            val freshRels = liveDf.crossJoin(colsDf)
+            val fr = liveDf.crossJoin(colsDf)
               .join(covered, Seq("rel", "column"), "left_anti")
               .select("rel").distinct()
-              .collect().map(_.getString(0)).toSet
+              .select(col("rel"), lit(false).as("dead"))
+            val dd = oldRows.select("rel")
+              .join(liveDf, Seq("rel"), "left_anti")
+              .select(col("rel"), lit(true).as("dead")).limit(1)
+            val asym = fr.union(dd).collect()
+            val freshRels =
+              asym.filter(!_.getBoolean(1)).map(_.getString(0)).toSet
             (live.filter { case (rel, _) => freshRels.contains(rel) },
-              Some(oldRows))
+              Some(oldRows), asym.exists(_.getBoolean(1)))
           }
         if (fresh.isEmpty) {
           // nothing to build, but dead-rel rows (partition-pruned
           // deletes) are still cleaned rather than deferred to the
-          // next append — existence decided distributed, cleanup via
-          // LEFT SEMI against the live list
+          // next append — cleanup via LEFT SEMI against the live list
           keptOld.foreach { oldRows =>
-            val hasDead = !oldRows.select("rel")
-              .join(liveDf, Seq("rel"), "left_anti").isEmpty
             if (hasDead)
               swapSidecar(bloomPath(name),
                 oldRows.join(liveDf, Seq("rel"), "left_semi"))
@@ -1399,23 +1694,29 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
         // the requested precision instead of silently keeping a mix.
         // Computed distributed (pair LEFT ANTI) — the sidecar's pair
         // set is never collected; only fresh rels reach the driver.
-        val (fresh, keptOld) =
-          if (!incremental || !haveSidecar) (live, None)
+        // Fresh detection and the dead-rel existence probe are fused
+        // into one action, as in [[analyzeBloom]].
+        val (fresh, keptOld, hasDead) =
+          if (!incremental || !haveSidecar) (live, None, false)
           else {
             val oldRows = readHllSidecar(name)
             val covered = oldRows.filter(col("lgk") === lit(lgK))
               .select("rel", "column")
-            val freshRels = liveDf.crossJoin(colsDf)
+            val fr = liveDf.crossJoin(colsDf)
               .join(covered, Seq("rel", "column"), "left_anti")
               .select("rel").distinct()
-              .collect().map(_.getString(0)).toSet
+              .select(col("rel"), lit(false).as("dead"))
+            val dd = oldRows.select("rel")
+              .join(liveDf, Seq("rel"), "left_anti")
+              .select(col("rel"), lit(true).as("dead")).limit(1)
+            val asym = fr.union(dd).collect()
+            val freshRels =
+              asym.filter(!_.getBoolean(1)).map(_.getString(0)).toSet
             (live.filter { case (rel, _) => freshRels.contains(rel) },
-              Some(oldRows))
+              Some(oldRows), asym.exists(_.getBoolean(1)))
           }
         if (fresh.isEmpty) {
           keptOld.foreach { oldRows =>
-            val hasDead = !oldRows.select("rel")
-              .join(liveDf, Seq("rel"), "left_anti").isEmpty
             if (hasDead)
               swapSidecar(hllPath(name),
                 oldRows.join(liveDf, Seq("rel"), "left_semi"))
@@ -2163,6 +2464,7 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     }
     checkedDelete(bak)
     priorMeta.foreach(writeMeta(name, _))
+    rebuildManifest(name)
     registerView(name)
   }
 
@@ -2210,6 +2512,7 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
                   s"pruned delete of '$name' failed; partitions restored", e)
             }
             checkedDelete(bakRoot)
+            patchManifestDirs(name, matched, walkTouched = false)
             registerView(name)
           } else {
             materializeSwap(name,
@@ -2410,6 +2713,7 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
           .write.mode(SaveMode.Append).parquet(dvPath(name).toString)
       } finally
         org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(matched)
+      rebuildManifest(name)
       registerView(name)
       Right(())
     } catch { case e: Exception => Left(TableGenericError(e.getMessage, Some(e))) }
@@ -2479,6 +2783,7 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
         .saveAsTable(name)
       writeMeta(name, TableMeta(
         SchemaCodec.fromStructType(data.schema), None))
+      rebuildManifest(name)
       Right(TableRef(name))
     } catch { case e: Exception => Left(TableGenericError(e.getMessage, Some(e))) }
 
@@ -2500,6 +2805,7 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
       // upsert can prune to touched partitions
       writeMeta(name, TableMeta(SchemaCodec.fromStructType(prepared.schema),
         None, partitionCols))
+      rebuildManifest(name)
       registerView(name)
       Right(TableRef(name))
     } catch { case e: Exception => Left(TableGenericError(e.getMessage, Some(e))) }

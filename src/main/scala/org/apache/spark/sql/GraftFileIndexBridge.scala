@@ -1,9 +1,11 @@
 package org.apache.spark.sql
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.catalyst.expressions.{And, Expression}
 import org.apache.spark.sql.execution.datasources.{FileIndex,
-  HadoopFsRelation, LogicalRelation, PartitionDirectory}
+  FileStatusCache, HadoopFsRelation, InMemoryFileIndex, LogicalRelation,
+  PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.StructType
 
 /** In-package access for wrapping a scan's `FileIndex` — the standard
@@ -59,6 +61,63 @@ object GraftFileIndexBridge {
     import scala.jdk.CollectionConverters._
     seen.asScala.toSeq
       .map(_.metrics.get("numFiles").map(_.value).getOrElse(0L)).sum
+  }
+
+  /** Parquet scan over an EXPLICIT file inventory — zero directory
+    * listing at plan time. The given statuses seed the `FileIndex`'s
+    * status cache, so the stock `InMemoryFileIndex` (partition
+    * discovery, partition-type inference, pushed-filter listing — all
+    * identical to `spark.read.parquet(root)`) builds without touching
+    * the filesystem; the merged data schema is either the caller's
+    * cached copy or inferred NOW from the given footers (mergeSchema
+    * semantics — one distributed footer job, which the caller caches
+    * per manifest generation). This is the scan-planning half of the
+    * warehouse's live-file manifest: at 100k+ files it converts every
+    * warm `get()` from an O(files) recursive listing plus footer merge
+    * into a pure driver-memory plan build. Statuses must carry EXACT
+    * byte lengths (footer reads seek to len-8).
+    *
+    * Returns (index, merged data schema); [[manifestFrame]] assembles
+    * the DataFrame. Kept separate so the caller can cache the index
+    * (driver-memory resident, like Spark's own shared status cache)
+    * and rebuild cheap per-query frames from it.
+    */
+  def manifestIndex(spark: SparkSession, root: Path,
+                    files: Seq[FileStatus],
+                    cachedDataSchema: Option[StructType])
+      : (FileIndex, StructType) = {
+    val session = spark.asInstanceOf[classic.SparkSession]
+    val arr = files.toArray
+    val cache = new FileStatusCache {
+      override def getLeafFiles(path: Path): Option[Array[FileStatus]] =
+        if (path == root) Some(arr) else None
+      override def putLeafFiles(path: Path,
+                                leafFiles: Array[FileStatus]): Unit = ()
+      override def invalidateAll(): Unit = ()
+    }
+    val options = Map("mergeSchema" -> "true")
+    val index = new InMemoryFileIndex(session, Seq(root), options, None, cache)
+    val dataSchema = cachedDataSchema.getOrElse {
+      new ParquetFileFormat().inferSchema(session, options, index.allFiles())
+        .getOrElse(throw new IllegalStateException(
+          s"unable to infer parquet schema under $root"))
+    }
+    (index, dataSchema)
+  }
+
+  /** A DataFrame over a [[manifestIndex]] result, with the index
+    * optionally re-wrapped (the pruning index hook). Mirrors
+    * `DataSource.resolveRelation`'s relation assembly: nullable data
+    * schema, the index's inferred partition schema, no bucket spec.
+    */
+  def manifestFrame(spark: SparkSession, index: FileIndex,
+                    dataSchema: StructType,
+                    wrap: FileIndex => FileIndex): DataFrame = {
+    val session = spark.asInstanceOf[classic.SparkSession]
+    val rel = HadoopFsRelation(wrap(index), index.partitionSchema,
+      dataSchema.asNullable, None, new ParquetFileFormat,
+      Map("mergeSchema" -> "true"))(session)
+    classic.Dataset.ofRows(session, LogicalRelation(rel))
   }
 }
 

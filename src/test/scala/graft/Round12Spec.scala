@@ -403,6 +403,11 @@ class Round12Spec extends SparkSpec {
       case (rel, n) if n > 0 => rel }.get
     val victimRows = statsRows(victimRel)
     fs.delete(new org.apache.hadoop.fs.Path(root, victimRel), false)
+    // the delete above is OUT-OF-BAND (no warehouse verb ran): under
+    // the r14 live-file manifest contract the manifest must be healed
+    // before the table is touched again — a REAL pruned delete patches
+    // it write-through (pinned in Round14Spec)
+    unwrap(wh.refreshManifest("t"))
     def relsOf(sub: String): Set[String] =
       spark.read.parquet(s"$root/$sub").select("rel").distinct()
         .collect().map(_.getString(0)).toSet
