@@ -629,6 +629,69 @@ object OpsQueries {
       }
     }),
 
+    // ---- live-file manifest (r14): every scan below is SERVED from the
+    // `_graft_manifest` sidecar (zero directory listing on the warm
+    // path); DML verbs rewrite it write-through. The gate asserts
+    // manifest-served ≡ listing-walk row counts at every step, then
+    // hash-compares the final DML result against DuckDB computing the
+    // same mutations declaratively.
+    "op_manifest_dml" -> ((s: SparkSession, dir: String) => {
+      val wh = tmpWarehouse(s)
+      val t = "op_manifest_t"
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+      def ok[A](e: Either[graft.warehouse.WarehouseError, A]): A =
+        e.fold(err => throw new RuntimeException(err.message), identity)
+      def countBoth(step: String): Long = {
+        val served = ok(wh.get(t)).count()
+        s.conf.set("spark.graft.manifest.enabled", "false")
+        val listed = try ok(wh.get(t)).count()
+          finally s.conf.unset("spark.graft.manifest.enabled")
+        require(served == listed,
+          s"manifest-served scan drifts from listing after $step: " +
+            s"$served vs $listed")
+        served
+      }
+      ok(wh.load(t, orders.repartition(6)))
+      countBoth("load")
+      ok(wh.deleteWhere(t, col("o_orderkey") % 5 === 0))
+      countBoth("deleteWhere")
+      ok(wh.load(t, orders.filter(col("o_orderkey") % 5 === 0 &&
+        col("o_orderpriority") === "1-URGENT")))
+      countBoth("append")
+      ok(wh.compact(t, 4, Seq("o_orderkey")))
+      countBoth("compact")
+      ok(wh.get(t)).orderBy("o_orderkey", "o_orderstatus", "o_orderpriority")
+    }),
+
+    // ---- distributed HLL fold (r14): above the file-count threshold
+    // the metadata approx-distinct folds the per-file sketches in ONE
+    // tiny aggregate over the sidecar (K rows to the driver) instead of
+    // collecting O(files) sketch blobs. The gate forces BOTH paths and
+    // requires identical estimates; the hash-compared output is the
+    // EXACT distinct counts, which DuckDB reproduces.
+    "op_hll_distributed" -> ((s: SparkSession, dir: String) => {
+      val wh = tmpWarehouse(s)
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"))
+      def ok[A](e: Either[graft.warehouse.WarehouseError, A]): A =
+        e.fold(err => throw new RuntimeException(err.message), identity)
+      ok(wh.load("op_hlldist_t", li.repartition(6)))
+      ok(wh.analyzeSketch("op_hlldist_t", Seq("l_partkey", "l_suppkey")))
+      val driverFold = ok(wh.approxDistinctFast("op_hlldist_t",
+        Seq("l_partkey", "l_suppkey"))).head
+      s.conf.set("spark.graft.hll.foldThreshold", "0")
+      val distFold = try ok(wh.approxDistinctFast("op_hlldist_t",
+          Seq("l_partkey", "l_suppkey"))).head
+        finally s.conf.unset("spark.graft.hll.foldThreshold")
+      require(driverFold == distFold,
+        s"distributed HLL fold drifts from driver fold: " +
+          s"$driverFold vs $distFold")
+      ok(wh.get("op_hlldist_t")).agg(
+        countDistinct(col("l_partkey")).as("nd_partkey"),
+        countDistinct(col("l_suppkey")).as("nd_suppkey"))
+    }),
+
     // ---- row-level DML DELETE ... WHERE: one-pass rewrite keeping the
     // predicate's complement (materialize-then-swap, meta preserved).
     "op_delete_where" -> ((s: SparkSession, dir: String) => {
@@ -1289,6 +1352,17 @@ object OpsQueries {
         |FROM orders
         |WHERE 'https://' || o_orderpriority || '/o' ||
         |        CAST(o_orderkey AS VARCHAR) LIKE 'https://2-HIGH/o7%'""".stripMargin,
+    "op_manifest_dml" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+        |WHERE NOT (o_orderkey % 5 = 0)
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+        |WHERE o_orderkey % 5 = 0 AND o_orderpriority = '1-URGENT'
+        |ORDER BY o_orderkey, o_orderstatus, o_orderpriority""".stripMargin,
+    "op_hll_distributed" ->
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_partkey,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS nd_suppkey
+        |FROM lineitem""".stripMargin,
     "op_stats_sum_decimal" ->
       """SELECT CAST(count(*) AS BIGINT) AS cnt,
         |       CAST(sum(CAST(l_orderkey AS DECIMAL(18,2))) AS VARCHAR)

@@ -301,6 +301,62 @@ object BloomSweep {
           s""""plain_raw":${plainT.mkString("[", ",", "]")}}""")
     }
 
+    // ---- leg 7: n-gram filter sizing from MEASURED window cardinality
+    // (r14) on a REPETITIVE 1M corpus — real document text repeats its
+    // n-byte windows heavily (language entropy ≪ rows×len), which is
+    // exactly where the r13 rows×24 heuristic over-allocated. Old
+    // sizing is reproduced via explicit expectedItemsPerFile =
+    // rowsPerFile×24 (the same capacity the heuristic computed); the
+    // comparison holds files_read EQUAL on present and absent substring
+    // probes while the sidecar shrinks.
+    for (n <- Seq(1000000L)) {
+      val nf = filesFor(n)
+      val rowsPerFile = n / nf
+      // ~1k distinct templates: per-file distinct 6-byte windows are a
+      // few thousand, vs the heuristic's rowsPerFile×24 = 300k capacity
+      val docs = spark.range(n).select(
+        format_string("item %d of batch %d in the usual place",
+          pmod(col("id"), lit(997L)), pmod(col("id"), lit(131L)))
+          .as("body"),
+        col("id").as("v"))
+      def sidecarBytesOf(dir: String): Long =
+        Option(spark.read.parquet(s"$dir/t/_graft_bloom")
+            .filter(col("column").contains("ngram"))
+            .agg(sum(length(col("bloom")))).head.get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+      val present = col("body").contains("item 499 of batch 77 ")
+      val absent = col("body").contains("item 999 of batch 999")
+      val presentRows = docs.filter(present).count()
+      def run(sizing: String, expected: Long): (Long, Long, Long, Double) = {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-ngsz-$sizing").toString
+        val wh = new SparkWarehouse(spark, dir)
+        unwrap(wh.load("t", docs.repartition(nf)))
+        unwrap(wh.analyzeStats("t"))
+        val (anSec, _) = timed(() => unwrap(wh.analyzeBloom("t",
+          Seq("body"), expectedItemsPerFile = expected, ngramBytes = 6)))
+        val fp = filesRead(unwrap(wh.scanPruned("t", present)))
+        val fa = filesRead(unwrap(wh.scanPruned("t", absent)))
+        require(unwrap(wh.scanPruned("t", present)).count() == presentRows,
+          s"$sizing sizing dropped matching rows")
+        require(unwrap(wh.scanPruned("t", absent)).count() == 0L)
+        (sidecarBytesOf(dir), fp, fa, anSec)
+      }
+      val (oldBytes, oldP, oldA, oldSec) = run("rows24", rowsPerFile * 24L)
+      val (newBytes, newP, newA, newSec) = run("measured", 0L)
+      require(newP <= oldP && newA <= oldA,
+        s"measured sizing reads MORE files: $newP/$newA vs $oldP/$oldA")
+      record(
+        s"""{"leg":"ngram_sizing","n":$n,"files":$nf,""" +
+          s""""rows24_sidecar_bytes":$oldBytes,""" +
+          s""""measured_sidecar_bytes":$newBytes,""" +
+          s""""shrink_factor":${oldBytes.toDouble / newBytes},""" +
+          s""""rows24_files_present":$oldP,"measured_files_present":$newP,""" +
+          s""""rows24_files_absent":$oldA,"measured_files_absent":$newA,""" +
+          s""""rows24_analyze_sec":$oldSec,""" +
+          s""""measured_analyze_sec":$newSec}""")
+    }
+
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       results.mkString("[\n", ",\n", "\n]")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))

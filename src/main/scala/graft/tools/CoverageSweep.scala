@@ -146,6 +146,43 @@ object CoverageSweep {
           s""""raw_alloc_mb":[${allocs.mkString(",")}],""" +
           s""""retained_heap_delta_mb":${(h1 - h0) / 1048576.0}}""")
       }
+      // ---- HLL fold leg (r14): metadata approx-distinct over an
+      // nFiles-row sketch sidecar, driver fold (collects O(files)
+      // sketch blobs) vs the distributed fold (ONE aggregate, K rows
+      // to the driver). Identical files → identical sketches, so one
+      // REAL sketch row (from analyzeSketch on the seed file) is
+      // replicated per rel; both paths must return the same estimate.
+      // the real sketch comes from a single-file TWIN table (sketching
+      // the 100k identical copies would scan them all for no signal)
+      unwrap(wh.load("thll", spark.range(100).toDF("id").coalesce(1)))
+      unwrap(wh.analyzeSketch("thll", Seq("id")))
+      val sketchRow = spark.read.parquet(s"$dir/thll/_graft_hll")
+        .filter(col("column") === "id" && col("hll").isNotNull)
+        .select("hll", "lgk").head
+      rels.select(col("rel"), lit("id").as("column"),
+          lit(sketchRow.getAs[Array[Byte]](0)).as("hll"),
+          lit(sketchRow.getInt(1)).as("lgk"))
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$dir/t/_graft_hll")
+      def hllCall(): Long =
+        unwrap(wh.approxDistinctFast("t", Seq("id"))).head.getLong(0)
+      val driverEst = try {
+        spark.conf.set("spark.graft.hll.foldThreshold", Long.MaxValue.toString)
+        hllCall(); (1 to 3).map(_ => timed(() => hllCall())).sortBy(_._1)
+      } finally spark.conf.unset("spark.graft.hll.foldThreshold")
+      val distEst = try {
+        spark.conf.set("spark.graft.hll.foldThreshold", "0")
+        hllCall(); (1 to 3).map(_ => timed(() => hllCall())).sortBy(_._1)
+      } finally spark.conf.unset("spark.graft.hll.foldThreshold")
+      require(driverEst.head._2 == distEst.head._2,
+        s"HLL folds disagree: ${driverEst.head._2} vs ${distEst.head._2}")
+      record(s"""{"analyzer":"hll_fold","n_files":$nFiles,""" +
+        s""""estimate":${distEst.head._2},""" +
+        s""""driver_fold_sec":${driverEst(1)._1},""" +
+        s""""raw_driver_sec":[${driverEst.map(_._1).mkString(",")}],""" +
+        s""""distributed_fold_sec":${distEst(1)._1},""" +
+        s""""raw_distributed_sec":[${distEst.map(_._1).mkString(",")}]}""")
+
       // best-effort cleanup: 100k files linger otherwise
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }

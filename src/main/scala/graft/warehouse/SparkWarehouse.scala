@@ -686,27 +686,53 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     // size check BEFORE any driver materialization (one small
     // aggregation job): collecting first and checking after would
     // already have OOM'd the driver on the sidecar the budget exists
-    // to refuse
-    val bytes = Option(spark.read.parquet(bloomPath(name).toString)
-        .agg(sum(length(col("bloom")))).head.get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
-    if (bytes > budget) {
-      bloomCache.synchronized {
-        // a stale PRIOR generation can never serve fp again — drop it
-        // rather than leave unusable bytes resident
-        val prior = bloomCache.remove(name)
-        if (prior != null) bloomCacheBytes -= prior._2
-        if (bloomDisabledFps.add(s"$fp@$budget"))
-          System.err.println(s"[graft] bloom sidecar for '$name' decodes " +
-            s"to $bytes bytes > budget $budget " +
-            "(spark.graft.bloomCache.maxBytes): bloom pruning DISABLED " +
-            "for this table — raise the budget, lower analyzeBloom's " +
-            "expectedItemsPerFile, or bloom fewer columns")
+    // to refuse. Sizing is per FILTER KIND, admitted in value order —
+    // point equality filters first, then prefix, then n-gram — each
+    // kind included only if it fits the remaining budget, so an
+    // oversized n-gram family degrades ONLY substring pruning and can
+    // no longer silently disable the (small) point/prefix filters
+    // with it.
+    val kindCol =
+      when(col("column").contains(lit("\u0000prefix\u0000")), lit(1))
+        .when(col("column").contains(lit("\u0000ngram\u0000")), lit(2))
+        .otherwise(lit(0))
+    val perKind = spark.read.parquet(bloomPath(name).toString)
+      .groupBy(kindCol.as("kind"))
+      .agg(sum(length(col("bloom"))).as("b"))
+      .collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .toMap
+    var remaining = budget
+    val included = Seq(0, 1, 2).filter { k =>
+      val b = perKind.getOrElse(k, 0L)
+      if (b <= remaining) { remaining -= b; true } else false
+    }
+    val excluded = Seq(0, 1, 2).filter(k =>
+      perKind.getOrElse(k, 0L) > 0L && !included.contains(k))
+    val bytes = included.map(perKind.getOrElse(_, 0L)).sum
+    if (excluded.nonEmpty) {
+      val kindName = Map(0 -> "point", 1 -> "prefix", 2 -> "ngram")
+      System.err.println(s"[graft] bloom sidecar for '$name': kinds " +
+        s"${excluded.map(kindName)} (${excluded.map(perKind(_)).sum} " +
+        s"bytes) exceed the remaining cache budget " +
+        "(spark.graft.bloomCache.maxBytes) and are NOT loaded — their " +
+        "pruning is disabled for this table; included kinds " +
+        s"(${included.map(kindName)}) still prune. Raise the budget or " +
+        "re-analyze with fewer/smaller filters")
+      if (included.forall(k => perKind.getOrElse(k, 0L) == 0L)) {
+        // nothing with substance fits: full refusal, memoized so the
+        // sizing job runs once per sidecar generation
+        bloomCache.synchronized {
+          val prior = bloomCache.remove(name)
+          if (prior != null) bloomCacheBytes -= prior._2
+          bloomDisabledFps.add(s"$fp@$budget")
+        }
+        return Map.empty
       }
-      return Map.empty
     }
     val rows = spark.read.parquet(bloomPath(name).toString)
       .select("rel", "column", "bloom")
+      .filter(kindCol.isin(included: _*))
       .collect()
       .filter(r => r.getString(1).nonEmpty && r.get(2) != null) // sentinels
     val parsed = rows
@@ -1530,12 +1556,43 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
                 presentNgram.map(_ => 2)).toArray
               val n = names.size
               val itemsB = items
-              // capacity heuristic for n-gram filters: ~24 windows per
-              // row (undersizing only raises the false-positive rate —
-              // never unsound; a caller with long documents sizes
-              // explicitly via expectedItemsPerFile, which applies to
-              // every filter kind)
-              val ngramItemsB =
+              // n-gram capacity from MEASURED per-file distinct-window
+              // cardinality: the r13 rows×24 heuristic built
+              // ~1.5 MB/(file·col) filters at 1M rows/80 files — at
+              // 10⁶ files that is ~1.5 TB/col, guaranteed to blow the
+              // decode budget exactly where substring pruning matters.
+              // One approx_count_distinct aggregate per n-gram source
+              // column over the FRESH files (the explode costs the
+              // same sliding pass the build loop pays — a one-time
+              // analyze cost), +30% headroom, clamped [1024, 10M].
+              // Text windows repeat heavily (language n-gram entropy ≪
+              // rows×len), so measured capacities are typically 10-50×
+              // smaller. Undersizing only raises the false-positive
+              // rate — never unsound. An explicit expectedItemsPerFile
+              // still overrides every kind.
+              val ngramCap: Map[(String, String), Long] =
+                if (presentNgram.isEmpty || expectedItemsPerFile > 0)
+                  Map.empty
+                else presentNgram.flatMap { case (src, nm) =>
+                  val bin = col(s"`$src`").cast("binary")
+                  val winIdx = when(length(bin) >= lit(ngramBytes),
+                      sequence(lit(1), length(bin) - lit(ngramBytes - 1)))
+                    .otherwise(array().cast("array<int>"))
+                  raw.select(relPathCol(name).as("__rel"),
+                      explode(transform(winIdx,
+                        i => bin.substr(i, lit(ngramBytes)))).as("__w"))
+                    .groupBy("__rel")
+                    .agg(approx_count_distinct(col("__w")).as("nw"))
+                    .collect()
+                    .map(r => (r.getString(0), nm) ->
+                      ((r.getLong(1) * 13L) / 10L).max(1024L)
+                        .min(10_000_000L))
+                }.toMap
+              val ngramCapB =
+                if (ngramCap.isEmpty) null
+                else spark.sparkContext.broadcast(ngramCap)
+              val namesB = names
+              val fallbackNgramItems =
                 if (expectedItemsPerFile > 0) items
                 else (items * 24L).min(10_000_000L)
               val ngramW = ngramBytes
@@ -1551,7 +1608,11 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
                     if (!row.isNullAt(i + 1)) {
                       val bf = m.getOrElseUpdate((rel, i),
                         BloomFilter.create(
-                          if (kind(i) == 2) ngramItemsB else itemsB, fppB))
+                          if (kind(i) == 2) {
+                            if (ngramCapB == null) fallbackNgramItems
+                            else ngramCapB.value
+                              .getOrElse((rel, namesB(i)), 1024L)
+                          } else itemsB, fppB))
                       kind(i) match {
                         case 0 => bf.putString(row.getString(i + 1))
                         case 1 => bf.putBinary(row.getAs[Array[Byte]](i + 1))
@@ -1628,6 +1689,39 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
       }
     } catch {
       case e: Exception => Left(TableGenericError(e.getMessage, Some(e)))
+    }
+
+  /** Streaming-sink maintenance hook: wrap a `foreachBatch` body so
+    * every committed micro-batch is followed by an INCREMENTAL analyze
+    * of the sink table — new files enter the stats (and optionally
+    * Bloom) sidecars as they land, so a stream-fed table prunes
+    * equality/prefix/substring probes without anyone remembering to
+    * run analyze (previously such tables were permanently half-covered
+    * until a manual pass). The incremental analyze scans ONLY the
+    * batch's new files and its no-op coverage math is manifest-served
+    * — cheap at streaming cadence by design. Analyze failures are
+    * logged and swallowed: maintenance must never fail a COMMITTED
+    * batch (the next batch or a manual analyze heals the gap).
+    */
+  def withAutoAnalyze[T](name: String, bloomCols: Seq[String] = Nil,
+                         fpp: Double = 0.01, prefixBytes: Int = 0,
+                         ngramBytes: Int = 0)(
+      body: (org.apache.spark.sql.Dataset[T], Long) => Unit)
+      : (org.apache.spark.sql.Dataset[T], Long) => Unit =
+    (batch, batchId) => {
+      body(batch, batchId)
+      try {
+        analyzeStats(name).left.foreach(e => System.err.println(
+          s"[graft] auto-analyze stats on '$name': ${e.message}"))
+        if (bloomCols.nonEmpty)
+          analyzeBloom(name, bloomCols, fpp, 0L, incremental = true,
+            prefixBytes, ngramBytes).left.foreach(e =>
+            System.err.println(
+              s"[graft] auto-analyze bloom on '$name': ${e.message}"))
+      } catch {
+        case e: Exception => System.err.println(
+          s"[graft] auto-analyze on '$name' failed: ${e.getMessage}")
+      }
     }
 
   private def hllPath(name: String) = new Path(tablePath(name), "_graft_hll")
@@ -1830,11 +1924,19 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
   private def hllFromMetadata(name: String, cols: Seq[String], lgK: Int)
       : Option[DataFrame] = {
     if (hasDeletionVectors(name) || !fs.exists(hllPath(name))) return None
-    val live = liveDataFiles(name).map(_._1).toSet
-    // only the requested columns' rows come to the driver (the fold
-    // itself is a driver-side union over ~KB sketches; at extreme file
-    // counts the same fold could run as a distributed hll union, at
-    // the cost of the zero-jobs warm path)
+    val liveSeq = liveDataFiles(name).map(_._1)
+    // past a file-count threshold the fold runs DISTRIBUTED: the
+    // driver union is zero-jobs warm but collects O(files) sketch
+    // rows (~KBs each — GBs at 10⁶ files for one number), which is
+    // the same driver-memory wall the incremental-analyze joins
+    // removed. Below it, the zero-jobs driver fold is kept.
+    val threshold = spark.conf
+      .getOption("spark.graft.hll.foldThreshold")
+      .map(_.toLong).getOrElse(16384L)
+    if (liveSeq.size > threshold)
+      return hllFromMetadataDistributed(name, cols, lgK, liveSeq)
+    val live = liveSeq.toSet
+    // only the requested columns' rows come to the driver
     val rows = readHllSidecar(name)
       .filter(col("column").isin(cols: _*)).collect()
       .filter(r => live.contains(r.getString(0)))
@@ -1859,6 +1961,54 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
         sketches.foreach(b => u.update(
           org.apache.datasketches.hll.HllSketch.heapify(b)))
         lit(Math.round(u.getEstimate)).as(s"approx_distinct_$c")
+      }
+    }
+    Some(spark.range(1).select(colExprs: _*))
+  }
+
+  /** The distributed leg of [[hllFromMetadata]]: ONE tiny aggregate
+    * over the sidecar — per requested column, the live-pair coverage
+    * count, the count of wrong-precision contributors, and the
+    * register-wise sketch union (`hll_union_agg`, the same
+    * DataSketches operation the driver fold performs, so estimates
+    * are identical — pinned in Round14Spec). K result rows reach the
+    * driver regardless of file count. Refusal discipline matches the
+    * driver fold exactly: any uncovered live pair, any contributing
+    * sketch at a different lgK (or legacy no-lgk row), or a duplicated
+    * pair falls back to the scan path — coverage is checked as
+    * DISTINCT rels == live (row count alone would let a duplicate mask
+    * a missing rel and serve a wrong estimate the driver fold refuses).
+    * The union runs
+    * with allowDifferentLgConfigK=true so mixed precisions cannot fail
+    * the job — its result is DISCARDED by the badlgk refusal in that
+    * case, never served.
+    */
+  private def hllFromMetadataDistributed(name: String, cols: Seq[String],
+                                         lgK: Int, live: Seq[String])
+      : Option[DataFrame] = {
+    val liveDf = relsDf(live)
+    val side = readHllSidecar(name)
+      .filter(col("column").isin(cols: _*))
+      .join(liveDf, Seq("rel"), "left_semi")
+    val agg = side.groupBy("column").agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("rel")).as("ndrel"),
+      sum(when(col("hll").isNotNull &&
+        (col("lgk").isNull || col("lgk") =!= lit(lgK)), 1L)
+        .otherwise(0L)).as("badlgk"),
+      hll_sketch_estimate(
+        hll_union_agg(col("hll"), lit(true))).as("est"))
+    val byCol = agg.collect().map(r => r.getString(0) -> r).toMap
+    val nLive = live.size.toLong
+    val colExprs = cols.map { c =>
+      byCol.get(c) match {
+        case Some(r) if r.getLong(1) == nLive && r.getLong(2) == nLive &&
+            r.getLong(3) == 0L =>
+          // null estimate = every live file all-null in c (sentinel
+          // rows only): SQL-consistent with the driver fold's 0
+          val est = if (r.isNullAt(4)) 0L else r.getLong(4)
+          lit(est).as(s"approx_distinct_$c")
+        case _ => return None // uncovered, duplicated, or mixed-lgK
       }
     }
     Some(spark.range(1).select(colExprs: _*))
@@ -2358,10 +2508,19 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
           }
           val bits = Integer.numberOfTrailingZeros(buckets)
           val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-          val splits = zCols.map { c =>
-            c -> prepared.select(zProxy(c).as(c))
-              .stat.approxQuantile(c, probs, 1.0 / (4 * buckets))
-          }.toMap
+          // ONE multi-column approxQuantile action over a single
+          // projection of every proxy: the per-column loop re-read the
+          // table once PER z-column (a 2-col rewrite paid ~3 full
+          // reads counting the string-stats scan). Multi-column
+          // approxQuantile builds each column's QuantileSummaries in
+          // the same pass, so per-column splits are IDENTICAL to the
+          // single-column call by construction.
+          val proxyNames = zCols.indices.map(i => s"__graft_zq_$i")
+          val proxied = prepared.select(
+            zCols.zip(proxyNames).map { case (c, n) => zProxy(c).as(n) }: _*)
+          val allSplits = proxied.stat.approxQuantile(
+            proxyNames.toArray, probs, 1.0 / (4 * buckets))
+          val splits = zCols.zip(allSplits).toMap
           def bucketCol(c: String): Column = {
             val distinctSplits = splits(c).distinct.sorted
             val arr = lit(distinctSplits)

@@ -237,6 +237,259 @@ class Round14Spec extends SparkSpec {
     assert(unwrap(wh.analyzeBloom("t", Seq("id"))) == 1L)
   }
 
+  test("hllFromMetadata: the distributed fold (above the file-count " +
+    "threshold) returns estimates IDENTICAL to the zero-jobs driver " +
+    "fold, with the same refusal discipline") {
+    val sps = spark; import sps.implicits._
+    val wh = tmpWh("graft-r14-hll")
+    val data = (0L until 20000L).map(i =>
+      (i, s"u${i % 1234}", if (i % 3 == 0) None else Some(s"t${i % 77}")))
+      .toDF("id", "user", "tag")
+    unwrap(wh.load("t", data.repartition(6)))
+    unwrap(wh.analyzeSketch("t", Seq("id", "user", "tag"), lgK = 12))
+    val driver = unwrap(
+      wh.approxDistinctFast("t", Seq("id", "user", "tag"))).head
+    val dist = try {
+      spark.conf.set("spark.graft.hll.foldThreshold", "0")
+      unwrap(wh.approxDistinctFast("t", Seq("id", "user", "tag"))).head
+    } finally spark.conf.unset("spark.graft.hll.foldThreshold")
+    assert(driver == dist,
+      s"distributed HLL fold drifts from driver fold: $driver vs $dist")
+    // same-estimator scan agrees too (both paths serve DataSketches
+    // estimates, never a different estimator by coverage accident)
+    val scanEst = unwrap(wh.get("t")).agg(
+      round(hll_sketch_estimate(hll_sketch_agg(col("id"), lit(12))))
+        .cast("long")).head.getLong(0)
+    assert(driver.getLong(0) == scanEst)
+    // refusal parity: a different lgK refuses BOTH metadata paths (the
+    // scan fallback still answers — with its own lgK-14 estimate)
+    val driver14 = unwrap(wh.approxDistinctFast("t", Seq("id"), lgK = 14))
+    val dist14 = try {
+      spark.conf.set("spark.graft.hll.foldThreshold", "0")
+      unwrap(wh.approxDistinctFast("t", Seq("id"), lgK = 14))
+    } finally spark.conf.unset("spark.graft.hll.foldThreshold")
+    assert(driver14.head == dist14.head)
+    // an all-null column estimates 0 on both paths
+    unwrap(wh.load("t2", spark.range(100)
+      .select(col("id"), lit(null).cast("string").as("empty")).coalesce(2)))
+    unwrap(wh.analyzeSketch("t2", Seq("empty")))
+    val d0 = unwrap(wh.approxDistinctFast("t2", Seq("empty"))).head.getLong(0)
+    val x0 = try {
+      spark.conf.set("spark.graft.hll.foldThreshold", "0")
+      unwrap(wh.approxDistinctFast("t2", Seq("empty"))).head.getLong(0)
+    } finally spark.conf.unset("spark.graft.hll.foldThreshold")
+    assert(d0 == 0L && x0 == 0L)
+  }
+
+  test("distributed HLL fold refuses a sidecar where a duplicated rel " +
+    "masks a missing one (row count alone would pass) and serves the " +
+    "scan estimate instead") {
+    val sps = spark; import sps.implicits._
+    val wh = tmpWh("graft-r14-hlldup")
+    // two files with DISJOINT id ranges: dropping one file's sketch
+    // while duplicating the other's keeps the row count intact but
+    // halves the (wrong) metadata estimate — the refusal must catch it
+    unwrap(wh.load("t", spark.range(0L, 4000L).toDF("id").coalesce(1)))
+    unwrap(wh.load("t", spark.range(4000L, 8000L).toDF("id").coalesce(1)))
+    unwrap(wh.analyzeSketch("t", Seq("id")))
+    val hllDir = s"${wh.warehouseDir}/t/_graft_hll"
+    val all = spark.read.parquet(hllDir).collect()
+    val sketchRows = all.filter(r =>
+      r.getAs[String]("column") == "id" && r.getAs[Array[Byte]]("hll") != null)
+    assert(sketchRows.length == 2,
+      s"expected 2 sketch rows, got ${sketchRows.length}")
+    val Array(keep, drop) = sketchRows
+    // same TOTAL row count as the genuine sidecar (sentinel rows kept):
+    // only a distinct-rel check can catch the forgery
+    val forgedRows = all.filterNot(_ == drop) :+ keep
+    assert(forgedRows.length == all.length)
+    val forged = spark.createDataFrame(
+      java.util.Arrays.asList(forgedRows: _*), all.head.schema)
+    forged.write.mode("overwrite").parquet(hllDir)
+    val scanEst = unwrap(wh.get("t")).select(
+      expr("hll_sketch_estimate(hll_sketch_agg(id, 12))")).head.getLong(0)
+    val got = try {
+      spark.conf.set("spark.graft.hll.foldThreshold", "0")
+      unwrap(wh.approxDistinctFast("t", Seq("id"))).head.getLong(0)
+    } finally spark.conf.unset("spark.graft.hll.foldThreshold")
+    assert(got == scanEst,
+      s"forged duplicate sidecar served a metadata estimate: $got " +
+        s"(scan says $scanEst)")
+    assert(got > 6000L, s"estimate $got lost a file's values")
+  }
+
+  test("compactZOrder computes every z-column's quantiles in ONE " +
+    "action: action count does not grow with z-column count, and " +
+    "multi-column quantiles ≡ per-column quantiles") {
+    val sps = spark; import sps.implicits._
+    // direct pin of the refactor's equivalence claim: multi-column
+    // approxQuantile returns exactly the per-column results
+    val probe = spark.range(10000).select(
+      (col("id") % 97).cast("double").as("a"),
+      (col("id") % 31).cast("double").as("b"),
+      (col("id") / 100).cast("double").as("c"))
+    val probs = (1 until 16).map(_.toDouble / 16).toArray
+    val multi = probe.stat.approxQuantile(Array("a", "b", "c"), probs, 1.0 / 64)
+    Seq("a", "b", "c").zipWithIndex.foreach { case (c, i) =>
+      val single = probe.stat.approxQuantile(c, probs, 1.0 / 64)
+      assert(multi(i).toSeq == single.toSeq,
+        s"multi-col quantiles drift on $c")
+    }
+    // action-count: z-ordering on 3 numeric columns runs the same
+    // number of SQL executions as on 2 (the quantile pass is fused;
+    // numeric proxies need no per-column dictionary/bounds passes)
+    def zorderExecs(cols: Seq[String]): Int = {
+      val wh = tmpWh("graft-r14-zq")
+      unwrap(wh.load("t", (0L until 20000L).map(i =>
+          (i, (i * 7919L) % 1000L, (i * 104729L) % 500L, i % 50L))
+        .toDF("id", "x", "y", "w").repartition(4)))
+      val execs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onOtherEvent(
+            e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+          case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            execs.incrementAndGet(); ()
+          case _ => ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        unwrap(wh.compactZOrder("t", 4, cols, buckets = 16))
+        org.apache.spark.sql.GraftColumnBridge.drainListenerBus(spark)
+        execs.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    // the FIRST compactZOrder in a JVM pays one extra lazily-initialized
+    // execution (observed 4-vs-3); a discarded warm-up call makes the
+    // equality pin deterministic
+    zorderExecs(Seq("x", "y"))
+    val e2 = zorderExecs(Seq("x", "y"))
+    val e3 = zorderExecs(Seq("x", "y", "w"))
+    assert(e2 >= 2, "z-order ran fewer actions than quantiles + rewrite?")
+    assert(e3 == e2,
+      s"adding a z-column added table actions: 2-col=$e2 vs 3-col=$e3")
+  }
+
+  test("n-gram Bloom filters are sized from measured distinct-window " +
+    "cardinality: repetitive text gets far smaller filters, substring " +
+    "pruning stays sound") {
+    val sps = spark; import sps.implicits._
+    val wh = tmpWh("graft-r14-ngsz")
+    // highly repetitive corpus: ~60k windows/file under rows×24 ≈
+    // 120k-capacity sizing, but only a few hundred DISTINCT windows
+    val docs = (0L until 5000L).map { i =>
+      (i, s"the quick brown fox ${i % 7} jumps over the lazy dog ${i % 5}")
+    }.toDF("id", "body")
+    unwrap(wh.load("t", docs.repartition(4)))
+    unwrap(wh.analyzeStats("t"))
+    unwrap(wh.analyzeBloom("t", Seq("body"), ngramBytes = 4))
+    val sidecar = spark.read.parquet(s"${wh.warehouseDir}/t/_graft_bloom")
+      .where(col("column").contains("ngram") && col("bloom").isNotNull)
+      .select(length(col("bloom")).as("len")).collect().map(_.getInt(0))
+    assert(sidecar.nonEmpty)
+    // the r13 heuristic sized rows×24 (capped 10M): at ~1250 rows/file
+    // that is a 30k-item filter ≈ 36 KB at fpp 0.01. Measured distinct
+    // windows are a few hundred → the 1024-item floor ≈ 1.3 KB.
+    val oldBytes = {
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(1250L * 24L, 0.01)
+      val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos)
+      bos.size()
+    }
+    assert(sidecar.max * 5 <= oldBytes,
+      s"measured sizing not ≥5× smaller: ${sidecar.max} vs $oldBytes")
+    // soundness unchanged: present probes lose no rows; absent probes
+    // close every file (two-sided)
+    val hit = unwrap(wh.get("t")).where(col("body").contains("lazy dog 3"))
+    assert(hit.count() == 1000L, "n-gram pruning dropped matching rows")
+    val miss = unwrap(wh.get("t")).where(col("body").contains("zebra unicorn"))
+    assert(miss.count() == 0L)
+    assert(filesRead(miss) == 0L, "absent substring probe read files")
+  }
+
+  test("bloom cache budget is per-KIND: an oversized n-gram family no " +
+    "longer disables point-filter pruning") {
+    val sps = spark; import sps.implicits._
+    val wh = tmpWh("graft-r14-kind")
+    val docs = (0L until 4000L).map(i => (i, s"user-$i body-${i % 100}"))
+      .toDF("id", "body")
+    unwrap(wh.load("t", docs.repartition(4)))
+    unwrap(wh.analyzeStats("t"))
+    unwrap(wh.analyzeBloom("t", Seq("id", "body"), ngramBytes = 4))
+    val sums = spark.read.parquet(s"${wh.warehouseDir}/t/_graft_bloom")
+      .select(
+        when(col("column").contains("ngram"), "ngram")
+          .when(col("column").contains("prefix"), "prefix")
+          .otherwise("point").as("kind"),
+        coalesce(length(col("bloom")).cast("long"), lit(0L)).as("len"))
+      .groupBy("kind").agg(sum("len").as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pointBytes = sums("point")
+    val ngramBytesTotal = sums("ngram")
+    assert(ngramBytesTotal > 0 && pointBytes > 0)
+    // budget admits point but NOT point+ngram
+    try {
+      spark.conf.set("spark.graft.bloomCache.maxBytes",
+        (pointBytes + ngramBytesTotal / 2).toString)
+      // unclustered layout: zone maps can't close an id probe, only
+      // the point filters can — they must still be loaded
+      val probe = unwrap(wh.get("t")).where(col("id") === -1L)
+      assert(probe.count() == 0L)
+      assert(filesRead(probe) == 0L,
+        "point filters were disabled by the oversized n-gram family")
+      // substring pruning is OFF (its kind was excluded) but results
+      // stay correct
+      val sub = unwrap(wh.get("t")).where(col("body").contains("user-39 "))
+      assert(sub.count() == 1L)
+    } finally spark.conf.unset("spark.graft.bloomCache.maxBytes")
+  }
+
+  test("streaming sink auto-analyze: a stream-fed table prunes " +
+    "equality and prefix probes with no manual analyze call") {
+    val sps = spark; import sps.implicits._
+    val staged = java.nio.file.Files.createTempDirectory("graft-r14-stream")
+    // two batch files with DISJOINT id ranges and distinct name
+    // prefixes, delivered one per micro-batch
+    (0L until 1000L).map(i => (i, s"alpha-$i")).toDF("id", "name")
+      .coalesce(1).write.parquet(s"$staged/b1")
+    (100000L until 101000L).map(i => (i, s"beta-$i")).toDF("id", "name")
+      .coalesce(1).write.parquet(s"$staged/b2")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-r14-src")
+    def mv(sub: String, to: String): Unit = {
+      val part = java.nio.file.Files.list(staged.resolve(sub)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part, srcDir.resolve(to))
+    }
+    mv("b1", "0001.parquet")
+    mv("b2", "0002.parquet")
+    val wh = tmpWh("graft-r14-sinkwh")
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+    val q = stream.writeStream
+      .foreachBatch(wh.withAutoAnalyze[org.apache.spark.sql.Row](
+        "sink", bloomCols = Seq("id", "name"), prefixBytes = 5) {
+        (batch, _) => unwrap(wh.load("sink", batch.toDF())); ()
+      })
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-r14-cp").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "auto-analyze sink stream hung")
+    assert(unwrap(wh.get("sink")).count() == 2000L)
+    // every live file is covered WITHOUT any manual analyze: an
+    // equality probe outside both ranges and a prefix probe of a
+    // never-seen prefix close every file; present probes lose nothing
+    val eq = unwrap(wh.get("sink")).where(col("id") === 55555L)
+    assert(eq.count() == 0L)
+    assert(filesRead(eq) == 0L, "stream-landed files not stats-covered")
+    val pfx = unwrap(wh.get("sink")).where(col("name").startsWith("gamma"))
+    assert(pfx.count() == 0L)
+    assert(filesRead(pfx) == 0L, "stream-landed files not bloom-covered")
+    assert(unwrap(wh.get("sink"))
+      .where(col("name").startsWith("alpha")).count() == 1000L)
+  }
+
   test("a corrupt or truncated manifest falls back to the listing " +
     "walk, never fails or misreads") {
     val sps = spark; import sps.implicits._
