@@ -930,11 +930,50 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     spark.conf.getOption("spark.graft.manifest.enabled")
       .forall(_.toBoolean)
 
+  /** LRU cache whose residency is budgeted in FILES (the unit both
+    * manifest entries and scan-index statuses scale in): eviction
+    * drops least-recently-used TABLES until under budget, mirroring
+    * the bloom cache's byte budget. The most recent entry is always
+    * kept even if alone over budget — a single huge table re-parsing
+    * its manifest on every call would be strictly worse than holding
+    * it (the cache is an accelerator; eviction only costs a re-read).
+    */
+  private final class LruFileBudgetCache[V](budget: () => Long,
+                                            sizeOf: V => Long) {
+    private val map = new java.util.LinkedHashMap[String, V](16, 0.75f, true)
+    private var total = 0L
+    def get(name: String): V = map.synchronized { map.get(name) }
+    def put(name: String, v: V): Unit = map.synchronized {
+      val old = map.put(name, v)
+      if (old != null) total -= sizeOf(old)
+      total += sizeOf(v)
+      val it = map.entrySet().iterator()
+      while (total > budget() && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != name) { total -= sizeOf(e.getValue); it.remove() }
+      }
+    }
+    def remove(name: String): Unit = map.synchronized {
+      val old = map.remove(name)
+      if (old != null) total -= sizeOf(old)
+    }
+    def resident: (Int, Long) = map.synchronized { (map.size(), total) }
+  }
+
   // name -> (header line, entries); the header's nonce+count identify
   // the generation, so a cache probe costs one 1-line read, not a
-  // re-parse of 100k entries
-  private val manifestCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, IndexedSeq[ManifestEntry])]()
+  // re-parse of 100k entries. Budgeted: ~100 B/entry means the default
+  // 2M-file budget bounds residency at ~200 MB across ALL tables.
+  private val manifestCache = new LruFileBudgetCache[
+    (String, IndexedSeq[ManifestEntry])](
+    () => spark.conf.getOption("spark.graft.manifest.cacheMaxFiles")
+      .map(_.toLong).getOrElse(2000000L),
+    _._2.size.toLong)
+
+  /** Test/ops hook: (tables resident, total manifest entries held) —
+    * the driver-memory residency the file budget bounds.
+    */
+  def manifestCacheResident: (Int, Long) = manifestCache.resident
 
   private def manifestHeader(nonce: String, n: Int): String =
     s"graft-manifest v1 $nonce $n"
@@ -1032,13 +1071,21 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
   // data schema: warm get() is then a pure driver-memory plan build —
   // no listing, no footer job. Keyed by the manifest header
   // (nonce+count), which every mutation verb rotates, so evolution/
-  // rewrites re-infer exactly once. Residency is O(#files) driver
-  // memory per table — the same order Spark's own shared
-  // FileStatusCache holds for listing-path reads.
-  private val scanIndexCache = new java.util.concurrent.ConcurrentHashMap[
-    String,
+  // rewrites re-infer exactly once. Budgeted in files like the
+  // manifest cache (FileStatus + path objects are heavier per entry,
+  // so the default budget is lower); a cold rebuild costs one
+  // driver-memory index build + footer-schema job, never a listing.
+  private val scanIndexCache = new LruFileBudgetCache[
     (String, org.apache.spark.sql.execution.datasources.FileIndex,
-      StructType)]()
+      StructType)](
+    () => spark.conf.getOption("spark.graft.manifest.scanCacheMaxFiles")
+      .map(_.toLong).getOrElse(1000000L),
+    _._2.inputFiles.length.toLong)
+
+  /** Test/ops hook: (tables resident, total file statuses held) in the
+    * manifest-built scan-index cache.
+    */
+  def scanIndexCacheResident: (Int, Long) = scanIndexCache.resident
 
   /** Manifest-served scan plan: the raw merged-schema frame built from
     * the manifest inventory with ZERO directory listing (and, warm,

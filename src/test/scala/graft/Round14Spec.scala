@@ -281,6 +281,43 @@ class Round14Spec extends SparkSpec {
     assert(d0 == 0L && x0 == 0L)
   }
 
+  test("manifest and scan-index caches enforce a FILE budget: touching " +
+    "many tables keeps driver residency bounded (LRU), reads stay served") {
+    val sps = spark; import sps.implicits._
+    val wh = tmpWh("graft-r14-mflru")
+    try {
+      // budget set BEFORE the loads: eviction runs on cache PUT (warm
+      // hits never grow residency, so they never need to shed it)
+      spark.conf.set("spark.graft.manifest.cacheMaxFiles", "11")
+      spark.conf.set("spark.graft.manifest.scanCacheMaxFiles", "11")
+      // each table: 4 data files (+1 empty create-file entry)
+      (1 to 4).foreach { i =>
+        unwrap(wh.load(s"t$i", (0L until 400L).map(j => (j, s"v$j"))
+          .toDF("id", "name").repartition(4)))
+      }
+      (1 to 4).foreach(i => assert(unwrap(wh.get(s"t$i")).count() == 400L))
+      val (mfTables, mfFiles) = wh.manifestCacheResident
+      val (sxTables, sxFiles) = wh.scanIndexCacheResident
+      // 4 tables × 5 entries = 20 > 11: LRU must have evicted to ≤ 2
+      // resident tables / ≤ 11 entries
+      assert(mfFiles <= 11 && mfTables <= 2,
+        s"manifest cache over budget: $mfTables tables / $mfFiles files")
+      assert(sxFiles <= 11 && sxTables <= 2,
+        s"scan-index cache over budget: $sxTables tables / $sxFiles files")
+      // evicted tables still read correctly (re-parse, not re-list-fail)
+      (1 to 4).foreach(i => assert(unwrap(wh.get(s"t$i")).count() == 400L))
+      // a single table larger than the budget stays resident (cache of
+      // one) rather than thrashing to zero
+      spark.conf.set("spark.graft.manifest.cacheMaxFiles", "2")
+      assert(unwrap(wh.get("t1")).count() == 400L)
+      val (mt, _) = wh.manifestCacheResident
+      assert(mt >= 1, "over-budget sole table was not kept")
+    } finally {
+      spark.conf.unset("spark.graft.manifest.cacheMaxFiles")
+      spark.conf.unset("spark.graft.manifest.scanCacheMaxFiles")
+    }
+  }
+
   test("distributed HLL fold refuses a sidecar where a duplicated rel " +
     "masks a missing one (row count alone would pass) and serves the " +
     "scan estimate instead") {
