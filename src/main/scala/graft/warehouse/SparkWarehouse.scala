@@ -131,10 +131,16 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     * count).
     */
   private def hasDataFiles(name: String): Boolean =
-    fs.listStatus(tablePath(name)).exists { f =>
-      f.getPath.getName.endsWith(".parquet") ||
-        (f.isDirectory && !f.getPath.getName.startsWith("_"))
-    }
+    // a NON-EMPTY manifest answers without touching the directory (the
+    // warm cached probe is one header line); an empty or absent one
+    // falls back to the shallow listing — the same fail-open shape the
+    // manifest-served scan has, so both verbs agree on what "has data"
+    // means at every manifest state
+    readManifestGen(name).exists(_.entries.nonEmpty) ||
+      fs.listStatus(tablePath(name)).exists { f =>
+        f.getPath.getName.endsWith(".parquet") ||
+          (f.isDirectory && !f.getPath.getName.startsWith("_"))
+      }
 
   def meta(name: String): Either[WarehouseError, TableMeta] =
     try {
@@ -756,6 +762,42 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     parsed
   }
 
+  /** Per-generation cache of the bloom sidecar's COVERAGE pairs
+    * (rel → set of covered column keys, sentinel-row rels kept with an
+    * empty set): the incremental analyzeBloom no-op then needs only
+    * driver set probes instead of scheduling its coverage joins every
+    * call — the same warm-path shape analyzeStats gets from the stats
+    * cache. Unlike [[cachedBlooms]] this holds NO filter bytes (null-
+    * bloom coverage rows count — coverage is about what was analyzed,
+    * not what holds a filter), so it stays resident even when the
+    * decoded-filter budget refuses the table. Budgeted in pairs via
+    * the shared LRU (spark.graft.bloomPairs.cacheMaxPairs, default 4M
+    * ≈ a few hundred MB of strings at the worst).
+    */
+  private val bloomPairsCache = new LruFileBudgetCache[
+    (String, Map[String, Set[String]])](
+    () => spark.conf.getOption("spark.graft.bloomPairs.cacheMaxPairs")
+      .map(_.toLong).getOrElse(4000000L),
+    _._2.valuesIterator.map(_.size.toLong.max(1L)).sum)
+
+  /** Empty result = UNKNOWN (unreadable sidecar, or genuinely no rows)
+    * — the caller must fall back to the distributed joins, never treat
+    * it as "nothing covered" (that would rebuild every filter).
+    */
+  private def cachedBloomPairs(name: String): Map[String, Set[String]] =
+    try {
+      val fp = sidecarFingerprint(bloomPath(name))
+      val hit = bloomPairsCache.get(name)
+      if (hit != null && hit._1 == fp) return hit._2
+      val pairs = spark.read.parquet(bloomPath(name).toString)
+        .select("rel", "column").collect()
+        .groupBy(_.getString(0))
+        .map { case (rel, rs) =>
+          rel -> rs.iterator.map(_.getString(1)).filter(_.nonEmpty).toSet }
+      bloomPairsCache.put(name, (fp, pairs))
+      pairs
+    } catch { case _: Exception => Map.empty }
+
   /** Lazy skipping-metadata supplier for the pruning FileIndex:
     * consulted at every listing, never throws (a broken/absent sidecar
     * must never fail a read — it just disables pruning). Zone stats and
@@ -865,6 +907,28 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
       case None => listDataFiles(name).map(e => (e._1.rel, e._2))
     }
 
+  /** Rel-level live inventory for coverage/metadata math: (rel vector,
+    * rel set, rel→Path resolver). Manifest-served WITHOUT materializing
+    * Paths — the steady-state no-op analyze needs only set probes, and
+    * the cached generation's lazy views make the warm call allocation-
+    * flat (building 100k Path+URI objects per call measured ~0.7 GB of
+    * driver churn and most of the no-op wall time). Paths are resolved
+    * per FRESH rel only.
+    */
+  private def liveInventory(name: String)
+      : (IndexedSeq[String], Set[String], String => Path) =
+    readManifestGen(name) match {
+      case Some(gen) =>
+        lazy val prefix = fs.makeQualified(tablePath(name)).toUri.toString
+        (gen.rels, gen.relSet,
+          rel => new Path(new java.net.URI(prefix + "/" + rel)))
+      case None =>
+        val listed = listDataFiles(name)
+        val rels = listed.map(_._1.rel).toIndexedSeq
+        val byRel = listed.map(e => e._1.rel -> e._2).toMap
+        (rels, byRel.keySet, byRel)
+    }
+
   /** The listing-walk source of truth behind [[liveDataFiles]]:
     * (entry, absolute path), underscore/dot-prefixed sidecars (meta,
     * stats, blooms, deletion vectors, _SUCCESS) excluded at every
@@ -960,15 +1024,26 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     def resident: (Int, Long) = map.synchronized { (map.size(), total) }
   }
 
-  // name -> (header line, entries); the header's nonce+count identify
-  // the generation, so a cache probe costs one 1-line read, not a
-  // re-parse of 100k entries. Budgeted: ~100 B/entry means the default
-  // 2M-file budget bounds residency at ~200 MB across ALL tables.
-  private val manifestCache = new LruFileBudgetCache[
-    (String, IndexedSeq[ManifestEntry])](
+  /** One cached manifest generation: parsed entries plus LAZY derived
+    * views (rel vector, rel set) so the warm coverage math costs set
+    * probes — not a fresh O(files) Path/URI materialization per call
+    * (measured ~0.7 GB of driver allocation per no-op analyze at 100k
+    * files before this was cached).
+    */
+  private final case class ManifestGen(header: String,
+                                       entries: IndexedSeq[ManifestEntry]) {
+    lazy val rels: IndexedSeq[String] = entries.map(_.rel)
+    lazy val relSet: Set[String] = rels.toSet
+  }
+
+  // name -> generation; the header's nonce+count identify the
+  // generation, so a cache probe costs one 1-line read, not a re-parse
+  // of 100k entries. Budgeted: ~100 B/entry means the default 2M-file
+  // budget bounds residency at ~200 MB across ALL tables.
+  private val manifestCache = new LruFileBudgetCache[ManifestGen](
     () => spark.conf.getOption("spark.graft.manifest.cacheMaxFiles")
       .map(_.toLong).getOrElse(2000000L),
-    _._2.size.toLong)
+    _.entries.size.toLong)
 
   /** Test/ops hook: (tables resident, total manifest entries held) —
     * the driver-memory residency the file budget bounds.
@@ -983,10 +1058,9 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     * the manifest is an accelerator, not a gatekeeper.
     */
   private def readManifest(name: String): Option[IndexedSeq[ManifestEntry]] =
-    readManifestWithHeader(name).map(_._2)
+    readManifestGen(name).map(_.entries)
 
-  private def readManifestWithHeader(name: String)
-      : Option[(String, IndexedSeq[ManifestEntry])] = {
+  private def readManifestGen(name: String): Option[ManifestGen] = {
     if (!manifestReadEnabled) return None
     try {
       if (!fs.exists(manifestPath(name))) return None
@@ -997,8 +1071,8 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
         if (header == null || !header.startsWith("graft-manifest v1 "))
           return None
         val cached = manifestCache.get(name)
-        if (cached != null && cached._1 == header)
-          return Some((header, cached._2))
+        if (cached != null && cached.header == header)
+          return Some(cached)
         val n = header.substring(header.lastIndexOf(' ') + 1).toInt
         val out =
           new scala.collection.immutable.VectorBuilder[ManifestEntry]()
@@ -1015,9 +1089,9 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
           line = in.readLine()
         }
         if (read != n) return None // truncated write
-        val entries = out.result()
-        manifestCache.put(name, (header, entries))
-        Some((header, entries))
+        val gen = ManifestGen(header, out.result())
+        manifestCache.put(name, gen)
+        Some(gen)
       } finally in.close()
     } catch { case _: Exception => None }
   }
@@ -1037,7 +1111,7 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     finally out.close()
     checkedDelete(manifestPath(name))
     checkedRename(tmp, manifestPath(name))
-    manifestCache.put(name, (header, entries.toIndexedSeq))
+    manifestCache.put(name, ManifestGen(header, entries.toIndexedSeq))
   }
 
   /** Rebuild the manifest from one authoritative directory walk — the
@@ -1096,7 +1170,9 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     * index exactly as it wraps a listed one.
     */
   private def manifestScanFrame(name: String): Option[DataFrame] =
-    try readManifestWithHeader(name).flatMap { case (header, entries) =>
+    try readManifestGen(name).flatMap { gen =>
+      val header = gen.header
+      val entries = gen.entries
       if (entries.isEmpty) None
       else {
         val rootQ = fs.makeQualified(tablePath(name))
@@ -1331,8 +1407,8 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
               Right(live.size.toLong)
           }
         } else {
-          val live = liveDataFiles(name)
-          lazy val liveDf = relsDf(live.map(_._1))
+          val (liveRels, liveSet, resolve) = liveInventory(name)
+          lazy val liveDf = relsDf(liveRels)
           // lazy: even CONSTRUCTING the sidecar frame costs a parquet
           // schema-inference job in Spark 4, which the warm cache path
           // must never pay
@@ -1353,7 +1429,6 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
           val cachedCov = cachedStats(name)
           val (freshRels, hasDead) =
             if (cachedCov.nonEmpty) {
-              val liveSet = live.map(_._1).toSet
               (liveSet.diff(cachedCov.keySet),
                 cachedCov.keysIterator.exists(!liveSet.contains(_)))
             } else {
@@ -1367,7 +1442,8 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
               (asym.filter(!_.getBoolean(1)).map(_.getString(0)).toSet,
                 asym.exists(_.getBoolean(1)))
             }
-          val fresh = live.filter { case (rel, _) => freshRels.contains(rel) }
+          val fresh = liveRels.filter(freshRels.contains)
+            .map(rel => (rel, resolve(rel)))
           // dead-rel rows are cleaned even when nothing fresh exists —
           // otherwise they linger in the sidecar and driver caches
           // until some append triggers a write pass (they are harmless
@@ -1468,10 +1544,18 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
         require(ngramBytes >= 0 && ngramBytes <= 32,
           "analyzeBloom: ngramBytes in [0, 32]")
         val root = tablePath(name).toString
-        val full = graft.sources.Sources.parquetMerged(spark, root)
+        // the merged-footer frame costs a schema-inference job at
+        // CONSTRUCTION — lazy, because the steady-state no-op call
+        // needs only the table schema, which the meta sidecar serves
+        // from driver-side JSON (load/evolution keep it in lockstep)
+        lazy val full = graft.sources.Sources.parquetMerged(spark, root)
+        val tableSchema: StructType = meta(name).toOption
+          .map(m => SchemaCodec.toStructType(m.schema))
+          .filter(sch => cols.forall(sch.fieldNames.contains))
+          .getOrElse(full.schema)
         val fields = cols.map { c =>
-          require(full.columns.contains(c), s"no such column: $c")
-          val f = full.schema(c)
+          require(tableSchema.fieldNames.contains(c), s"no such column: $c")
+          val f = tableSchema(c)
           require(Skipping.bloomSupported(f.dataType),
             s"bloom column $c: unsupported type ${f.dataType.simpleString}")
           f
@@ -1499,9 +1583,11 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
             .filter(_.dataType == org.apache.spark.sql.types.StringType)
             .map(f => f.name -> Skipping.ngramBloomName(f.name, ngramBytes))
         val reqCols = cols ++ prefixPairs.map(_._2) ++ ngramPairs.map(_._2)
-        val live = liveDataFiles(name)
-        val liveDf = relsDf(live.map(_._1))
-        val colsDf = { val sps = spark; import sps.implicits._
+        val (liveRels, liveSet, resolve) = liveInventory(name)
+        lazy val liveDf = relsDf(liveRels)
+        // lazy: only the build/merge paths need the frame — the warm
+        // no-op must stay zero-jobs
+        lazy val colsDf = { val sps = spark; import sps.implicits._
           reqCols.toDF("column") }
         val haveSidecar = fs.exists(bloomPath(name))
         // coverage is per-(file, column), NOT per-file: an incremental
@@ -1518,36 +1604,51 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
         // come to the driver, which they must anyway as scan paths.
         // Fresh detection and the dead-rel existence probe are FUSED
         // into one action (a union with a LIMIT-1 dead leg), so the
-        // steady-state no-op call schedules one job, not two.
-        val (fresh, keptOld, hasDead) =
-          if (!incremental || !haveSidecar) (live, None, false)
+        // steady-state cold no-op call schedules one job, not two —
+        // and when the per-generation PAIR cache is resident
+        // ([[cachedBloomPairs]]) the whole coverage math is driver set
+        // probes, zero Spark jobs, matching the stats no-op.
+        // lazy: constructing the reader costs a schema-inference job —
+        // the warm set-math path must never touch it (carrying the
+        // frame in the tuple would force it; a boolean flag does not)
+        lazy val oldRows = spark.read
+          .parquet(bloomPath(name).toString)
+          .select("rel", "column", "bloom")
+        val (fresh, haveOld, hasDead) =
+          if (!incremental || !haveSidecar)
+            (liveRels.map(r => (r, resolve(r))), false, false)
           else {
-            val oldRows = spark.read.parquet(bloomPath(name).toString)
-              .select("rel", "column", "bloom")
-            val covered = oldRows.select("rel", "column")
-              .filter(col("column") =!= "")
-            val fr = liveDf.crossJoin(colsDf)
-              .join(covered, Seq("rel", "column"), "left_anti")
-              .select("rel").distinct()
-              .select(col("rel"), lit(false).as("dead"))
-            val dd = oldRows.select("rel")
-              .join(liveDf, Seq("rel"), "left_anti")
-              .select(col("rel"), lit(true).as("dead")).limit(1)
-            val asym = fr.union(dd).collect()
-            val freshRels =
-              asym.filter(!_.getBoolean(1)).map(_.getString(0)).toSet
-            (live.filter { case (rel, _) => freshRels.contains(rel) },
-              Some(oldRows), asym.exists(_.getBoolean(1)))
+            val pairs = cachedBloomPairs(name)
+            val (freshRels, dead) =
+              if (pairs.nonEmpty)
+                (liveSet.filter(rel => !pairs.get(rel)
+                   .exists(cov => reqCols.forall(cov.contains))),
+                  pairs.keysIterator.exists(!liveSet.contains(_)))
+              else {
+                val covered = oldRows.select("rel", "column")
+                  .filter(col("column") =!= "")
+                val fr = liveDf.crossJoin(colsDf)
+                  .join(covered, Seq("rel", "column"), "left_anti")
+                  .select("rel").distinct()
+                  .select(col("rel"), lit(false).as("dead"))
+                val dd = oldRows.select("rel")
+                  .join(liveDf, Seq("rel"), "left_anti")
+                  .select(col("rel"), lit(true).as("dead")).limit(1)
+                val asym = fr.union(dd).collect()
+                (asym.filter(!_.getBoolean(1)).map(_.getString(0)).toSet,
+                  asym.exists(_.getBoolean(1)))
+              }
+            (liveRels.filter(freshRels.contains)
+              .map(rel => (rel, resolve(rel))),
+              true, dead)
           }
         if (fresh.isEmpty) {
           // nothing to build, but dead-rel rows (partition-pruned
           // deletes) are still cleaned rather than deferred to the
           // next append — cleanup via LEFT SEMI against the live list
-          keptOld.foreach { oldRows =>
-            if (hasDead)
-              swapSidecar(bloomPath(name),
-                oldRows.join(liveDf, Seq("rel"), "left_semi"))
-          }
+          if (haveOld && hasDead)
+            swapSidecar(bloomPath(name),
+              oldRows.join(liveDf, Seq("rel"), "left_semi"))
           Right(0L)
         } else {
           val items = (if (expectedItemsPerFile > 0) expectedItemsPerFile
@@ -1693,24 +1794,23 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
               spark.createDataFrame(rowRdd, bloomSidecarSchema)
             }
           val freshDf = relsDf(fresh.map(_._1))
-          keptOld match {
-            case None =>
-              newRows.write.mode(SaveMode.Overwrite)
-                .parquet(bloomPath(name).toString)
-            case Some(oldRows) =>
-              // drop dead rels (LEFT SEMI against the live list) AND
-              // the (fresh rel × requested col) rows being rebuilt this
-              // pass (pair LEFT ANTI, plus legacy "" sentinels on fresh
-              // rels) — other columns' filters on fresh files are
-              // untouched. All joins: no O(#files) isin expression, no
-              // collected pair set.
-              val kept = oldRows
-                .join(liveDf, Seq("rel"), "left_semi")
-                .join(freshDf.crossJoin(colsDf),
-                  Seq("rel", "column"), "left_anti")
-                .join(freshDf.withColumn("column", lit("")),
-                  Seq("rel", "column"), "left_anti")
-              swapSidecar(bloomPath(name), kept.unionByName(newRows))
+          if (!haveOld) {
+            newRows.write.mode(SaveMode.Overwrite)
+              .parquet(bloomPath(name).toString)
+          } else {
+            // drop dead rels (LEFT SEMI against the live list) AND
+            // the (fresh rel × requested col) rows being rebuilt this
+            // pass (pair LEFT ANTI, plus legacy "" sentinels on fresh
+            // rels) — other columns' filters on fresh files are
+            // untouched. All joins: no O(#files) isin expression, no
+            // collected pair set.
+            val kept = oldRows
+              .join(liveDf, Seq("rel"), "left_semi")
+              .join(freshDf.crossJoin(colsDf),
+                Seq("rel", "column"), "left_anti")
+              .join(freshDf.withColumn("column", lit("")),
+                Seq("rel", "column"), "left_anti")
+            swapSidecar(bloomPath(name), kept.unionByName(newRows))
           }
           // per-(file, column) sentinels: a fresh pair that produced no
           // filter (file all-null in that column, or the file's schema
@@ -1821,8 +1921,13 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
         require(cols.nonEmpty, "analyzeSketch: cols must be non-empty")
         require(lgK >= 4 && lgK <= 21, "analyzeSketch: lgK in [4, 21]")
         val root = tablePath(name).toString
-        val full = graft.sources.Sources.parquetMerged(spark, root)
-        cols.foreach(c => require(full.columns.contains(c),
+        // schema from the meta sidecar (driver-side JSON); the
+        // footer-merge frame is never needed here — fresh files are
+        // read directly by path on the build branch
+        val sketchSchema: StructType = meta(name).toOption
+          .map(m => SchemaCodec.toStructType(m.schema))
+          .getOrElse(graft.sources.Sources.parquetMerged(spark, root).schema)
+        cols.foreach(c => require(sketchSchema.fieldNames.contains(c),
           s"no such column: $c"))
         val live = liveDataFiles(name)
         val liveDf = relsDf(live.map(_._1))
@@ -1971,7 +2076,7 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
   private def hllFromMetadata(name: String, cols: Seq[String], lgK: Int)
       : Option[DataFrame] = {
     if (hasDeletionVectors(name) || !fs.exists(hllPath(name))) return None
-    val liveSeq = liveDataFiles(name).map(_._1)
+    val liveSeq = liveInventory(name)._1
     // past a file-count threshold the fold runs DISTRIBUTED: the
     // driver union is zero-jobs warm but collects O(files) sketch
     // rows (~KBs each — GBs at 10⁶ files for one number), which is
@@ -2229,7 +2334,7 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
                            cols: Seq[String]): Option[DataFrame] = {
     if (hasDeletionVectors(name) || !fs.exists(statsPath(name))) return None
     val stats = cachedStats(name)
-    val live = liveDataFiles(name).map(_._1)
+    val live = liveInventory(name)._1
     if (!live.forall(stats.contains)) return None // uncovered file
     def rowsOf(rel: String): Long = stats(rel).head._2.rows
     val cnt = live.map(rowsOf).sum
@@ -2322,7 +2427,7 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
                               cols: Seq[String]): Option[DataFrame] = {
     if (hasDeletionVectors(name) || !fs.exists(statsPath(name))) return None
     val stats = cachedStats(name)
-    val live = liveDataFiles(name).map(_._1)
+    val live = liveInventory(name)._1
     if (!live.forall(stats.contains)) return None // uncovered/disabled
     def rowsOf(rel: String): Long = stats(rel).head._2.rows
     val cnt = live.map(rowsOf).sum

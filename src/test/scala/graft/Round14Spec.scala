@@ -192,8 +192,8 @@ class Round14Spec extends SparkSpec {
     assert(unwrap(wh.get("pt")).where(col("k") === 7).count() == 2L)
   }
 
-  test("steady-state no-op incremental analyzeStats schedules ZERO " +
-    "Spark jobs with warm caches; analyzeBloom fuses to one action") {
+  test("steady-state no-op incremental analyzeStats AND analyzeBloom " +
+    "schedule ZERO Spark jobs with warm caches") {
     val sps = spark; import sps.implicits._
     val wh = tmpWh("graft-r14-noop")
     unwrap(wh.load("t", (0L until 5000L).map(i => (i, s"n$i"))
@@ -226,10 +226,11 @@ class Round14Spec extends SparkSpec {
       jobs.set(0); execs.set(0)
       assert(unwrap(wh.analyzeBloom("t", Seq("id"))) == 0L)
       org.apache.spark.sql.GraftColumnBridge.drainListenerBus(spark)
-      // one fused ACTION (an AQE action may decompose into several
-      // jobs — the action count is the scheduling unit that matters)
-      assert(execs.get() <= 1,
-        s"no-op analyzeBloom ran ${execs.get()} actions (want the fused 1)")
+      // r14: the per-generation PAIR cache serves bloom coverage from
+      // driver memory — zero jobs, zero actions, like the stats path
+      assert(jobs.get() == 0 && execs.get() == 0,
+        s"warm no-op analyzeBloom scheduled ${jobs.get()} jobs / " +
+          s"${execs.get()} actions (want 0/0)")
     } finally spark.sparkContext.removeSparkListener(listener)
     // and the no-op is still CORRECT: a genuinely fresh file is found
     unwrap(wh.load("t", Seq((99999L, "zz")).toDF("id", "name").coalesce(1)))
