@@ -183,6 +183,25 @@ object CoverageSweep {
         s""""distributed_fold_sec":${distEst(1)._1},""" +
         s""""raw_distributed_sec":[${distEst.map(_._1).mkString(",")}]}""")
 
+      // ---- get() plan-construction leg (r14): the manifest also
+      // serves the SCAN PLAN — warm frame construction is pure driver
+      // memory (cached generation + cached scan index), vs the listing
+      // path's recursive walk + per-call merged-footer inference.
+      def planBuild(): Double = timed(() => unwrap(wh.get("t")))._1
+      planBuild() // warm manifest generation + scan index + schema
+      val mfPlan = (1 to 3).map(_ => planBuild()).sorted
+      val listPlan =
+        try {
+          spark.conf.set("spark.graft.manifest.enabled", "false")
+          planBuild() // warm Spark's shared FileStatusCache
+          (1 to 3).map(_ => planBuild()).sorted
+        } finally spark.conf.unset("spark.graft.manifest.enabled")
+      record(s"""{"analyzer":"get_plan","n_files":$nFiles,""" +
+        s""""manifest_sec":${mfPlan(1)},""" +
+        s""""raw_manifest_sec":[${mfPlan.mkString(",")}],""" +
+        s""""listing_sec":${listPlan(1)},""" +
+        s""""raw_listing_sec":[${listPlan.mkString(",")}]}""")
+
       // best-effort cleanup: 100k files linger otherwise
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
