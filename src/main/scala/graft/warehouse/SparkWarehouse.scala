@@ -980,7 +980,12 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
   // files invisible to manifest-served scans/aggregates — the
   // UNCOMMITTED-write semantics every manifest-backed table format
   // (Delta, Iceberg) has; refreshManifest (or any later mutation)
-  // re-derives truth from the directory.
+  // re-derives truth from the directory. The symmetric crash window on
+  // REMOVAL verbs (files renamed away, manifest not yet patched) fails
+  // LOUDLY — manifest-served scans hit missing files and error, never
+  // silently serve a half-deleted table — until the same heal runs;
+  // unlike snapshot-log formats we physically move files, so the old
+  // generation is not independently readable during that window.
 
   private def manifestPath(name: String) =
     new Path(tablePath(name), "_graft_manifest")
