@@ -534,6 +534,51 @@ class Round14Spec extends SparkSpec {
       .where(col("name").startsWith("alpha")).count() == 1000L)
   }
 
+  test("bloom COVERAGE is independent of the decode budget: a refused " +
+    "decode never triggers a filter rebuild on the next incremental call") {
+    val sps = spark; import sps.implicits._
+    val wh = tmpWh("graft-r14-covdec")
+    unwrap(wh.load("t", (0L until 4000L).map(i => (i, s"w$i"))
+      .toDF("id", "name").repartition(4)))
+    unwrap(wh.analyzeStats("t"))
+    unwrap(wh.analyzeBloom("t", Seq("id", "name")))
+    try {
+      // decode refused (pruning disabled) — but the files ARE analyzed:
+      // coverage must come from the sidecar's pairs, not the decode
+      // cache, so the incremental call stays a no-op instead of paying
+      // a full rebuild every query cycle
+      spark.conf.set("spark.graft.bloomCache.maxBytes", "16")
+      assert(unwrap(wh.analyzeBloom("t", Seq("id", "name"))) == 0L,
+        "decode-budget refusal caused a spurious filter rebuild")
+      // pruning is off under the refusal, results still correct
+      val probe = unwrap(wh.get("t")).where(col("id") === 17L)
+      assert(probe.count() == 1L)
+    } finally spark.conf.unset("spark.graft.bloomCache.maxBytes")
+    // back under a sane budget the same sidecar prunes again
+    val miss = unwrap(wh.get("t")).where(col("id") === -5L)
+    assert(miss.count() == 0L && filesRead(miss) == 0L)
+  }
+
+  test("withAutoAnalyze never fails a committed batch: an analyze error " +
+    "(unsupported bloom column type) is logged and swallowed") {
+    val sps = spark; import sps.implicits._
+    val wh = tmpWh("graft-r14-autoswallow")
+    val committed = new java.util.concurrent.atomic.AtomicLong(0L)
+    // float columns are rejected by analyzeBloom (non-reproducible
+    // literal rendering) — the hook must still commit the batch body
+    val hook = wh.withAutoAnalyze[org.apache.spark.sql.Row](
+      "sink", bloomCols = Seq("f")) { (batch, _) =>
+      unwrap(wh.load("sink", batch.toDF())); committed.incrementAndGet(); ()
+    }
+    val batch = (0L until 100L).map(i => (i, i.toFloat / 3f)).toDF("id", "f")
+    hook(batch, 0L)
+    assert(committed.get() == 1L, "batch body did not run")
+    assert(unwrap(wh.get("sink")).count() == 100L,
+      "committed rows lost to a maintenance failure")
+    // stats analyze DID succeed even though the bloom analyze refused
+    assert(unwrap(wh.statsAggFast("sink", Seq("id"))).head.getLong(0) == 100L)
+  }
+
   test("a corrupt or truncated manifest falls back to the listing " +
     "walk, never fails or misreads") {
     val sps = spark; import sps.implicits._
