@@ -96,15 +96,7 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
           // directory listing; merged schema cached per manifest
           // generation), falling back to the recursive-listing +
           // footer-merge read otherwise.
-          val raw = manifestScanFrame(name).getOrElse {
-            val plain = graft.sources.Sources.parquetMerged(spark,
-              tablePath(name).toString)
-            if (!skippingEnabled) plain
-            else org.apache.spark.sql.GraftFileIndexBridge
-              .mapFileIndex(plain)(base =>
-                new org.apache.spark.sql.GraftPruningFileIndex(base,
-                  pruneMetaThunk(name)))
-          }
+          val raw = rawLiveFrame(name)
           // merge-on-read: rows tombstoned by pending deletion vectors
           // are filtered out at read time (anti-join on file+row
           // position). Tables never touched by MoR DML keep the plain
@@ -133,14 +125,62 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
   private def hasDataFiles(name: String): Boolean =
     // a NON-EMPTY manifest answers without touching the directory (the
     // warm cached probe is one header line); an empty or absent one
-    // falls back to the shallow listing — the same fail-open shape the
-    // manifest-served scan has, so both verbs agree on what "has data"
-    // means at every manifest state
-    readManifestGen(name).exists(_.entries.nonEmpty) ||
-      fs.listStatus(tablePath(name)).exists { f =>
+    // falls back to the listing — which must be TOMBSTONE-AWARE: a
+    // table whose every file was retired in place still has .parquet
+    // entries on disk, and the shallow probe alone would resurrect
+    // them ("has data" → merged read of retired files). The cheap
+    // shallow probe is kept as a fast NO; its YES is confirmed against
+    // the tombstone-subtracted walk only when tombstones exist.
+    readManifestGen(name).exists(_.entries.nonEmpty) || {
+      val shallow = fs.listStatus(tablePath(name)).exists { f =>
         f.getPath.getName.endsWith(".parquet") ||
           (f.isDirectory && !f.getPath.getName.startsWith("_"))
       }
+      shallow &&
+        (tombstonedRels(name).isEmpty || listDataFiles(name).nonEmpty)
+    }
+
+  /** The raw LIVE-file scan (no merge-on-read filtering): served from
+    * the manifest when present, else from a tombstone-aware listing
+    * (an explicit-inventory index — plain `spark.read` over the
+    * directory would resurrect retired-in-place files), else the plain
+    * merged read for tables that never retired anything. Skipping
+    * metadata wraps the index on every branch. Shared by [[get]], the
+    * analyzers, and the MoR verbs so "what is live" has exactly one
+    * definition.
+    */
+  private def rawLiveFrame(name: String): DataFrame = {
+    val raw = manifestScanFrame(name).getOrElse {
+      val plain =
+        if (tombstonedRels(name).nonEmpty) listedScanFrame(name)
+        else graft.sources.Sources.parquetMerged(spark,
+          tablePath(name).toString)
+      if (!skippingEnabled) plain
+      else org.apache.spark.sql.GraftFileIndexBridge
+        .mapFileIndex(plain)(base =>
+          new org.apache.spark.sql.GraftPruningFileIndex(base,
+            pruneMetaThunk(name)))
+    }
+    raw
+  }
+
+  /** Scan built from an explicit tombstone-subtracted listing — the
+    * manifest-absent fallback for tables with retired files. Fresh
+    * statuses (exact lengths from the walk), so the length-verify
+    * format is a no-op here.
+    */
+  private def listedScanFrame(name: String): DataFrame = {
+    val listed = listDataFiles(name)
+    val rootQ = fs.makeQualified(tablePath(name))
+    val statuses = listed.map { case (e, p) =>
+      new org.apache.hadoop.fs.FileStatus(e.bytes, false, 1,
+        134217728L, e.mtime, fs.makeQualified(p))
+    }
+    val (idx, ds) = org.apache.spark.sql.GraftFileIndexBridge
+      .manifestIndex(spark, rootQ, statuses, None)
+    org.apache.spark.sql.GraftFileIndexBridge.manifestFrame(
+      spark, idx, ds, identity)
+  }
 
   def meta(name: String): Either[WarehouseError, TableMeta] =
     try {
@@ -672,6 +712,14 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
   private val bloomDisabledFps =
     scala.collection.mutable.Set.empty[String]
 
+  // fingerprint+budget → admitted filter KINDS and their decoded bytes:
+  // a partially-over-budget table (e.g. an n-gram family that alone
+  // blows the budget) re-decides admission from this memo on every
+  // cache rebuild — no re-run of the sizing aggregation, no re-printed
+  // multi-line warning — until the sidecar generation or budget changes
+  private val bloomKindMemo =
+    scala.collection.mutable.Map.empty[String, (Seq[Int], Long)]
+
   /** (resident tables, resident decoded bytes) — test/ops observability
     * for the budget enforcement.
     */
@@ -702,39 +750,53 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
       when(col("column").contains(lit("\u0000prefix\u0000")), lit(1))
         .when(col("column").contains(lit("\u0000ngram\u0000")), lit(2))
         .otherwise(lit(0))
-    val perKind = spark.read.parquet(bloomPath(name).toString)
-      .groupBy(kindCol.as("kind"))
-      .agg(sum(length(col("bloom"))).as("b"))
-      .collect()
-      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
-      .toMap
-    var remaining = budget
-    val included = Seq(0, 1, 2).filter { k =>
-      val b = perKind.getOrElse(k, 0L)
-      if (b <= remaining) { remaining -= b; true } else false
-    }
-    val excluded = Seq(0, 1, 2).filter(k =>
-      perKind.getOrElse(k, 0L) > 0L && !included.contains(k))
-    val bytes = included.map(perKind.getOrElse(_, 0L)).sum
-    if (excluded.nonEmpty) {
-      val kindName = Map(0 -> "point", 1 -> "prefix", 2 -> "ngram")
-      System.err.println(s"[graft] bloom sidecar for '$name': kinds " +
-        s"${excluded.map(kindName)} (${excluded.map(perKind(_)).sum} " +
-        s"bytes) exceed the remaining cache budget " +
-        "(spark.graft.bloomCache.maxBytes) and are NOT loaded — their " +
-        "pruning is disabled for this table; included kinds " +
-        s"(${included.map(kindName)}) still prune. Raise the budget or " +
-        "re-analyze with fewer/smaller filters")
-      if (included.forall(k => perKind.getOrElse(k, 0L) == 0L)) {
-        // nothing with substance fits: full refusal, memoized so the
-        // sizing job runs once per sidecar generation
-        bloomCache.synchronized {
-          val prior = bloomCache.remove(name)
-          if (prior != null) bloomCacheBytes -= prior._2
-          bloomDisabledFps.add(s"$fp@$budget")
-        }
-        return Map.empty
+    val memoKey = s"$fp@$budget"
+    val memoHit = bloomCache.synchronized { bloomKindMemo.get(memoKey) }
+    val (included, bytes) = memoHit.getOrElse {
+      val perKind = spark.read.parquet(bloomPath(name).toString)
+        .groupBy(kindCol.as("kind"))
+        .agg(sum(length(col("bloom"))).as("b"))
+        .collect()
+        .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+        .toMap
+      var remaining = budget
+      val inc = Seq(0, 1, 2).filter { k =>
+        val b = perKind.getOrElse(k, 0L)
+        if (b <= remaining) { remaining -= b; true } else false
       }
+      val excluded = Seq(0, 1, 2).filter(k =>
+        perKind.getOrElse(k, 0L) > 0L && !inc.contains(k))
+      val incBytes = inc.map(perKind.getOrElse(_, 0L)).sum
+      if (excluded.nonEmpty) {
+        val kindName = Map(0 -> "point", 1 -> "prefix", 2 -> "ngram")
+        System.err.println(s"[graft] bloom sidecar for '$name': kinds " +
+          s"${excluded.map(kindName)} (${excluded.map(perKind(_)).sum} " +
+          s"bytes) exceed the remaining cache budget " +
+          "(spark.graft.bloomCache.maxBytes) and are NOT loaded — their " +
+          "pruning is disabled for this table; included kinds " +
+          s"(${inc.map(kindName)}) still prune. Raise the budget or " +
+          "re-analyze with fewer/smaller filters")
+        if (inc.forall(k => perKind.getOrElse(k, 0L) == 0L)) {
+          // nothing with substance fits: full refusal, memoized so the
+          // sizing job runs once per sidecar generation
+          bloomCache.synchronized {
+            val prior = bloomCache.remove(name)
+            if (prior != null) bloomCacheBytes -= prior._2
+            bloomDisabledFps.add(memoKey)
+          }
+          return Map.empty
+        }
+      }
+      // memoize the ADMISSION DECISION, not just the full refusal: a
+      // later cache rebuild — eviction, restart probe — re-admits the
+      // same kinds without re-running the sizing aggregation or
+      // re-printing the warning (the fingerprint pins the sidecar
+      // generation; a new analyze or budget change invalidates the key)
+      bloomCache.synchronized {
+        if (bloomKindMemo.size > 1024) bloomKindMemo.clear()
+        bloomKindMemo.put(memoKey, (inc, incBytes))
+      }
+      (inc, incBytes)
     }
     val rows = spark.read.parquet(bloomPath(name).toString)
       .select("rel", "column", "bloom")
@@ -780,17 +842,43 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
       .map(_.toLong).getOrElse(4000000L),
     _._2.valuesIterator.map(_.size.toLong.max(1L)).sum)
 
+  // fingerprints whose pair set exceeded the pairs budget: memoized so
+  // an over-budget table costs ONE sizing count per sidecar generation
+  // (cleared on growth — generations rotate, the set cannot leak
+  // unboundedly within a bounded cap)
+  private val bloomPairsRefusedFps =
+    scala.collection.mutable.Set.empty[String]
+
   /** Empty result = UNKNOWN (unreadable sidecar, or genuinely no rows)
     * — the caller must fall back to the distributed joins, never treat
-    * it as "nothing covered" (that would rebuild every filter).
+    * it as "nothing covered" (that would rebuild every filter). The
+    * collect is PRE-GATED by a distributed row count against the pairs
+    * budget (same discipline as [[cachedStats]]/[[cachedBlooms]]): a
+    * ~10⁶-file × N-col sidecar is refused BEFORE the O(files×cols)
+    * string set ever reaches the driver, not collected and then held
+    * over budget.
     */
   private def cachedBloomPairs(name: String): Map[String, Set[String]] =
     try {
       val fp = sidecarFingerprint(bloomPath(name))
       val hit = bloomPairsCache.get(name)
       if (hit != null && hit._1 == fp) return hit._2
-      val pairs = spark.read.parquet(bloomPath(name).toString)
-        .select("rel", "column").collect()
+      val budget = spark.conf.getOption("spark.graft.bloomPairs.cacheMaxPairs")
+        .map(_.toLong).getOrElse(4000000L)
+      bloomPairsRefusedFps.synchronized {
+        if (bloomPairsRefusedFps.contains(s"$fp@$budget")) return Map.empty
+      }
+      val rows = spark.read.parquet(bloomPath(name).toString)
+        .select("rel", "column")
+      val est = rows.count()
+      if (est > budget) {
+        bloomPairsRefusedFps.synchronized {
+          if (bloomPairsRefusedFps.size > 1024) bloomPairsRefusedFps.clear()
+          bloomPairsRefusedFps.add(s"$fp@$budget")
+        }
+        return Map.empty // unknown → distributed-join coverage fallback
+      }
+      val pairs = rows.collect()
         .groupBy(_.getString(0))
         .map { case (rel, rs) =>
           rel -> rs.iterator.map(_.getString(1)).filter(_.nonEmpty).toSet }
@@ -945,13 +1033,19 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
         else Nil
       }
     val prefixes = rootUriPrefixes(name)
-    walk(tablePath(name)).map { st =>
+    val tomb = tombstonedRels(name)
+    walk(tablePath(name)).flatMap { st =>
       val uri = fs.makeQualified(st.getPath).toUri.toString
       val rel = prefixes.collectFirst {
         case pre if uri.startsWith(pre + "/") => uri.substring(pre.length + 1)
       }.getOrElse(throw new IllegalStateException(
         s"listDataFiles: $uri outside table root ${prefixes.head}"))
-      (ManifestEntry(rel, st.getLen, st.getModificationTime), st.getPath)
+      // retired-in-place files are DEAD to every listing-derived view:
+      // without this subtraction a manifest-absent fallback or heal
+      // would resurrect rows a committed DELETE/rewrite removed
+      if (tomb.contains(rel)) None
+      else Some((ManifestEntry(rel, st.getLen, st.getModificationTime),
+        st.getPath))
     }
   }
 
@@ -1009,22 +1103,31 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     */
   private final class LruFileBudgetCache[V](budget: () => Long,
                                             sizeOf: V => Long) {
-    private val map = new java.util.LinkedHashMap[String, V](16, 0.75f, true)
+    // size is computed ONCE at put and stored beside the value: the
+    // eviction scan runs on every insert, and a sizeOf that walks the
+    // entry (e.g. a FileIndex materializing its path array) would turn
+    // each insert into O(resident tables × files) of allocation
+    private val map =
+      new java.util.LinkedHashMap[String, (V, Long)](16, 0.75f, true)
     private var total = 0L
-    def get(name: String): V = map.synchronized { map.get(name) }
+    def get(name: String): V = map.synchronized {
+      val e = map.get(name)
+      if (e == null) null.asInstanceOf[V] else e._1
+    }
     def put(name: String, v: V): Unit = map.synchronized {
-      val old = map.put(name, v)
-      if (old != null) total -= sizeOf(old)
-      total += sizeOf(v)
+      val size = sizeOf(v)
+      val old = map.put(name, (v, size))
+      if (old != null) total -= old._2
+      total += size
       val it = map.entrySet().iterator()
       while (total > budget() && it.hasNext) {
         val e = it.next()
-        if (e.getKey != name) { total -= sizeOf(e.getValue); it.remove() }
+        if (e.getKey != name) { total -= e.getValue._2; it.remove() }
       }
     }
     def remove(name: String): Unit = map.synchronized {
       val old = map.remove(name)
-      if (old != null) total -= sizeOf(old)
+      if (old != null) total -= old._2
     }
     def resident: (Int, Long) = map.synchronized { (map.size(), total) }
   }
@@ -1035,7 +1138,7 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     * (measured ~0.7 GB of driver allocation per no-op analyze at 100k
     * files before this was cached).
     */
-  private final case class ManifestGen(header: String,
+  private final case class ManifestGen(header: String, gen: Long,
                                        entries: IndexedSeq[ManifestEntry]) {
     lazy val rels: IndexedSeq[String] = entries.map(_.rel)
     lazy val relSet: Set[String] = rels.toSet
@@ -1055,8 +1158,42 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     */
   def manifestCacheResident: (Int, Long) = manifestCache.resident
 
-  private def manifestHeader(nonce: String, n: Int): String =
-    s"graft-manifest v1 $nonce $n"
+  // v2 header: "graft-manifest v2 <gen> <nonce> <n>". The GENERATION
+  // is a monotonically increasing commit counter (successor of the
+  // header the CAS write was conditioned on); the nonce still makes
+  // every write unique for cache identity. v1 headers (no gen field)
+  // parse as generation 0 and are upgraded by the next write.
+  private def manifestHeader(gen: Long, nonce: String, n: Int): String =
+    s"graft-manifest v2 $gen $nonce $n"
+
+  /** First line of the on-disk manifest, or None when absent — the CAS
+    * token for [[writeManifestCas]] (one tiny read, no entry parse).
+    */
+  private def onDiskHeader(name: String): Option[String] =
+    try {
+      if (!fs.exists(manifestPath(name))) None
+      else {
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+          fs.open(manifestPath(name)), StandardCharsets.UTF_8))
+        try Option(in.readLine()) finally in.close()
+      }
+    } catch { case _: Exception => None }
+
+  /** (generation, declared entry count) parsed from a manifest header
+    * line; None when the line is not a graft manifest header. v1
+    * headers carry no generation and parse as 0.
+    */
+  private def parseManifestHeader(line: String): Option[(Long, Int)] =
+    try {
+      if (line == null) None
+      else if (line.startsWith("graft-manifest v2 ")) {
+        val t = line.split(" ")
+        if (t.length != 5) None else Some((t(2).toLong, t(4).toInt))
+      } else if (line.startsWith("graft-manifest v1 ")) {
+        val t = line.split(" ")
+        if (t.length != 4) None else Some((0L, t(3).toInt))
+      } else None
+    } catch { case _: Exception => None }
 
   /** Parsed manifest entries, or None when absent, corrupt, or
     * read-disabled — callers then walk the directory. Never throws:
@@ -1073,12 +1210,12 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
         fs.open(manifestPath(name)), StandardCharsets.UTF_8))
       try {
         val header = in.readLine()
-        if (header == null || !header.startsWith("graft-manifest v1 "))
-          return None
+        val parsedHeader = parseManifestHeader(header)
+        if (parsedHeader.isEmpty) return None
         val cached = manifestCache.get(name)
         if (cached != null && cached.header == header)
           return Some(cached)
-        val n = header.substring(header.lastIndexOf(' ') + 1).toInt
+        val (genNo, n) = parsedHeader.get
         val out =
           new scala.collection.immutable.VectorBuilder[ManifestEntry]()
         var line = in.readLine()
@@ -1094,29 +1231,66 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
           line = in.readLine()
         }
         if (read != n) return None // truncated write
-        val gen = ManifestGen(header, out.result())
+        val gen = ManifestGen(header, genNo, out.result())
         manifestCache.put(name, gen)
         Some(gen)
       } finally in.close()
     } catch { case _: Exception => None }
   }
 
-  private def writeManifestEntries(name: String,
-                                   entries: Seq[ManifestEntry]): Unit = {
-    val header = manifestHeader(
+  /** CAS-guarded manifest publish: build the new generation (successor
+    * of `expected`'s), write it to a temp file, then re-read the
+    * on-disk header and swap ONLY if it still equals `expected` —
+    * returning false (temp cleaned up, nothing published) when another
+    * writer got in between. This is the cheap optimistic check the
+    * list-then-swap race needs: without it, two concurrent mutations on
+    * one table could interleave so the later swap published a listing
+    * taken BEFORE the earlier writer's files landed, silently
+    * unpublishing committed rows until the next heal. The residual
+    * window between the re-read and the rename is filesystem-atomicity
+    * bounded (single rename); the formal concurrency contract stays
+    * SINGLE WRITER PER TABLE (readers are unrestricted), with this CAS
+    * as the detection net that turns the common interleavings into a
+    * retry instead of data loss.
+    */
+  private[graft] def writeManifestCas(name: String,
+                                      entries: Seq[ManifestEntry],
+                                      expected: Option[String]): Boolean = {
+    val newGen =
+      (expected.flatMap(parseManifestHeader).map(_._1)
+        .getOrElse(maxHistGeneration(name))) + 1L
+    val header = manifestHeader(newGen,
       java.util.UUID.randomUUID().toString.take(8), entries.size)
     val sb = new StringBuilder(header).append('\n')
     entries.foreach { e =>
       sb.append(e.bytes).append(' ').append(e.mtime).append(' ')
         .append(e.rel).append('\n')
     }
+    val bytes = sb.toString.getBytes(StandardCharsets.UTF_8)
     val tmp = new Path(tablePath(name), "_graft_manifest.__tmp")
     val out = fs.create(tmp, true)
-    try out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    try out.write(bytes) finally out.close()
+    if (onDiskHeader(name) != expected) { // lost the race: retry upstream
+      try fs.delete(tmp, false) catch { case _: Exception => () }
+      return false
+    }
     checkedDelete(manifestPath(name))
     checkedRename(tmp, manifestPath(name))
-    manifestCache.put(name, ManifestGen(header, entries.toIndexedSeq))
+    retainManifestHistory(name, newGen, header, bytes)
+    manifestCache.put(name,
+      ManifestGen(header, newGen, entries.toIndexedSeq))
+    true
+  }
+
+  /** On manifest-rewrite failure the previous on-disk generation would
+    * still parse as valid — readers would silently serve a list missing
+    * the rows the failed rewrite was publishing. Dropping BOTH the
+    * cache entry and the on-disk file makes every reader genuinely fall
+    * back to the listing walk (truth) until the next successful write.
+    */
+  private def dropManifest(name: String): Unit = {
+    manifestCache.remove(name)
+    try fs.delete(manifestPath(name), false) catch { case _: Exception => () }
   }
 
   /** Rebuild the manifest from one authoritative directory walk — the
@@ -1125,26 +1299,259 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     * public healing verb for out-of-band writes. O(files) listing once
     * per MUTATION instead of once per read/analyze. Best-effort when
     * called from mutation paths: a manifest write failure must never
-    * fail a committed data write (readers just fall back to listing).
+    * fail a committed data write — but it must not leave a stale
+    * manifest either, so exhaustion/failure DELETES the on-disk
+    * manifest ([[dropManifest]]) and readers fall back to listing.
+    * Each attempt re-lists under a fresh CAS token, so a concurrent
+    * writer's committed files are picked up by the retry.
     */
   private def rebuildManifest(name: String): Unit =
-    try writeManifestEntries(name, listDataFiles(name).map(_._1))
-    catch { case _: Exception => manifestCache.remove(name) }
+    try {
+      var attempts = 0
+      var done = false
+      while (!done && attempts < 4) {
+        val expected = onDiskHeader(name)
+        val entries = listDataFiles(name).map(_._1)
+        done = writeManifestCas(name, entries, expected)
+        attempts += 1
+      }
+      if (!done) dropManifest(name)
+    } catch { case _: Exception => dropManifest(name) }
 
   /** Public heal/bootstrap: re-derive the manifest from a directory
     * listing (the ONLY correct move after files were added or removed
     * by something other than this warehouse). Returns the live file
-    * count.
+    * count. CAS-retried like every manifest write.
     */
   def refreshManifest(name: String): Either[WarehouseError, Long] =
     try {
       if (!fs.exists(tablePath(name))) Left(TableNotFound(name))
       else {
-        val files = listDataFiles(name)
-        writeManifestEntries(name, files.map(_._1))
-        Right(files.size.toLong)
+        var attempts = 0
+        var published = -1L
+        while (published < 0 && attempts < 4) {
+          val expected = onDiskHeader(name)
+          val files = listDataFiles(name)
+          if (writeManifestCas(name, files.map(_._1), expected))
+            published = files.size.toLong
+          attempts += 1
+        }
+        if (published < 0) {
+          dropManifest(name)
+          Left(TableGenericError(
+            s"refreshManifest('$name'): lost the publish race 4 times " +
+              "(concurrent writers?) — manifest dropped, reads fall " +
+              "back to listing"))
+        } else Right(published)
       }
     } catch { case e: Exception => Left(TableGenericError(e.getMessage, Some(e))) }
+
+  // ---------- in-place retirement (tombstones) ----------
+  // Removal verbs (compact, CoW DELETE/UPDATE, upsert swaps, pruned
+  // partition drops) no longer move or delete the files they replace:
+  // the files STAY at their paths and their rels are appended to a
+  // `_graft_tombstones/` event file; the manifest publish that follows
+  // is the commit point. Consequences, all deliberate:
+  //  - the loud-removal crash window is GONE — at every intermediate
+  //    state both the manifest-served read (old generation, files
+  //    still present) and the listing heal (all files minus
+  //    tombstones) describe a consistent snapshot;
+  //  - a reader holding a pre-rewrite plan keeps working through a
+  //    concurrent compact (its files were not moved) — Delta/Iceberg
+  //    snapshot-isolation semantics;
+  //  - retained generations stay readable: [[getAsOf]] rebuilds any
+  //    history generation's scan from its manifest copy;
+  //  - disk is reclaimed by [[vacuumRetired]], not by the verb.
+  // Every LISTING-based path must subtract the tombstone set
+  // ([[listDataFiles]] does centrally) or deleted rows would
+  // resurrect on manifest-absent fallbacks.
+
+  private def tombstoneDir(name: String) =
+    new Path(tablePath(name), "_graft_tombstones")
+
+  // name -> (dir fingerprint, retired rel set); rel-count budgeted like
+  // the other driver caches
+  private val tombstoneCache = new LruFileBudgetCache[(String, Set[String])](
+    () => spark.conf.getOption("spark.graft.tombstones.cacheMaxRels")
+      .map(_.toLong).getOrElse(4000000L),
+    _._2.size.toLong.max(1L))
+
+  /** All retired rels of `name` (empty when none). Parsed lines are
+    * trusted even under a count mismatch: every listed rel WAS
+    * intended for retirement, and a temp+rename write means torn
+    * content is never visible anyway.
+    */
+  private[graft] def tombstonedRels(name: String): Set[String] =
+    try {
+      val dir = tombstoneDir(name)
+      if (!fs.exists(dir)) return Set.empty
+      val fp = sidecarFingerprint(dir)
+      val hit = tombstoneCache.get(name)
+      if (hit != null && hit._1 == fp) return hit._2
+      val rels = fs.listStatus(dir).toSeq
+        .filter(st => !st.isDirectory && !st.getPath.getName.startsWith("."))
+        .flatMap { st =>
+          val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+            fs.open(st.getPath), StandardCharsets.UTF_8))
+          try {
+            val header = in.readLine()
+            if (header == null ||
+              !header.startsWith("graft-tombstones v1 ")) Nil
+            else Iterator.continually(in.readLine())
+              .takeWhile(_ != null).filter(_.nonEmpty).toVector
+          } finally in.close()
+        }.toSet
+      tombstoneCache.put(name, (fp, rels))
+      rels
+    } catch { case _: Exception => Set.empty }
+
+  /** Append one retirement event (atomic temp+rename). THROWS on
+    * failure — the caller must abort BEFORE its manifest publish: at
+    * that point the rewrite's new files are unreferenced and the old
+    * generation is still the published truth, so aborting is safe,
+    * whereas publishing without durable tombstones would let a later
+    * listing heal resurrect the retired rows.
+    */
+  private def writeTombstones(name: String, rels: Seq[String],
+                              fromGen: Long): Unit = {
+    if (rels.isEmpty) return
+    val dir = tombstoneDir(name)
+    fs.mkdirs(dir)
+    val fname = s"${System.currentTimeMillis()}-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val sb = new StringBuilder(
+      s"graft-tombstones v1 $fromGen ${rels.size}").append('\n')
+    rels.foreach(r => sb.append(r).append('\n'))
+    val tmp = new Path(dir, s".$fname.__tmp")
+    val out = fs.create(tmp, true)
+    try out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    checkedRename(tmp, new Path(dir, fname))
+    tombstoneCache.remove(name)
+  }
+
+  /** Physically reclaim retired files whose retirement event is older
+    * than `olderThan`, prune the manifest-history generations those
+    * events retired from (their snapshots are no longer fully
+    * readable), and drop now-empty partition directories. Returns the
+    * number of data files deleted. The streaming/maintenance analog of
+    * Delta's VACUUM; `now` injected for tests like [[vacuum]].
+    */
+  def vacuumRetired(name: String, olderThan: java.time.Duration,
+                    now: Instant): Either[WarehouseError, Long] =
+    try {
+      if (!fs.exists(tablePath(name))) Left(TableNotFound(name))
+      else {
+        val dir = tombstoneDir(name)
+        if (!fs.exists(dir)) return Right(0L)
+        val cutoff = now.toEpochMilli - olderThan.toMillis
+        val prefix = fs.makeQualified(tablePath(name)).toUri.toString
+        var deleted = 0L
+        var maxFromGen = -1L
+        fs.listStatus(dir).toSeq
+          .filter(st => !st.isDirectory && !st.getPath.getName.startsWith("."))
+          .foreach { st =>
+            val stamp = st.getPath.getName.takeWhile(_.isDigit)
+            if (stamp.nonEmpty && stamp.toLong <= cutoff) {
+              val in = new java.io.BufferedReader(
+                new java.io.InputStreamReader(
+                  fs.open(st.getPath), StandardCharsets.UTF_8))
+              val (fromGen, rels) = try {
+                val header = in.readLine()
+                if (header == null ||
+                  !header.startsWith("graft-tombstones v1 ")) (-1L, Nil)
+                else (header.split(" ")(2).toLong,
+                  Iterator.continually(in.readLine())
+                    .takeWhile(_ != null).filter(_.nonEmpty).toList)
+              } finally in.close()
+              rels.foreach { rel =>
+                val p = new Path(new java.net.URI(prefix + "/" + rel))
+                try { if (fs.exists(p) && fs.delete(p, false)) deleted += 1 }
+                catch { case _: Exception => () }
+              }
+              maxFromGen = math.max(maxFromGen, fromGen)
+              try fs.delete(st.getPath, false) catch { case _: Exception => () }
+            }
+          }
+        tombstoneCache.remove(name)
+        // history generations at or below the newest vacuumed event's
+        // source generation reference reclaimed files: prune them so
+        // getAsOf fails FAST ("not retained") instead of mid-scan
+        if (maxFromGen >= 0 && fs.exists(manifestHistDir(name)))
+          fs.listStatus(manifestHistDir(name)).map(_.getPath)
+            .filter(p => p.getName.forall(_.isDigit) &&
+              p.getName.toLong <= maxFromGen)
+            .foreach(p =>
+              try fs.delete(p, false) catch { case _: Exception => () })
+        // drop partition directories emptied by the reclaim (depth-
+        // first; data roots and sidecar dirs are never touched)
+        def pruneEmptyDirs(p: Path): Boolean = {
+          val kids = fs.listStatus(p)
+          val keep = kids.exists { k =>
+            if (k.isDirectory && k.getPath.getName.contains("="))
+              !pruneEmptyDirs(k.getPath)
+            else true
+          }
+          if (!keep && p != tablePath(name)) fs.delete(p, true) else ()
+          !keep
+        }
+        fs.listStatus(tablePath(name))
+          .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+          .foreach(st => pruneEmptyDirs(st.getPath))
+        Right(deleted)
+      }
+    } catch { case e: Exception => Left(TableGenericError(e.getMessage, Some(e))) }
+
+  // ---------- manifest generation history ----------
+  // Every successful manifest publish also writes an immutable copy of
+  // the SAME bytes to `_graft_manifest_hist/<zero-padded gen>`, pruned
+  // to the newest `spark.graft.manifest.retainGenerations` (default 8,
+  // 0 disables). Together with in-place retirement (retired data files
+  // stay at their paths until [[vacuumRetired]]) this gives snapshot
+  // reads: [[getAsOf]] rebuilds any retained generation's scan from its
+  // history entry with zero listing. History writes are best-effort —
+  // a failed copy must never fail the commit (as-of is an accelerator,
+  // the live manifest is the source of truth).
+
+  private def manifestHistDir(name: String) =
+    new Path(tablePath(name), "_graft_manifest_hist")
+
+  private def retainGenerations: Int =
+    spark.conf.getOption("spark.graft.manifest.retainGenerations")
+      .map(_.toInt).getOrElse(8)
+
+  private def histFileName(gen: Long): String = f"$gen%012d"
+
+  private def retainManifestHistory(name: String, gen: Long,
+                                    header: String,
+                                    bytes: Array[Byte]): Unit =
+    try {
+      val k = retainGenerations
+      if (k <= 0) return
+      val dir = manifestHistDir(name)
+      fs.mkdirs(dir)
+      val out = fs.create(new Path(dir, histFileName(gen)), true)
+      try out.write(bytes) finally out.close()
+      val files = fs.listStatus(dir).map(_.getPath)
+        .filter(_.getName.forall(_.isDigit)).sortBy(_.getName)
+      files.dropRight(k).foreach { p =>
+        try fs.delete(p, false) catch { case _: Exception => () }
+      }
+    } catch { case _: Exception => () }
+
+  /** Largest generation number present in the history dir (0 when
+    * none): lets a rebuild after [[dropManifest]] continue the
+    * generation sequence instead of reusing numbers that still name
+    * retained snapshots.
+    */
+  private def maxHistGeneration(name: String): Long =
+    try {
+      val dir = manifestHistDir(name)
+      if (!fs.exists(dir)) 0L
+      else fs.listStatus(dir).map(_.getPath.getName)
+        .filter(n => n.nonEmpty && n.forall(_.isDigit))
+        .map(_.toLong).foldLeft(0L)(math.max)
+    } catch { case _: Exception => 0L }
 
   // per-generation cache of the manifest-built scan index + merged
   // data schema: warm get() is then a pure driver-memory plan build —
@@ -1216,38 +1623,48 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
   private def patchManifestDirs(name: String, touchedDirs: Seq[String],
                                 walkTouched: Boolean): Unit =
     try {
-      readManifest(name) match {
-        case None => rebuildManifest(name)
-        case Some(old) =>
-          // rel is URI-rendered; a touched dir prefix must be compared
-          // in the same rendering
-          val prefix = fs.makeQualified(tablePath(name)).toUri.toString
-          val touchedUri = touchedDirs.map { d =>
-            val qualified = fs.makeQualified(
-              new Path(tablePath(name), d)).toUri.toString
-            require(qualified.startsWith(prefix + "/"),
-              s"touched dir $d outside table root")
-            qualified.substring(prefix.length + 1) + "/"
-          }
-          val kept = old.filterNot(e => touchedUri.exists(e.rel.startsWith))
-          val added =
-            if (!walkTouched) Nil
-            else touchedDirs.flatMap { d =>
-              val dir = new Path(tablePath(name), d)
-              if (!fs.exists(dir)) Nil
-              else fs.listStatus(dir).toSeq.collect {
-                case st if !st.isDirectory &&
-                  st.getPath.getName.endsWith(".parquet") &&
-                  !st.getPath.getName.startsWith("_") &&
-                  !st.getPath.getName.startsWith(".") =>
-                  val uri = fs.makeQualified(st.getPath).toUri.toString
-                  ManifestEntry(uri.substring(prefix.length + 1),
-                    st.getLen, st.getModificationTime)
-              }
+      var attempts = 0
+      var done = false
+      while (!done && attempts < 4) {
+        readManifestGen(name) match {
+          case None => rebuildManifest(name); done = true
+          case Some(cur) =>
+            // rel is URI-rendered; a touched dir prefix must be
+            // compared in the same rendering
+            val prefix = fs.makeQualified(tablePath(name)).toUri.toString
+            val touchedUri = touchedDirs.map { d =>
+              val qualified = fs.makeQualified(
+                new Path(tablePath(name), d)).toUri.toString
+              require(qualified.startsWith(prefix + "/"),
+                s"touched dir $d outside table root")
+              qualified.substring(prefix.length + 1) + "/"
             }
-          writeManifestEntries(name, kept ++ added)
+            val kept = cur.entries
+              .filterNot(e => touchedUri.exists(e.rel.startsWith))
+            val added =
+              if (!walkTouched) Nil
+              else touchedDirs.flatMap { d =>
+                val dir = new Path(tablePath(name), d)
+                if (!fs.exists(dir)) Nil
+                else fs.listStatus(dir).toSeq.collect {
+                  case st if !st.isDirectory &&
+                    st.getPath.getName.endsWith(".parquet") &&
+                    !st.getPath.getName.startsWith("_") &&
+                    !st.getPath.getName.startsWith(".") =>
+                    val uri = fs.makeQualified(st.getPath).toUri.toString
+                    ManifestEntry(uri.substring(prefix.length + 1),
+                      st.getLen, st.getModificationTime)
+                }
+              }
+            // CAS on the generation the patch was computed FROM: a
+            // concurrent writer's publish forces a re-read + re-patch,
+            // never a swap that unpublishes its files
+            done = writeManifestCas(name, kept ++ added, Some(cur.header))
+        }
+        attempts += 1
       }
-    } catch { case _: Exception => manifestCache.remove(name) }
+      if (!done) dropManifest(name)
+    } catch { case _: Exception => dropManifest(name) }
 
   /** Overwrite a sidecar directory ATOMICALLY with respect to its own
     * readers: write to a sibling temp dir, then swap — never overwrite
@@ -1401,7 +1818,7 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
       else {
         val root = tablePath(name).toString
         if (!incremental || !fs.exists(statsPath(name))) {
-          val raw = graft.sources.Sources.parquetMerged(spark, root)
+          val raw = rawLiveFrame(name)
           statsRowsOf(name, raw) match {
             case None => Right(0L)
             case Some(rows) =>
@@ -1553,7 +1970,7 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
         // CONSTRUCTION — lazy, because the steady-state no-op call
         // needs only the table schema, which the meta sidecar serves
         // from driver-side JSON (load/evolution keep it in lockstep)
-        lazy val full = graft.sources.Sources.parquetMerged(spark, root)
+        lazy val full = rawLiveFrame(name)
         val tableSchema: StructType = meta(name).toOption
           .map(m => SchemaCodec.toStructType(m.schema))
           .filter(sch => cols.forall(sch.fieldNames.contains))
@@ -1931,7 +2348,7 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
         // read directly by path on the build branch
         val sketchSchema: StructType = meta(name).toOption
           .map(m => SchemaCodec.toStructType(m.schema))
-          .getOrElse(graft.sources.Sources.parquetMerged(spark, root).schema)
+          .getOrElse(rawLiveFrame(name).schema)
         cols.foreach(c => require(sketchSchema.fieldNames.contains(c),
           s"no such column: $c"))
         val live = liveDataFiles(name)
@@ -2983,8 +3400,7 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
       if (!fs.exists(tablePath(name))) return Left(TableNotFound(name))
       requireNotBucketed(name, "deleteWhereMor")
       if (!hasDataFiles(name)) return Right(())
-      val raw = graft.sources.Sources.parquetMerged(spark,
-        tablePath(name).toString)
+      val raw = rawLiveFrame(name)
       liveWithPositions(name, raw).filter(predicate)
         .select(col(RelCol).as("rel"), col(RidxCol).as("ridx"))
         .write.mode(SaveMode.Append).parquet(dvPath(name).toString)
@@ -3008,8 +3424,7 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
       if (!fs.exists(tablePath(name))) return Left(TableNotFound(name))
       requireNotBucketed(name, "updateWhereMor")
       if (!hasDataFiles(name)) return Right(())
-      val raw = graft.sources.Sources.parquetMerged(spark,
-        tablePath(name).toString)
+      val raw = rawLiveFrame(name)
       val missing = set.keys.filterNot(raw.columns.contains)
       require(missing.isEmpty, s"unknown update columns: $missing")
       val matched = liveWithPositions(name, raw).filter(predicate)

@@ -109,15 +109,75 @@ object GraftFileIndexBridge {
     * optionally re-wrapped (the pruning index hook). Mirrors
     * `DataSource.resolveRelation`'s relation assembly: nullable data
     * schema, the index's inferred partition schema, no bucket spec.
+    * The format VERIFIES each file's on-disk length against the
+    * manifest-seeded status at open (see
+    * [[GraftVerifyingParquetFileFormat]]) so a stale manifest can
+    * never yield a silently empty or partial read.
     */
   def manifestFrame(spark: SparkSession, index: FileIndex,
                     dataSchema: StructType,
                     wrap: FileIndex => FileIndex): DataFrame = {
     val session = spark.asInstanceOf[classic.SparkSession]
+    val verify = session.conf
+      .getOption("spark.graft.manifest.verifyLength")
+      .forall(_.toBoolean)
+    val format =
+      if (verify) new GraftVerifyingParquetFileFormat
+      else new ParquetFileFormat
     val rel = HadoopFsRelation(wrap(index), index.partitionSchema,
-      dataSchema.asNullable, None, new ParquetFileFormat,
+      dataSchema.asNullable, None, format,
       Map("mergeSchema" -> "true"))(session)
     classic.Dataset.ofRows(session, LogicalRelation(rel))
+  }
+}
+
+/** Parquet format whose reader asserts, at task open, that each file's
+  * LIVE length equals the length its split was planned from. Closes the
+  * one silent hole in manifest-served reads: an out-of-band writer that
+  * REPLACES a data file under the same name with different-length
+  * content leaves the manifest's recorded length stale — the real
+  * footer still parses (footer reads stat the live file), but every
+  * row-group midpoint then falls outside the stale `[0, manifestLen)`
+  * split and the scan returns 0 rows WITHOUT ERROR. The manifest
+  * contract is "fails loudly, never silently wrong" (removals already
+  * fail with FILE_NOT_EXIST); this check extends that to same-name
+  * replacement: length drift throws with a heal hint instead of
+  * serving an empty result. Cost: one executor-side `getFileStatus`
+  * per split, next to the footer read the task pays anyway —
+  * distributed, never a driver wall. Disable (for measurement only)
+  * with `spark.graft.manifest.verifyLength=false`.
+  */
+final class GraftVerifyingParquetFileFormat extends ParquetFileFormat {
+  override def buildReaderWithPartitionValues(
+      sparkSession: SparkSession,
+      dataSchema: StructType,
+      partitionSchema: StructType,
+      requiredSchema: StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      options: Map[String, String],
+      hadoopConf: org.apache.hadoop.conf.Configuration)
+      : execution.datasources.PartitionedFile =>
+        Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    val base = super.buildReaderWithPartitionValues(sparkSession,
+      dataSchema, partitionSchema, requiredSchema, filters, options,
+      hadoopConf)
+    val confBc = sparkSession.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(hadoopConf))
+    file => {
+      val p = file.toPath
+      // a missing file already fails loudly inside the reader; only the
+      // same-name replacement (stat succeeds, length drifted) needs us
+      val live = p.getFileSystem(confBc.value.value).getFileStatus(p)
+      if (live.getLen != file.fileSize)
+        throw new java.io.IOException(
+          s"graft manifest length drift on $p: planned from " +
+            s"${file.fileSize} bytes but the live file has " +
+            s"${live.getLen} — the file was replaced out-of-band after " +
+            "the manifest was written. Run refreshManifest(table) to " +
+            "re-derive the inventory (reads never silently serve a " +
+            "stale-length file)")
+      base(file)
+    }
   }
 }
 

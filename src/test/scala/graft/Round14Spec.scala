@@ -35,7 +35,9 @@ class Round14Spec extends SparkSpec {
       org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
     finally in.close()
     val lines = text.split("\n").toSeq
-    assert(lines.head.startsWith("graft-manifest v1 "), lines.head)
+    // v2 since r15 (generation-numbered header); v1 still parses
+    assert(lines.head.startsWith("graft-manifest v1 ") ||
+      lines.head.startsWith("graft-manifest v2 "), lines.head)
     val n = lines.head.split(" ").last.toInt
     val entries = lines.tail.filter(_.nonEmpty).map { l =>
       val parts = l.split(" ", 3)
