@@ -664,6 +664,34 @@ object OpsQueries {
       ok(wh.get(t)).orderBy("o_orderkey", "o_orderstatus", "o_orderpriority")
     }),
 
+    // ---- generation snapshots (r15): removal verbs retire files IN
+    // PLACE behind tombstone events; getAsOf rebuilds any retained
+    // generation's scan from its manifest-history copy — a
+    // metadata-only plan with zero directory listing. The gate
+    // snapshots, mutates twice (CoW DELETE + UPDATE), asserts the
+    // current state drifted, then outputs the AS-OF read — which must
+    // hash-equal DuckDB computing the ORIGINAL projection.
+    "op_asof_read" -> ((s: SparkSession, dir: String) => {
+      val wh = tmpWarehouse(s)
+      val t = "op_asof_t"
+      def ok[A](e: Either[graft.warehouse.WarehouseError, A]): A =
+        e.fold(err => throw new RuntimeException(err.message), identity)
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"))
+      ok(wh.load(t, orders.repartition(6)))
+      val g = wh.currentGeneration(t)
+        .getOrElse(throw new RuntimeException("no manifest generation"))
+      ok(wh.deleteWhere(t, col("o_orderkey") % 2 === 0))
+      ok(wh.updateWhere(t, Map("o_orderstatus" -> lit("Z")),
+        col("o_orderpriority") === "1-URGENT"))
+      val cur = ok(wh.get(t)).count()
+      val asof = ok(wh.getAsOf(t, g))
+      require(asof.count() != cur,
+        "as-of must differ from the mutated current state")
+      asof.orderBy("o_orderkey", "o_orderstatus", "o_orderpriority")
+    }),
+
     // ---- distributed HLL fold (r14): above the file-count threshold
     // the metadata approx-distinct folds the per-file sketches in ONE
     // tiny aggregate over the sidecar (K rows to the driver) instead of
@@ -1358,6 +1386,9 @@ object OpsQueries {
         |UNION ALL
         |SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
         |WHERE o_orderkey % 5 = 0 AND o_orderpriority = '1-URGENT'
+        |ORDER BY o_orderkey, o_orderstatus, o_orderpriority""".stripMargin,
+    "op_asof_read" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
         |ORDER BY o_orderkey, o_orderstatus, o_orderpriority""".stripMargin,
     "op_hll_distributed" ->
       """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_partkey,

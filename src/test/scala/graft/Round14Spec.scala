@@ -62,10 +62,27 @@ class Round14Spec extends SparkSpec {
         else if (st.isDirectory) walk(st.getPath)
         else if (n.endsWith(".parquet")) Seq(st) else Nil
       }
+    // retire-in-place (r15): replaced files stay on disk behind
+    // `_graft_tombstones` events until vacuumRetired — the
+    // authoritative LIVE inventory is the walk MINUS the retired rels
+    val tombDir = new org.apache.hadoop.fs.Path(root, "_graft_tombstones")
+    val retired: Set[String] =
+      if (!fs.exists(tombDir)) Set.empty
+      else fs.listStatus(tombDir).toSeq
+        .filter(st => !st.isDirectory && !st.getPath.getName.startsWith("."))
+        .flatMap { st =>
+          val in = fs.open(st.getPath)
+          val text = try new String(
+            org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+          finally in.close()
+          val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+          assert(lines.head.startsWith("graft-tombstones v1 "), lines.head)
+          lines.tail
+        }.toSet
     walk(root).map { st =>
       val uri = fs.makeQualified(st.getPath).toUri.toString
       (uri.substring(prefix.length + 1), st.getLen)
-    }.toSet
+    }.filterNot(e => retired.contains(e._1)).toSet
   }
 
   private def assertManifestEqListing(wh: graft.warehouse.SparkWarehouse,
@@ -407,10 +424,15 @@ class Round14Spec extends SparkSpec {
     }
     // the FIRST compactZOrder in a JVM pays one extra lazily-initialized
     // execution (observed 4-vs-3); a discarded warm-up call makes the
-    // equality pin deterministic
+    // equality pin deterministic. Counts are min-of-2: a straggler
+    // async execution from an earlier suite (streaming micro-batch
+    // teardown) can land inside one measurement window and inflate a
+    // single run — observed as a 4-vs-3 flake under full-suite order.
     zorderExecs(Seq("x", "y"))
-    val e2 = zorderExecs(Seq("x", "y"))
-    val e3 = zorderExecs(Seq("x", "y", "w"))
+    val e2 = Seq(zorderExecs(Seq("x", "y")),
+      zorderExecs(Seq("x", "y"))).min
+    val e3 = Seq(zorderExecs(Seq("x", "y", "w")),
+      zorderExecs(Seq("x", "y", "w"))).min
     assert(e2 >= 2, "z-order ran fewer actions than quantiles + rewrite?")
     assert(e3 == e2,
       s"adding a z-column added table actions: 2-col=$e2 vs 3-col=$e3")

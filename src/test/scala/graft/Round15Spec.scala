@@ -119,4 +119,130 @@ class Round15Spec extends SparkSpec {
     val genOf = (h: String) => h.split(" ")(2).toLong
     assert(genOf(afterB.head) > genOf(staleHeader))
   }
+
+  private def countParquet(wh: graft.warehouse.SparkWarehouse,
+                           t: String): Int = {
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory) {
+        if (f.getName.startsWith("_") || f.getName.startsWith(".")) 0
+        else f.listFiles().map(walk).sum
+      } else if (f.getName.endsWith(".parquet")) 1 else 0
+    walk(new java.io.File(s"${wh.warehouseDir}/$t"))
+  }
+
+  test("retire-in-place generations: as-of reads reproduce history, a " +
+    "pre-compact reader survives the compact, heals never resurrect, " +
+    "and vacuumRetired reclaims disk and prunes stale generations") {
+    val wh = tmpWh("r15-asof")
+    val t = "t"
+    unwrap(wh.load(t, spark.range(0, 1000)
+      .select(col("id"), (col("id") % 10).as("v")).repartition(4)))
+    val gLoad = wh.currentGeneration(t).get
+    unwrap(wh.load(t, spark.range(1000, 1200)
+      .select(col("id"), (col("id") % 10).as("v"))))
+    val gAppend = wh.currentGeneration(t).get
+    unwrap(wh.deleteWhere(t, col("id") % 3 === 0))
+    val gDelete = wh.currentGeneration(t).get
+    val afterDelete = (0L until 1200L).count(_ % 3 != 0).toLong
+
+    // a reader whose PLAN was built before the compact keeps reading
+    // correctly after it: its files were retired in place, not moved
+    val preCompact = unwrap(wh.get(t))
+    unwrap(wh.compact(t, 2, Seq("id")))
+    assert(preCompact.count() == afterDelete,
+      "pre-compact reader broke — snapshot isolation lost")
+    assert(unwrap(wh.get(t)).count() == afterDelete)
+
+    // as-of reads reproduce every retained generation exactly
+    assert(unwrap(wh.getAsOf(t, gLoad)).count() == 1000L)
+    assert(unwrap(wh.getAsOf(t, gLoad)).agg(sum("id")).head.getLong(0) ==
+      (0L until 1000L).sum)
+    assert(unwrap(wh.getAsOf(t, gAppend)).count() == 1200L)
+    assert(unwrap(wh.getAsOf(t, gDelete)).count() == afterDelete)
+    assert(unwrap(wh.generations(t)).containsSlice(
+      Seq(gLoad, gAppend, gDelete)))
+
+    // the listing fallback is tombstone-aware: manifest disabled reads
+    // the same live rows, not the retired files
+    spark.conf.set("spark.graft.manifest.enabled", "false")
+    try assert(unwrap(wh.get(t)).count() == afterDelete,
+      "listing fallback resurrected retired rows")
+    finally spark.conf.unset("spark.graft.manifest.enabled")
+
+    // a heal from the directory never resurrects retired rows
+    unwrap(wh.refreshManifest(t))
+    assert(unwrap(wh.get(t)).count() == afterDelete)
+
+    // generation diff is metadata-only and names the rewrite
+    val diff = unwrap(wh.diffGenerations(t, gDelete,
+      wh.currentGeneration(t).get))
+    assert(diff.filter(col("change") === "added").count() > 0)
+    assert(diff.filter(col("change") === "removed").count() > 0)
+
+    // vacuum reclaims the retired files, prunes their generations, and
+    // leaves the live table intact
+    val live = unwrap(wh.get(t)).inputFiles.length
+    assert(countParquet(wh, t) > live,
+      "retired files should still be on disk before vacuum")
+    val reclaimed = unwrap(wh.vacuumRetired(t, java.time.Duration.ZERO,
+      java.time.Instant.now().plusSeconds(5)))
+    assert(reclaimed > 0L)
+    assert(countParquet(wh, t) == live)
+    assert(unwrap(wh.get(t)).count() == afterDelete)
+    assert(wh.getAsOf(t, gLoad).isLeft, "vacuumed generation still served")
+    spark.conf.set("spark.graft.manifest.enabled", "false")
+    try assert(unwrap(wh.get(t)).count() == afterDelete)
+    finally spark.conf.unset("spark.graft.manifest.enabled")
+  }
+
+  test("auto-compact bounds a stream-fed table's live file count " +
+    "across 50 micro-batches, preserving rows and sidecar coverage") {
+    val wh = tmpWh("r15-autocompact")
+    val t = "sink"
+    val hook = wh.withAutoAnalyze[org.apache.spark.sql.Row](t,
+      bloomCols = Seq("id"), autoCompactMinFiles = 12,
+      autoCompactSmallBytes = 8L << 20, autoCompactTargetBytes = 8L << 20)(
+      (batch, _) => { unwrap(wh.load(t, batch.toDF())); () })
+    (0 until 50).foreach { i =>
+      val batch = spark.range(i * 100L, i * 100L + 100L)
+        .select(col("id"), (col("id") % 7).as("v"))
+      hook(batch, i.toLong)
+    }
+    // one file lands per batch; the hook packs small files whenever the
+    // live count reaches the threshold, so the live inventory stays
+    // bounded at threshold + the current batch instead of growing to 50+
+    val live = unwrap(wh.get(t)).inputFiles.length
+    assert(live <= 13, s"live file count unbounded under streaming: $live")
+    assert(unwrap(wh.get(t)).count() == 5000L)
+    assert(unwrap(wh.get(t)).agg(sum("id")).head.getLong(0) ==
+      (0L until 5000L).sum)
+    // sidecar coverage survived the repacking: an absent-id equality
+    // probe closes EVERY live file (packed files were re-covered by the
+    // same tick's incremental analyze)
+    val eq = unwrap(wh.get(t)).where(col("id") === 999999L)
+    assert(eq.count() == 0L)
+    assert(org.apache.spark.sql.GraftFileIndexBridge.filesRead(eq) == 0L,
+      "auto-compacted files lost stats coverage")
+    // retired small files are reclaimable; the live table is unaffected
+    unwrap(wh.vacuumRetired(t, java.time.Duration.ZERO,
+      java.time.Instant.now().plusSeconds(5)))
+    assert(countParquet(wh, t) == live)
+    assert(unwrap(wh.get(t)).count() == 5000L)
+  }
+
+  test("getAsOf refuses tables with pending merge-on-read vectors and " +
+    "serves them after compact materializes the deletions") {
+    val wh = tmpWh("r15-asofmor")
+    val t = "t"
+    unwrap(wh.load(t, spark.range(0, 300).toDF("id")))
+    unwrap(wh.deleteWhereMor(t, col("id") % 5 === 0))
+    assert(unwrap(wh.get(t)).count() == 240L)
+    val g = wh.currentGeneration(t).get
+    assert(wh.getAsOf(t, g).isLeft, "as-of served unversioned MoR state")
+    unwrap(wh.compact(t, 1))
+    val g2 = wh.currentGeneration(t).get
+    assert(unwrap(wh.getAsOf(t, g2)).count() == 240L)
+    // the compact materialized the vectors: reads drop the anti-join
+    assert(unwrap(wh.get(t)).count() == 240L)
+  }
 }

@@ -134,10 +134,20 @@ class Round9Spec extends SparkSpec {
     val seg0AfterUpdate = files("seg0")
     wh.deleteWhere("t", col("seg") === "seg2")
       .fold(e => fail(e.message), identity)
-    assert(files("seg2").isEmpty, "seg=seg2 directory survived the delete")
+    // retire-in-place (r15): the pruned DELETE is pure metadata — no
+    // file in ANY partition is moved or removed; seg2's files are dead
+    // to the live table and reclaimed (with their emptied directory)
+    // by vacuumRetired
+    assert(wh.get("t").fold(e => fail(e.message), identity)
+      .filter(col("seg") === "seg2").count() == 0,
+      "seg=seg2 rows survived the pruned delete")
     assert(files("seg0") == seg0AfterUpdate &&
       files("seg1") == before("seg1") && files("seg3") == before("seg3"),
       "pruned delete touched an unmatched partition")
+    wh.vacuumRetired("t", java.time.Duration.ZERO,
+      java.time.Instant.now().plusSeconds(5))
+      .fold(e => fail(e.message), identity)
+    assert(files("seg2").isEmpty, "vacuumRetired left seg=seg2 behind")
     // content after the chain
     val got = wh.get("t").fold(e => fail(e.message), identity)
       .select("id", "v").orderBy("id").collect()

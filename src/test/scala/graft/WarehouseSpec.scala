@@ -236,6 +236,14 @@ class WarehouseSpec extends SparkSpec {
       .listFiles().count(_.getName.endsWith(".parquet"))
     assert(parquetFiles() >= 20)
     assert(wh.compact("cmp", targetFiles = 2, sortCols = Seq("id")).isRight)
+    // retire-in-place (r15): the LIVE inventory shrinks to the target;
+    // the replaced files stay on disk for snapshot readers until
+    // vacuumRetired physically reclaims them
+    assert(wh.get("cmp").toOption.get.inputFiles.length <= 2)
+    assert(parquetFiles() > 2,
+      "retired files should remain on disk until vacuumRetired")
+    assert(wh.vacuumRetired("cmp", java.time.Duration.ZERO,
+      java.time.Instant.now().plusSeconds(5)).isRight)
     assert(parquetFiles() <= 2)
     // content identical
     val rows = wh.get("cmp").toOption.get.orderBy("id")
