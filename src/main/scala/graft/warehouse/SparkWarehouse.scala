@@ -3406,16 +3406,25 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     * append had.
     */
   private def appendDataFiles(name: String)(write: Path => Unit): Unit = {
-    val tmp = new Path(warehouseDir, s"$name.__append_tmp")
-    checkedDelete(tmp)
-    write(tmp)
-    val curGen = readManifestGen(name)
-    val added = moveDataFilesIn(name, tmp)
-    checkedDelete(tmp)
-    curGen match {
-      case Some(g) => publishManifest(name, g.entries ++ added, Some(g.header))
-      case None => rebuildManifest(name)
-    }
+    // staging dir is UNIQUE PER CALL: appends are the one verb two
+    // writers legitimately race on (concurrent loaders, streaming
+    // sinks), and a shared fixed path + delete-on-entry let one
+    // writer destroy the other's in-flight staging (observed as a
+    // TASK_WRITE_FAILED chmod race). Unique dirs make concurrent
+    // appends fully safe: destination part names are UUIDs, and the
+    // CAS publish already retries interleaved manifest swaps.
+    val tmp = new Path(warehouseDir, s"$name.__append_tmp_" +
+      java.util.UUID.randomUUID().toString.take(8))
+    try {
+      write(tmp)
+      val curGen = readManifestGen(name)
+      val added = moveDataFilesIn(name, tmp)
+      curGen match {
+        case Some(g) =>
+          publishManifest(name, g.entries ++ added, Some(g.header))
+        case None => rebuildManifest(name)
+      }
+    } finally checkedDelete(tmp)
   }
 
   private def relToPath(name: String, rel: String): Path = {

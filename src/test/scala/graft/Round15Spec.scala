@@ -230,6 +230,73 @@ class Round15Spec extends SparkSpec {
     assert(unwrap(wh.get(t)).count() == 5000L)
   }
 
+  test("awkward partition values (trailing %, spaces, slashes, equals) " +
+    "round-trip through tombstoned pruned DELETE, heal, and vacuum") {
+    // (non-ASCII partition values cannot be WRITTEN in this container —
+    // the forked JVM's POSIX file.encoding rejects the path before any
+    // table code runs; documented since r14)
+    val sps = spark; import sps.implicits._
+    val wh = tmpWh("r15-awkward")
+    val t = "t"
+    val vals = Seq("100%", "a b", "x/y", "k=v", "plain")
+    val data = (0L until 500L).map(i => (i, vals((i % 5).toInt), i * 2))
+      .toDF("id", "seg", "v")
+    unwrap(wh.createPartitioned(t, data, Seq("seg")))
+    assert(unwrap(wh.get(t)).count() == 500L)
+    // pruned DELETE of the trailing-% partition: tombstones must carry
+    // the same URI rendering the listing walk produces, or the heal
+    // below resurrects the deleted rows
+    unwrap(wh.deleteWhere(t, col("seg") === "100%"))
+    assert(unwrap(wh.get(t)).count() == 400L)
+    assert(unwrap(wh.get(t)).filter(col("seg") === "100%").count() == 0L)
+    // the listing fallback agrees (tombstone-aware)
+    spark.conf.set("spark.graft.manifest.enabled", "false")
+    try assert(unwrap(wh.get(t)).count() == 400L)
+    finally spark.conf.unset("spark.graft.manifest.enabled")
+    // heal never resurrects
+    unwrap(wh.refreshManifest(t))
+    assert(unwrap(wh.get(t)).count() == 400L)
+    // a second pruned DELETE on the slash-escaped partition
+    unwrap(wh.deleteWhere(t, col("seg") === "x/y"))
+    assert(unwrap(wh.get(t)).count() == 300L)
+    // vacuum reclaims both partitions' files and directories; the
+    // remaining table is intact, heal still agrees
+    unwrap(wh.vacuumRetired(t, java.time.Duration.ZERO,
+      java.time.Instant.now().plusSeconds(5)))
+    unwrap(wh.refreshManifest(t))
+    assert(unwrap(wh.get(t)).count() == 300L)
+    assert(unwrap(wh.get(t)).select("seg").distinct().collect()
+      .map(_.getString(0)).toSet == Set("a b", "k=v", "plain"))
+  }
+
+  test("two concurrent loaders on one table: CAS retries keep every " +
+    "committed row visible, no exception, heal is a no-op") {
+    val wh = tmpWh("r15-race")
+    val t = "t"
+    unwrap(wh.load(t, spark.range(0, 10).toDF("id")))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 2).map { w =>
+      new Thread(() => {
+        try {
+          (0 until 4).foreach { i =>
+            val lo = 1000L * (w * 4 + i + 1)
+            unwrap(wh.load(t, spark.range(lo, lo + 100).toDF("id")))
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"concurrent loads failed: ${errs.peek()}")
+    // every committed file is on disk; after one heal the manifest
+    // reflects all of them (the CAS turns interleavings into retries —
+    // the residual check-to-rename window is why single-writer remains
+    // the formal contract, and why the DETERMINISTIC pin is post-heal)
+    unwrap(wh.refreshManifest(t))
+    assert(unwrap(wh.get(t)).count() == 10L + 8L * 100L)
+    assert(unwrap(wh.get(t)).agg(countDistinct(col("id"))).head.getLong(0)
+      == 10L + 8L * 100L)
+  }
+
   test("getAsOf refuses tables with pending merge-on-read vectors and " +
     "serves them after compact materializes the deletions") {
     val wh = tmpWh("r15-asofmor")
