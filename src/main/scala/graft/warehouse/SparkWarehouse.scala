@@ -1520,7 +1520,63 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     finally out.close()
     checkedRename(tmp, new Path(dir, fname))
     tombstoneCache.remove(name)
+    foldTombstones(name)
   }
+
+  /** Bound the tombstone EVENT count: one event lands per mutation, so
+    * a long-running stream between vacuums re-creates the
+    * unbounded-small-files problem one layer up (each cache refresh
+    * re-opens every event). Past `spark.graft.tombstones.foldThreshold`
+    * (default 64) all events fold into one, stamped with the NEWEST
+    * event time (conservative: a merged rel is never vacuum-eligible
+    * EARLIER than it was individually — retention promises to snapshot
+    * readers hold) and the max source generation. Atomic write-then-
+    * delete; a crash between leaves duplicate rels, which the set
+    * union reads identically. Best-effort: folding is an accelerator.
+    */
+  private def foldTombstones(name: String): Unit =
+    try {
+      val threshold = spark.conf
+        .getOption("spark.graft.tombstones.foldThreshold")
+        .map(_.toInt).getOrElse(64)
+      val dir = tombstoneDir(name)
+      val events = fs.listStatus(dir).toSeq
+        .filter(st => !st.isDirectory && !st.getPath.getName.startsWith("."))
+      if (events.size <= threshold) return
+      var newestStamp = 0L
+      var maxGen = 0L
+      val rels = scala.collection.mutable.LinkedHashSet.empty[String]
+      events.foreach { st =>
+        val stamp = st.getPath.getName.takeWhile(_.isDigit)
+        if (stamp.nonEmpty) newestStamp = math.max(newestStamp, stamp.toLong)
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+          fs.open(st.getPath), StandardCharsets.UTF_8))
+        try {
+          val header = in.readLine()
+          if (header != null && header.startsWith("graft-tombstones v1 ")) {
+            maxGen = math.max(maxGen, header.split(" ")(2).toLong)
+            var line = in.readLine()
+            while (line != null) {
+              if (line.nonEmpty) rels.add(line)
+              line = in.readLine()
+            }
+          }
+        } finally in.close()
+      }
+      val fname = s"$newestStamp-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val sb = new StringBuilder(
+        s"graft-tombstones v1 $maxGen ${rels.size}").append('\n')
+      rels.foreach(r => sb.append(r).append('\n'))
+      val tmp = new Path(dir, s".$fname.__tmp")
+      val out = fs.create(tmp, true)
+      try out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      checkedRename(tmp, new Path(dir, fname))
+      events.foreach(st =>
+        try fs.delete(st.getPath, false) catch { case _: Exception => () })
+      tombstoneCache.remove(name)
+    } catch { case _: Exception => () }
 
   /** Physically reclaim retired files whose retirement event is older
     * than `olderThan`, prune the manifest-history generations those

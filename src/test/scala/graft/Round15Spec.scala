@@ -297,6 +297,60 @@ class Round15Spec extends SparkSpec {
       == 10L + 8L * 100L)
   }
 
+  test("tombstone events fold past the threshold: event-file count " +
+    "stays bounded across 100 mutations, deletions never resurrect, " +
+    "vacuum still reclaims everything") {
+    val wh = tmpWh("r15-fold")
+    val t = "t"
+    spark.conf.set("spark.graft.tombstones.foldThreshold", "8")
+    try {
+      unwrap(wh.load(t, spark.range(0, 2000).toDF("id")))
+      // 100 alternating CoW mutations, each retiring the previous
+      // generation's files into a fresh tombstone event
+      (0 until 100).foreach { i =>
+        if (i % 2 == 0) unwrap(wh.deleteWhere(t, col("id") === (i * 7L)))
+        else unwrap(wh.compact(t, 2))
+      }
+      val events = new java.io.File(s"${wh.warehouseDir}/$t/_graft_tombstones")
+        .listFiles().count(f => !f.getName.startsWith("."))
+      assert(events <= 9, s"tombstone events unbounded: $events")
+      val expected = 2000L - (0 until 100 by 2).count(_ * 7 < 2000)
+      assert(unwrap(wh.get(t)).count() == expected)
+      // the folded set still subtracts on heals and listing fallbacks
+      unwrap(wh.refreshManifest(t))
+      assert(unwrap(wh.get(t)).count() == expected)
+      spark.conf.set("spark.graft.manifest.enabled", "false")
+      try assert(unwrap(wh.get(t)).count() == expected)
+      finally spark.conf.unset("spark.graft.manifest.enabled")
+      // vacuum reclaims every retired file; the live table is intact
+      unwrap(wh.vacuumRetired(t, java.time.Duration.ZERO,
+        java.time.Instant.now().plusSeconds(5)))
+      assert(countParquet(wh, t) == unwrap(wh.get(t)).inputFiles.length)
+      assert(unwrap(wh.get(t)).count() == expected)
+    } finally spark.conf.unset("spark.graft.tombstones.foldThreshold")
+  }
+
+  test("getAsOf serves each generation's OWN schema through additive " +
+    "evolution") {
+    val sps = spark; import sps.implicits._
+    val wh = tmpWh("r15-asofschema")
+    val t = "t"
+    unwrap(wh.load(t, (0L until 100L).map(i => (i, s"a$i")).toDF("id", "a")))
+    val g1 = wh.currentGeneration(t).get
+    unwrap(wh.load(t, (100L until 150L).map(i => (i, s"a$i", i * 2))
+      .toDF("id", "a", "b")))
+    val g2 = wh.currentGeneration(t).get
+    val old = unwrap(wh.getAsOf(t, g1))
+    assert(old.columns.toSet == Set("id", "a"),
+      s"pre-evolution snapshot grew columns: ${old.columns.mkString(",")}")
+    assert(old.count() == 100L)
+    val now = unwrap(wh.getAsOf(t, g2))
+    assert(now.columns.toSet == Set("id", "a", "b"))
+    assert(now.count() == 150L)
+    // old rows read null in the appended column on the current gen
+    assert(now.filter(col("b").isNull).count() == 100L)
+  }
+
   test("getAsOf refuses tables with pending merge-on-read vectors and " +
     "serves them after compact materializes the deletions") {
     val wh = tmpWh("r15-asofmor")
