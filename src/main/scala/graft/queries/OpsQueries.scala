@@ -692,6 +692,34 @@ object OpsQueries {
       asof.orderBy("o_orderkey", "o_orderstatus", "o_orderpriority")
     }),
 
+    // ---- row-level snapshot CDC (r16): changesBetween derives the
+    // changed-row set from the generation history's FILE diff — rows
+    // in added files minus rows in removed files (bag semantics) are
+    // the inserts, the reverse are the deletes; cost is O(changed
+    // files), never O(table). The gate snapshots, CoW-DELETEs a third
+    // of the keys, appends a disjoint slice, and outputs the change
+    // feed — which DuckDB reproduces declaratively from the source.
+    "op_cdc_between" -> ((s: SparkSession, dir: String) => {
+      val wh = tmpWarehouse(s)
+      val t = "op_cdc_t"
+      def ok[A](e: Either[graft.warehouse.WarehouseError, A]): A =
+        e.fold(err => throw new RuntimeException(err.message), identity)
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"))
+      ok(wh.load(t, orders.repartition(6)))
+      val g1 = wh.currentGeneration(t)
+        .getOrElse(throw new RuntimeException("no manifest generation"))
+      ok(wh.deleteWhere(t, col("o_orderkey") % 3 === 0))
+      ok(wh.load(t, orders.filter(col("o_orderkey") % 7 === 0 &&
+        !(col("o_orderkey") % 3 === 0))))
+      val g2 = wh.currentGeneration(t)
+        .getOrElse(throw new RuntimeException("no manifest generation"))
+      ok(wh.changesBetween(t, g1, g2))
+        .orderBy("o_orderkey", "o_orderstatus", "o_orderpriority",
+          "change_type")
+    }),
+
     // ---- distributed HLL fold (r14): above the file-count threshold
     // the metadata approx-distinct folds the per-file sketches in ONE
     // tiny aggregate over the sidecar (K rows to the driver) instead of
@@ -1390,6 +1418,15 @@ object OpsQueries {
     "op_asof_read" ->
       """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
         |ORDER BY o_orderkey, o_orderstatus, o_orderpriority""".stripMargin,
+    "op_cdc_between" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |       'delete' AS change_type
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |       'insert' AS change_type
+        |FROM orders WHERE o_orderkey % 7 = 0 AND NOT (o_orderkey % 3 = 0)
+        |ORDER BY o_orderkey, o_orderstatus, o_orderpriority, change_type""".stripMargin,
     "op_hll_distributed" ->
       """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_partkey,
         |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS nd_suppkey

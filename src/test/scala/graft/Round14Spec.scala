@@ -76,8 +76,16 @@ class Round14Spec extends SparkSpec {
             org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
           finally in.close()
           val lines = text.split("\n").toSeq.filter(_.nonEmpty)
-          assert(lines.head.startsWith("graft-tombstones v1 "), lines.head)
-          lines.tail
+          // v1: every tail line is a retired rel. v2 (r16 redo
+          // records): the first nRetire tail lines are retired rels,
+          // the rest are staged→final pending pairs (not retirements)
+          if (lines.head.startsWith("graft-tombstones v2 ")) {
+            val nRetire = lines.head.split(" ")(3).toInt
+            lines.tail.take(nRetire)
+          } else {
+            assert(lines.head.startsWith("graft-tombstones v1 "), lines.head)
+            lines.tail
+          }
         }.toSet
     walk(root).map { st =>
       val uri = fs.makeQualified(st.getPath).toUri.toString
@@ -423,18 +431,21 @@ class Round14Spec extends SparkSpec {
       } finally spark.sparkContext.removeSparkListener(listener)
     }
     // the FIRST compactZOrder in a JVM pays one extra lazily-initialized
-    // execution (observed 4-vs-3); a discarded warm-up call makes the
-    // equality pin deterministic. Counts are min-of-2: a straggler
-    // async execution from an earlier suite (streaming micro-batch
-    // teardown) can land inside one measurement window and inflate a
-    // single run — observed as a 4-vs-3 flake under full-suite order.
+    // execution (observed 4-vs-3); a discarded warm-up call absorbs it.
+    // Counts are min-of-2 because a straggler async execution from an
+    // earlier suite (streaming micro-batch teardown) can land inside a
+    // measurement window and inflate a single run. The invariant being
+    // pinned is "action count does not GROW with z-column count", so the
+    // assertion is e3 <= e2 — an equality pin was order-fragile when a
+    // straggler landed in BOTH 2-col windows (683/684 under full-suite
+    // order; the 3-col case running FEWER actions satisfies the intent).
     zorderExecs(Seq("x", "y"))
     val e2 = Seq(zorderExecs(Seq("x", "y")),
       zorderExecs(Seq("x", "y"))).min
     val e3 = Seq(zorderExecs(Seq("x", "y", "w")),
       zorderExecs(Seq("x", "y", "w"))).min
     assert(e2 >= 2, "z-order ran fewer actions than quantiles + rewrite?")
-    assert(e3 == e2,
+    assert(e3 <= e2,
       s"adding a z-column added table actions: 2-col=$e2 vs 3-col=$e3")
   }
 
