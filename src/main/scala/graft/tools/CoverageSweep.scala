@@ -229,8 +229,11 @@ object CoverageSweep {
       // (`spark.graft.manifest.verifyCacheMs`) vs verifyLength=false.
       // The deltas must stay within scan noise on local/HDFS-shaped
       // storage — the cache is the object-store escape valve, OFF by
-      // default so the per-scan guarantee stays strict.
-      {
+      // default so the per-scan guarantee stays strict. Capped at 100k
+      // files: the leg executes FULL scans (the others are
+      // metadata-only), and 9 full 300k-file scans measure the VM, not
+      // the stat.
+      if (nFiles <= 100000) {
         def scanCall(): Long = unwrap(wh.get("t")).count()
         def leg(conf: Map[String, String]): Seq[Double] =
           try {

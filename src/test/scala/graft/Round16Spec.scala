@@ -323,6 +323,38 @@ class Round16Spec extends SparkSpec {
     assert(feed3.filter(col("change_type") === "delete").count() == 100L)
   }
 
+  test("changesBetween composes: applying the g1→g3 feed to the g1 " +
+    "snapshot reproduces the g3 snapshot exactly (bag semantics — an " +
+    "UPDATE is delete-of-old + insert-of-new)") {
+    val wh = tmpWh("r16-cdc-apply")
+    val t = "t"
+    unwrap(wh.load(t, spark.range(0, 1000)
+      .select(col("id"), (col("id") % 7).as("v")).repartition(3)))
+    val g1 = wh.currentGeneration(t).get
+    unwrap(wh.deleteWhere(t, col("id") < 100))
+    unwrap(wh.updateWhere(t, Map("v" -> lit(99L)), col("id") % 11 === 0))
+    unwrap(wh.load(t, spark.range(5000, 5100)
+      .select(col("id"), lit(1L).as("v"))))
+    val g3 = wh.currentGeneration(t).get
+    val feed = unwrap(wh.changesBetween(t, g1, g3))
+    val inserts = feed.filter(col("change_type") === "insert")
+      .drop("change_type")
+    val deletes = feed.filter(col("change_type") === "delete")
+      .drop("change_type")
+    val base = unwrap(wh.getAsOf(t, g1)).select("id", "v")
+    val rebuilt = base.unionByName(inserts.select("id", "v"))
+      .exceptAll(deletes.select("id", "v"))
+    val current = unwrap(wh.get(t)).select("id", "v")
+    assert(rebuilt.exceptAll(current).isEmpty &&
+      current.exceptAll(rebuilt).isEmpty,
+      "rebuilt snapshot drifts from the live table")
+    // the update surfaced as a delete/insert pair
+    assert(deletes.filter(col("id") === 110L && col("v") === (110L % 7))
+      .count() == 1L)
+    assert(inserts.filter(col("id") === 110L && col("v") === 99L)
+      .count() == 1L)
+  }
+
   test("burnt generation claims (a writer dead mid-commit) are " +
     "invisible to generations() and are STOLEN past the claim TTL — " +
     "a crashed writer can never wedge the table's publishes") {
