@@ -720,6 +720,35 @@ object OpsQueries {
           "change_type")
     }),
 
+    // ---- keyed CDC with update coalescing (r16): changesBetweenKeyed
+    // joins the bag feed on the key so an UPDATE surfaces as a
+    // preimage/postimage pair (the Delta CDF shape) instead of a raw
+    // delete+insert; appends of fresh keys stay inserts, drops stay
+    // deletes. DuckDB reproduces all four change classes declaratively.
+    "op_cdc_keyed" -> ((s: SparkSession, dir: String) => {
+      val wh = tmpWarehouse(s)
+      val t = "op_cdck_t"
+      def ok[A](e: Either[graft.warehouse.WarehouseError, A]): A =
+        e.fold(err => throw new RuntimeException(err.message), identity)
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"))
+      ok(wh.load(t, orders.repartition(6)))
+      val g1 = wh.currentGeneration(t)
+        .getOrElse(throw new RuntimeException("no manifest generation"))
+      ok(wh.deleteWhere(t, col("o_orderkey") % 5 === 0))
+      ok(wh.updateWhere(t, Map("o_orderstatus" -> lit("Z")),
+        col("o_orderpriority") === "1-URGENT"))
+      ok(wh.load(t, orders.filter(col("o_orderkey") % 7 === 0).select(
+        (col("o_orderkey") + 10000000L).as("o_orderkey"),
+        col("o_orderstatus"), col("o_orderpriority"))))
+      val g2 = wh.currentGeneration(t)
+        .getOrElse(throw new RuntimeException("no manifest generation"))
+      ok(wh.changesBetweenKeyed(t, g1, g2, Seq("o_orderkey")))
+        .orderBy("o_orderkey", "change_type", "o_orderstatus",
+          "o_orderpriority")
+    }),
+
     // ---- distributed HLL fold (r14): above the file-count threshold
     // the metadata approx-distinct folds the per-file sketches in ONE
     // tiny aggregate over the sidecar (K rows to the driver) instead of
@@ -1427,6 +1456,26 @@ object OpsQueries {
         |       'insert' AS change_type
         |FROM orders WHERE o_orderkey % 7 = 0 AND NOT (o_orderkey % 3 = 0)
         |ORDER BY o_orderkey, o_orderstatus, o_orderpriority, change_type""".stripMargin,
+    "op_cdc_keyed" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |       'delete' AS change_type
+        |FROM orders WHERE o_orderkey % 5 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |       'update_preimage' AS change_type
+        |FROM orders
+        |WHERE o_orderkey % 5 <> 0 AND o_orderpriority = '1-URGENT'
+        |UNION ALL
+        |SELECT o_orderkey, 'Z' AS o_orderstatus, o_orderpriority,
+        |       'update_postimage' AS change_type
+        |FROM orders
+        |WHERE o_orderkey % 5 <> 0 AND o_orderpriority = '1-URGENT'
+        |UNION ALL
+        |SELECT o_orderkey + 10000000 AS o_orderkey, o_orderstatus,
+        |       o_orderpriority, 'insert' AS change_type
+        |FROM orders WHERE o_orderkey % 7 = 0
+        |ORDER BY o_orderkey, change_type, o_orderstatus,
+        |         o_orderpriority""".stripMargin,
     "op_hll_distributed" ->
       """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_partkey,
         |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS nd_suppkey

@@ -2209,35 +2209,77 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
   def currentGeneration(name: String): Option[Long] =
     readManifestGen(name).map(_.gen)
 
+  /** Retained, VALID history slots as (generation, commit mtime
+    * millis), ascending by generation. Burnt claims (a writer died
+    * between its create-exclusive claim and the content fill — empty,
+    * claim-stamped, or headerless slots) are numbers, not snapshots,
+    * and are skipped.
+    */
+  private def retainedSlots(name: String): Seq[(Long, Long)] =
+    if (!fs.exists(manifestHistDir(name))) Nil
+    else fs.listStatus(manifestHistDir(name)).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        n.nonEmpty && n.forall(_.isDigit) && st.getLen > 0 &&
+          (try {
+            val in = new java.io.BufferedReader(
+              new java.io.InputStreamReader(
+                fs.open(st.getPath), StandardCharsets.UTF_8))
+            try parseManifestHeader(in.readLine())
+              .exists(_._1 == n.toLong)
+            finally in.close()
+          } catch { case _: Exception => false })
+      }
+      .map(st => (st.getPath.getName.toLong, st.getModificationTime))
+      .sortBy(_._1)
+
   /** Generations currently readable: retained history snapshots plus
     * the live one, ascending.
     */
   def generations(name: String): Either[WarehouseError, Seq[Long]] =
     try {
       if (!fs.exists(tablePath(name))) Left(TableNotFound(name))
-      else {
-        val hist =
-          if (!fs.exists(manifestHistDir(name))) Seq.empty[Long]
-          else fs.listStatus(manifestHistDir(name)).toSeq
-            .filter { st =>
-              val n = st.getPath.getName
-              // skip burnt claims (a writer died between its
-              // create-exclusive claim and the content fill): an empty
-              // or headerless slot is a number, not a snapshot
-              n.nonEmpty && n.forall(_.isDigit) && st.getLen > 0 &&
-                (try {
-                  val in = new java.io.BufferedReader(
-                    new java.io.InputStreamReader(
-                      fs.open(st.getPath), StandardCharsets.UTF_8))
-                  try parseManifestHeader(in.readLine())
-                    .exists(_._1 == n.toLong)
-                  finally in.close()
-                } catch { case _: Exception => false })
-            }
-            .map(_.getPath.getName.toLong)
-        Right((hist ++ readManifestGen(name).map(_.gen)).distinct.sorted)
-      }
+      else Right((retainedSlots(name).map(_._1) ++
+        readManifestGen(name).map(_.gen)).distinct.sorted)
     } catch { case e: Exception => Left(TableGenericError(e.getMessage, Some(e))) }
+
+  /** Timestamp time travel — Delta's `timestampAsOf` analog: the table
+    * as of wall-clock `asOf`, i.e. the NEWEST retained generation
+    * whose commit time is ≤ `asOf`. Commit times are the history
+    * slots' fill mtimes (the filesystem's clock, exactly like a
+    * Delta/Iceberg commit file); the live generation counts via the
+    * manifest snapshot's mtime when it has no filled slot. An instant
+    * older than every retained commit fails fast with the retained
+    * range — raise `spark.graft.manifest.retainAge` where timestamp
+    * travel matters.
+    */
+  def getAsOf(name: String, asOf: Instant): Either[WarehouseError, DataFrame] =
+    try {
+      if (!fs.exists(tablePath(name))) Left(TableNotFound(name))
+      else {
+        val t = asOf.toEpochMilli
+        val slots = retainedSlots(name)
+        val slotGens = slots.map(_._1).toSet
+        val live = readManifestGen(name).map(_.gen)
+          .filterNot(slotGens.contains).map { g =>
+            (g, try fs.getFileStatus(manifestPath(name)).getModificationTime
+            catch { case _: Exception => Long.MaxValue })
+          }
+        val all = (slots ++ live).sortBy(s => (s._2, s._1))
+        val at = all.filter(_._2 <= t)
+        if (at.isEmpty)
+          Left(TableGenericError(
+            s"no generation of '$name' is retained at or before $asOf" +
+              all.headOption.map(h => s" (earliest retained commit: " +
+                s"${Instant.ofEpochMilli(h._2)}, gen ${h._1})")
+                .getOrElse(" (no retained generations)") +
+              " — raise spark.graft.manifest.retainAge or " +
+              "retainGenerations"))
+        else getAsOf(name, at.last._1)
+      }
+    } catch {
+      case e: Exception => Left(TableGenericError(e.getMessage, Some(e)))
+    }
 
   /** Snapshot (time-travel) read: the table exactly as of a retained
     * manifest generation — metadata-only plan construction (the
@@ -2388,6 +2430,73 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
       }
     } catch {
       case e: Exception => Left(TableGenericError(e.getMessage, Some(e)))
+    }
+
+  /** Keyed CDC with UPDATE COALESCING — the Delta CDF output shape:
+    * [[changesBetween]]'s bag feed joined on `keys` pairs a delete and
+    * an insert of the same key into `update_preimage` /
+    * `update_postimage` rows; unmatched inserts stay `insert`,
+    * unmatched deletes `delete`. Keys must be unique per side within
+    * the diff — duplicates would mispair, so they fail LOUDLY (one
+    * small validation aggregate over the changed rows; this verb is
+    * eager by design). Null-valued keys never pair (SQL join
+    * semantics) and surface as separate delete+insert. A no-op update
+    * (new row identical to old) cancels in the bag feed and emits
+    * nothing. Cost over [[changesBetween]]: one full-outer join on the
+    * keys over the CHANGED rows only — O(changed data).
+    */
+  def changesBetweenKeyed(name: String, fromGen: Long, toGen: Long,
+                          keys: Seq[String])
+      : Either[WarehouseError, DataFrame] =
+    changesBetween(name, fromGen, toGen) match {
+      case Left(e) => Left(e)
+      case Right(feed) =>
+        try {
+          require(keys.nonEmpty, "changesBetweenKeyed: keys required")
+          keys.foreach(k => require(feed.columns.contains(k),
+            s"changesBetweenKeyed: key column '$k' not in the table"))
+          val ct = "change_type"
+          val dataCols = feed.columns.filterNot(c =>
+            keys.contains(c) || c == ct).toSeq
+          val ins = feed.filter(col(ct) === "insert").drop(ct)
+          val del = feed.filter(col(ct) === "delete").drop(ct)
+          def assertUnique(side: DataFrame, label: String): Unit = {
+            val dup = side.groupBy(keys.map(col): _*).count()
+              .filter(col("count") > 1).limit(1).count()
+            require(dup == 0L,
+              s"changesBetweenKeyed('$name'): duplicate key in the " +
+                s"$label side of the diff — the key ${keys.mkString(",")} " +
+                "is not unique per generation; use changesBetween for " +
+                "the uncoalesced bag feed")
+          }
+          assertUnique(ins, "insert")
+          assertUnique(del, "delete")
+          val insA = ins.select(keys.map(col) ++
+            dataCols.map(c => col(c).as(s"__new_$c")) :+
+            lit(true).as("__has_new"): _*)
+          val delA = del.select(keys.map(col) ++
+            dataCols.map(c => col(c).as(s"__old_$c")) :+
+            lit(true).as("__has_old"): _*)
+          val j = delA.join(insA, keys, "full_outer")
+          def shape(cols: String => Column, tag: String,
+                    cond: Column): DataFrame =
+            j.filter(cond).select(keys.map(col) ++
+              dataCols.map(c => cols(c).as(c)) :+ lit(tag).as(ct): _*)
+          val hasOld = col("__has_old").isNotNull
+          val hasNew = col("__has_new").isNotNull
+          Right(
+            shape(c => col(s"__old_$c"), "delete", hasOld && !hasNew)
+              .unionByName(
+                shape(c => col(s"__new_$c"), "insert", !hasOld && hasNew))
+              .unionByName(
+                shape(c => col(s"__old_$c"), "update_preimage",
+                  hasOld && hasNew))
+              .unionByName(
+                shape(c => col(s"__new_$c"), "update_postimage",
+                  hasOld && hasNew)))
+        } catch {
+          case e: Exception => Left(TableGenericError(e.getMessage, Some(e)))
+        }
     }
 
   /** Overwrite a sidecar directory ATOMICALLY with respect to its own

@@ -355,6 +355,129 @@ class Round16Spec extends SparkSpec {
       .count() == 1L)
   }
 
+  test("timestamp time travel: getAsOf(Instant) resolves the newest " +
+    "commit at-or-before the instant, fails fast before the earliest " +
+    "retained commit, and tracks the live generation") {
+    val wh = tmpWh("r16-ts-asof")
+    val t = "t"
+    spark.conf.set("spark.graft.manifest.retainAge", "PT2H")
+    try {
+      val t0 = java.time.Instant.now().minusSeconds(1)
+      unwrap(wh.load(t, spark.range(0, 100).toDF("id")))
+      Thread.sleep(1100) // local mtimes are second-granular on some fs
+      val t1 = java.time.Instant.now()
+      unwrap(wh.load(t, spark.range(100, 200).toDF("id")))
+      unwrap(wh.deleteWhere(t, col("id") < 50))
+      val t2 = java.time.Instant.now().plusSeconds(1)
+      // before the first commit: loud, names the earliest retained
+      val early = wh.getAsOf(t, t0.minusSeconds(3600))
+      assert(early.isLeft &&
+        early.left.exists(_.message.contains("retained")))
+      // between commit 1 and 2: the first load's generation
+      assert(unwrap(wh.getAsOf(t, t1)).count() == 100L)
+      // at/after the newest commit: the live state
+      assert(unwrap(wh.getAsOf(t, t2)).count() == 150L)
+      assert(unwrap(wh.getAsOf(t, t2)).agg(min(col("id")))
+        .head.getLong(0) == 50L)
+    } finally spark.conf.unset("spark.graft.manifest.retainAge")
+  }
+
+  test("keyed CDC coalesces updates into preimage/postimage pairs and " +
+    "refuses loudly when the key is not unique within the diff") {
+    val sps = spark; import sps.implicits._
+    val wh = tmpWh("r16-cdc-keyed")
+    val t = "t"
+    unwrap(wh.load(t, Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("id", "v")))
+    val g1 = wh.currentGeneration(t).get
+    unwrap(wh.deleteWhere(t, col("id") === 1L))
+    unwrap(wh.updateWhere(t, Map("v" -> lit("B")), col("id") === 2L))
+    unwrap(wh.load(t, Seq((9L, "z")).toDF("id", "v")))
+    val g2 = wh.currentGeneration(t).get
+    val feed = unwrap(wh.changesBetweenKeyed(t, g1, g2, Seq("id")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(feed == Set(
+      (1L, "a", "delete"),
+      (2L, "b", "update_preimage"),
+      (2L, "B", "update_postimage"),
+      (9L, "z", "insert")), s"unexpected feed: $feed")
+    // a no-op update cancels in the bag feed and emits nothing
+    unwrap(wh.updateWhere(t, Map("v" -> lit("B")), col("id") === 2L))
+    val g3 = wh.currentGeneration(t).get
+    assert(unwrap(wh.changesBetweenKeyed(t, g2, g3, Seq("id")))
+      .count() == 0L)
+    // duplicate keys in the diff refuse loudly (would mispair)
+    unwrap(wh.load(t, Seq((7L, "x"), (7L, "y")).toDF("id", "v")))
+    val g4 = wh.currentGeneration(t).get
+    val dup = wh.changesBetweenKeyed(t, g3, g4, Seq("id"))
+    assert(dup.isLeft && dup.left.exists(_.message.contains("duplicate")))
+    // the uncoalesced bag feed still serves them
+    assert(unwrap(wh.changesBetween(t, g3, g4)).count() == 2L)
+  }
+
+  test("mutation torture: 40 seeded-random verbs (append, CoW delete, " +
+    "CoW update, compact, compactSmall, heal, vacuum) keep the table " +
+    "equal to a driver-side model, with manifest and listing views " +
+    "agreeing throughout") {
+    val sps = spark; import sps.implicits._
+    val wh = tmpWh("r16-torture")
+    val t = "t"
+    val rnd = new scala.util.Random(20260816L)
+    val model = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+    var nextId = 0L
+    def append(n: Int): Unit = {
+      val rows = (0 until n).map { _ =>
+        val id = nextId; nextId += 1; (id, id % 13)
+      }
+      rows.foreach { case (k, v) => model(k) = v }
+      unwrap(wh.load(t, rows.toDF("id", "v")
+        .repartition(1 + rnd.nextInt(3))))
+    }
+    append(200)
+    def checkFull(step: String): Unit = {
+      val got = unwrap(wh.get(t)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val want = model.toSeq.sorted
+      assert(got == want,
+        s"$step: table drifted from model (got ${got.size} rows, " +
+          s"want ${want.size}; first diff: " +
+          s"${got.diff(want).take(3)} vs ${want.diff(got).take(3)})")
+      spark.conf.set("spark.graft.manifest.enabled", "false")
+      val listed = try unwrap(wh.get(t)).count()
+        finally spark.conf.unset("spark.graft.manifest.enabled")
+      assert(listed == want.size.toLong, s"$step: listing drifts")
+    }
+    (1 to 40).foreach { step =>
+      rnd.nextInt(7) match {
+        case 0 | 1 => append(20 + rnd.nextInt(60))
+        case 2 =>
+          val m = 2L + rnd.nextInt(9)
+          val r = rnd.nextInt(m.toInt).toLong
+          model.filterInPlace((k, _) => k % m != r)
+          unwrap(wh.deleteWhere(t, col("id") % m === r))
+        case 3 =>
+          val m = 2L + rnd.nextInt(9)
+          val r = rnd.nextInt(m.toInt).toLong
+          model.mapValuesInPlace((k, v) => if (k % m == r) v + 1000 else v)
+          unwrap(wh.updateWhere(t, Map("v" -> (col("v") + 1000L)),
+            col("id") % m === r))
+        case 4 => unwrap(wh.compact(t, 1 + rnd.nextInt(4), Seq("id")))
+        case 5 =>
+          unwrap(wh.compactSmall(t, 64L << 20, 64L << 20)); ()
+        case 6 =>
+          unwrap(wh.refreshManifest(t))
+          unwrap(wh.vacuumRetired(t, java.time.Duration.ZERO,
+            java.time.Instant.now().plusSeconds(5)))
+      }
+      val quick = unwrap(wh.get(t)).count()
+      assert(quick == model.size.toLong,
+        s"step $step: count ${quick} != model ${model.size}")
+      if (step % 10 == 0) checkFull(s"step $step")
+    }
+    checkFull("final")
+  }
+
   test("burnt generation claims (a writer dead mid-commit) are " +
     "invisible to generations() and are STOLEN past the claim TTL — " +
     "a crashed writer can never wedge the table's publishes") {
