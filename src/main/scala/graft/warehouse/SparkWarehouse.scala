@@ -2458,19 +2458,17 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
           val ct = "change_type"
           val dataCols = feed.columns.filterNot(c =>
             keys.contains(c) || c == ct).toSeq
+          // ONE validation aggregate covers both sides: (keys, side)
+          // groups with count > 1 are exactly the mispairing keys
+          val dup = feed.groupBy((keys :+ ct).map(col): _*).count()
+            .filter(col("count") > 1).limit(1).count()
+          require(dup == 0L,
+            s"changesBetweenKeyed('$name'): duplicate key within one " +
+              s"side of the diff — ${keys.mkString(",")} is not unique " +
+              "per generation; use changesBetween for the uncoalesced " +
+              "bag feed")
           val ins = feed.filter(col(ct) === "insert").drop(ct)
           val del = feed.filter(col(ct) === "delete").drop(ct)
-          def assertUnique(side: DataFrame, label: String): Unit = {
-            val dup = side.groupBy(keys.map(col): _*).count()
-              .filter(col("count") > 1).limit(1).count()
-            require(dup == 0L,
-              s"changesBetweenKeyed('$name'): duplicate key in the " +
-                s"$label side of the diff — the key ${keys.mkString(",")} " +
-                "is not unique per generation; use changesBetween for " +
-                "the uncoalesced bag feed")
-          }
-          assertUnique(ins, "insert")
-          assertUnique(del, "delete")
           val insA = ins.select(keys.map(col) ++
             dataCols.map(c => col(c).as(s"__new_$c")) :+
             lit(true).as("__has_new"): _*)
@@ -2478,22 +2476,26 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
             dataCols.map(c => col(c).as(s"__old_$c")) :+
             lit(true).as("__has_old"): _*)
           val j = delA.join(insA, keys, "full_outer")
-          def shape(cols: String => Column, tag: String,
-                    cond: Column): DataFrame =
-            j.filter(cond).select(keys.map(col) ++
-              dataCols.map(c => cols(c).as(c)) :+ lit(tag).as(ct): _*)
+          // SINGLE PASS over the join: a 4-way filtered union would
+          // recompute the join (and the bag-difference feeding it)
+          // once per branch per action — 4× the changed-data scans at
+          // any scale. One explode of a per-row change array keeps
+          // exactly one join in the plan.
+          def side(prefix: String, tag: String): Column =
+            struct(dataCols.map(c => col(s"$prefix$c").as(c)) :+
+              lit(tag).as(ct): _*)
           val hasOld = col("__has_old").isNotNull
           val hasNew = col("__has_new").isNotNull
-          Right(
-            shape(c => col(s"__old_$c"), "delete", hasOld && !hasNew)
-              .unionByName(
-                shape(c => col(s"__new_$c"), "insert", !hasOld && hasNew))
-              .unionByName(
-                shape(c => col(s"__old_$c"), "update_preimage",
-                  hasOld && hasNew))
-              .unionByName(
-                shape(c => col(s"__new_$c"), "update_postimage",
-                  hasOld && hasNew)))
+          val changes = when(hasOld && hasNew,
+            array(side("__old_", "update_preimage"),
+              side("__new_", "update_postimage")))
+            .when(hasOld, array(side("__old_", "delete")))
+            .otherwise(array(side("__new_", "insert")))
+          Right(j
+            .select(keys.map(col) :+ explode(changes).as("__c"): _*)
+            .select(keys.map(col) ++
+              dataCols.map(c => col(s"__c.$c").as(c)) :+
+              col(s"__c.$ct").as(ct): _*))
         } catch {
           case e: Exception => Left(TableGenericError(e.getMessage, Some(e)))
         }
