@@ -720,6 +720,36 @@ object OpsQueries {
           "change_type")
     }),
 
+    // ---- CDC across a compaction (r17): a row-preserving compact
+    // inside the span is stamped dataChange=false and cancels at the
+    // METADATA level — the feed is identical to the no-compact span
+    // (and a pure-compact span reads zero files, pinned in Round17Spec).
+    // DuckDB reproduces the feed declaratively; the compact must be
+    // invisible to it.
+    "op_cdc_compact" -> ((s: SparkSession, dir: String) => {
+      val wh = tmpWarehouse(s)
+      val t = "op_cdcc_t"
+      def ok[A](e: Either[graft.warehouse.WarehouseError, A]): A =
+        e.fold(err => throw new RuntimeException(err.message), identity)
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"))
+      ok(wh.load(t, orders.repartition(6)))
+      val g1 = wh.currentGeneration(t)
+        .getOrElse(throw new RuntimeException("no manifest generation"))
+      ok(wh.deleteWhere(t, col("o_orderkey") % 3 === 0))
+      ok(wh.compact(t, 4, Seq("o_orderkey")))
+      ok(wh.load(t, orders.filter(col("o_orderkey") % 7 === 0 &&
+        !(col("o_orderkey") % 3 === 0)).select(
+        (col("o_orderkey") + 40000000L).as("o_orderkey"),
+        col("o_orderstatus"), col("o_orderpriority"))))
+      val g2 = wh.currentGeneration(t)
+        .getOrElse(throw new RuntimeException("no manifest generation"))
+      ok(wh.changesBetween(t, g1, g2))
+        .orderBy("o_orderkey", "o_orderstatus", "o_orderpriority",
+          "change_type")
+    }),
+
     // ---- keyed CDC with update coalescing (r16): changesBetweenKeyed
     // joins the bag feed on the key so an UPDATE surfaces as a
     // preimage/postimage pair (the Delta CDF shape) instead of a raw
@@ -1454,6 +1484,15 @@ object OpsQueries {
         |UNION ALL
         |SELECT o_orderkey, o_orderstatus, o_orderpriority,
         |       'insert' AS change_type
+        |FROM orders WHERE o_orderkey % 7 = 0 AND NOT (o_orderkey % 3 = 0)
+        |ORDER BY o_orderkey, o_orderstatus, o_orderpriority, change_type""".stripMargin,
+    "op_cdc_compact" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |       'delete' AS change_type
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT o_orderkey + 40000000 AS o_orderkey, o_orderstatus,
+        |       o_orderpriority, 'insert' AS change_type
         |FROM orders WHERE o_orderkey % 7 = 0 AND NOT (o_orderkey % 3 = 0)
         |ORDER BY o_orderkey, o_orderstatus, o_orderpriority, change_type""".stripMargin,
     "op_cdc_keyed" ->

@@ -923,9 +923,76 @@ object StreamQueries {
         e => throw new RuntimeException(e.message), identity)
         .select("doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // ---- streaming CDC source (r17, judge #4): a `graft-cdc` stream
+    // tails a warehouse table's generation history — offsets ARE
+    // generation numbers in the checkpoint — and a foreachBatch
+    // consumer applies each change feed to a REPLICA table (bag apply:
+    // replica ∖ deletes ∪ inserts). The replica's final state must
+    // hash-match DuckDB's declarative reconstruction of the same
+    // mutations (CoW DELETE + append) — stream/batch agreement for the
+    // change-data path end to end.
+    "s17_stream_cdc" -> ((s: SparkSession, dir: String) => {
+      val wh = new SparkWarehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-s17-wh").toString)
+      def ok[A](e: Either[graft.warehouse.WarehouseError, A]): A =
+        e.fold(err => throw new RuntimeException(err.message), identity)
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"))
+      val src = "s17_src"
+      val rep = "s17_replica"
+      ok(wh.load(src, orders.repartition(4)))
+      val g0 = wh.currentGeneration(src)
+        .getOrElse(throw new RuntimeException("no generation"))
+      // replica starts as a snapshot of generation g0; the stream
+      // carries everything after it
+      ok(wh.load(rep, ok(wh.get(src))))
+      // mutations the stream must replicate: a CoW DELETE and an append
+      ok(wh.deleteWhere(src, col("o_orderkey") % 3 === 0))
+      ok(wh.load(src, orders.filter(col("o_orderkey") % 7 === 0).select(
+        (col("o_orderkey") + 30000000L).as("o_orderkey"),
+        col("o_orderstatus"), col("o_orderpriority"))))
+      withShufflePartitions(s, 4) {
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-s17-ckpt")
+        val stream = s.readStream.format("graft-cdc")
+          .option("warehouse", wh.warehouseDir)
+          .option("table", src)
+          .option("startingGeneration", g0.toString)
+          .load()
+        val q = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+            val ct = "change_type"
+            val dels = batch.filter(col(ct) === "delete").drop(ct)
+            val ins = batch.filter(col(ct) === "insert").drop(ct)
+            val cur = wh.get(rep).fold(
+              e => throw new RuntimeException(e.message), identity)
+            // bag apply — exceptAll removes exactly one replica row per
+            // delete-feed row, the inverse of the bag-difference feed;
+            // replaceContent is the snapshot-safe self-derived rewrite
+            wh.replaceContent(rep, cur.exceptAll(dels).unionByName(ins)).fold(
+              e => throw new RuntimeException(e.message), _ => ())
+            ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        awaitOrFail(q, 120000)
+      }
+      ok(wh.get(rep))
+        .orderBy("o_orderkey", "o_orderstatus", "o_orderpriority")
     }))
 
   val oracle: Map[String, String] = Map(
+    "s17_stream_cdc" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+        |WHERE NOT (o_orderkey % 3 = 0)
+        |UNION ALL
+        |SELECT o_orderkey + 30000000 AS o_orderkey, o_orderstatus,
+        |       o_orderpriority
+        |FROM orders WHERE o_orderkey % 7 = 0
+        |ORDER BY o_orderkey, o_orderstatus, o_orderpriority""".stripMargin,
     // Admission is batch-sequential, but the staging puts every text's
     // minimum id in the earliest batch containing it, so the final sink
     // equals the batch-order-free form: min id per distinct text not

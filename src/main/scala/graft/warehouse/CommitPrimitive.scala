@@ -1,0 +1,256 @@
+package graft.warehouse
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** The atomic filesystem primitive the commit protocol rests on — the
+  * LogStore shape Delta uses for exactly this reason: multi-writer
+  * safety is only as strong as the storage's ability to select ONE
+  * winner per commit file, and that ability is scheme-specific.
+  *
+  * [[SparkWarehouse]] commits a generation by publishing the FULL
+  * manifest bytes at the generation's history slot with ONE
+  * [[putIfAbsent]] — the slot's existence IS the commit (no separate
+  * claim/stamp/fill steps, so there is nothing to steal and no
+  * delete-and-recreate race between competing writers; a number whose
+  * slot cannot be read as a manifest is burnt and skipped, never
+  * reused). Locks ([[createExclusive]]) and the derived
+  * `_graft_manifest` snapshot ([[replace]]) ride the same provider.
+  *
+  * Per-scheme contract (see README "Commit atomicity by filesystem"):
+  *  - `file:` — [[FileCommitPrimitive]]: putIfAbsent = temp write +
+  *    `link(2)` (hard-link creation is kernel-atomic and fails EEXIST);
+  *    createExclusive = NIO `O_EXCL`; replace = `rename(2)`
+  *    ATOMIC_MOVE. Fully atomic.
+  *  - `hdfs:`/`viewfs:` — [[HdfsCommitPrimitive]]: putIfAbsent = temp
+  *    write + NameNode rename (HDFS `rename` is atomic and refuses an
+  *    existing destination); createExclusive = `create(overwrite =
+  *    false)` (NameNode-atomic); replace = delete+rename (the brief
+  *    absent window degrades readers to the listing walk — sound).
+  *  - anything else (s3a:, gs:, abfs:, …) — NO atomic create-if-absent
+  *    is known to this library (S3's `create(overwrite=false)` is
+  *    check-then-act), so commits REFUSE LOUDLY at the first write
+  *    verb. Either name a provider implementing this trait for your
+  *    store via `spark.graft.commit.providerClass` (e.g. one backed by
+  *    a DynamoDB/conditional-PUT coordination service), or accept the
+  *    documented SINGLE-WRITER downgrade explicitly with
+  *    `spark.graft.commit.allowNonAtomic=true`
+  *    ([[NonAtomicCommitPrimitive]] — correct under one writer per
+  *    table, detection-only under concurrency).
+  */
+trait CommitPrimitive extends Serializable {
+  def name: String
+
+  /** True iff concurrent writers racing these primitives are safe
+    * (exactly one winner per [[putIfAbsent]]/[[createExclusive]]).
+    */
+  def atomic: Boolean
+
+  /** Publish `bytes` at `p` iff `p` does not exist — true iff THIS
+    * call created it. Losers must observe either absence or the
+    * winner's COMPLETE bytes, never a torn file (atomic providers
+    * write a temp file and link/rename it into place).
+    */
+  def putIfAbsent(fs: FileSystem, p: Path, bytes: Array[Byte]): Boolean
+
+  /** Create a zero-byte marker exclusively (the rewrite lock) — true
+    * iff this call created it.
+    */
+  def createExclusive(fs: FileSystem, p: Path): Boolean
+
+  /** Replace `dst` with `src` (both same filesystem; `src` exists). */
+  def replace(fs: FileSystem, src: Path, dst: Path): Unit
+}
+
+object CommitPrimitive {
+
+  /** Resolve the provider for `fs`, honoring the config overrides.
+    * Throws [[IllegalStateException]] (LOUDLY, with the remediation
+    * options) when the scheme has no atomic provider and the caller
+    * has not opted into the single-writer downgrade.
+    */
+  def forFileSystem(fs: FileSystem,
+                    conf: String => Option[String]): CommitPrimitive =
+    conf("spark.graft.commit.providerClass") match {
+      case Some(cls) =>
+        Class.forName(cls).getDeclaredConstructor().newInstance()
+          .asInstanceOf[CommitPrimitive]
+      case None =>
+        Option(fs.getUri.getScheme).getOrElse("file") match {
+          case "file" | "local" => FileCommitPrimitive
+          case "hdfs" | "viewfs" | "webhdfs" | "swebhdfs" =>
+            HdfsCommitPrimitive
+          case other =>
+            if (conf("spark.graft.commit.allowNonAtomic")
+              .exists(_.toBoolean)) NonAtomicCommitPrimitive
+            else throw new IllegalStateException(
+              s"no atomic commit primitive is known for filesystem " +
+                s"scheme '$other': create-if-absent is check-then-act " +
+                "there, so the multi-writer commit protocol would " +
+                "silently degrade to last-write-wins. Either set " +
+                "spark.graft.commit.providerClass to a CommitPrimitive " +
+                "implementation backed by an atomic coordination " +
+                "service for this store, or accept the SINGLE-WRITER " +
+                "downgrade explicitly with " +
+                "spark.graft.commit.allowNonAtomic=true (correct only " +
+                "when one writer mutates each table at a time)")
+        }
+    }
+
+  private[warehouse] def nioPath(fs: FileSystem,
+                                 p: Path): java.nio.file.Path =
+    java.nio.file.Paths.get(fs.makeQualified(p).toUri)
+
+  /** Write `bytes` at a dot-prefixed sibling temp of `p`; callers
+    * link/rename it into place. Returns the temp path.
+    */
+  private[warehouse] def writeTemp(fs: FileSystem, p: Path,
+                                   bytes: Array[Byte]): Path = {
+    val tmp = new Path(p.getParent,
+      s".${p.getName}.__commit_${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    tmp
+  }
+}
+
+/** `file:` provider — every primitive is a single kernel operation.
+  * The hard-link publish also sidesteps `ChecksumFileSystem`'s `.crc`
+  * sidecars: the linked slot carries none, and Hadoop treats a
+  * crc-less file as unverified (reads fine).
+  */
+object FileCommitPrimitive extends CommitPrimitive {
+  override def name: String = "file"
+  override def atomic: Boolean = true
+
+  override def putIfAbsent(fs: FileSystem, p: Path,
+                           bytes: Array[Byte]): Boolean = {
+    fs.mkdirs(p.getParent)
+    val tmp = CommitPrimitive.writeTemp(fs, p, bytes)
+    try {
+      // link(2): atomically materializes the COMPLETE temp content at
+      // `p` iff absent — the one-syscall commit (no torn window, no
+      // separate claim)
+      java.nio.file.Files.createLink(CommitPrimitive.nioPath(fs, p),
+        CommitPrimitive.nioPath(fs, tmp))
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: UnsupportedOperationException =>
+        // no hard links on this mount: O_EXCL create + write — the
+        // creation stays atomic; the content write has a crash-torn
+        // window, which readers detect (entry-count validation) and
+        // writers skip past as a burnt number after the claim TTL
+        try {
+          java.nio.file.Files.createFile(CommitPrimitive.nioPath(fs, p))
+          java.nio.file.Files.write(CommitPrimitive.nioPath(fs, p), bytes)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: Exception => false
+        }
+      case _: Exception => false
+    } finally {
+      try { fs.delete(tmp, false); () } catch { case _: Exception => () }
+    }
+  }
+
+  override def createExclusive(fs: FileSystem, p: Path): Boolean =
+    try {
+      fs.mkdirs(p.getParent)
+      java.nio.file.Files.createFile(CommitPrimitive.nioPath(fs, p))
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: Exception => false
+    }
+
+  override def replace(fs: FileSystem, src: Path, dst: Path): Unit = {
+    java.nio.file.Files.move(CommitPrimitive.nioPath(fs, src),
+      CommitPrimitive.nioPath(fs, dst),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // ChecksumFileSystem: the NIO move bypasses the .crc sidecars —
+    // drop the destination's stale one (a later fs.open would
+    // checksum-fail against the old bytes) and the source's orphan
+    Seq(new Path(dst.getParent, s".${dst.getName}.crc"),
+      new Path(src.getParent, s".${src.getName}.crc")).foreach { crc =>
+      try { if (fs.exists(crc)) fs.delete(crc, false) }
+      catch { case _: Exception => () }
+    }
+  }
+}
+
+/** HDFS/viewfs provider: rename-if-absent and create-exclusive are
+  * both single NameNode operations. `replace` is delete+rename — the
+  * brief absent window degrades manifest readers to the listing walk
+  * (sound, documented); the COMMIT itself (the slot) never uses it.
+  */
+object HdfsCommitPrimitive extends CommitPrimitive {
+  override def name: String = "hdfs"
+  override def atomic: Boolean = true
+
+  override def putIfAbsent(fs: FileSystem, p: Path,
+                           bytes: Array[Byte]): Boolean = {
+    fs.mkdirs(p.getParent)
+    if (fs.exists(p)) return false // cheap pre-check; the rename decides
+    val tmp = CommitPrimitive.writeTemp(fs, p, bytes)
+    try fs.rename(tmp, p) // NameNode-atomic; false when dst exists
+    catch { case _: Exception => false }
+    finally {
+      try { fs.delete(tmp, false); () } catch { case _: Exception => () }
+    }
+  }
+
+  override def createExclusive(fs: FileSystem, p: Path): Boolean =
+    try {
+      fs.mkdirs(p.getParent)
+      fs.create(p, false).close() // NameNode-atomic O_EXCL analog
+      true
+    } catch { case _: Exception => false }
+
+  override def replace(fs: FileSystem, src: Path, dst: Path): Unit = {
+    try { fs.delete(dst, false); () } catch { case _: Exception => () }
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"failed to rename $src to $dst")
+  }
+}
+
+/** Check-then-act fallback for stores without an atomic create-if-
+  * absent — SINGLE-WRITER ONLY, and only reachable behind the explicit
+  * `spark.graft.commit.allowNonAtomic=true` opt-in ([[CommitPrimitive
+  * .forFileSystem]] refuses loudly otherwise). Under one writer per
+  * table every operation is correct; under concurrent writers the
+  * exists/create race can admit two winners, degrading the protocol to
+  * r15-era conflict DETECTION (publishRewrite's compensation) instead
+  * of prevention.
+  */
+object NonAtomicCommitPrimitive extends CommitPrimitive {
+  override def name: String = "non-atomic"
+  override def atomic: Boolean = false
+
+  override def putIfAbsent(fs: FileSystem, p: Path,
+                           bytes: Array[Byte]): Boolean =
+    try {
+      fs.mkdirs(p.getParent)
+      if (fs.exists(p)) false
+      else {
+        val tmp = CommitPrimitive.writeTemp(fs, p, bytes)
+        try fs.rename(tmp, p)
+        finally {
+          try { fs.delete(tmp, false); () } catch { case _: Exception => () }
+        }
+      }
+    } catch { case _: Exception => false }
+
+  override def createExclusive(fs: FileSystem, p: Path): Boolean =
+    try {
+      fs.mkdirs(p.getParent)
+      if (fs.exists(p)) false
+      else { fs.create(p, false).close(); true }
+    } catch { case _: Exception => false }
+
+  override def replace(fs: FileSystem, src: Path, dst: Path): Unit = {
+    try { fs.delete(dst, false); () } catch { case _: Exception => () }
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"failed to rename $src to $dst")
+  }
+}

@@ -74,9 +74,19 @@ class Round16Spec extends SparkSpec {
     unwrap(wh.refreshManifest(t))
     assert(unwrap(wh.get(t)).count() == 2000L)
 
-    // vacuum reclaims the orphans (they are referenced by nothing)
+    // r17 (advisor): a vacuum inside the rewrite-lock TTL must NOT
+    // reclaim the staged files — they could belong to an in-flight
+    // rewrite whose redo record is not yet durable
     unwrap(wh.vacuumRetired(t, java.time.Duration.ZERO,
       java.time.Instant.now().plusSeconds(5)))
+    assert(fs.listStatus(dir)
+      .count(_.getPath.getName.startsWith(".graftstage-")) == stagedCount,
+      "staged files younger than the rewrite-lock TTL were reclaimed")
+    // past the TTL, vacuum reclaims the orphans (referenced by nothing)
+    spark.conf.set("spark.graft.rewriteLock.ttlMs", "0")
+    try unwrap(wh.vacuumRetired(t, java.time.Duration.ZERO,
+      java.time.Instant.now().plusSeconds(5)))
+    finally spark.conf.unset("spark.graft.rewriteLock.ttlMs")
     assert(fs.listStatus(dir)
       .count(_.getPath.getName.startsWith(".graftstage-")) == 0)
     assert(unwrap(wh.get(t)).count() == 2000L)
@@ -407,11 +417,18 @@ class Round16Spec extends SparkSpec {
     val g3 = wh.currentGeneration(t).get
     assert(unwrap(wh.changesBetweenKeyed(t, g2, g3, Seq("id")))
       .count() == 0L)
-    // duplicate keys in the diff refuse loudly (would mispair)
+    // duplicate keys in the diff refuse loudly (would mispair) — since
+    // r17 the guard lives INSIDE the plan (raise_error), so the verb
+    // stays lazy and the failure surfaces on execution
     unwrap(wh.load(t, Seq((7L, "x"), (7L, "y")).toDF("id", "v")))
     val g4 = wh.currentGeneration(t).get
-    val dup = wh.changesBetweenKeyed(t, g3, g4, Seq("id"))
-    assert(dup.isLeft && dup.left.exists(_.message.contains("duplicate")))
+    val dup = intercept[Exception] {
+      unwrap(wh.changesBetweenKeyed(t, g3, g4, Seq("id"))).collect()
+    }
+    val dupChain = Iterator.iterate(dup: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(10)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(dupChain.contains("duplicate"), s"wrong failure: $dupChain")
     // the uncoalesced bag feed still serves them
     assert(unwrap(wh.changesBetween(t, g3, g4)).count() == 2L)
   }
@@ -478,34 +495,39 @@ class Round16Spec extends SparkSpec {
     checkFull("final")
   }
 
-  test("burnt generation claims (a writer dead mid-commit) are " +
-    "invisible to generations() and are STOLEN past the claim TTL — " +
-    "a crashed writer can never wedge the table's publishes") {
+  test("burnt generation slots (a writer dead mid-commit, r16-era " +
+    "claim files) are invisible to generations() and are HOPPED past " +
+    "the claim TTL — never deleted, never reused, and a crashed " +
+    "writer can never wedge the table's publishes") {
     val wh = tmpWh("r16-claims")
     val fs = hfs(wh.warehouseDir)
     val t = "t"
     unwrap(wh.load(t, spark.range(0, 100).toDF("id")))
     unwrap(wh.load(t, spark.range(100, 200).toDF("id")))
     val g = wh.currentGeneration(t).get
-    // burn a claim by hand (a writer that died between its
-    // create-exclusive claim and the manifest fill)
+    // burn a slot by hand (an r16-protocol writer that died between
+    // its create-exclusive claim and the manifest fill)
     val hist = new org.apache.hadoop.fs.Path(
       s"${wh.warehouseDir}/$t/_graft_manifest_hist")
     val burnt = new org.apache.hadoop.fs.Path(hist, f"${g + 1}%012d")
     fs.create(burnt, true).close()
-    // generations() skips the unfilled slot — it is a number, not a
-    // snapshot
+    // generations() skips the contentless slot — it is a number, not
+    // a snapshot
     assert(!unwrap(wh.generations(t)).contains(g + 1))
-    // within the TTL the slot is honored (its owner may be alive):
-    // the publish backs off and the manifest degrades, never corrupts
-    // — past the TTL the slot is stolen and the commit proceeds at
-    // exactly g+1 (the number never named a committed snapshot)
+    // past the TTL the burnt NUMBER is skipped (r17: nothing ever
+    // deletes or renames another writer's slot — no steal, no
+    // delete-and-recreate race) and the commit proceeds at the next
+    // free number; the burnt slot stays on disk, still invisible
     spark.conf.set("spark.graft.manifest.claimTtlMs", "0")
     try {
       unwrap(wh.load(t, spark.range(200, 300).toDF("id")))
-      assert(wh.currentGeneration(t).contains(g + 1))
+      assert(wh.currentGeneration(t).contains(g + 2),
+        s"expected the burnt number ${g + 1} hopped, got " +
+          s"${wh.currentGeneration(t)}")
       assert(unwrap(wh.get(t)).count() == 300L)
-      assert(unwrap(wh.generations(t)).contains(g + 1))
+      assert(!unwrap(wh.generations(t)).contains(g + 1))
+      assert(unwrap(wh.generations(t)).contains(g + 2))
+      assert(fs.exists(burnt), "the burnt slot must never be deleted")
     } finally spark.conf.unset("spark.graft.manifest.claimTtlMs")
   }
 }
