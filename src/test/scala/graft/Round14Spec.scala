@@ -35,10 +35,13 @@ class Round14Spec extends SparkSpec {
       org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
     finally in.close()
     val lines = text.split("\n").toSeq
-    // v2 since r15 (generation-numbered header); v1 still parses
+    // v2 since r15 (generation-numbered header); v3 since r17 (flags +
+    // commit epoch appended); v1 still parses
     assert(lines.head.startsWith("graft-manifest v1 ") ||
-      lines.head.startsWith("graft-manifest v2 "), lines.head)
-    val n = lines.head.split(" ").last.toInt
+      lines.head.startsWith("graft-manifest v2 ") ||
+      lines.head.startsWith("graft-manifest v3 "), lines.head)
+    val toks = lines.head.split(" ")
+    val n = if (toks(1) == "v1") toks(3).toInt else toks(4).toInt
     val entries = lines.tail.filter(_.nonEmpty).map { l =>
       val parts = l.split(" ", 3)
       (parts(2), parts(0).toLong)
