@@ -1576,11 +1576,14 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     atomicReplace(tmp, manifestPath(name))
     // regression check: a slower concurrent writer of an OLDER
     // generation may have renamed its snapshot after ours (its commit
-    // preceded ours; its rename did not). If a newer slot than the one
-    // we just published exists, roll the snapshot forward to it.
+    // preceded ours; its rename did not). A newer commit, if any, is
+    // the SUCCESSOR slot (its writer rebased on ours and runs the same
+    // check, so chains heal forward) — one existence probe in the
+    // common case, never a directory listing per publish.
     try {
-      val maxGen = maxCommittedGeneration(name)
-      if (maxGen > newGen) repairManifestFromSlot(name, maxGen)
+      if (fs.exists(new Path(manifestHistDir(name),
+        histFileName(newGen + 1L))))
+        repairManifestFromSlot(name, newGen + 1L)
     } catch { case _: Exception => () }
     pruneManifestHistory(name)
     manifestCache.put(name,
@@ -2235,29 +2238,6 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
       else fs.listStatus(dir).map(_.getPath.getName)
         .filter(n => n.nonEmpty && n.forall(_.isDigit))
         .map(_.toLong).foldLeft(0L)(math.max)
-    } catch { case _: Exception => 0L }
-
-  /** Largest generation whose slot parses as a COMMITTED manifest
-    * (burnt numbers excluded) — the post-publish regression check's
-    * view of "the newest committed generation". 0 when none.
-    */
-  private def maxCommittedGeneration(name: String): Long =
-    try {
-      val dir = manifestHistDir(name)
-      if (!fs.exists(dir)) 0L
-      else {
-        val gens = fs.listStatus(dir).map(_.getPath.getName)
-          .filter(n => n.nonEmpty && n.forall(_.isDigit))
-          .map(_.toLong).sorted.reverse
-        gens.find { g =>
-          try {
-            val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-              fs.open(new Path(dir, histFileName(g))), StandardCharsets.UTF_8))
-            try parseManifestHeader(in.readLine()).exists(_._1 == g)
-            finally in.close()
-          } catch { case _: Exception => false }
-        }.getOrElse(0L)
-      }
     } catch { case _: Exception => 0L }
 
   // per-generation cache of the manifest-built scan index + merged
