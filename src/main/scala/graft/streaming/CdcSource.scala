@@ -14,8 +14,10 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * the generations committed since the last batch EXACTLY ONCE (the
   * cursor lives in the stream's checkpoint, so a restart resumes at
   * the committed generation), and the schema is the table's columns
-  * plus `change_type` ('insert' | 'delete' — the bag feed; coalesce
-  * updates downstream with `changesBetweenKeyed` semantics if needed).
+  * plus `change_type` — 'insert' | 'delete' (the bag feed), or with
+  * `option("keys", "k1,k2")` the Delta-CDF shape where a same-key
+  * delete+insert coalesces into 'update_preimage'/'update_postimage'
+  * (duplicate keys within a span fail the batch loudly).
   *
   * {{{
   * spark.readStream
@@ -64,12 +66,22 @@ class GraftCdcSourceProvider extends StreamSourceProvider
     val (wh, table) = GraftCdcSource.resolve(ctx.sparkSession, parameters)
     new GraftCdcSource(wh, table,
       parameters.get("startingGeneration").map(_.toLong),
-      schema.getOrElse(GraftCdcSource.feedSchema(wh, table)))
+      schema.getOrElse(GraftCdcSource.feedSchema(wh, table)),
+      GraftCdcSource.keysOf(parameters))
   }
 }
 
 object GraftCdcSource {
   val ChangeTypeCol = "change_type"
+
+  /** Optional `keys` option (comma-separated): batches then coalesce a
+    * same-key delete+insert into Delta-CDF `update_preimage` /
+    * `update_postimage` rows ([[SparkWarehouse.changesBetweenKeyed]]);
+    * duplicate keys within one side of a span fail the batch loudly.
+    */
+  private[streaming] def keysOf(parameters: Map[String, String]): Seq[String] =
+    parameters.get("keys").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
 
   private[streaming] def resolve(spark: SparkSession,
                                  parameters: Map[String, String])
@@ -93,7 +105,8 @@ object GraftCdcSource {
 
 class GraftCdcSource(wh: SparkWarehouse, table: String,
                      startingGeneration: Option[Long],
-                     declaredSchema: StructType) extends Source
+                     declaredSchema: StructType,
+                     keys: Seq[String] = Nil) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   // the cursor's origin: changes AFTER this generation stream; fixed at
@@ -150,7 +163,10 @@ class GraftCdcSource(wh: SparkWarehouse, table: String,
       end: org.apache.spark.sql.execution.streaming.Offset): DataFrame = {
     val fromGen = start.map(genOf).getOrElse(initialGen)
     val toGen = genOf(end)
-    val feed = wh.changesBetween(table, fromGen, toGen).fold(
+    val raw =
+      if (keys.isEmpty) wh.changesBetween(table, fromGen, toGen)
+      else wh.changesBetweenKeyed(table, fromGen, toGen, keys)
+    val feed = raw.fold(
       // LOUD: a cursor behind retention must fail the stream, never
       // silently skip a span (the downstream replica would diverge)
       e => throw new IllegalStateException(

@@ -425,6 +425,101 @@ class Round17Spec extends SparkSpec {
       s"feed carried ${applied.get()} rows; a compaction leaked churn")
   }
 
+  test("graft-cdc checkpoint cursor: a restarted stream resumes at the " +
+    "committed generation — each span applied EXACTLY once") {
+    val sps = spark; import sps.implicits._
+    val wh = tmpWh("r17-cdc-restart")
+    val src = "src"
+    val rep = "rep"
+    unwrap(wh.load(src, (0L until 300L).map(i => (i, s"v$i"))
+      .toDF("id", "v").repartition(3)))
+    val g0 = wh.currentGeneration(src).get
+    unwrap(wh.load(rep, unwrap(wh.get(src))))
+    val ckpt = java.nio.file.Files.createTempDirectory("r17-restart-ckpt")
+    val appliedRows = new java.util.concurrent.atomic.AtomicLong(0L)
+    def drainOnce(): Unit = {
+      val q = spark.readStream
+        .format(classOf[graft.streaming.GraftCdcSourceProvider].getName)
+        .option("warehouse", wh.warehouseDir)
+        .option("table", src)
+        .option("startingGeneration", g0.toString)
+        .load()
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            val dels = batch.filter(col("change_type") === "delete")
+              .drop("change_type")
+            val ins = batch.filter(col("change_type") === "insert")
+              .drop("change_type")
+            appliedRows.addAndGet(batch.count())
+            val cur = unwrap(wh.get(rep))
+            unwrap(wh.replaceContent(rep,
+              cur.exceptAll(dels).unionByName(ins)))
+            ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "stream timed out")
+    }
+    // span 1: a CoW delete, drained by the first stream run
+    unwrap(wh.deleteWhere(src, col("id") < 100))
+    drainOnce()
+    assert(appliedRows.get() == 100L, s"span 1 carried ${appliedRows.get()}")
+    // span 2 lands while no stream is running; the restarted stream
+    // must resume at the CHECKPOINTED cursor (g0 is stale by now — a
+    // re-read from it would re-apply span 1's deletes and corrupt)
+    unwrap(wh.load(src, (5000L until 5050L).map(i => (i, "late"))
+      .toDF("id", "v")))
+    drainOnce()
+    assert(appliedRows.get() == 150L,
+      s"restart re-applied an already-committed span (${appliedRows.get()})")
+    val repRows = unwrap(wh.get(rep)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val srcRows = unwrap(wh.get(src)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(repRows == srcRows, "replica diverged across the restart")
+  }
+
+  test("graft-cdc keyed mode coalesces a same-key delete+insert into " +
+    "update preimage/postimage rows per batch") {
+    val sps = spark; import sps.implicits._
+    val wh = tmpWh("r17-cdc-keyed-stream")
+    val src = "src"
+    unwrap(wh.load(src, Seq((1L, "a"), (2L, "b")).toDF("id", "v")))
+    val g0 = wh.currentGeneration(src).get
+    unwrap(wh.updateWhere(src, Map("v" -> lit("Z")), col("id") === 2L))
+    unwrap(wh.load(src, Seq((3L, "c")).toDF("id", "v")))
+    val seen = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(Long, String, String)]()
+    val ckpt = java.nio.file.Files.createTempDirectory("r17-keyed-ckpt")
+    val q = spark.readStream
+      .format(classOf[graft.streaming.GraftCdcSourceProvider].getName)
+      .option("warehouse", wh.warehouseDir)
+      .option("table", src)
+      .option("startingGeneration", g0.toString)
+      .option("keys", "id")
+      .load()
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          batch.collect().foreach(r =>
+            seen.add((r.getLong(0), r.getString(1), r.getString(2))))
+          ()
+      }
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream timed out")
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSet == Set(
+      (2L, "b", "update_preimage"),
+      (2L, "Z", "update_postimage"),
+      (3L, "c", "insert")), s"got ${seen.asScala.toSet}")
+  }
+
   test("graft-cdc stream fails LOUDLY when the cursor falls behind " +
     "retention — never silently skips a span") {
     val wh = tmpWh("r17-cdc-late")
