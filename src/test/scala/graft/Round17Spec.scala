@@ -560,6 +560,87 @@ class Round17Spec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------
+  // CDC torture: the feed replays the model across EVERY verb
+  // ---------------------------------------------------------------
+
+  test("CDC torture: changesBetween across 30 seeded verb transitions " +
+    "replays a driver-side model exactly, and every row-preserving " +
+    "rewrite emits an EMPTY feed from ZERO files") {
+    val sps = spark; import sps.implicits._
+    val wh = tmpWh("r17-cdc-torture")
+    val t = "t"
+    val rnd = new scala.util.Random(17)
+    val model = scala.collection.mutable.Map.empty[Long, Long]
+    var nextId = 0L
+    def fresh(n: Int): Seq[(Long, Long)] = {
+      val rows = (0 until n).map { _ =>
+        val id = nextId; nextId += 1; (id, rnd.nextInt(1000).toLong)
+      }
+      rows.foreach { case (k, v) => model(k) = v }
+      rows
+    }
+    unwrap(wh.load(t, fresh(200).toDF("id", "v").repartition(3)))
+    var prevGen = wh.currentGeneration(t).get
+    var prevModel = model.toMap
+    (1 to 30).foreach { step =>
+      val verb = rnd.nextInt(6)
+      var rowPreserving = false
+      verb match {
+        case 0 | 1 => unwrap(wh.load(t,
+          fresh(10 + rnd.nextInt(40)).toDF("id", "v")))
+        case 2 =>
+          val m = 2L + rnd.nextInt(7)
+          val r = rnd.nextInt(m.toInt).toLong
+          model.filterInPlace((k, _) => k % m != r)
+          unwrap(wh.deleteWhere(t, col("id") % m === r))
+        case 3 =>
+          val m = 2L + rnd.nextInt(7)
+          val r = rnd.nextInt(m.toInt).toLong
+          model.mapValuesInPlace((k, v) => if (k % m == r) v + 100L else v)
+          unwrap(wh.updateWhere(t, Map("v" -> (col("v") + 100L)),
+            col("id") % m === r))
+        case 4 =>
+          unwrap(wh.compact(t, 1 + rnd.nextInt(4), Seq("id")))
+          rowPreserving = true
+        case 5 =>
+          val packed = unwrap(wh.compactSmall(t, 64L << 20, 64L << 20))
+          rowPreserving = packed > 0
+      }
+      val curGen = wh.currentGeneration(t).get
+      val feed = unwrap(wh.changesBetween(t, prevGen, curGen))
+      if (rowPreserving) {
+        assert(org.apache.spark.sql.GraftFileIndexBridge.filesRead(
+          unwrap(wh.changesBetween(t, prevGen, curGen))) == 0L,
+          s"step $step: a row-preserving rewrite's feed read data files")
+      }
+      val rows = feed.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2)))
+      // bag-apply the feed to the PREVIOUS model snapshot
+      val applied = scala.collection.mutable.Map.empty[Long, Long]
+      prevModel.foreach { case (k, v) => applied(k) = v }
+      rows.filter(_._3 == "delete").foreach { case (k, v, _) =>
+        assert(applied.get(k).contains(v),
+          s"step $step (verb $verb): delete of ($k,$v) not in prior state")
+        applied.remove(k)
+      }
+      rows.filter(_._3 == "insert").foreach { case (k, v, _) =>
+        assert(!applied.contains(k),
+          s"step $step: insert of existing key $k")
+        applied(k) = v
+      }
+      assert(applied == model,
+        s"step $step (verb $verb): feed replay diverged from the model " +
+          s"(${applied.size} vs ${model.size} rows)")
+      prevGen = curGen
+      prevModel = model.toMap
+    }
+    // final sanity: the table itself equals the model
+    val table = unwrap(wh.get(t)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(table == model.toMap)
+  }
+
+  // ---------------------------------------------------------------
   // verify-cache LRU (judge #5)
   // ---------------------------------------------------------------
 
