@@ -1567,6 +1567,9 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
       repairManifestFromSlot(name, newGen)
       return false
     }
+    fault("manifest:slot-committed") // crash window: commit durable,
+    // derived snapshot stale — healed by the next writer's lost claim
+    // ([[repairManifestFromSlot]]) or reconcile
     // COMMITTED. Publish the derived singular snapshot (the O(1)-read
     // cache of the committed slot).
     val tmp = new Path(tablePath(name), "_graft_manifest.__tmp_" +

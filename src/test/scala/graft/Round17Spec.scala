@@ -335,6 +335,35 @@ class Round17Spec extends SparkSpec {
     assert(unwrap(wh.get(t)).agg(min(col("id"))).head.getLong(0) == 500L)
   }
 
+  test("crash between the slot commit and the derived-snapshot " +
+    "publish: the commit is durable, and the NEXT writer heals the " +
+    "snapshot forward before building on it") {
+    val wh = tmpWh("r17-slot-crash")
+    val t = "t"
+    unwrap(wh.load(t, spark.range(0, 100).toDF("id")))
+    val g1 = wh.currentGeneration(t).get
+    wh.testFaultPoint = "manifest:slot-committed"
+    val crashed = intercept[Throwable] {
+      wh.load(t, spark.range(100, 200).toDF("id"))
+    }
+    wh.testFaultPoint = null
+    assert(Iterator.iterate(crashed)(_.getCause).takeWhile(_ != null)
+      .take(10).exists(_.isInstanceOf[
+        graft.warehouse.SparkWarehouse.SimulatedCrash]),
+      s"unexpected failure: $crashed")
+    // the slot committed (generation durable) but the derived snapshot
+    // still serves g1 — a consistent OLD view, never a torn one
+    val wh2 = new graft.warehouse.SparkWarehouse(spark, wh.warehouseDir)
+    assert(wh2.currentGeneration(t).contains(g1))
+    // the next writer loses its claim for g1+1 (the crashed writer owns
+    // it), heals the snapshot forward from the slot, rebases, and
+    // commits on top — BOTH writers' rows visible, no heal verb needed
+    unwrap(wh2.load(t, spark.range(200, 250).toDF("id")))
+    assert(unwrap(wh2.get(t)).count() == 250L,
+      "the crashed writer's committed slot was lost or double-applied")
+    assert(wh2.currentGeneration(t).exists(_ >= g1 + 2))
+  }
+
   // ---------------------------------------------------------------
   // (5) in-band commit time
   // ---------------------------------------------------------------
