@@ -588,6 +588,45 @@ class Round17Spec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.manifest.retainGenerations")
   }
 
+  test("CDC across a compact that straddles additive schema evolution: " +
+    "the substitution scans the narrower pre-compact files and the feed " +
+    "still pads/cancels correctly") {
+    val sps = spark; import sps.implicits._
+    val wh = tmpWh("r17-cdc-evo")
+    val t = "t"
+    unwrap(wh.load(t, (0L until 100L).map(i => (i, s"v$i"))
+      .toDF("id", "v")))
+    val g1 = wh.currentGeneration(t).get
+    // additive evolution: a new column arrives with an append
+    unwrap(wh.load(t, Seq((500L, "w", "extra")).toDF("id", "v", "tag")))
+    // row-preserving compact over the MIXED-schema generations
+    unwrap(wh.compact(t, 2, Seq("id")))
+    // then a real change
+    unwrap(wh.deleteWhere(t, col("id") < 10))
+    val g4 = wh.currentGeneration(t).get
+    val feed = unwrap(wh.changesBetween(t, g1, g4))
+    val dels = feed.filter(col("change_type") === "delete")
+      .select("id", "v", "tag").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+    val ins = feed.filter(col("change_type") === "insert")
+      .select("id", "v", "tag").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+    assert(dels.toSet == (0L until 10L)
+      .map(i => (i, s"v$i", None)).toSet, s"deletes: ${dels.toSeq}")
+    assert(ins.toSet == Set((500L, "w", Some("extra"))),
+      s"inserts: ${ins.toSeq}")
+    // composition: g1 snapshot + feed ≡ g4 snapshot (padded schemas)
+    val g1Rows = unwrap(wh.getAsOf(t, g1))
+      .withColumn("tag", lit(null).cast("string"))
+      .select("id", "v", "tag").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    val g4Rows = unwrap(wh.getAsOf(t, g4))
+      .select("id", "v", "tag").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert((g1Rows -- dels.toSet) ++ ins.toSet == g4Rows,
+      "feed does not compose g1 into g4")
+  }
+
   // ---------------------------------------------------------------
   // CDC torture: the feed replays the model across EVERY verb
   // ---------------------------------------------------------------
