@@ -8,22 +8,30 @@ import org.apache.spark.sql.SparkSession
   *
   * Methodology: one untimed warmup execution per query (JIT + codegen
   * compilation + file-index caches), then `SPARK_GRAFT_BENCH_REPS`
-  * timed executions (default 1; the driver's per-round run) with the
-  * per-query MEDIAN reported — steady-state numbers, the standard
-  * practice for JVM engines. The reported total is the sum of medians.
+  * timed executions (default 2 since r18 — the r17 judge's item 5:
+  * three rounds running, ambient VM noise in the driver's single-shot
+  * window manufactured fake regressions, e.g. a 91.5 s reading on a
+  * gate whose controlled re-run takes 0.44 s) with the per-query MIN
+  * reported — the noise-robust statistic for a shared VM, per the same
+  * judge item ("report per-gate min; stamp both raw runs"). The
+  * reported total is the sum of per-query minima. Set
+  * `SPARK_GRAFT_BENCH_STAT=median` to reproduce the pre-r18
+  * median-of-reps methodology (the r17-and-earlier artifacts).
   *
   * The artifact is SELF-DESCRIBING (r8 verdict item 7: the r8 drift
   * band and the x83 re-measurement dispute both came from unlabeled
-  * runs): `meta` stamps reps, JVM freshness (fresh per `runMain` —
-  * run/fork := true), cpu count, heap, spark version, and the run
-  * label, and `runs` keeps every rep's raw seconds per query so any
-  * later dispute is attributable from the committed file alone.
+  * runs): `meta` stamps reps, the statistic, JVM freshness (fresh per
+  * `runMain` — run/fork := true), cpu count, heap, spark version, and
+  * the run label, and `runs` keeps every rep's raw seconds per query
+  * so any later dispute is attributable from the committed file alone.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // "min" (default, r18+) or "median" (the pre-r18 methodology)
+    val stat = sys.env.getOrElse("SPARK_GRAFT_BENCH_STAT", "min")
     val runLabel = sys.env.getOrElse("SPARK_GRAFT_RUN_ID", "driver")
     // optional comma-separated gate-name substring filter, for profiling
     // a single gate without paying the full 200-gate run
@@ -46,17 +54,17 @@ object Bench {
         // a failed query must never look like a fast success
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      val median =
+      val reported =
         if (times.contains(-1.0)) -1.0
-        else {
+        else if (stat == "median") {
           val s = times.sorted
           val n = s.length
           // true median: average the two middle elements for even rep
           // counts (with reps=2 the upper-middle alone would report the
           // max of the two runs, not the median the meta claims)
           if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
-        }
-      (name, median, times)
+        } else times.min
+      (name, reported, times)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -94,7 +102,7 @@ object Bench {
         System.err.println(s"[bench] stream floor probe failed: ${e.getMessage}")
         -1.0
     }
-    val meta = s"""{"run":"$runLabel","reps":$reps,""" +
+    val meta = s"""{"run":"$runLabel","reps":$reps,"stat":"$stat",""" +
       s""""jvm":"fresh-per-runMain","cpus":$cpus,""" +
       s""""heap":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",""" +
       s""""spark":"${spark.version}",""" +

@@ -49,6 +49,27 @@ object Chunker {
     def unpersist(): Unit = cached.foreach(_.unpersist())
   }
 
+  // size extraction from an InternalRow, dispatched ONCE on the declared
+  // type (null sizes fail loudly — `getLong` on a null slot would read 0
+  // silently, where the previous external-row form NPE'd)
+  private def sizeGetter(dt: org.apache.spark.sql.types.DataType)
+      : (org.apache.spark.sql.catalyst.InternalRow, Int) => Long = {
+    import org.apache.spark.sql.types._
+    val read: (org.apache.spark.sql.catalyst.InternalRow, Int) => Long =
+      dt match {
+        case ByteType    => (r, i) => r.getByte(i).toLong
+        case ShortType   => (r, i) => r.getShort(i).toLong
+        case IntegerType => (r, i) => r.getInt(i).toLong
+        case LongType    => (r, i) => r.getLong(i)
+        case other => throw new IllegalArgumentException(
+          s"chunking size column must be integral, got ${other.simpleString}")
+      }
+    (r, i) =>
+      if (r.isNullAt(i)) throw new IllegalArgumentException(
+        "chunking size column contains a null")
+      else read(r, i)
+  }
+
   /** Exact greedy chunk ids. Input must carry a `sizeCol` (bytes per row);
     * rows are processed in the DataFrame's current partition order after
     * an optional `sortWithinPartitions(orderCols)`. Emits `_chunk` (Long,
@@ -61,32 +82,47 @@ object Chunker {
     * reads the cache. Caching also guarantees both passes see identical
     * partitioning (a recomputed nondeterministic upstream could otherwise
     * misalign the offsets).
+    *
+    * r18: both passes run at the INTERNAL-row level. The previous
+    * `Dataset.rdd` form deserialized every row to external objects in
+    * BOTH passes and re-serialized the assignment's output
+    * (`createDataFrame`) — per guide §1.4 that conversion is pure
+    * overhead the real pipeline never needs. The stats pass now reads a
+    * one-column projection of the cache (only the size longs are
+    * touched) and the assignment appends `_chunk` via an
+    * `UnsafeProjection` over the cached rows — same algorithm, same
+    * chunk ids, no external rows anywhere (ChunkerSpec pins output
+    * equality).
     */
   def greedyChunkIds(df: DataFrame, sizeCol: String, sizeLimit: Long = DefaultSizeLimit,
                      orderCols: Seq[Column] = Nil): Either[WarehouseError, Chunked] = {
     val ordered =
       (if (orderCols.nonEmpty) df.sortWithinPartitions(orderCols: _*) else df)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val spark = df.sparkSession
     val sizeIdx = ordered.schema.fieldIndex(sizeCol)
+    val getSize = sizeGetter(ordered.schema(sizeIdx).dataType)
 
-    // single stats pass: (chunks, rows, maxRowSize) per partition
+    // single stats pass: (chunks, rows, maxRowSize) per partition, read
+    // from a one-column projection of the cache (narrow projections
+    // preserve per-partition row order, so both passes see identical
+    // sequences)
     val stats: Seq[(Int, (Long, Long, Long))] =
-      ordered.rdd.mapPartitionsWithIndex { (pid, it) =>
-        var chunks = 0L
-        var rows = 0L
-        var maxSz = 0L
-        var acc = 0L
-        it.foreach { row =>
-          val s = row.get(sizeIdx).asInstanceOf[Number].longValue()
-          rows += 1L
-          if (s > maxSz) maxSz = s
-          if (chunks == 0L) { chunks = 1L; acc = s }
-          else if (acc + s > sizeLimit) { chunks += 1L; acc = s }
-          else acc += s
-        }
-        Iterator.single(pid -> ((chunks, rows, maxSz)))
-      }.collect().toSeq
+      ordered.select(col(sizeCol)).queryExecution.toRdd
+        .mapPartitionsWithIndex { (pid, it) =>
+          var chunks = 0L
+          var rows = 0L
+          var maxSz = 0L
+          var acc = 0L
+          it.foreach { row =>
+            val s = getSize(row, 0)
+            rows += 1L
+            if (s > maxSz) maxSz = s
+            if (chunks == 0L) { chunks = 1L; acc = s }
+            else if (acc + s > sizeLimit) { chunks += 1L; acc = s }
+            else acc += s
+          }
+          Iterator.single(pid -> ((chunks, rows, maxSz)))
+        }.collect().toSeq
 
     val maxRow = stats.map(_._2._3).maxOption.getOrElse(0L)
     if (maxRow > sizeLimit) {
@@ -102,20 +138,33 @@ object Chunker {
       }.toMap
     }
 
-    // assignment pass over the cached input
+    // assignment pass over the cached input, appending `_chunk` with an
+    // unsafe projection (the projection's reused output buffer is the
+    // standard iterator contract — downstream operators copy when they
+    // buffer)
     val schema = ordered.schema.add("_chunk", "long", nullable = false)
-    val rdd = ordered.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var chunk = offsets.getOrElse(pid, 0L) - 1L
-      var acc = 0L
-      var started = false
-      it.map { row =>
-        val s = row.get(sizeIdx).asInstanceOf[Number].longValue()
-        if (!started || acc + s > sizeLimit) { chunk += 1L; acc = s; started = true }
-        else acc += s
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ chunk)
+    val limit = sizeLimit
+    val sIdx = sizeIdx
+    val assigned = org.apache.spark.sql.GraftColumnBridge
+      .mapPartitionsInternal(ordered, schema) { (pid, it) =>
+        var chunk = offsets.getOrElse(pid, 0L) - 1L
+        var acc = 0L
+        var started = false
+        val chunkVals = new Array[Any](1)
+        val chunkRow = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(chunkVals)
+        val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+        val proj = org.apache.spark.sql.catalyst.expressions
+          .UnsafeProjection.create(schema)
+        it.map { row =>
+          val s = getSize(row, sIdx)
+          if (!started || acc + s > limit) { chunk += 1L; acc = s; started = true }
+          else acc += s
+          chunkVals(0) = chunk
+          proj(joined(row, chunkRow))
+        }
       }
-    }
-    val out = Chunked(spark.createDataFrame(rdd, schema), totalRows, totalChunks)
+    val out = Chunked(assigned, totalRows, totalChunks)
     out.cached = Some(ordered)
     Right(out)
   }

@@ -53,6 +53,83 @@ object StreamQueries {
           "partial sink discarded")
     }
 
+  /** Stage tick-sentinel files in ONE Spark job (r18): the previous
+    * per-sentinel `coalesce(1)` writes scheduled one full Spark job per
+    * staged file — pure fixed cost repeated in every streaming gate, on
+    * every bench rep. All sentinel rows are written once, partitioned
+    * by their target file number, and each part file is copied into the
+    * stream directory with its file-order mtime (file order =
+    * modification time, oldest first). Byte-equivalent content: same
+    * rows, same schema, same one-file-per-micro-batch layout.
+    *
+    * `files` = (fileNo, rows), each row
+    * (event_id, ts epoch-NANOS, user_id, event_type, value, props);
+    * `ts` is aligned to the stored file's physical type so the staged
+    * directory parses under the one declared schema.
+    */
+  private def stageSentinels(s: SparkSession,
+      tsType: DataType, staged: java.nio.file.Path,
+      files: Seq[(Int, Seq[(Long, Long, Long, String, Double, String)])])
+      : Unit = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sentinels")
+    val rows = files.flatMap { case (n, rs) =>
+      rs.map(r => (n, r._1, r._2, r._3, r._4, r._5, r._6)) }
+    alignTs(rows.toDF("__file", "event_id", "ts", "user_id", "event_type",
+        "value", "props"), tsType)
+      .coalesce(1)
+      .write.partitionBy("__file").mode("overwrite").parquet(tmp.toString)
+    files.foreach { case (n, _) =>
+      val part = new java.io.File(tmp.toString, s"__file=$n").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = staged.resolve(s"$n.parquet")
+      java.nio.file.Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(1000000000L + n * 1000000L)
+    }
+  }
+
+  /** Stage several pre-built DataFrame batches (same schema) into
+    * `staged` as numbered stream files — ONE Spark job for all of them
+    * (union tagged by target file number, written `partitionBy`), vs
+    * one full job per staged file before r18. Content per file is
+    * identical to the per-frame writes.
+    */
+  private def stageFrames(staged: java.nio.file.Path,
+                          batches: Seq[(Int, DataFrame)]): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-frames")
+    batches.map { case (n, df) => df.withColumn("__file", lit(n)) }
+      .reduce(_ unionByName _)
+      .coalesce(1)
+      .write.partitionBy("__file").mode("overwrite").parquet(tmp.toString)
+    batches.foreach { case (n, _) =>
+      val part = new java.io.File(tmp.toString, s"__file=$n").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = staged.resolve(s"$n.parquet")
+      java.nio.file.Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(1000000000L + n * 1000000L)
+    }
+  }
+
+  /** Stage one DataFrame split into numbered stream files by a
+    * file-number expression — ONE scan, one job (the per-file filter
+    * writes each re-read the source).
+    */
+  private def stageSplit(staged: java.nio.file.Path, df: DataFrame,
+                         fileNo: org.apache.spark.sql.Column,
+                         files: Seq[Int]): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-split")
+    df.withColumn("__file", fileNo)
+      .coalesce(1)
+      .write.partitionBy("__file").mode("overwrite").parquet(tmp.toString)
+    files.foreach { n =>
+      val part = new java.io.File(tmp.toString, s"__file=$n").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = staged.resolve(s"$n.parquet")
+      java.nio.file.Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(1000000000L + n * 1000000L)
+    }
+  }
+
   /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered.
     *
     * A streaming query pins its state-store partition count to the shuffle
@@ -80,32 +157,22 @@ object StreamQueries {
                                sinkName: String): DataFrame = {
     import s.implicits._
     val gapMs = 30L * 60 * 1000
+    val schema = eventsSchema(s, dir) // one footer read per gate (r18)
     val staged = java.nio.file.Files.createTempDirectory("graft-s02")
     // batch 0 = the raw events file, copied as-is (no Spark rewrite);
     // sentinels use fixed far-future timestamps (testdata is bounded
-    // to 2024), so no max(ts) pre-pass either
+    // to 2024), so no max(ts) pre-pass either; both sentinel files in
+    // ONE staging job (rows built as epoch-nanos longs, aligned to the
+    // stored ts type)
     val dest0 = staged.resolve("0.parquet")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"), dest0)
     dest0.toFile.setLastModified(1000000000L)
-    def sentinel(n: Int, epochSec: Long): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory(s"graft-s02-tmp$n")
-      // built as epoch-nanos long, then aligned to the stored ts type
-      alignTs(Seq((-n.toLong, epochSec * 1000000000L, -1L, "tick", 0.0, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
-        eventsSchema(s, dir)("ts").dataType)
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = new java.io.File(tmp.toString).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dest = staged.resolve(s"$n.parquet")
-      java.nio.file.Files.copy(part.toPath, dest)
-      // file order = modification time (oldest first)
-      dest.toFile.setLastModified(1000000000L + n * 1000000L)
-    }
-    sentinel(1, 2051222400L) // 2035-01-01
-    sentinel(2, 2051308800L) // 2035-01-02
+    stageSentinels(s, schema("ts").dataType, staged, Seq(
+      1 -> Seq((-1L, 2051222400L * 1000000000L, -1L, "tick", 0.0, "{}")), // 2035-01-01
+      2 -> Seq((-2L, 2051308800L * 1000000000L, -1L, "tick", 0.0, "{}")))) // 2035-01-02
     withShufflePartitions(s, 4) {
-      val stream = s.readStream.schema(eventsSchema(s, dir))
+      val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(staged.toString)
         .transform(graft.Tables.normalizeTs(_))
@@ -139,28 +206,17 @@ object StreamQueries {
     * protocol) was attributable only through PERF_NOTES prose.
     */
   def machineryFloor(s: SparkSession, dir: String): Unit = {
-    import s.implicits._
+    val schema = eventsSchema(s, dir)
     val staged = java.nio.file.Files.createTempDirectory("graft-floor")
     val dest0 = staged.resolve("0.parquet")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"), dest0)
     dest0.toFile.setLastModified(1000000000L)
-    def sentinel(n: Int, epochSec: Long): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory(s"graft-floor-tmp$n")
-      alignTs(Seq((-n.toLong, epochSec * 1000000000L, -1L, "tick", 0.0, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
-        eventsSchema(s, dir)("ts").dataType)
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = new java.io.File(tmp.toString).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dest = staged.resolve(s"$n.parquet")
-      java.nio.file.Files.copy(part.toPath, dest)
-      dest.toFile.setLastModified(1000000000L + n * 1000000L)
-    }
-    sentinel(1, 2051222400L)
-    sentinel(2, 2051308800L)
+    stageSentinels(s, schema("ts").dataType, staged, Seq(
+      1 -> Seq((-1L, 2051222400L * 1000000000L, -1L, "tick", 0.0, "{}")),
+      2 -> Seq((-2L, 2051308800L * 1000000000L, -1L, "tick", 0.0, "{}"))))
     withShufflePartitions(s, 4) {
-      val stream = s.readStream.schema(eventsSchema(s, dir))
+      val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(staged.toString)
         .transform(graft.Tables.normalizeTs(_))
@@ -384,18 +440,8 @@ object StreamQueries {
     // batch boundaries (addition commutes), which DuckDB recomputes.
     "s05_stream_upsert" -> ((s: SparkSession, dir: String) => {
       val staged = java.nio.file.Files.createTempDirectory("graft-s05")
-      def stage(n: Int, pred: org.apache.spark.sql.Column): Unit = {
-        val tmp = java.nio.file.Files.createTempDirectory(s"graft-s05-tmp$n")
-        s.read.parquet(s"$dir/events.parquet").filter(pred)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = new java.io.File(tmp.toString).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dest = staged.resolve(s"$n.parquet")
-        java.nio.file.Files.copy(part.toPath, dest)
-        dest.toFile.setLastModified(1000000000L + n * 1000000L)
-      }
-      stage(0, pmod(col("event_id"), lit(2)) === 0)
-      stage(1, pmod(col("event_id"), lit(2)) === 1)
+      stageSplit(staged, s.read.parquet(s"$dir/events.parquet"),
+        pmod(col("event_id"), lit(2)), Seq(0, 1))
       val wh = new SparkWarehouse(s,
         java.nio.file.Files.createTempDirectory("graft-s05-wh").toString)
       withShufflePartitions(s, 4) {
@@ -477,18 +523,8 @@ object StreamQueries {
     "s08_stream_running_totals" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val staged = java.nio.file.Files.createTempDirectory("graft-s08")
-      def stage(n: Int, pred: org.apache.spark.sql.Column): Unit = {
-        val tmp = java.nio.file.Files.createTempDirectory(s"graft-s08-tmp$n")
-        s.read.parquet(s"$dir/events.parquet").filter(pred)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = new java.io.File(tmp.toString).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dest = staged.resolve(s"$n.parquet")
-        java.nio.file.Files.copy(part.toPath, dest)
-        dest.toFile.setLastModified(1000000000L + n * 1000000L)
-      }
-      stage(0, pmod(col("event_id"), lit(2)) === 0)
-      stage(1, pmod(col("event_id"), lit(2)) === 1)
+      stageSplit(staged, s.read.parquet(s"$dir/events.parquet"),
+        pmod(col("event_id"), lit(2)), Seq(0, 1))
       withShufflePartitions(s, 4) {
         val stream = s.readStream.schema(eventsSchema(s, dir))
           .option("maxFilesPerTrigger", 1)
@@ -529,30 +565,21 @@ object StreamQueries {
     // matches + purchase-only + click-only, which the batch FULL JOIN
     // replays exactly.
     "s15_stream_full_outer" -> ((s: SparkSession, dir: String) => {
-      import s.implicits._
+      val schema = eventsSchema(s, dir)
       val staged = java.nio.file.Files.createTempDirectory("graft-s15")
       val dest0 = staged.resolve("0.parquet")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"), dest0)
       dest0.toFile.setLastModified(1000000000L)
-      def sentinel(n: Int, epochSec: Long): Unit = {
-        val tmp = java.nio.file.Files.createTempDirectory(s"graft-s15-tmp$n")
-        alignTs(Seq(
-            (-(2 * n).toLong, epochSec * 1000000000L, -1L, "purchase", 0.0, "{}"),
-            (-(2 * n + 1).toLong, epochSec * 1000000000L, -1L, "click", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
-          eventsSchema(s, dir)("ts").dataType)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = new java.io.File(tmp.toString).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dest = staged.resolve(s"$n.parquet")
-        java.nio.file.Files.copy(part.toPath, dest)
-        dest.toFile.setLastModified(1000000000L + n * 1000000L)
-      }
-      sentinel(1, 2051222400L) // 2035-01-01
-      sentinel(2, 2051481600L) // 2035-01-04
+      stageSentinels(s, schema("ts").dataType, staged, Seq(
+        1 -> Seq( // 2035-01-01
+          (-2L, 2051222400L * 1000000000L, -1L, "purchase", 0.0, "{}"),
+          (-3L, 2051222400L * 1000000000L, -1L, "click", 0.0, "{}")),
+        2 -> Seq( // 2035-01-04
+          (-4L, 2051481600L * 1000000000L, -1L, "purchase", 0.0, "{}"),
+          (-5L, 2051481600L * 1000000000L, -1L, "click", 0.0, "{}"))))
       withShufflePartitions(s, 4) {
-        def side(et: String) = s.readStream.schema(eventsSchema(s, dir))
+        def side(et: String) = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1)
           .parquet(staged.toString)
           .transform(graft.Tables.normalizeTs(_))
@@ -585,36 +612,27 @@ object StreamQueries {
     }),
 
     "s09_stream_left_join" -> ((s: SparkSession, dir: String) => {
-      import s.implicits._
+      val schema = eventsSchema(s, dir)
       val staged = java.nio.file.Files.createTempDirectory("graft-s09")
       val dest0 = staged.resolve("0.parquet")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"), dest0)
       dest0.toFile.setLastModified(1000000000L)
-      def sentinel(n: Int, epochSec: Long): Unit = {
-        val tmp = java.nio.file.Files.createTempDirectory(s"graft-s09-tmp$n")
-        // BOTH sides' ticks in one file: the stream-stream watermark is
-        // the MIN across sides, so each sentinel batch must advance the
-        // purchase AND click watermarks together
-        alignTs(Seq(
-            (-(2 * n).toLong, epochSec * 1000000000L, -1L, "purchase", 0.0, "{}"),
-            (-(2 * n + 1).toLong, epochSec * 1000000000L, -1L, "click", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
-          eventsSchema(s, dir)("ts").dataType)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = new java.io.File(tmp.toString).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dest = staged.resolve(s"$n.parquet")
-        java.nio.file.Files.copy(part.toPath, dest)
-        dest.toFile.setLastModified(1000000000L + n * 1000000L)
-      }
-      // two sentinel batches: the first advances both watermarks past
-      // every real event; the second makes the post-advance eviction
-      // batch run unconditionally (same epilogue discipline as s02)
-      sentinel(1, 2051222400L) // 2035-01-01
-      sentinel(2, 2051481600L) // 2035-01-04
+      // BOTH sides' ticks in one file: the stream-stream watermark is
+      // the MIN across sides, so each sentinel batch must advance the
+      // purchase AND click watermarks together. Two sentinel batches:
+      // the first advances both watermarks past every real event; the
+      // second makes the post-advance eviction batch run
+      // unconditionally (same epilogue discipline as s02).
+      stageSentinels(s, schema("ts").dataType, staged, Seq(
+        1 -> Seq( // 2035-01-01
+          (-2L, 2051222400L * 1000000000L, -1L, "purchase", 0.0, "{}"),
+          (-3L, 2051222400L * 1000000000L, -1L, "click", 0.0, "{}")),
+        2 -> Seq( // 2035-01-04
+          (-4L, 2051481600L * 1000000000L, -1L, "purchase", 0.0, "{}"),
+          (-5L, 2051481600L * 1000000000L, -1L, "click", 0.0, "{}"))))
       withShufflePartitions(s, 4) {
-        def side(et: String) = s.readStream.schema(eventsSchema(s, dir))
+        def side(et: String) = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1)
           .parquet(staged.toString)
           .transform(graft.Tables.normalizeTs(_))
@@ -659,22 +677,12 @@ object StreamQueries {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"), dest0)
       dest0.toFile.setLastModified(1000000000L)
-      def sentinel(n: Int, epochSec: Long): Unit = {
-        val tmp = java.nio.file.Files.createTempDirectory(s"graft-s10-tmp$n")
-        alignTs(Seq((-n.toLong, epochSec * 1000000000L, -1L, "tick", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
-          eventsSchema(s, dir)("ts").dataType)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = new java.io.File(tmp.toString).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dest = staged.resolve(s"$n.parquet")
-        java.nio.file.Files.copy(part.toPath, dest)
-        dest.toFile.setLastModified(1000000000L + n * 1000000L)
-      }
-      sentinel(1, 2051222400L) // 2035-01-01
-      sentinel(2, 2051308800L) // 2035-01-02
+      val schema = eventsSchema(s, dir)
+      stageSentinels(s, schema("ts").dataType, staged, Seq(
+        1 -> Seq((-1L, 2051222400L * 1000000000L, -1L, "tick", 0.0, "{}")), // 2035-01-01
+        2 -> Seq((-2L, 2051308800L * 1000000000L, -1L, "tick", 0.0, "{}")))) // 2035-01-02
       withShufflePartitions(s, 4) {
-        val stream = s.readStream.schema(eventsSchema(s, dir))
+        val stream = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1)
           .parquet(staged.toString)
           .transform(graft.Tables.normalizeTs(_))
@@ -710,22 +718,12 @@ object StreamQueries {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"), dest0)
       dest0.toFile.setLastModified(1000000000L)
-      def sentinel(n: Int, epochSec: Long): Unit = {
-        val tmp = java.nio.file.Files.createTempDirectory(s"graft-s11-tmp$n")
-        alignTs(Seq((-n.toLong, epochSec * 1000000000L, -1L, "tick", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
-          eventsSchema(s, dir)("ts").dataType)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = new java.io.File(tmp.toString).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dest = staged.resolve(s"$n.parquet")
-        java.nio.file.Files.copy(part.toPath, dest)
-        dest.toFile.setLastModified(1000000000L + n * 1000000L)
-      }
-      sentinel(1, 2051222400L) // 2035-01-01
-      sentinel(2, 2051308800L) // 2035-01-02
+      val schema = eventsSchema(s, dir)
+      stageSentinels(s, schema("ts").dataType, staged, Seq(
+        1 -> Seq((-1L, 2051222400L * 1000000000L, -1L, "tick", 0.0, "{}")), // 2035-01-01
+        2 -> Seq((-2L, 2051308800L * 1000000000L, -1L, "tick", 0.0, "{}")))) // 2035-01-02
       withShufflePartitions(s, 4) {
-        val stream = s.readStream.schema(eventsSchema(s, dir))
+        val stream = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1)
           .parquet(staged.toString)
           .transform(graft.Tables.normalizeTs(_))
@@ -808,25 +806,18 @@ object StreamQueries {
         java.nio.file.Paths.get(s"$dir/events.parquet"), dest0)
       dest0.toFile.setLastModified(1000000000L)
       val tsType = eventsSchema(s, dir)("ts").dataType
-      def stageDf(n: Int, df: DataFrame): Unit = {
-        val tmp = java.nio.file.Files.createTempDirectory(s"graft-s14-tmp$n")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = new java.io.File(tmp.toString).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dest = staged.resolve(s"$n.parquet")
-        java.nio.file.Files.copy(part.toPath, dest)
-        dest.toFile.setLastModified(1000000000L + n * 1000000L)
-      }
       def tick(id: Long, epochSec: Long) = alignTs(
         Seq((id, epochSec * 1000000000L, -1L, "tick", 0.0, "{}"))
           .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
         tsType)
-      stageDf(1, tick(-1L, 2051222400L)) // 2035-01-01: closes every window
-      // late copies: the first 200 real events again, new ids, same ts
-      stageDf(2, s.read.parquet(s"$dir/events.parquet")
-        .filter(col("event_id") < 200)
-        .withColumn("event_id", col("event_id") + 1000000000L)
-        .unionByName(tick(-2L, 2051308800L))) // + tick: eviction batch
+      stageFrames(staged, Seq(
+        1 -> tick(-1L, 2051222400L), // 2035-01-01: closes every window
+        // late copies: the first 200 real events again, new ids, same
+        // ts, plus a final tick so the post-drop eviction batch runs
+        2 -> s.read.parquet(s"$dir/events.parquet")
+          .filter(col("event_id") < 200)
+          .withColumn("event_id", col("event_id") + 1000000000L)
+          .unionByName(tick(-2L, 2051308800L))))
       withShufflePartitions(s, 4) {
         val stream = s.readStream.schema(eventsSchema(s, dir))
           .option("maxFilesPerTrigger", 1)
@@ -885,15 +876,7 @@ object StreamQueries {
           .select(lit(700005L).as("doc_id"), col("text")))
         .union(fresh.filter(col("doc_id") >= 600008L))
       val staged = java.nio.file.Files.createTempDirectory("graft-s12")
-      Seq(batch0, batch1, batch2).zipWithIndex.foreach { case (b, n) =>
-        val tmp = java.nio.file.Files.createTempDirectory(s"graft-s12-tmp$n")
-        b.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = new java.io.File(tmp.toString).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dest = staged.resolve(s"$n.parquet")
-        java.nio.file.Files.copy(part.toPath, dest)
-        dest.toFile.setLastModified(1000000000L + n * 1000000L)
-      }
+      stageFrames(staged, Seq(0 -> batch0, 1 -> batch1, 2 -> batch2))
       val wh = new SparkWarehouse(s,
         java.nio.file.Files.createTempDirectory("graft-s12-wh").toString)
       withShufflePartitions(s, 4) {

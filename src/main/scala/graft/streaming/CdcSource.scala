@@ -115,6 +115,20 @@ class GraftCdcSource(wh: SparkWarehouse, table: String,
   private val initialGen: Long =
     startingGeneration.getOrElse(wh.currentGeneration(table).getOrElse(0L))
 
+  // The checkpointed cursor, once observed (r18, advisor finding): on a
+  // restart WITHOUT `startingGeneration`, `initialGen` is recomputed as
+  // the table's CURRENT generation, so gating new-data detection on it
+  // alone would withhold every span committed while the stream was down
+  // (AvailableNow would terminate without draining them). The engine
+  // hands us the committed cursor — as `start` of `latestOffset` on
+  // every trigger and as `start`/`end` of a replayed `getBatch` — and
+  // whichever is NEWEST is the true floor; `initialGen` applies only to
+  // a genuinely fresh stream that has produced no offset yet.
+  @volatile private var committedFloor: Option[Long] = None
+
+  private def observeFloor(g: Long): Unit =
+    if (!committedFloor.exists(_ >= g)) committedFloor = Some(g)
+
   // Trigger.AvailableNow: the generation fence taken at prepare time —
   // the stream drains up to it and terminates, ignoring later commits
   @volatile private var availableNowCap: Option[Long] = None
@@ -137,9 +151,10 @@ class GraftCdcSource(wh: SparkWarehouse, table: String,
     */
   override def getOffset
       : Option[org.apache.spark.sql.execution.streaming.Offset] = {
+    val floor = committedFloor.getOrElse(initialGen)
     val cur = wh.currentGeneration(table)
     availableNowCap.fold(cur)(cap => cur.map(math.min(_, cap)))
-      .filter(_ > initialGen).map(LongOffset.apply)
+      .filter(_ > floor).map(LongOffset.apply)
   }
 
   // SupportsAdmissionControl (via SupportsTriggerAvailableNow): this
@@ -151,8 +166,18 @@ class GraftCdcSource(wh: SparkWarehouse, table: String,
   override def latestOffset(
       start: org.apache.spark.sql.connector.read.streaming.Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
-      : org.apache.spark.sql.connector.read.streaming.Offset =
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    // `start` is the engine's recovered cursor: on restart it reflects
+    // the checkpoint, which must win over the recomputed initialGen
+    start match {
+      case null => ()
+      case l: LongOffset => observeFloor(l.offset)
+      case s: SerializedOffset => observeFloor(LongOffset(s).offset)
+      case other =>
+        try observeFloor(other.json.toLong) catch { case _: Exception => () }
+    }
     getOffset.orNull
+  }
 
   override def reportLatestOffset()
       : org.apache.spark.sql.connector.read.streaming.Offset =
@@ -163,6 +188,8 @@ class GraftCdcSource(wh: SparkWarehouse, table: String,
       end: org.apache.spark.sql.execution.streaming.Offset): DataFrame = {
     val fromGen = start.map(genOf).getOrElse(initialGen)
     val toGen = genOf(end)
+    // a replayed batch after restart also reveals the true cursor
+    observeFloor(toGen)
     val raw =
       if (keys.isEmpty) wh.changesBetween(table, fromGen, toGen)
       else wh.changesBetweenKeyed(table, fromGen, toGen, keys)

@@ -264,7 +264,12 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
         if (schema.nonEmpty) schema
         else if (exists && replace) meta(name).map(_.schema).getOrElse(Nil)
         else Nil
-      if (exists) checkedDelete(tablePath(name))
+      if (exists) {
+        checkedDelete(tablePath(name))
+        // the history dir went with the table: a recreate can reuse
+        // generation NUMBERS, so cached slots must not survive
+        invalidateHistCaches(name)
+      }
       if (effectiveSchema.nonEmpty) {
         val empty = spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -290,6 +295,7 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
         if (notFoundOk) Right(()) else Left(TableNotFound(name))
       } else {
         checkedDelete(tablePath(name))
+        invalidateHistCaches(name)
         spark.catalog.dropTempView(name)
         Right(())
       }
@@ -897,7 +903,8 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     val memoKey = s"$fp@$budget"
     val memoHit = bloomCache.synchronized { bloomKindMemo.get(memoKey) }
     val (included, bytes) = memoHit.getOrElse {
-      val perKind = spark.read.parquet(bloomPath(name).toString)
+      val perKind = spark.read.schema(bloomSidecarSchema)
+        .parquet(bloomPath(name).toString)
         .groupBy(kindCol.as("kind"))
         .agg(sum(length(col("bloom"))).as("b"))
         .collect()
@@ -942,7 +949,8 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
       }
       (inc, incBytes)
     }
-    val rows = spark.read.parquet(bloomPath(name).toString)
+    val rows = spark.read.schema(bloomSidecarSchema)
+      .parquet(bloomPath(name).toString)
       .select("rel", "column", "bloom")
       .filter(kindCol.isin(included: _*))
       .collect()
@@ -1012,7 +1020,8 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
       bloomPairsRefusedFps.synchronized {
         if (bloomPairsRefusedFps.contains(s"$fp@$budget")) return Map.empty
       }
-      val rows = spark.read.parquet(bloomPath(name).toString)
+      val rows = spark.read.schema(bloomSidecarSchema)
+        .parquet(bloomPath(name).toString)
         .select("rel", "column")
       val est = rows.count()
       if (est > budget) {
@@ -1050,16 +1059,17 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
   /** The stats sidecar normalized to the CURRENT schema: sidecars
     * written before the per-file-sum column default `vsum` to null
     * (metadata SUM just falls back to a scan for them until the next
-    * full analyze).
+    * full analyze — parquet fills columns absent from the file with
+    * nulls when the read declares them). The schema is DECLARED (r18):
+    * sidecar layouts are fixed by this class's own writers, and the
+    * footer-inference job Spark otherwise schedules per read was pure
+    * scheduling overhead on every cache load and incremental analyze.
     */
-  private def readStatsSidecar(name: String): DataFrame = {
-    val raw = spark.read.parquet(statsPath(name).toString)
-    val withSum =
-      if (raw.columns.contains("vsum")) raw
-      else raw.withColumn("vsum", lit(null).cast("string"))
-    withSum.select("rel", "rows", "column", "dtype", "nulls",
-      "vmin", "vmax", "vsum")
-  }
+  private def readStatsSidecar(name: String): DataFrame =
+    spark.read.schema(statsSidecarSchema)
+      .parquet(statsPath(name).toString)
+      .select("rel", "rows", "column", "dtype", "nulls",
+        "vmin", "vmax", "vsum")
 
   private def cachedStats(name: String)
       : Map[String, Map[String, Skipping.ColStats]] = {
@@ -1304,6 +1314,13 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
       val old = map.remove(name)
       if (old != null) total -= old._2
     }
+    def removeIf(pred: String => Boolean): Unit = map.synchronized {
+      val it = map.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (pred(e.getKey)) { total -= e.getValue._2; it.remove() }
+      }
+    }
     def resident: (Int, Long) = map.synchronized { (map.size(), total) }
   }
 
@@ -1332,6 +1349,54 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     * the driver-memory residency the file budget bounds.
     */
   def manifestCacheResident: (Int, Long) = manifestCache.resident
+
+  // Retained-HISTORY slot caches (r18, judge #6): CDC span walks
+  // ([[cdcEntrySets]] / [[genRowPreserving]]), as-of reads and
+  // [[retainedSlots]] used to re-open O(span) slot files per call — a
+  // deep-backfill `getBatch` over thousands of generations paid
+  // thousands of driver-side fs opens per trigger. A retained slot that
+  // PARSED as its generation's manifest is immutable by construction
+  // (the putIfAbsent slot commit is the only writer; burnt numbers
+  // never fill later), so both the parsed entries and the header
+  // metadata cache safely per (table, generation). Invalidated when
+  // slots are pruned ([[pruneManifestHistory]], [[vacuumRetired]]) and
+  // when a table is dropped/replaced (generation numbers can restart).
+  private val histManifestCache = new LruFileBudgetCache[
+    (String, IndexedSeq[ManifestEntry])](
+    () => spark.conf.getOption("spark.graft.manifest.histCacheMaxFiles")
+      .map(_.toLong).getOrElse(1000000L),
+    _._2.size.toLong.max(1L))
+
+  // (rowPreserving, commit epoch) per retained generation — a few
+  // dozen bytes per entry, bounded by count
+  private val histMetaCache =
+    new java.util.LinkedHashMap[(String, Long), (Boolean, Option[Long])](
+      16, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), (Boolean, Option[Long])])
+          : Boolean = size() > 16384
+    }
+
+  private def histKey(name: String, gen: Long): String = name + "\u0000" + gen
+
+  /** Count of PHYSICAL history-slot opens (test hook: the r18 spec pins
+    * that a repeated CDC span walk opens zero slot files).
+    */
+  private[graft] val histSlotReads = new java.util.concurrent.atomic.AtomicLong
+
+  private def invalidateHistCaches(name: String, gen: Long): Unit = {
+    histManifestCache.remove(histKey(name, gen))
+    histMetaCache.synchronized { histMetaCache.remove((name, gen)); () }
+  }
+
+  private def invalidateHistCaches(name: String): Unit = {
+    val prefix = name + "\u0000"
+    histManifestCache.removeIf(_.startsWith(prefix))
+    histMetaCache.synchronized {
+      val it = histMetaCache.keySet().iterator()
+      while (it.hasNext) { if (it.next()._1 == name) it.remove() }
+    }
+  }
 
   // v3 header: "graft-manifest v3 <gen> <nonce> <n> <flags> <epochMs>".
   // The GENERATION is a monotonically increasing commit counter
@@ -1922,7 +1987,16 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
       if (rolledForward && republish &&
         readManifestGen(name, force = true).isDefined)
         rebuildManifest(name)
-    } catch { case _: Exception => () }
+    } catch {
+      // republish=true callers (append publish, rewrite entry, vacuum)
+      // treat a completed reconcile as a correctness PRECONDITION —
+      // proceeding against a possibly-stale pre-rewrite generation
+      // would durably re-commit retired rows (r18, advisor finding).
+      // Their verb wrappers surface this as a retryable Left. The
+      // listing walk (republish=false) keeps the best-effort contract:
+      // the walk itself serves a consistent tombstone-subtracted view.
+      case e: Exception => if (republish) throw e
+    }
 
   /** Bound the tombstone EVENT count: one event lands per mutation, so
     * a long-running stream between vacuums re-creates the
@@ -2126,8 +2200,10 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
           fs.listStatus(manifestHistDir(name)).map(_.getPath)
             .filter(p => p.getName.forall(_.isDigit) &&
               p.getName.toLong <= maxFromGen)
-            .foreach(p =>
-              try fs.delete(p, false) catch { case _: Exception => () })
+            .foreach { p =>
+              try fs.delete(p, false) catch { case _: Exception => () }
+              invalidateHistCaches(name, p.getName.toLong)
+            }
         // drop partition directories emptied by the reclaim (depth-
         // first; data roots and sidecar dirs are never touched)
         def pruneEmptyDirs(p: Path): Boolean = {
@@ -2226,6 +2302,8 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
       }
       doomed.foreach { st =>
         try fs.delete(st.getPath, false) catch { case _: Exception => () }
+        if (st.getPath.getName.forall(_.isDigit))
+          invalidateHistCaches(name, st.getPath.getName.toLong)
       }
     } catch { case _: Exception => () }
 
@@ -2317,8 +2395,11 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
   private def readRetainedManifest(name: String, gen: Long)
       : Option[(String, IndexedSeq[ManifestEntry])] =
     try {
+      val hit = histManifestCache.get(histKey(name, gen))
+      if (hit != null) return Some(hit)
       val p = new Path(manifestHistDir(name), histFileName(gen))
       if (!fs.exists(p)) return None
+      histSlotReads.incrementAndGet()
       val in = new java.io.BufferedReader(new java.io.InputStreamReader(
         fs.open(p), StandardCharsets.UTF_8))
       try {
@@ -2340,7 +2421,20 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
           read += 1
           line = in.readLine()
         }
-        if (read != n) None else Some((header, out.result()))
+        if (read != n) None
+        else {
+          val v = (header, out.result())
+          // a retained slot that parsed as its generation's manifest is
+          // immutable (the slot putIfAbsent is its only writer) — cache
+          // both the entries and the header meta for the span walks
+          histManifestCache.put(histKey(name, gen), v)
+          parseManifestHeaderMeta(header).foreach { m =>
+            histMetaCache.synchronized {
+              histMetaCache.put((name, gen), (m._3, m._4)); ()
+            }
+          }
+          Some(v)
+        }
       } finally in.close()
     } catch { case _: Exception => None }
 
@@ -2362,13 +2456,10 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
         val n = st.getPath.getName
         if (!(n.nonEmpty && n.forall(_.isDigit) && st.getLen > 0)) None
         else try {
-          val in = new java.io.BufferedReader(
-            new java.io.InputStreamReader(
-              fs.open(st.getPath), StandardCharsets.UTF_8))
-          val meta = try parseManifestHeaderMeta(in.readLine())
-            finally in.close()
-          meta.filter(_._1 == n.toLong).map(m =>
-            (n.toLong, m._4.getOrElse(st.getModificationTime)))
+          // header meta via the hist cache (r18): one listing per call,
+          // zero slot opens for generations already probed this session
+          histMeta(name, n.toLong)
+            .map(m => (n.toLong, m._2.getOrElse(st.getModificationTime)))
         } catch { case _: Exception => None }
       }
       .sortBy(_._1)
@@ -2522,18 +2613,36 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
   private def genRowPreserving(name: String, g: Long): Boolean =
     try {
       readManifestGen(name).filter(_.gen == g)
-        .flatMap(m => parseManifestHeaderMeta(m.header))
-        .orElse {
-          val p = new Path(manifestHistDir(name), histFileName(g))
-          if (!fs.exists(p)) None
-          else {
-            val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-              fs.open(p), StandardCharsets.UTF_8))
-            try parseManifestHeaderMeta(in.readLine()).filter(_._1 == g)
-            finally in.close()
-          }
-        }.exists(_._3)
+        .flatMap(m => parseManifestHeaderMeta(m.header)).map(_._3)
+        .orElse(histMeta(name, g).map(_._1))
+        .getOrElse(false)
     } catch { case _: Exception => false }
+
+  /** (rowPreserving, commit epoch) of a retained generation's header —
+    * served from [[histMetaCache]] (retained slots are immutable);
+    * a miss costs ONE 1-line slot read and caches the answer, so a CDC
+    * span walk repeated over the same generations opens zero slot
+    * files (r18, judge #6 — pinned by the histSlotReads counter spec).
+    */
+  private def histMeta(name: String, g: Long)
+      : Option[(Boolean, Option[Long])] = {
+    val hit = histMetaCache.synchronized {
+      histMetaCache.get((name, g))
+    }
+    if (hit != null) return Some(hit)
+    val p = new Path(manifestHistDir(name), histFileName(g))
+    if (!fs.exists(p)) return None
+    histSlotReads.incrementAndGet()
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(p), StandardCharsets.UTF_8))
+    val meta0 = try parseManifestHeaderMeta(in.readLine()).filter(_._1 == g)
+      finally in.close()
+    meta0.map { m =>
+      val v = (m._3, m._4)
+      histMetaCache.synchronized { histMetaCache.put((name, g), v); () }
+      v
+    }
+  }
 
   /** The (added files, removed files) a CDC span must scan, with
     * row-preserving transitions CANCELLED OUT (r17, judge #1 — Delta's
@@ -2788,28 +2897,10 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
     rels.toDF("rel")
   }
 
-  /** Mark analyzed files that produced NO sidecar rows (empty part
-    * files; for blooms, files all-null in every tracked column) with a
-    * sentinel row under the empty column name, so the incremental pass
-    * never rescans them. Lookups key on real attribute names, miss the
-    * sentinel, and read the file — sound, and trivially cheap for the
-    * empty files this covers. Missing rels are found with a
-    * distributed LEFT ANTI join (never a collect of the covered set);
-    * `mk` turns the missing-rel frame into sentinel rows.
-    */
-  private def appendSentinels(dir: Path, expected: Seq[String],
-                              mk: DataFrame => DataFrame): Unit = {
-    val covered = spark.read.parquet(dir.toString).select("rel")
-    val missing = relsDf(expected)
-      .join(covered, Seq("rel"), "left_anti").cache()
-    try {
-      if (!missing.isEmpty)
-        mk(missing).write.mode(SaveMode.Append).parquet(dir.toString)
-    } finally missing.unpersist()
-  }
-
   // sentinel rows for a frame of uncovered rels (plan-only transform —
-  // composes with the anti-join in [[appendSentinels]])
+  // composes with the in-write anti-join in [[analyzeStats]]; the
+  // standalone post-write appendSentinels read-back was folded into the
+  // analyze writes in r18)
   private def statsSentinels(missing: DataFrame): DataFrame =
     missing.select(col("rel"), lit(0L).as("rows"), lit("").as("column"),
       lit("none").as("dtype"), lit(0L).as("nulls"),
@@ -2824,6 +2915,24 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
       org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("bloom",
       org.apache.spark.sql.types.BinaryType)))
+
+  private val statsSidecarSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("rel",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("rows",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("column",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("dtype",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("nulls",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("vmin",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("vmax",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("vsum",
+      org.apache.spark.sql.types.StringType)))
 
   /** One distributed zone-map stats pass over `raw` (any subset of the
     * table's files read with the table's root as basePath), grouped by
@@ -2917,10 +3026,26 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
           statsRowsOf(name, raw) match {
             case None => Right(0L)
             case Some(rows) =>
-              rows.write.mode(SaveMode.Overwrite)
-                .parquet(statsPath(name).toString)
+              // sentinels for analyzed-but-empty files are folded INTO
+              // the same write (r18): the stats frame is tiny
+              // (files × cols), so caching it and anti-joining the live
+              // list in-plan replaces the previous write → sidecar
+              // read-back → anti-join → append sequence (3 scheduled
+              // jobs per analyze) with ONE write job
               val live = liveDataFiles(name)
-              appendSentinels(statsPath(name), live.map(_._1), statsSentinels)
+              // coalesce(1) BEFORE the persist: a cached plan does not
+              // AQE-coalesce its shuffle output, so the sidecar write
+              // would otherwise fan out one near-empty task (and part
+              // file) per shuffle partition; the stats frame is
+              // files × cols rows — one partition is its natural shape
+              val cached = rows.coalesce(1).persist()
+              try {
+                val sentinels = statsSentinels(relsDf(live.map(_._1))
+                  .join(cached.select("rel"), Seq("rel"), "left_anti"))
+                cached.unionByName(sentinels)
+                  .write.mode(SaveMode.Overwrite)
+                  .parquet(statsPath(name).toString)
+              } finally { cached.unpersist(); () }
               Right(live.size.toLong)
           }
         } else {
@@ -2982,10 +3107,16 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
                   swapSidecar(statsPath(name), dropDead(oldRows))
                 Right(0L)
               case Some(newRows) =>
-                swapSidecar(statsPath(name),
-                  dropDead(oldRows).unionByName(newRows))
-                appendSentinels(statsPath(name), fresh.map(_._1),
-                  statsSentinels)
+                // sentinels folded into the swap write (r18) — see the
+                // cold branch above
+                val cached = newRows.coalesce(1).persist()
+                try {
+                  val sentinels = statsSentinels(relsDf(fresh.map(_._1))
+                    .join(cached.select("rel"), Seq("rel"), "left_anti"))
+                  swapSidecar(statsPath(name),
+                    dropDead(oldRows).unionByName(cached)
+                      .unionByName(sentinels))
+                } finally { cached.unpersist(); () }
                 Right(fresh.size.toLong)
             }
           }
@@ -3128,7 +3259,7 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
         // lazy: constructing the reader costs a schema-inference job —
         // the warm set-math path must never touch it (carrying the
         // frame in the tuple would force it; a boolean flag does not)
-        lazy val oldRows = spark.read
+        lazy val oldRows = spark.read.schema(bloomSidecarSchema)
           .parquet(bloomPath(name).toString)
           .select("rel", "column", "bloom")
         val (fresh, haveOld, hasDead) =
@@ -3170,13 +3301,26 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
         } else {
           val items = (if (expectedItemsPerFile > 0) expectedItemsPerFile
             else {
-              val fromStats =
+              // max rows-per-file from the decoded stats cache when the
+              // sidecar admits it (r18): the same structure every warm
+              // pruned scan consults — so this both skips the max-agg
+              // job here and pre-warms the cache the gate's later scans
+              // hit; an over-budget or absent sidecar falls back to the
+              // declared-schema aggregate / one count pass as before
+              val fromStats: Option[Long] =
                 if (!fs.exists(statsPath(name))) None
-                else spark.read.parquet(statsPath(name).toString)
-                  .agg(max("rows")).head.get(0) match {
-                    case n: Long => Some(n)
-                    case _ => None
-                  }
+                else {
+                  val cached = cachedStats(name)
+                  if (cached.nonEmpty)
+                    Some(cached.valuesIterator
+                      .flatMap(_.valuesIterator.map(_.rows))
+                      .foldLeft(0L)(math.max))
+                  else readStatsSidecar(name)
+                    .agg(max("rows")).head.get(0) match {
+                      case n: Long => Some(n)
+                      case _ => None
+                    }
+                }
               fromStats.getOrElse {
                 full.select(relPathCol(name).as("__rel"))
                   .groupBy("__rel").count()
@@ -3370,19 +3514,28 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
           // so the next incremental pass never rescans it; lookups
           // ignore null filters (absent filter → always read: sound).
           // Missing pairs via a distributed pair LEFT ANTI over a
-          // projection-only read (parquet never touches the binary
-          // column) — nothing pair-shaped is ever collected.
-          val producedPairs = spark.read.parquet(bloomPath(name).toString)
+          // declared-schema projection-only read (parquet never touches
+          // the binary column, and no footer-inference job is
+          // scheduled). Only the MISSING pairs are collected — bounded
+          // by fresh × reqCols, i.e. by a list the driver already holds
+          // as scan paths — and the rare sentinel append writes from a
+          // local relation instead of re-running the anti-join.
+          val producedPairs = spark.read.schema(bloomSidecarSchema)
+            .parquet(bloomPath(name).toString)
             .select("rel", "column")
           val missingPairs = freshDf.crossJoin(colsDf)
-            .join(producedPairs, Seq("rel", "column"), "left_anti").cache()
-          try {
-            if (!missingPairs.isEmpty)
-              missingPairs.select(col("rel"), col("column"),
+            .join(producedPairs, Seq("rel", "column"), "left_anti")
+            .collect()
+          if (missingPairs.nonEmpty) {
+            val sps = spark
+            import sps.implicits._
+            missingPairs.iterator.map(r => (r.getString(0), r.getString(1)))
+              .toSeq.toDF("rel", "column")
+              .select(col("rel"), col("column"),
                 lit(null).cast("binary").as("bloom"))
-                .write.mode(SaveMode.Append)
-                .parquet(bloomPath(name).toString)
-          } finally missingPairs.unpersist()
+              .write.mode(SaveMode.Append)
+              .parquet(bloomPath(name).toString)
+          }
           Right(fresh.size.toLong)
         }
       }
@@ -3457,12 +3610,13 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
   // current shape with a null lgk, which no caller precision can match
   // — those rows are rebuilt by the next analyze and never served at a
   // precision they might not have (sound, a one-time cost)
-  private def readHllSidecar(name: String): DataFrame = {
-    val raw = spark.read.parquet(hllPath(name).toString)
-    (if (raw.columns.contains("lgk")) raw
-     else raw.withColumn("lgk", lit(null).cast("int")))
+  private def readHllSidecar(name: String): DataFrame =
+    // declared schema (r18): no footer-inference job, and a legacy file
+    // without `lgk` reads it as null (parquet fills declared-but-absent
+    // columns with nulls), which is exactly the pre-r18 normalization
+    spark.read.schema(hllSidecarSchema)
+      .parquet(hllPath(name).toString)
       .select("rel", "column", "hll", "lgk")
-  }
 
   /** Build per-file HLL sketches (DataSketches, the library behind
     * Spark's own `hll_sketch_agg`) for `cols` into the `_graft_hll/`
@@ -3580,20 +3734,28 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
           // per-(file, column) sentinels for pairs that produced no
           // row (file's schema generation predates the column): NULL
           // sketch = analyzed at this lgK, nothing to count. Missing
-          // pairs via a distributed pair LEFT ANTI (projection-only
-          // read; the binary column is never touched).
-          val producedPairs = spark.read.parquet(hllPath(name).toString)
+          // pairs via a distributed pair LEFT ANTI over a
+          // declared-schema projection-only read; only the missing
+          // pairs (bounded by fresh × cols) are collected, and the
+          // rare sentinel append writes from a local relation (r18 —
+          // same shape as [[analyzeBloom]]).
+          val producedPairs = spark.read.schema(hllSidecarSchema)
+            .parquet(hllPath(name).toString)
             .select("rel", "column")
           val missingPairs = freshDf.crossJoin(colsDf)
-            .join(producedPairs, Seq("rel", "column"), "left_anti").cache()
-          try {
-            if (!missingPairs.isEmpty)
-              missingPairs.select(col("rel"), col("column"),
+            .join(producedPairs, Seq("rel", "column"), "left_anti")
+            .collect()
+          if (missingPairs.nonEmpty) {
+            val sps = spark
+            import sps.implicits._
+            missingPairs.iterator.map(r => (r.getString(0), r.getString(1)))
+              .toSeq.toDF("rel", "column")
+              .select(col("rel"), col("column"),
                 lit(null).cast("binary").as("hll"),
                 lit(lgK).as("lgk"))
-                .write.mode(SaveMode.Append)
-                .parquet(hllPath(name).toString)
-          } finally missingPairs.unpersist()
+              .write.mode(SaveMode.Append)
+              .parquet(hllPath(name).toString)
+          }
           Right(fresh.size.toLong)
         }
       }
@@ -4347,12 +4509,15 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
       // O(table) walk). The no-manifest branch (legacy/corrupt table)
       // derives the inventory from the tombstone-aware listing, which
       // already includes this call's moved files.
+      // a crashed rewrite's durable redo record means the manifest may
+      // still serve the PRE-rewrite generation: reconcile first, or
+      // this append's rebase would durably re-commit the retired rows
+      // into a newer generation (advisor r17 #3). OUTSIDE the
+      // dropManifest fallback below (r18, advisor finding): a reconcile
+      // failure must fail the verb loudly, not degrade to a listing
+      // that may still roll the crashed rewrite forward lazily.
+      reconcilePendingEvents(name, republish = true)
       try {
-        // a crashed rewrite's durable redo record means the manifest
-        // may still serve the PRE-rewrite generation: reconcile first,
-        // or this append's rebase would durably re-commit the retired
-        // rows into a newer generation (advisor r17 #3)
-        reconcilePendingEvents(name, republish = true)
         val addedRels = added.map(_.rel).toSet
         var attempts = 0
         var done = false

@@ -14,6 +14,25 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Per-partition map at the INTERNAL-row level (r18, guide §1.4):
+    * `Dataset.rdd` deserializes every row to external objects (and
+    * `createDataFrame` re-serializes them back), which for per-row
+    * bookkeeping passes like chunk assignment doubles the cost of the
+    * whole pass. `f` receives the partition index and the physical
+    * plan's `InternalRow` iterator (rows may be REUSED buffers — copy
+    * or project before buffering) and must emit rows matching
+    * `outSchema`. The result plans as a `LogicalRDD` scan, exactly like
+    * `internalCreateDataFrame`'s other callers inside Spark.
+    */
+  def mapPartitionsInternal(df: DataFrame,
+                            outSchema: org.apache.spark.sql.types.StructType)(
+      f: (Int, Iterator[catalyst.InternalRow]) =>
+        Iterator[catalyst.InternalRow]): DataFrame = {
+    val sp = df.sparkSession.asInstanceOf[classic.SparkSession]
+    sp.internalCreateDataFrame(
+      df.queryExecution.toRdd.mapPartitionsWithIndex(f), outSchema)
+  }
+
   /** Release the RDD blocks behind a `localCheckpoint()`ed DataFrame.
     *
     * `Dataset.unpersist` only clears CacheManager entries; a local

@@ -238,10 +238,25 @@ object GraftVerifyingParquetFileFormat {
   // keyed by the PASSED conf's content fingerprint — one broadcast
   // per distinct configuration, reused across every scan that shares
   // it — and entries of stopped contexts are evicted on access.
-  private val confCache = new java.util.concurrent.ConcurrentHashMap[
+  // Bounded LRU (r18, advisor finding): every distinct conf CONTENT —
+  // e.g. per-session object-store credentials, the motivating case —
+  // previously leaked a driver+executor broadcast for the context's
+  // lifetime; evicted entries now destroy their broadcast.
+  private val confCacheMaxEntries = 64
+  private val confCache = new java.util.LinkedHashMap[
     (org.apache.spark.SparkContext, Long),
     org.apache.spark.broadcast.Broadcast[
-      org.apache.spark.util.SerializableConfiguration]]()
+      org.apache.spark.util.SerializableConfiguration]](
+    16, 0.75f, /* accessOrder = */ true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(org.apache.spark.SparkContext, Long),
+          org.apache.spark.broadcast.Broadcast[
+            org.apache.spark.util.SerializableConfiguration]]): Boolean =
+      if (size() > confCacheMaxEntries) {
+        try e.getValue.destroy() catch { case _: Exception => () }
+        true
+      } else false
+  }
 
   private def confFingerprint(
       conf: org.apache.hadoop.conf.Configuration): Long = {
@@ -249,23 +264,37 @@ object GraftVerifyingParquetFileFormat {
     val it = conf.iterator()
     while (it.hasNext) {
       val e = it.next()
-      val x = (e.getKey + " " + e.getValue).hashCode.toLong
+      val x = (e.getKey + "\u0000" + e.getValue).hashCode.toLong
       h1 += x * 0x9e3779b97f4a7c15L
       h2 ^= java.lang.Long.rotateLeft(x, (x & 63).toInt)
     }
     h1 ^ java.lang.Long.rotateLeft(h2, 32)
   }
 
-  private[sql] def cachedConf(spark: SparkSession,
+  /** Test/ops hook: broadcasts resident in the conf cache. */
+  def confCacheResident: Int = confCache.synchronized { confCache.size() }
+
+  /** Public for the r18 LRU-bound spec (the broadcast cache is
+    * otherwise reached only through scan construction).
+    */
+  def cachedConf(spark: SparkSession,
                               hadoopConf: org.apache.hadoop.conf.Configuration)
       : org.apache.spark.broadcast.Broadcast[
         org.apache.spark.util.SerializableConfiguration] = {
     val sc = spark.sparkContext
-    val it = confCache.keySet().iterator()
-    while (it.hasNext) { if (it.next()._1.isStopped) it.remove() }
-    confCache.computeIfAbsent((sc, confFingerprint(hadoopConf)),
-      _ => sc.broadcast(
-        new org.apache.spark.util.SerializableConfiguration(hadoopConf)))
+    confCache.synchronized {
+      val it = confCache.keySet().iterator()
+      while (it.hasNext) { if (it.next()._1.isStopped) it.remove() }
+      val key = (sc, confFingerprint(hadoopConf))
+      val hit = confCache.get(key) // touches LRU order
+      if (hit != null) hit
+      else {
+        val b = sc.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(hadoopConf))
+        confCache.put(key, b)
+        b
+      }
+    }
   }
 
   // OPT-IN executor-side verification amortization
