@@ -276,10 +276,13 @@ final class JdbcWarehouse(val spark: SparkSession, val url: String)
         case Right(chunked) =>
           val parts = math.min(math.max(1L, chunked.chunks), 16384L).toInt
           try {
+            // closed-form chunk placement instead of a sampling range
+            // shuffle — same device as SparkWarehouse.load (r18)
+            val chunksTotal = math.max(1L, chunked.chunks)
             graft.sources.Sources.writeJdbc(
-              chunked.df.drop("_graft_size")
-                .repartitionByRange(parts, col("_chunk"))
-                .sortWithinPartitions("_chunk")
+              org.apache.spark.sql.GraftColumnBridge.repartitionByLongKey(
+                  chunked.df.drop("_graft_size"), "_chunk", parts,
+                  c => ((c * parts) / chunksTotal).toInt)
                 .drop("_chunk"),
               url, name, SaveMode.Append)
           } finally chunked.unpersist()

@@ -392,9 +392,20 @@ final class SparkWarehouse(val spark: SparkSession, val warehouseDir: String,
           val parts = math.min(math.max(1L, chunked.chunks), 16384L).toInt
           try {
             appendDataFiles(name) { tmp =>
-              chunked.df.drop("_graft_size")
-                .repartitionByRange(parts, col("_chunk"))
-                .sortWithinPartitions("_chunk")
+              // chunk → partition placement is known in CLOSED FORM
+              // (ids are dense 0..chunks-1; the order-preserving
+              // ⌊chunk·parts/chunks⌋ assigns each partition a
+              // contiguous chunk range), so the r18 bridge shuffle
+              // replaces repartitionByRange's whole SAMPLING pass of
+              // the chunked frame with a direct exchange — one fewer
+              // job per load, O(loaded bytes) less sampling I/O at
+              // scale. Within-file row order stays arbitrary, exactly
+              // as the range shuffle left it (ties under the _chunk
+              // sort kept nondeterministic fetch order).
+              val chunksTotal = math.max(1L, chunked.chunks)
+              org.apache.spark.sql.GraftColumnBridge.repartitionByLongKey(
+                  chunked.df.drop("_graft_size"), "_chunk", parts,
+                  c => ((c * parts) / chunksTotal).toInt)
                 .drop("_chunk")
                 .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
             }

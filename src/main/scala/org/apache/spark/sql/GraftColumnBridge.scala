@@ -33,6 +33,33 @@ object GraftColumnBridge {
       df.queryExecution.toRdd.mapPartitionsWithIndex(f), outSchema)
   }
 
+  /** Shuffle `df` into `numPartitions` partitions by an EXPLICIT
+    * partition function over one long column — for keys whose
+    * partition placement is already known exactly (r18: the chunk-id
+    * repartition in the warehouse load). `repartitionByRange` pays a
+    * whole sampling pass of its input just to discover range bounds
+    * the caller can compute in closed form; this runs ONE shuffle with
+    * the given mapping and no sampling job. Rows are copied into the
+    * shuffle (the iterator reuses buffers); output partition i holds
+    * exactly the rows with `partitionOf(key) == i`, in arbitrary
+    * within-partition order (same contract as a range repartition
+    * followed by no sort).
+    */
+  def repartitionByLongKey(df: DataFrame, keyCol: String,
+                           numPartitions: Int,
+                           partitionOf: Long => Int): DataFrame = {
+    val sp = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val schema = df.schema
+    val idx = schema.fieldIndex(keyCol)
+    val pairs = df.queryExecution.toRdd.mapPartitions { it =>
+      it.map(r => (r.getLong(idx), r.copy()))
+    }
+    val shuffled = new org.apache.spark.rdd.ShuffledRDD[
+      Long, catalyst.InternalRow, catalyst.InternalRow](
+      pairs, new GraftLongKeyPartitioner(numPartitions, partitionOf))
+    sp.internalCreateDataFrame(shuffled.map(_._2), schema)
+  }
+
   /** Release the RDD blocks behind a `localCheckpoint()`ed DataFrame.
     *
     * `Dataset.unpersist` only clears CacheManager entries; a local
@@ -68,4 +95,19 @@ object GraftColumnBridge {
     */
   def drainListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
+}
+
+/** Explicit long-key partitioner for [[GraftColumnBridge.repartitionByLongKey]]:
+  * the placement function is known in closed form, so no sampling pass.
+  */
+private[sql] class GraftLongKeyPartitioner(
+    override val numPartitions: Int,
+    partitionOf: Long => Int) extends org.apache.spark.Partitioner {
+  require(numPartitions >= 1, "numPartitions must be >= 1")
+  override def getPartition(key: Any): Int = {
+    val p = partitionOf(key.asInstanceOf[Long])
+    require(p >= 0 && p < numPartitions,
+      s"partitionOf returned $p outside [0, $numPartitions)")
+    p
+  }
 }
