@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Model-based quality filtering: a logistic-regression classifier
@@ -9,17 +9,25 @@ import org.apache.spark.sql.functions._
   * documents by P(high-quality), keep the high scorers) used since
   * GPT-3's LR-over-tfidf filter.
   *
-  * Scale design:
+  * Scale design (r19 shape — the MLlib treeAggregate pattern):
   *   - features come from [[Dsir.hashedFeatures]] — the model is at
   *     most `buckets` weights, so it BROADCASTS and both scoring and
-  *     the gradient's error join never shuffle the corpus;
-  *   - one gradient step = one broadcast join + one feature-keyed
-  *     aggregation (partial-aggregable); the corpus is read once per
-  *     step, no driver-side loops over rows;
+  *     the gradient pass never shuffle the corpus;
+  *   - one gradient step = ONE aggregation job over the cached
+  *     (doc, feat, tf, y) table: margins are a map-side broadcast join
+  *     plus a doc-keyed partial aggregation that reuses the table's
+  *     doc_id partitioning (no exchange), the error re-attach join is
+  *     partition-local for the same reason, and the only shuffle is the
+  *     final feature-keyed gradient aggregation — whose output is
+  *     bounded by `buckets`+1 rows and returns to the driver exactly
+  *     like a broadcast build (r18 shape: 5 exchanges + an
+  *     eager localCheckpoint + a persisted error table per step);
   *   - all state is integer micros: margins are exact long sums of
   *     tf×weight, per-doc sigmoid errors quantize to micros the moment
-  *     they leave double-land, so training is engine-exact and
-  *     partition-invariant (the same device as [[Dsir]] weights).
+  *     they leave double-land, and the weight update replays the SQL
+  *     `round(double)` HALF_UP semantics in BigDecimal — training is
+  *     engine-exact and partition-invariant (the same device as
+  *     [[Dsir]] weights).
   *
   * The model is `(feat, w_micros)` plus a bias in micros; a feature
   * absent from the table has weight 0.
@@ -27,7 +35,8 @@ import org.apache.spark.sql.functions._
 object QualityClassifier {
 
   /** Model container: feature weights in micros (≤ buckets rows, keep
-    * it broadcast-sized) and the bias in micros.
+    * it broadcast-sized — a plain LocalRelation since r19, nothing to
+    * checkpoint) and the bias in micros.
     */
   final case class Model(weights: DataFrame, biasMicros: Long)
 
@@ -50,75 +59,98 @@ object QualityClassifier {
       (lit(1.0) + exp(negate(marginMicros.cast("double")) / lit(1000000.0))),
       0).cast("long")
 
-  /** One full-batch gradient step at learning rate `lr`:
-    * `w ← w − lr/N · Σ_d tf_d,f · (σ(margin_d) − y_d)` with the error
-    * term quantized to micros per doc before the feature sum. `labels`
-    * is `(doc_id, y)` with y ∈ {0, 1}; `n` is the label count (hoisted
-    * — it never changes across steps). The per-doc error table is
-    * cached for the step: its two consumers (bias gradient, feature
-    * gradients) read ONE computation of the margins join instead of
-    * re-deriving it per action, and the returned weights are already
-    * checkpointed (flat lineage; release with [[release]]).
+  /** The sentinel feature id carrying the bias gradient through the
+    * per-step aggregation. Real feature ids are md5 buckets in
+    * [0, buckets), so -1 can never collide; it never enters the weight
+    * table, so its broadcast lookup is null → coalesce(0) and margins
+    * are unaffected by the sentinel rows.
     */
-  def gradientStep(features: DataFrame, labels: DataFrame, model: Model,
-                   lr: Double, n: Long): Model = {
-    require(n > 0L, "gradientStep: empty label set")
-    val errs = margins(features, model)
-      .join(labels, Seq("doc_id"))
-      .select(col("doc_id"),
-        (probMicros(col("margin_micros"))
-          - col("y").cast("long") * lit(1000000L)).as("err_micros"))
-      .persist()
-    try {
-      val biasG = errs.agg(sum(col("err_micros"))).head().getLong(0)
-      val grads = features
-        .join(errs, Seq("doc_id"))
-        .groupBy("feat")
-        .agg(sum(col("tf") * col("err_micros")).as("g_micros"))
-      val scale = lit(lr / n.toDouble)
-      val newW = grads
-        .join(model.weights, Seq("feat"), "full")
-        .select(col("feat"),
-          (coalesce(col("w_micros"), lit(0L))
-            - round(coalesce(col("g_micros"), lit(0L)).cast("double") * scale,
-                0).cast("long")).as("w_micros"))
-      // same rounding semantics as the SQL round (HALF_UP away from
-      // zero; Scala math.round rounds negative halves toward +inf)
-      val biasDelta = BigDecimal(biasG.toDouble * (lr / n.toDouble))
-        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
-      Model(newW.localCheckpoint(true), model.biasMicros - biasDelta)
-    } finally errs.unpersist()
+  private val BiasFeat = -1
+
+  /** SQL `round(x, 0).cast(long)` semantics on the driver: HALF_UP away
+    * from zero (Scala `math.round` rounds negative halves toward +inf,
+    * which would drift).
+    */
+  private def halfUpToLong(x: Double): Long =
+    BigDecimal(x).setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      .toLong
+
+  private def weightsDF(spark: SparkSession,
+                        w: scala.collection.Map[Int, Long]): DataFrame = {
+    import spark.implicits._
+    w.toSeq.toDF("feat", "w_micros")
   }
 
-  /** Train `steps` full-batch steps from the zero model. Each step's
-    * weight table is localCheckpoint-ed: the lineage stays flat however
-    * many steps run (weights are ≤ buckets rows — the checkpoint is
-    * tiny) and must be released with [[release]] when done.
+  /** Train `steps` full-batch steps from the zero model.
+    *
+    * Each step runs as ONE Spark job: broadcast the current weights,
+    * recompute every doc's margin and quantized error in-plan (the
+    * exact [[margins]]/[[probMicros]] arithmetic), aggregate
+    * `Σ tf·err` per feature (bias rides the [[BiasFeat]] sentinel rows,
+    * one per doc), and apply the update on the driver with the same
+    * HALF_UP rounding the SQL plan used — bit-identical to the
+    * DataFrame full-join update it replaces, collected at model scale
+    * (≤ buckets+1 rows, the size that already made the weights
+    * broadcastable). `labels` is `(doc_id, y)` with y ∈ {0, 1}, one row
+    * per doc.
     */
   def train(docs: DataFrame, idCol: Column, textCol: Column,
             labels: DataFrame, steps: Int, lr: Double,
             buckets: Int = 4096): Model = {
     require(steps >= 1, s"steps ($steps) must be >= 1")
+    val spark = docs.sparkSession
+    val n = labels.agg(count(lit(1))).head().getLong(0)
+    require(n > 0L, "train: empty label set")
+    val scale = lr / n.toDouble
     // tokenization + hashing is the expensive scan: cache the compact
-    // (doc_id, feat, tf) table once for all steps' joins instead of
-    // re-deriving it from text 2× per step
+    // (doc_id, feat, tf) table, then the training base derived from it
+    // — the sentinel branch below reads the CACHE, not a second
+    // featurize pass. The bias-sentinel rows (feat = -1, tf = 1, one
+    // per featured doc) make the bias gradient Σ err fall out of the
+    // same per-feature aggregation as the weight gradients. repartition
+    // by doc_id so each step's margin aggregation and error re-attach
+    // join stay exchange-free.
     val features = Dsir.hashedFeatures(docs, idCol, textCol, buckets)
       .persist()
+    val base = features
+      .unionByName(features.select(col("doc_id")).distinct()
+        .select(col("doc_id"), lit(BiasFeat).as("feat"), lit(1L).as("tf")))
+      .join(labels.select(col("doc_id"), col("y")), "doc_id")
+      .repartition(col("doc_id"))
+      .persist()
     try {
-      val spark = docs.sparkSession
-      import spark.implicits._
-      val n = labels.agg(count(lit(1))).head().getLong(0)
-      require(n > 0L, "train: empty label set")
-      val zero = Model(Seq.empty[(Int, Long)].toDF("feat", "w_micros"), 0L)
-      (1 to steps).foldLeft(zero) { (m, _) =>
-        val next = gradientStep(features, labels, m, lr, n)
-        if (m ne zero) release(m)
-        next
+      var wMap = scala.collection.immutable.Map.empty[Int, Long]
+      var bias = 0L
+      for (_ <- 1 to steps) {
+        val errs = base
+          .join(broadcast(weightsDF(spark, wMap)), Seq("feat"), "left")
+          .groupBy("doc_id")
+          .agg((sum(col("tf") * coalesce(col("w_micros"), lit(0L)))
+            + lit(bias)).as("margin_micros"),
+            first(col("y")).as("y"))
+          .select(col("doc_id"),
+            (probMicros(col("margin_micros"))
+              - col("y").cast("long") * lit(1000000L)).as("err_micros"))
+        val grads = base
+          .join(errs, Seq("doc_id"))
+          .groupBy("feat")
+          .agg(sum(col("tf") * col("err_micros")).as("g_micros"))
+          .collect()
+        grads.foreach { row =>
+          val f = row.getInt(0)
+          val delta = halfUpToLong(row.getLong(1).toDouble * scale)
+          if (f == BiasFeat) bias -= delta
+          else wMap = wMap.updated(f, wMap.getOrElse(f, 0L) - delta)
+        }
       }
-    } finally features.unpersist()
+      Model(weightsDF(spark, wMap), bias)
+    } finally { base.unpersist(); features.unpersist(); () }
   }
 
-  /** Release a trained model's checkpoint blocks. */
+  /** Release a trained model's resources. The r19 model is a plain
+    * LocalRelation (nothing checkpointed); kept for API compatibility
+    * and for models whose weights a caller materialized differently.
+    */
   def release(model: Model): Unit =
     org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(model.weights)
 

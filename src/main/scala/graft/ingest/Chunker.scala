@@ -61,8 +61,16 @@ object Chunker {
         case ShortType   => (r, i) => r.getShort(i).toLong
         case IntegerType => (r, i) => r.getInt(i).toLong
         case LongType    => (r, i) => r.getLong(i)
+        // fractional size estimates truncate via longValue — the
+        // pre-r18 Number.longValue() contract for external callers
+        // (r19, advisor finding)
+        case FloatType   => (r, i) => r.getFloat(i).toLong
+        case DoubleType  => (r, i) => r.getDouble(i).toLong
+        case d: DecimalType =>
+          (r, i) => r.getDecimal(i, d.precision, d.scale)
+            .toJavaBigDecimal.longValue()
         case other => throw new IllegalArgumentException(
-          s"chunking size column must be integral, got ${other.simpleString}")
+          s"chunking size column must be numeric, got ${other.simpleString}")
       }
     (r, i) =>
       if (r.isNullAt(i)) throw new IllegalArgumentException(

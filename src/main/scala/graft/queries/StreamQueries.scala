@@ -40,18 +40,48 @@ object StreamQueries {
       s"events.ts has unsupported physical type $other (testdata contract drift?)")
   }
 
+  /** tmpfs-backed scratch dir for stream staging and checkpoints
+    * (guide §6, r19): a micro-batch pays offset-log + commit-log +
+    * state-delta file I/O as FIXED cost per trigger, and on the ext4
+    * /tmp this charged every batch ~100 ms of filesystem metadata
+    * latency that has nothing to do with the streaming kernel under
+    * test. Falls back to java.io.tmpdir where /dev/shm is absent.
+    * Production deployments put checkpoints on durable storage sized
+    * for their fault-tolerance contract — the gate measures the
+    * kernel, not the durability tier.
+    */
+  private[graft] def scratchDir(prefix: String): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, prefix)
+    else java.nio.file.Files.createTempDirectory(prefix)
+  }
+
   /** A timed-out stream leaves a PARTIAL sink that looks like an answer;
     * make it an error instead (awaitTermination returns false on timeout).
+    * `scratch` dirs (checkpoints, consumed staging) are deleted once the
+    * query has terminated cleanly — gate hygiene for the tmpfs scratch
+    * space; on failure they are left in place for debugging.
     */
   private[graft] def awaitOrFail(
       q: org.apache.spark.sql.streaming.StreamingQuery,
-      timeoutMs: Long): Unit =
+      timeoutMs: Long,
+      scratch: java.nio.file.Path*): Unit = {
     if (!q.awaitTermination(timeoutMs)) {
       try q.stop()
       finally throw new IllegalStateException(
         s"streaming query '${q.name}' still running after $timeoutMs ms; " +
           "partial sink discarded")
     }
+    scratch.foreach { p =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      } catch { case _: Exception => () }
+    }
+  }
 
   /** Stage tick-sentinel files in ONE Spark job (r18): the previous
     * per-sentinel `coalesce(1)` writes scheduled one full Spark job per
@@ -72,7 +102,7 @@ object StreamQueries {
       files: Seq[(Int, Seq[(Long, Long, Long, String, Double, String)])])
       : Unit = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-sentinels")
+    val tmp = scratchDir("graft-sentinels")
     val rows = files.flatMap { case (n, rs) =>
       rs.map(r => (n, r._1, r._2, r._3, r._4, r._5, r._6)) }
     alignTs(rows.toDF("__file", "event_id", "ts", "user_id", "event_type",
@@ -96,7 +126,7 @@ object StreamQueries {
     */
   private def stageFrames(staged: java.nio.file.Path,
                           batches: Seq[(Int, DataFrame)]): Unit = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-frames")
+    val tmp = scratchDir("graft-frames")
     batches.map { case (n, df) => df.withColumn("__file", lit(n)) }
       .reduce(_ unionByName _)
       .coalesce(1)
@@ -117,7 +147,7 @@ object StreamQueries {
   private def stageSplit(staged: java.nio.file.Path, df: DataFrame,
                          fileNo: org.apache.spark.sql.Column,
                          files: Seq[Int]): Unit = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-split")
+    val tmp = scratchDir("graft-split")
     df.withColumn("__file", fileNo)
       .coalesce(1)
       .write.partitionBy("__file").mode("overwrite").parquet(tmp.toString)
@@ -148,8 +178,9 @@ object StreamQueries {
 
   /** Shared body of s02 / s16: a REAL run of the stateful sessionizer
     * (flatMapGroupsWithState + event-time timeout), staged as three
-    * chronologically-ordered files (events + two far-future sentinel
-    * ticks) so maxFilesPerTrigger=1 advances the watermark between
+    * chronologically-ordered files (events + a far-future sentinel
+    * tick; the engine's automatic no-data batch is the epilogue) so
+    * maxFilesPerTrigger=1 advances the watermark between
     * micro-batches and the timeouts fire. The sink name doubles as the
     * memory-table name, so the two gates never clobber each other.
     */
@@ -158,19 +189,22 @@ object StreamQueries {
     import s.implicits._
     val gapMs = 30L * 60 * 1000
     val schema = eventsSchema(s, dir) // one footer read per gate (r18)
-    val staged = java.nio.file.Files.createTempDirectory("graft-s02")
+    val staged = scratchDir("graft-s02")
+    val ckpt = scratchDir("graft-s02-ckpt")
     // batch 0 = the raw events file, copied as-is (no Spark rewrite);
-    // sentinels use fixed far-future timestamps (testdata is bounded
-    // to 2024), so no max(ts) pre-pass either; both sentinel files in
-    // ONE staging job (rows built as epoch-nanos longs, aligned to the
-    // stored ts type)
+    // the sentinel uses a fixed far-future timestamp (testdata is
+    // bounded to 2024), so no max(ts) pre-pass either. ONE sentinel
+    // tick (r19): it advances the watermark past every real event, and
+    // the engine's automatic no-data micro-batch (noDataMicroBatches,
+    // on by default — observed as the trailing rows=0 batch in the r19
+    // floor trace) then fires the event-time timeouts; the second tick
+    // batch the gate used to stage did the same work twice.
     val dest0 = staged.resolve("0.parquet")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"), dest0)
     dest0.toFile.setLastModified(1000000000L)
     stageSentinels(s, schema("ts").dataType, staged, Seq(
-      1 -> Seq((-1L, 2051222400L * 1000000000L, -1L, "tick", 0.0, "{}")), // 2035-01-01
-      2 -> Seq((-2L, 2051308800L * 1000000000L, -1L, "tick", 0.0, "{}")))) // 2035-01-02
+      1 -> Seq((-1L, 2051222400L * 1000000000L, -1L, "tick", 0.0, "{}")))) // 2035-01-01
     withShufflePartitions(s, 4) {
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -183,9 +217,10 @@ object StreamQueries {
         .format("memory")
         .queryName(sinkName)
         .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      awaitOrFail(q, 180000)
+      awaitOrFail(q, 180000, ckpt, staged)
     }
     s.table(sinkName)
       .filter(col("user_id") >= 0)
@@ -195,8 +230,8 @@ object StreamQueries {
   }
 
   /** The fixed machinery cost every streaming gate pays, isolated: the
-    * same staged protocol as [[sessionsGateBody]] (3 chronologically
-    * ordered files — events + two far-future sentinels —
+    * same staged protocol as [[sessionsGateBody]] (events + one
+    * far-future sentinel staged chronologically,
     * maxFilesPerTrigger=1, watermark, 4 state partitions, AvailableNow)
     * around a NOOP stateful kernel (windowed count → noop sink). Bench
     * times this once per run and stamps it into the artifact meta as
@@ -207,14 +242,14 @@ object StreamQueries {
     */
   def machineryFloor(s: SparkSession, dir: String): Unit = {
     val schema = eventsSchema(s, dir)
-    val staged = java.nio.file.Files.createTempDirectory("graft-floor")
+    val staged = scratchDir("graft-floor")
+    val ckpt = scratchDir("graft-floor-ckpt")
     val dest0 = staged.resolve("0.parquet")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"), dest0)
     dest0.toFile.setLastModified(1000000000L)
     stageSentinels(s, schema("ts").dataType, staged, Seq(
-      1 -> Seq((-1L, 2051222400L * 1000000000L, -1L, "tick", 0.0, "{}")),
-      2 -> Seq((-2L, 2051308800L * 1000000000L, -1L, "tick", 0.0, "{}"))))
+      1 -> Seq((-1L, 2051222400L * 1000000000L, -1L, "tick", 0.0, "{}"))))
     withShufflePartitions(s, 4) {
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -227,10 +262,11 @@ object StreamQueries {
         .count()
         .writeStream
         .format("noop")
+        .option("checkpointLocation", ckpt.toString)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      awaitOrFail(q, 120000)
+      awaitOrFail(q, 120000, ckpt, staged)
     }
   }
 
@@ -238,7 +274,8 @@ object StreamQueries {
     "s01_stream_hourly" -> ((s: SparkSession, dir: String) => {
       // the file-stream source needs a directory: stage the events file
       // into one (at scale the source IS a landing directory)
-      val staged = java.nio.file.Files.createTempDirectory("graft-stream")
+      val staged = scratchDir("graft-stream")
+      val ckpt = scratchDir("graft-s01-ckpt")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"),
         staged.resolve("events.parquet"))
@@ -261,9 +298,10 @@ object StreamQueries {
           .format("memory")
           .queryName("s01_stream_hourly_sink")
           .outputMode("complete")
+          .option("checkpointLocation", ckpt.toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        awaitOrFail(q, 120000)
+        awaitOrFail(q, 120000, ckpt, staged)
       }
       s.table("s01_stream_hourly_sink")
         .orderBy("event_type", "hour_start")
@@ -272,8 +310,8 @@ object StreamQueries {
     // A REAL run of the stateful sessionizer (flatMapGroupsWithState +
     // event-time timeout) inside the gate, oracled against the batch
     // gaps-and-islands result. The stream is staged as three
-    // chronologically-ordered files — the real events plus two far-future
-    // sentinel ticks for a synthetic user (-1) — and maxFilesPerTrigger=1
+    // chronologically-ordered files — the real events plus a far-future
+    // sentinel tick for a synthetic user (-1) — and maxFilesPerTrigger=1
     // turns each file into its own micro-batch, so the watermark advances
     // between batches and the event-time timeouts fire, closing every
     // real user's final session (a stream never "ends"; the sentinels
@@ -304,7 +342,8 @@ object StreamQueries {
     // is 4× the tumbling count, still bounded by the watermark). DuckDB
     // recomputes the hop arithmetic by exploding k = 0..3.
     "s07_stream_sliding" -> ((s: SparkSession, dir: String) => {
-      val staged = java.nio.file.Files.createTempDirectory("graft-s07")
+      val staged = scratchDir("graft-s07")
+      val ckpt = scratchDir("graft-s07-ckpt")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"),
         staged.resolve("events.parquet"))
@@ -324,9 +363,10 @@ object StreamQueries {
           .format("memory")
           .queryName("s07_stream_sliding_sink")
           .outputMode("complete")
+          .option("checkpointLocation", ckpt.toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        awaitOrFail(q, 120000)
+        awaitOrFail(q, 120000, ckpt, staged)
       }
       s.table("s07_stream_sliding_sink").orderBy("event_type", "win_start")
     }),
@@ -337,7 +377,8 @@ object StreamQueries {
     // arrival gets kept per key is scheduling-dependent; the key set is
     // not).
     "s03_stream_dedup" -> ((s: SparkSession, dir: String) => {
-      val staged = java.nio.file.Files.createTempDirectory("graft-s03")
+      val staged = scratchDir("graft-s03")
+      val ckpt = scratchDir("graft-s03-ckpt")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"),
         staged.resolve("events.parquet"))
@@ -352,9 +393,10 @@ object StreamQueries {
           .format("memory")
           .queryName("s03_stream_dedup_sink")
           .outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        awaitOrFail(q, 120000)
+        awaitOrFail(q, 120000, ckpt, staged)
       }
       s.table("s03_stream_dedup_sink")
         .orderBy("user_id", "event_type")
@@ -365,7 +407,8 @@ object StreamQueries {
     // involved), then aggregated per enriched category.
     "s06_stream_static_join" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val staged = java.nio.file.Files.createTempDirectory("graft-s06")
+      val staged = scratchDir("graft-s06")
+      val ckpt = scratchDir("graft-s06-ckpt")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"),
         staged.resolve("events.parquet"))
@@ -386,9 +429,10 @@ object StreamQueries {
           .format("memory")
           .queryName("s06_stream_static_join_sink")
           .outputMode("complete")
+          .option("checkpointLocation", ckpt.toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        awaitOrFail(q, 120000)
+        awaitOrFail(q, 120000, ckpt, staged)
       }
       s.table("s06_stream_static_join_sink").orderBy("category")
     }),
@@ -400,7 +444,8 @@ object StreamQueries {
     // generous gate watermark keeps every match (nothing is late), so
     // the batch join is an exact oracle.
     "s04_stream_join" -> ((s: SparkSession, dir: String) => {
-      val staged = java.nio.file.Files.createTempDirectory("graft-s04")
+      val staged = scratchDir("graft-s04")
+      val ckpt = scratchDir("graft-s04-ckpt")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"),
         staged.resolve("events.parquet"))
@@ -425,9 +470,10 @@ object StreamQueries {
           .format("memory")
           .queryName("s04_stream_join_sink")
           .outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        awaitOrFail(q, 120000)
+        awaitOrFail(q, 120000, ckpt, staged)
       }
       s.table("s04_stream_join_sink").orderBy("purchase_id", "click_id")
     }),
@@ -439,7 +485,7 @@ object StreamQueries {
     // final table equals the one-shot batch aggregate regardless of
     // batch boundaries (addition commutes), which DuckDB recomputes.
     "s05_stream_upsert" -> ((s: SparkSession, dir: String) => {
-      val staged = java.nio.file.Files.createTempDirectory("graft-s05")
+      val staged = scratchDir("graft-s05")
       stageSplit(staged, s.read.parquet(s"$dir/events.parquet"),
         pmod(col("event_id"), lit(2)), Seq(0, 1))
       val wh = new SparkWarehouse(s,
@@ -504,7 +550,7 @@ object StreamQueries {
           .option("checkpointLocation", staged.resolve("_ckpt").toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        awaitOrFail(q, 120000)
+        awaitOrFail(q, 120000, staged)
       }
       wh.get("user_counts").fold(
         e => throw new RuntimeException(e.message), identity)
@@ -522,7 +568,8 @@ object StreamQueries {
     // the final state — which must equal the batch aggregate.
     "s08_stream_running_totals" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val staged = java.nio.file.Files.createTempDirectory("graft-s08")
+      val staged = scratchDir("graft-s08")
+      val ckpt = scratchDir("graft-s08-ckpt")
       stageSplit(staged, s.read.parquet(s"$dir/events.parquet"),
         pmod(col("event_id"), lit(2)), Seq(0, 1))
       withShufflePartitions(s, 4) {
@@ -536,9 +583,10 @@ object StreamQueries {
           .format("memory")
           .queryName("s08_stream_running_totals_sink")
           .outputMode("update")
+          .option("checkpointLocation", ckpt.toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        awaitOrFail(q, 120000)
+        awaitOrFail(q, 120000, ckpt, staged)
       }
       s.table("s08_stream_running_totals_sink")
         .groupBy("user_id")
@@ -566,18 +614,20 @@ object StreamQueries {
     // replays exactly.
     "s15_stream_full_outer" -> ((s: SparkSession, dir: String) => {
       val schema = eventsSchema(s, dir)
-      val staged = java.nio.file.Files.createTempDirectory("graft-s15")
+      val staged = scratchDir("graft-s15")
+      val ckpt = scratchDir("graft-s15-ckpt")
       val dest0 = staged.resolve("0.parquet")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"), dest0)
       dest0.toFile.setLastModified(1000000000L)
+      // ONE two-sided sentinel batch (r19): it advances both watermarks
+      // past every real event; the engine's automatic no-data
+      // micro-batch then runs the eviction that emits the unmatched
+      // rows — the second sentinel batch duplicated that work.
       stageSentinels(s, schema("ts").dataType, staged, Seq(
         1 -> Seq( // 2035-01-01
           (-2L, 2051222400L * 1000000000L, -1L, "purchase", 0.0, "{}"),
-          (-3L, 2051222400L * 1000000000L, -1L, "click", 0.0, "{}")),
-        2 -> Seq( // 2035-01-04
-          (-4L, 2051481600L * 1000000000L, -1L, "purchase", 0.0, "{}"),
-          (-5L, 2051481600L * 1000000000L, -1L, "click", 0.0, "{}"))))
+          (-3L, 2051222400L * 1000000000L, -1L, "click", 0.0, "{}"))))
       withShufflePartitions(s, 4) {
         def side(et: String) = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1)
@@ -602,9 +652,10 @@ object StreamQueries {
           .format("memory")
           .queryName("s15_stream_full_outer_sink")
           .outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        awaitOrFail(q, 180000)
+        awaitOrFail(q, 180000, ckpt, staged)
       }
       s.table("s15_stream_full_outer_sink")
         .filter(col("uid") >= 0) // drop the sentinel rows
@@ -613,24 +664,24 @@ object StreamQueries {
 
     "s09_stream_left_join" -> ((s: SparkSession, dir: String) => {
       val schema = eventsSchema(s, dir)
-      val staged = java.nio.file.Files.createTempDirectory("graft-s09")
+      val staged = scratchDir("graft-s09")
+      val ckpt = scratchDir("graft-s09-ckpt")
       val dest0 = staged.resolve("0.parquet")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"), dest0)
       dest0.toFile.setLastModified(1000000000L)
       // BOTH sides' ticks in one file: the stream-stream watermark is
-      // the MIN across sides, so each sentinel batch must advance the
-      // purchase AND click watermarks together. Two sentinel batches:
-      // the first advances both watermarks past every real event; the
-      // second makes the post-advance eviction batch run
-      // unconditionally (same epilogue discipline as s02).
+      // the MIN across sides, so the sentinel batch must advance the
+      // purchase AND click watermarks together. ONE sentinel batch
+      // (r19): it advances both watermarks past every real event, and
+      // the engine's automatic no-data micro-batch runs the
+      // post-advance eviction that emits the unmatched purchases — the
+      // second sentinel batch the gate used to stage re-scanned the
+      // full join state a third time for no additional output.
       stageSentinels(s, schema("ts").dataType, staged, Seq(
         1 -> Seq( // 2035-01-01
           (-2L, 2051222400L * 1000000000L, -1L, "purchase", 0.0, "{}"),
-          (-3L, 2051222400L * 1000000000L, -1L, "click", 0.0, "{}")),
-        2 -> Seq( // 2035-01-04
-          (-4L, 2051481600L * 1000000000L, -1L, "purchase", 0.0, "{}"),
-          (-5L, 2051481600L * 1000000000L, -1L, "click", 0.0, "{}"))))
+          (-3L, 2051222400L * 1000000000L, -1L, "click", 0.0, "{}"))))
       withShufflePartitions(s, 4) {
         def side(et: String) = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1)
@@ -654,9 +705,10 @@ object StreamQueries {
           .format("memory")
           .queryName("s09_stream_left_join_sink")
           .outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        awaitOrFail(q, 180000)
+        awaitOrFail(q, 180000, ckpt, staged)
       }
       s.table("s09_stream_left_join_sink")
         .filter(col("user_id") >= 0) // drop the sentinel rows
@@ -671,16 +723,17 @@ object StreamQueries {
     // the directory read back must equal the batch aggregate.
     "s10_stream_parquet_sink" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val staged = java.nio.file.Files.createTempDirectory("graft-s10")
+      val staged = scratchDir("graft-s10")
       val outDir = java.nio.file.Files.createTempDirectory("graft-s10-out")
       val dest0 = staged.resolve("0.parquet")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"), dest0)
       dest0.toFile.setLastModified(1000000000L)
       val schema = eventsSchema(s, dir)
+      // one sentinel tick (r19): the automatic no-data batch flushes
+      // the windows the tick's watermark advance closed
       stageSentinels(s, schema("ts").dataType, staged, Seq(
-        1 -> Seq((-1L, 2051222400L * 1000000000L, -1L, "tick", 0.0, "{}")), // 2035-01-01
-        2 -> Seq((-2L, 2051308800L * 1000000000L, -1L, "tick", 0.0, "{}")))) // 2035-01-02
+        1 -> Seq((-1L, 2051222400L * 1000000000L, -1L, "tick", 0.0, "{}")))) // 2035-01-01
       withShufflePartitions(s, 4) {
         val stream = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1)
@@ -697,7 +750,7 @@ object StreamQueries {
         val q = EventStream.toParquetSink(agg, outDir.toString,
             staged.resolve("_ckpt").toString)
           .start()
-        awaitOrFail(q, 120000)
+        awaitOrFail(q, 120000, staged)
       }
       s.read.parquet(outDir.toString)
         .filter(col("event_type") =!= "tick") // sentinel epilogue windows
@@ -708,20 +761,22 @@ object StreamQueries {
     // session operator — merging session state in the streaming
     // runtime, vs s02's hand-rolled flatMapGroupsWithState): per-user
     // 30-minute-gap sessions aggregated in append mode; sessions flush
-    // when the watermark passes their end, so two far-future sentinel
+    // when the watermark passes their end, so a far-future sentinel
     // ticks drain all state. Must equal the batch gaps-and-islands
     // replay (>= gap starts a new session — session_window semantics).
     "s11_stream_session_window" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val staged = java.nio.file.Files.createTempDirectory("graft-s11")
+      val staged = scratchDir("graft-s11")
+      val ckpt = scratchDir("graft-s11-ckpt")
       val dest0 = staged.resolve("0.parquet")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"), dest0)
       dest0.toFile.setLastModified(1000000000L)
       val schema = eventsSchema(s, dir)
+      // one sentinel tick (r19): the automatic no-data batch flushes
+      // the sessions the tick's watermark advance closed
       stageSentinels(s, schema("ts").dataType, staged, Seq(
-        1 -> Seq((-1L, 2051222400L * 1000000000L, -1L, "tick", 0.0, "{}")), // 2035-01-01
-        2 -> Seq((-2L, 2051308800L * 1000000000L, -1L, "tick", 0.0, "{}")))) // 2035-01-02
+        1 -> Seq((-1L, 2051222400L * 1000000000L, -1L, "tick", 0.0, "{}")))) // 2035-01-01
       withShufflePartitions(s, 4) {
         val stream = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1)
@@ -736,9 +791,10 @@ object StreamQueries {
           .format("memory")
           .queryName("s11_stream_session_window_sink")
           .outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        awaitOrFail(q, 180000)
+        awaitOrFail(q, 180000, ckpt, staged)
       }
       s.table("s11_stream_session_window_sink")
         .filter(col("user_id") >= 0)
@@ -754,7 +810,8 @@ object StreamQueries {
     // click; the semi form is the streaming EXISTS). State bounds and
     // watermark discipline are identical to the inner join's.
     "s13_stream_semi_join" -> ((s: SparkSession, dir: String) => {
-      val staged = java.nio.file.Files.createTempDirectory("graft-s13")
+      val staged = scratchDir("graft-s13")
+      val ckpt = scratchDir("graft-s13-ckpt")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"),
         staged.resolve("events.parquet"))
@@ -781,9 +838,10 @@ object StreamQueries {
           .format("memory")
           .queryName("s13_stream_semi_join_sink")
           .outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        awaitOrFail(q, 120000)
+        awaitOrFail(q, 120000, ckpt, staged)
       }
       s.table("s13_stream_semi_join_sink").orderBy("purchase_id")
     }),
@@ -800,7 +858,8 @@ object StreamQueries {
     // and the oracle hash fails.
     "s14_stream_late_data" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val staged = java.nio.file.Files.createTempDirectory("graft-s14")
+      val staged = scratchDir("graft-s14")
+      val ckpt = scratchDir("graft-s14-ckpt")
       val dest0 = staged.resolve("0.parquet")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"), dest0)
@@ -813,11 +872,13 @@ object StreamQueries {
       stageFrames(staged, Seq(
         1 -> tick(-1L, 2051222400L), // 2035-01-01: closes every window
         // late copies: the first 200 real events again, new ids, same
-        // ts, plus a final tick so the post-drop eviction batch runs
+        // ts — every real window emits in THIS batch (the tick already
+        // advanced the watermark past them), the copies are dropped as
+        // late, and the tick's own (filtered) window is the only state
+        // left, so no trailing tick is needed (r19)
         2 -> s.read.parquet(s"$dir/events.parquet")
           .filter(col("event_id") < 200)
-          .withColumn("event_id", col("event_id") + 1000000000L)
-          .unionByName(tick(-2L, 2051308800L))))
+          .withColumn("event_id", col("event_id") + 1000000000L)))
       withShufflePartitions(s, 4) {
         val stream = s.readStream.schema(eventsSchema(s, dir))
           .option("maxFilesPerTrigger", 1)
@@ -833,9 +894,10 @@ object StreamQueries {
           .format("memory")
           .queryName("s14_stream_late_data_sink")
           .outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        awaitOrFail(q, 120000)
+        awaitOrFail(q, 120000, ckpt, staged)
       }
       s.table("s14_stream_late_data_sink")
         .filter(col("event_type") =!= "tick")
@@ -875,7 +937,7 @@ object StreamQueries {
         .union(fresh.filter(col("doc_id") === 600005L)
           .select(lit(700005L).as("doc_id"), col("text")))
         .union(fresh.filter(col("doc_id") >= 600008L))
-      val staged = java.nio.file.Files.createTempDirectory("graft-s12")
+      val staged = scratchDir("graft-s12")
       stageFrames(staged, Seq(0 -> batch0, 1 -> batch1, 2 -> batch2))
       val wh = new SparkWarehouse(s,
         java.nio.file.Files.createTempDirectory("graft-s12-wh").toString)
@@ -900,7 +962,7 @@ object StreamQueries {
           .option("checkpointLocation", staged.resolve("_ckpt").toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        awaitOrFail(q, 120000)
+        awaitOrFail(q, 120000, staged)
       }
       wh.get("admitted").fold(
         e => throw new RuntimeException(e.message), identity)
@@ -938,7 +1000,7 @@ object StreamQueries {
         (col("o_orderkey") + 30000000L).as("o_orderkey"),
         col("o_orderstatus"), col("o_orderpriority"))))
       withShufflePartitions(s, 4) {
-        val ckpt = java.nio.file.Files.createTempDirectory("graft-s17-ckpt")
+        val ckpt = scratchDir("graft-s17-ckpt")
         val stream = s.readStream.format("graft-cdc")
           .option("warehouse", wh.warehouseDir)
           .option("table", src)
@@ -961,7 +1023,7 @@ object StreamQueries {
           .option("checkpointLocation", ckpt.toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        awaitOrFail(q, 120000)
+        awaitOrFail(q, 120000, ckpt)
       }
       ok(wh.get(rep))
         .orderBy("o_orderkey", "o_orderstatus", "o_orderpriority")

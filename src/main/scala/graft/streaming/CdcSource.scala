@@ -3,7 +3,6 @@ package graft.streaming
 import graft.warehouse.SparkWarehouse
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.Source
-import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -74,6 +73,38 @@ class GraftCdcSourceProvider extends StreamSourceProvider
 object GraftCdcSource {
   val ChangeTypeCol = "change_type"
 
+  /** The stream's offset: `end` is the newest generation the cursor
+    * covers; `origin` is the stream's ORIGIN generation — fixed at the
+    * stream's first start and persisted in every offset (r19, advisor
+    * finding: a replayed batch 0 calls `getBatch(start = None, end)` on
+    * a RESTARTED source whose recomputed `initialGen` is the table's
+    * CURRENT generation, so without the persisted origin the replayed
+    * span (initialGen, end] silently shortens — the first span's
+    * changes would be lost exactly once per crash-before-commit).
+    * Legacy checkpoints carry bare-long offsets; [[parse]] accepts
+    * both (a bare long has no origin — the old fallback applies).
+    */
+  private[graft] case class CdcOffset(origin: Long, end: Long)
+      extends org.apache.spark.sql.execution.streaming.Offset {
+    override val json: String = s"""{"origin":$origin,"end":$end}"""
+  }
+
+  private[graft] object CdcOffset {
+    private val OriginRe = """"origin"\s*:\s*(-?\d+)""".r
+    private val EndRe = """"end"\s*:\s*(-?\d+)""".r
+
+    /** (origin if present, end). */
+    def parse(json: String): (Option[Long], Long) = {
+      val t = json.trim
+      if (t.startsWith("{")) {
+        val end = EndRe.findFirstMatchIn(t).map(_.group(1).toLong)
+          .getOrElse(throw new IllegalStateException(
+            s"graft-cdc: malformed offset json '$json'"))
+        (OriginRe.findFirstMatchIn(t).map(_.group(1).toLong), end)
+      } else (None, t.toLong)
+    }
+  }
+
   /** Optional `keys` option (comma-separated): batches then coalesce a
     * same-key delete+insert into Delta-CDF `update_preimage` /
     * `update_postimage` rows ([[SparkWarehouse.changesBetweenKeyed]]);
@@ -93,7 +124,7 @@ object GraftCdcSource {
     (new SparkWarehouse(spark, dir), table)
   }
 
-  private[streaming] def feedSchema(wh: SparkWarehouse,
+  private[graft] def feedSchema(wh: SparkWarehouse,
                                     table: String): StructType = {
     val base = wh.get(table).fold(
       e => throw new IllegalArgumentException(
@@ -126,8 +157,30 @@ class GraftCdcSource(wh: SparkWarehouse, table: String,
   // a genuinely fresh stream that has produced no offset yet.
   @volatile private var committedFloor: Option[Long] = None
 
+  // The stream's ORIGIN generation, once recovered from a checkpointed
+  // offset (r19, advisor finding): fixed at the stream's FIRST start
+  // and carried in every offset's json, so a replayed batch 0 on a
+  // restarted source replays the original span instead of the
+  // recomputed-current one. None until an offset is seen; a legacy
+  // bare-long offset carries no origin (the pre-r19 fallback applies).
+  @volatile private var recoveredOrigin: Option[Long] = None
+
   private def observeFloor(g: Long): Unit =
     if (!committedFloor.exists(_ >= g)) committedFloor = Some(g)
+
+  private def observeOffset(json: String): Long = {
+    val (origin, end) = GraftCdcSource.CdcOffset.parse(json)
+    origin.foreach { o =>
+      if (recoveredOrigin.isEmpty) recoveredOrigin = Some(o) }
+    observeFloor(end)
+    end
+  }
+
+  /** The origin the stream's offsets carry: recovered from the
+    * checkpoint when one exists, else this instance's construction-time
+    * origin (a genuinely fresh stream).
+    */
+  private def streamOrigin: Long = recoveredOrigin.getOrElse(initialGen)
 
   // Trigger.AvailableNow: the generation fence taken at prepare time —
   // the stream drains up to it and terminates, ignoring later commits
@@ -138,23 +191,19 @@ class GraftCdcSource(wh: SparkWarehouse, table: String,
 
   override def schema: StructType = declaredSchema
 
-  private def genOf(o: org.apache.spark.sql.execution.streaming.Offset)
-      : Long = o match {
-    case l: LongOffset => l.offset
-    case s: SerializedOffset => LongOffset(s).offset
-    case other => other.json.toLong
-  }
-
   /** One manifest-header read: the newest committed generation (capped
     * by an AvailableNow fence), None until it advances past the
-    * stream's origin.
+    * stream's origin. The emitted offset carries the stream's origin
+    * generation so a replayed first batch can reconstruct its span
+    * after a restart (r19).
     */
   override def getOffset
       : Option[org.apache.spark.sql.execution.streaming.Offset] = {
     val floor = committedFloor.getOrElse(initialGen)
     val cur = wh.currentGeneration(table)
     availableNowCap.fold(cur)(cap => cur.map(math.min(_, cap)))
-      .filter(_ > floor).map(LongOffset.apply)
+      .filter(_ > floor)
+      .map(g => GraftCdcSource.CdcOffset(streamOrigin, g))
   }
 
   // SupportsAdmissionControl (via SupportsTriggerAvailableNow): this
@@ -168,13 +217,12 @@ class GraftCdcSource(wh: SparkWarehouse, table: String,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
       : org.apache.spark.sql.connector.read.streaming.Offset = {
     // `start` is the engine's recovered cursor: on restart it reflects
-    // the checkpoint, which must win over the recomputed initialGen
+    // the checkpoint, which must win over the recomputed initialGen —
+    // both its end (the floor) and its persisted origin
     start match {
       case null => ()
-      case l: LongOffset => observeFloor(l.offset)
-      case s: SerializedOffset => observeFloor(LongOffset(s).offset)
       case other =>
-        try observeFloor(other.json.toLong) catch { case _: Exception => () }
+        try { observeOffset(other.json); () } catch { case _: Exception => () }
     }
     getOffset.orNull
   }
@@ -186,10 +234,17 @@ class GraftCdcSource(wh: SparkWarehouse, table: String,
   override def getBatch(
       start: Option[org.apache.spark.sql.execution.streaming.Offset],
       end: org.apache.spark.sql.execution.streaming.Offset): DataFrame = {
-    val fromGen = start.map(genOf).getOrElse(initialGen)
-    val toGen = genOf(end)
-    // a replayed batch after restart also reveals the true cursor
-    observeFloor(toGen)
+    // a replayed batch after restart also reveals the true cursor (end)
+    // and the stream's persisted origin
+    val toGen = observeOffset(end.json)
+    val fromGen = start.map(o => GraftCdcSource.CdcOffset.parse(o.json)._2)
+      .getOrElse {
+        // first batch, possibly REPLAYED on a restarted source: the end
+        // offset's persisted origin is the true span start; only a
+        // genuinely fresh stream (or a legacy bare-long offset) falls
+        // back to this instance's construction-time origin
+        GraftCdcSource.CdcOffset.parse(end.json)._1.getOrElse(initialGen)
+      }
     val raw =
       if (keys.isEmpty) wh.changesBetween(table, fromGen, toGen)
       else wh.changesBetweenKeyed(table, fromGen, toGen, keys)

@@ -101,12 +101,17 @@ object CommitPrimitive {
     java.nio.file.Paths.get(fs.makeQualified(p).toUri)
 
   /** The single-writer downgrade opt-in, read from the active session
-    * (the commit protocol runs on the driver). Shared by the
+    * (the commit protocol runs on the driver), falling back to the
+    * default session (r19, advisor finding: getActiveSession is
+    * THREAD-local — a commit issued from a user thread pool that never
+    * set an active session would otherwise see the opt-in as false and
+    * refuse, even though the owning session set it). Shared by the
     * scheme-resolution refusal in [[forFileSystem]] and the
     * no-hardlink-mount refusal in [[FileCommitPrimitive.putIfAbsent]].
     */
   private[warehouse] def allowNonAtomic: Boolean =
     org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .flatMap(s => s.conf.getOption("spark.graft.commit.allowNonAtomic"))
       .exists(_.toBoolean)
 

@@ -101,6 +101,27 @@ object GraftFileIndexBridge {
       isStreaming = true)
   }
 
+  /** The inverse, for tests that drive a `Source.getBatch` directly:
+    * re-wrap a streaming-tagged [[asStreamingFrame]] result as a batch
+    * frame so it can be counted/collected outside a streaming query.
+    * (Executing the streaming frame's own plan would trip the
+    * batch-execution checker, so the underlying RDD is re-wrapped
+    * instead.)
+    */
+  def asBatchFrame(df: DataFrame): DataFrame = {
+    val session = df.sparkSession.asInstanceOf[classic.SparkSession]
+    df.queryExecution.analyzed match {
+      case lr: execution.LogicalRDD =>
+        session.internalCreateDataFrame(
+          lr.rdd.asInstanceOf[org.apache.spark.rdd.RDD[
+            org.apache.spark.sql.catalyst.InternalRow]],
+          df.schema, isStreaming = false)
+      case other => throw new IllegalArgumentException(
+        s"asBatchFrame expects an asStreamingFrame result, got " +
+          other.getClass.getSimpleName)
+    }
+  }
+
   /** Parquet scan over an EXPLICIT file inventory — zero directory
     * listing at plan time. The given statuses seed the `FileIndex`'s
     * status cache, so the stock `InMemoryFileIndex` (partition
@@ -241,7 +262,15 @@ object GraftVerifyingParquetFileFormat {
   // Bounded LRU (r18, advisor finding): every distinct conf CONTENT —
   // e.g. per-session object-store credentials, the motivating case —
   // previously leaked a driver+executor broadcast for the context's
-  // lifetime; evicted entries now destroy their broadcast.
+  // lifetime. Eviction must NOT destroy() (r19, advisor finding): a
+  // reader closure built by buildReaderWithPartitionValues captures the
+  // broadcast for the lifetime of its scan, and streaming/cached plans
+  // reuse it across micro-batches — destroying an evicted-but-in-flight
+  // broadcast fails every later task of that scan with "Attempted to
+  // use Broadcast after it was destroyed". Eviction instead unpersists
+  // the executor copies (tasks re-fetch from the driver on next use)
+  // and drops the strong reference; ContextCleaner destroys the
+  // broadcast for good once no scan references it.
   private val confCacheMaxEntries = 64
   private val confCache = new java.util.LinkedHashMap[
     (org.apache.spark.SparkContext, Long),
@@ -253,7 +282,8 @@ object GraftVerifyingParquetFileFormat {
           org.apache.spark.broadcast.Broadcast[
             org.apache.spark.util.SerializableConfiguration]]): Boolean =
       if (size() > confCacheMaxEntries) {
-        try e.getValue.destroy() catch { case _: Exception => () }
+        try e.getValue.unpersist(blocking = false)
+        catch { case _: Exception => () }
         true
       } else false
   }

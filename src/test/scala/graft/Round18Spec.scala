@@ -31,8 +31,9 @@ class FailingRenameFs18 extends org.apache.hadoop.fs.RawLocalFileSystem {
   *      that never appears);
   *  (4) the chunker's internal-row rewrite (r18 perf) emits exactly the
   *      same chunk assignment as the specification;
-  *  (5) the bridge's Hadoop-conf broadcast cache is LRU-bounded and
-  *      destroys evicted broadcasts (advisor r17 low).
+  *  (5) the bridge's Hadoop-conf broadcast cache is LRU-bounded
+  *      (advisor r17 low; since r19 eviction unpersists instead of
+  *      destroying — see Round19Spec).
   */
 class Round18Spec extends SparkSpec {
 
