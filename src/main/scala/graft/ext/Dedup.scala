@@ -393,10 +393,17 @@ object Dedup {
     require(maxIterations >= 1, "maxIterations must be >= 1")
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     require(shortcutAfter >= 1, "shortcutAfter must be >= 1")
-    val nodes = pairs.select(col("id_a").as("id"))
-      .union(pairs.select(col("id_b").as("id"))).distinct()
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // materialize the pair list ONCE (r19): edges + nodes + the initial
+    // label table reference `pairs` six times between them, and the
+    // caller's plan is typically an expensive candidate pipeline (LSH
+    // banding, bucket joins, signature verification) — without this
+    // checkpoint every one of those references re-ran the whole
+    // pipeline. Released as soon as the derived tables are materialized.
+    val p = pairs.localCheckpoint()
+    val nodes = p.select(col("id_a").as("id"))
+      .union(p.select(col("id_b").as("id"))).distinct()
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .union(nodes.select(col("id").as("src"), col("id").as("dst")))
       .repartition(col("dst"))
       .localCheckpoint()
@@ -418,6 +425,9 @@ object Dedup {
       if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
     }
     var labels = nodes.withColumn("component", col("id")).localCheckpoint()
+    // edges + labels are materialized: the caller's pipeline is not
+    // consulted again
+    org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(p)
     var prevSum = if (sumProbe) labelSum(labels) else null
     var converged = false
     var rounds = 0

@@ -1447,14 +1447,24 @@ object ExtQueries {
     // table, bucket widths, hot set, kept pairing, sorted-neighborhood
     // rescue, exact verification — so any drift in the escalation
     // semantics is a hash mismatch, not a spec-only regression.
-    "x90_setsim_escalated" -> ((s: SparkSession, dir: String) => {
+    "x90_setsim_escalated" -> ((s0: SparkSession, dir: String) => {
+      // pinned like the other iterative/bucketed gates (x09/x21/x57):
+      // the escalation path schedules ~20 tiny shuffle stages over a
+      // 206-doc synthetic corpus — at 32 shuffle partitions the gate
+      // measured stage-scheduling, not the algorithm (r19 probe:
+      // 780 tasks/rep)
+      val s = pinned(s0)
       import s.implicits._
       val fam1 = (0 until 100).map(i => (500000L + i, s"zqhot u$i"))
       val fam2 = (0 until 100).map(i => (600000L + i, s"zqhot2 w$i"))
       val rescue = Seq((700001L, "zqhot zqhot2"), (700002L, "zqhot zqhot2"))
       val cold = Seq((800001L, "p1 p2 p3 p4"), (800002L, "p1 p2 p3 p4"),
         (800003L, "p1 p2 x1 x2"), (800004L, "p1 p2 p3 x9"))
+      // 206 rows: one partition, not defaultParallelism slices — every
+      // exchange over the local relation otherwise fans out 32 map
+      // tasks of ~6 rows each (r19 probe: 780 tasks/rep)
       val docs = (fam1 ++ fam2 ++ rescue ++ cold).toDF("doc_id", "text")
+        .coalesce(1)
       val out = graft.ext.SetSim.jaccardJoinAuto(docs, col("doc_id"),
         col("text"), tauPct = 50, escalateAt = 64, neighborhoodWindow = 10)
       val escalated = out.escalated.count()

@@ -69,6 +69,65 @@ class Round19Spec extends SparkSpec {
     assert(o2.contains(3L) && e2 == 9L)
   }
 
+  test("hist caches: with histCacheRevalidate=true a drop+recreate by " +
+    "ANOTHER warehouse instance over the same dir never serves the old " +
+    "table's snapshot") {
+    val sps = spark; import sps.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r19-histreval").toString
+    val whA = new graft.warehouse.SparkWarehouse(spark, dir)
+    val whB = new graft.warehouse.SparkWarehouse(spark, dir)
+    val t = "t"
+    spark.conf.set("spark.graft.manifest.histCacheRevalidate", "true")
+    try {
+      unwrap(whA.load(t, (0L until 50L).map(i => (i, "old"))
+        .toDF("id", "v").repartition(2)))
+      unwrap(whA.deleteWhere(t, col("id") < 10)) // retained history
+      // instance A warms its hist caches with every retained generation
+      unwrap(whA.generations(t)).foreach(g =>
+        whA.getAsOf(t, g).foreach(_.count()))
+      // instance B — a different warehouse object, same dir — drops and
+      // recreates; generation numbers restart
+      unwrap(whB.drop(t))
+      unwrap(whB.load(t, (0L until 7L).map(i => (i, "new")).toDF("id", "v")))
+      unwrap(whB.deleteWhere(t, col("id") < 2)) // fresh retained history
+      // A's reads must reflect the NEW table (or fail not-retained) —
+      // never the 50-row snapshot its instance-local caches still hold
+      unwrap(whA.generations(t)).foreach { g =>
+        whA.getAsOf(t, g) match {
+          case Right(df) =>
+            val n = df.count()
+            assert(n <= 7L, s"gen $g served $n rows — a stale cached " +
+              "snapshot of the table instance B dropped")
+          case Left(_) => () // not retained: acceptable
+        }
+      }
+    } finally spark.conf.unset("spark.graft.manifest.histCacheRevalidate")
+  }
+
+  test("analyzeBloom missing-pair sentinels: past the collect cap the " +
+    "append takes the distributed path and coverage still completes") {
+    val sps = spark; import sps.implicits._
+    val wh = tmpWh("r19-paircap")
+    val t = "t"
+    // two files whose `v` is ALL NULL in every row: the bloom builder
+    // produces no filter for them, so both (rel, v) pairs are missing
+    // and need sentinels
+    unwrap(wh.load(t, (0L until 100L)
+      .map(i => (i, Option.empty[String])).toDF("id", "v").repartition(2)))
+    val key = "spark.graft.analyze.maxMissingPairCollect"
+    spark.conf.set(key, "1") // 2 missing pairs > cap of 1
+    try {
+      assert(unwrap(wh.analyzeBloom(t, Seq("v"))) >= 1L)
+      // sentinels landed via the distributed path: the incremental
+      // re-analyze sees full coverage and rescans nothing
+      assert(unwrap(wh.analyzeBloom(t, Seq("v"))) == 0L,
+        "capped sentinel append left pairs uncovered — re-analyze rescanned")
+    } finally spark.conf.unset(key)
+    // and the pruning behavior is sound: a null-filter column never
+    // prunes, so an equality probe still scans (returns rows correctly)
+    assert(unwrap(wh.scanPruned(t, col("id") === 5L)).count() == 1L)
+  }
+
   test("conf-broadcast LRU eviction keeps evicted broadcasts readable " +
     "(unpersist, not destroy) while residency stays bounded") {
     val base = spark.sessionState.newHadoopConf()
